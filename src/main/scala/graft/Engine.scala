@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * The reference (sophia-xxx/distributed_system_MapReduce) stores data as
+  * line-oriented text files in its SDFS namespace (`file_system/file_system.go:825-875`)
+  * and has no schema/catalog; here the catalog is simply "named parquet tables
+  * in a directory", which is what the driver's testdata provides and what a
+  * production deployment would map to an object store + Hive/Unity-style
+  * catalog. Replication/locking (SDFS S1-S7) is delegated to the storage
+  * layer by design — see SURVEY.md §1.3.
+  */
+object Engine {
+
+  /** Build a local session tuned for the harness (local[32], 128 GiB box).
+    * On a real cluster these settings come from spark-submit; only the
+    * SQL-level ones (AQE, shuffle partitions) matter for plan shape.
+    */
+  def session(cpus: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
+      // default; read as Long (ns since epoch) and do exact integer time
+      // arithmetic in the queries.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Typed access to the driver testdata tables (TESTDATA.md). Each call is
+    * a fresh scan so Catalyst can push per-query filters/projections into
+    * the parquet reader — do NOT cache here; the queries are the unit of
+    * optimization.
+    */
+  final case class Tables(spark: SparkSession, dir: String) {
+    def table(name: String): DataFrame =
+      spark.read.parquet(s"$dir/$name.parquet")
+    def region: DataFrame     = table("region")
+    def nation: DataFrame     = table("nation")
+    def customer: DataFrame   = table("customer")
+    def supplier: DataFrame   = table("supplier")
+    def part: DataFrame       = table("part")
+    def orders: DataFrame     = table("orders")
+    def lineitem: DataFrame   = table("lineitem")
+    def events: DataFrame     = table("events")
+    def documents: DataFrame  = table("documents")
+    def embeddings: DataFrame = table("embeddings")
+  }
+}

@@ -1,13 +1,193 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Relational, Workloads}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator/workload from SURVEY.md §2's
+  * inventory (or a pipeline extension); [[oracleSql]] carries the DuckDB
+  * equivalent the driver hash-compares against at sf0.01. Column names and
+  * rounding are aligned on both sides by construction.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (Catalyst-native generalizations of §2.3/§2.4)
+    "q1_pricing_summary"   -> (Relational.q1PricingSummary(_, _)),
+    "q2_market_share"      -> (Relational.q2MarketShare(_, _)),
+    "q3_top_orders"        -> (Relational.q3TopOrders(_, _)),
+    "q4_order_priority"    -> (Relational.q4OrderPriority(_, _)),
+    "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue(_, _)),
+    "q7_top_per_customer"  -> (Relational.q7TopOrdersPerCustomer(_, _)),
+    "q8_running_revenue"   -> (Relational.q8RunningRevenue(_, _)),
+    "q9_set_ops"           -> (Relational.q9SetOps(_, _)),
+    "q10_anti_join"        -> (Relational.q10CustomersWithoutOrders(_, _)),
+    "q11_rollup"           -> (Relational.q11RollupCustomers(_, _)),
+    "q12_argmax"           -> (Relational.q12ArgmaxCustomer(_, _)),
+    "q13_scalar_fns"       -> (Relational.q13ScalarFunctions(_, _)),
+    "q14_events_hourly"    -> (Relational.q14EventsHourly(_, _)),
+    "q15_distinct_agg"     -> (Relational.q15DistinctAgg(_, _)),
+    "q16_asof_join"        -> (Relational.q16AsofJoin(_, _)),
+    // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
+    "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
+    "vote_condorcet"       -> (Workloads.voteCondorcet(_, _)),
+    "trace_contact"        -> (Workloads.traceContacts(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_quantity > 0
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_market_share" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q3_top_orders" ->
+      """SELECT o_orderkey, round(rev, 2) AS revenue, o_orderpriority
+         FROM orders
+         JOIN (SELECT l_orderkey,
+                      sum(l_extendedprice * (1.0 - l_discount)) AS rev
+               FROM lineitem GROUP BY l_orderkey) r
+           ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY rev DESC, o_orderkey LIMIT 10""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 25)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q7_top_per_customer" ->
+      """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q8_running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q9_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q11_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q12_argmax" ->
+      """SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+         FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey) AS rn
+               FROM customer) c
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE rn = 1 ORDER BY n_name""",
+    "q13_scalar_fns" ->
+      """SELECT p_partkey,
+         upper(p_brand) AS brand_upper,
+         length(p_name) AS name_len,
+         substring(p_type, 1, 5) AS type_prefix,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         abs(p_size - 25) AS size_dev,
+         round(p_retailprice * 1.1, 2) AS uplift_price,
+         CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+         FROM part ORDER BY p_partkey""",
+    "q14_events_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q15_distinct_agg" ->
+      """SELECT c_mktsegment,
+         count(DISTINCT c_nationkey) AS n_nations,
+         count(DISTINCT c_custkey) AS n_customers,
+         count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q16_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+         (SELECT max(epoch_us(c.ts)) FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND epoch_us(c.ts) <= epoch_us(p.ts)) AS last_click_us
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+    "wc_wordcount" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+               FROM documents)
+         WHERE length(word) > 0 GROUP BY word ORDER BY word""",
+    "vote_condorcet" ->
+      """WITH counted AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+         ranked AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY n DESC, event_type) AS rk
+           FROM counted),
+         ballots AS (
+           SELECT user_id,
+                  max(CASE WHEN rk = 1 THEN event_type END) AS c1,
+                  max(CASE WHEN rk = 2 THEN event_type END) AS c2,
+                  max(CASE WHEN rk = 3 THEN event_type END) AS c3
+           FROM ranked WHERE rk <= 3 GROUP BY user_id
+           HAVING max(CASE WHEN rk = 3 THEN event_type END) IS NOT NULL),
+         prefs AS (
+           SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+                  CASE WHEN a < b THEN 1 ELSE 0 END AS pref_lo
+           FROM (SELECT c1 AS a, c2 AS b FROM ballots
+                 UNION ALL SELECT c1, c3 FROM ballots
+                 UNION ALL SELECT c2, c3 FROM ballots)),
+         pairwise AS (
+           SELECT lo, hi, CAST(sum(pref_lo) AS BIGINT) AS lo_votes,
+                  count(*) AS n
+           FROM prefs GROUP BY lo, hi),
+         winners AS (
+           SELECT CASE WHEN lo_votes * 2 > n THEN lo ELSE hi END AS winner
+           FROM pairwise)
+         SELECT winner, count(*) AS wins FROM winners
+         GROUP BY winner ORDER BY wins DESC, winner""",
+    "trace_contact" ->
+      """SELECT DISTINCT t.event_id AS name
+         FROM (SELECT event_id, user_id, value FROM events
+               WHERE event_type = 'view') t
+         JOIN (SELECT user_id, value FROM events
+               WHERE event_type = 'error') p
+           ON t.user_id = p.user_id
+          AND t.value < p.value + 50 AND p.value < t.value + 50
+         ORDER BY name""",
+  )
 }

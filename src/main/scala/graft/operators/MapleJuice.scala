@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference engine's job surface — `maple` (map) and `juice` (reduce)
+  * over line-oriented data (SURVEY.md §2.1) — rebuilt on Spark in two
+  * fidelity tiers:
+  *
+  *  - **native tier**: user logic as Scala functions compiled into Spark
+  *    tasks (`flatMap` / `groupByKey.flatMapGroups`). This is the primary
+  *    surface; Catalyst/Tungsten manage the shuffle, spill and retry that
+  *    the reference hand-rolls over raw TCP
+  *    (`file_system/file_system.go:89-119, 985-1029`).
+  *  - **literal tier**: user logic as an external executable with the exact
+  *    stdin/stdout line contract of the reference
+  *    (`maple_juice/maple_juice.go:241-264`: `./exe < input > output`).
+  *    Maple pipes each partition ("clip") through the executable once —
+  *    identical to E3; juice launches the executable once per key with the
+  *    key's full line group — identical to E10.
+  *
+  * Data contract (SURVEY §1.1): a maple output line is
+  * `<key><SPACE><value...>`; the shuffle key is the first space-delimited
+  * token (`maple_juice.go:280-282`), and the juice executable receives the
+  * *whole* original lines of one key per invocation. Group contents are
+  * unordered multisets — the reference's shuffle-merge appends lines from a
+  * goroutine per line (`file_system.go:1017-1021`), so no consumer may
+  * assume order; tests compare as multisets.
+  *
+  * Partitioning (E5/E8): the reference places keys by FNV-1a hash mod N or
+  * by contiguous "range" blocks. Placement is not output-visible, so the
+  * native hash partitioner (Murmur3 via `repartition(n, key)`) is used;
+  * `Range` maps to `repartitionByRange`, which implements the *intended*
+  * contiguous-key-range semantics — the reference's own range branch
+  * silently drops overflow keys (`maple_juice.go:695-705`, SURVEY §2.1-E8),
+  * a bug we do not reproduce.
+  *
+  * Scale notes: numTasks in the reference is bounded by cluster size and
+  * tasks run sequentially (`maple_juice.go:564`); here numTasks is just the
+  * shuffle partition count, tasks run fully parallel, and per-key state
+  * streams through `flatMapGroups` iterators (no unbounded in-memory map,
+  * unlike `mj_exe/juice_wordcount.go:13-26`).
+  */
+object MapleJuice {
+
+  sealed trait Partitioning
+  case object Hash extends Partitioning
+  case object Range extends Partitioning
+
+  /** Key extraction per the reference contract: first space-delimited token. */
+  private def keyed(lines: Dataset[String]): DataFrame =
+    lines.toDF("line")
+      .select(substring_index(col("line"), " ", 1).as("key"), col("line"))
+
+  // ------------------------------------------------------------ native tier
+
+  /** Native maple: apply `f` (line → output lines) and key the results.
+    * Returns (key, line) ready for [[juice]]. `numTasks` mirrors the
+    * reference's clip count — it only sets input parallelism.
+    */
+  def maple(lines: Dataset[String], numTasks: Int)(
+      f: String => IterableOnce[String]): DataFrame = {
+    import lines.sparkSession.implicits._
+    val in = if (numTasks > 0) lines.repartition(numTasks) else lines
+    keyed(in.flatMap(f))
+  }
+
+  /** Native juice: group the keyed lines and apply `f` (key, lines →
+    * output lines) once per key, mirroring one reduce-executable invocation
+    * per key file (E9). The group arrives as an iterator — constant memory
+    * per key.
+    */
+  def juice(keyedLines: DataFrame, numTasks: Int,
+      partitioning: Partitioning = Hash)(
+      f: (String, Iterator[String]) => IterableOnce[String]): Dataset[String] = {
+    import keyedLines.sparkSession.implicits._
+    val parted = partitioning match {
+      case Hash  => keyedLines.repartition(numTasks, col("key"))
+      case Range => keyedLines.repartitionByRange(numTasks, col("key"))
+    }
+    parted.select(col("key"), col("line")).as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups((k: String, it: Iterator[(String, String)]) => f(k, it.map(_._2)))
+  }
+
+  // ------------------------------------------------------------ literal tier
+
+  /** Literal maple: pipe each partition through `cmd` exactly as the
+    * reference runs `sh -c "./exe < clip > out"` per clip (E3), then key
+    * the output lines by first token (E4).
+    */
+  def mapleExe(lines: Dataset[String], cmd: String, numTasks: Int): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val in = if (numTasks > 0) lines.repartition(numTasks) else lines
+    keyed(spark.createDataset(in.rdd.pipe(cmd)))
+  }
+
+  /** Literal juice: one `cmd` process per key, fed that key's lines on
+    * stdin, stdout lines collected — the exact E10 contract. Processes are
+    * launched inside executor tasks (never on the driver).
+    */
+  def juiceExe(keyedLines: DataFrame, cmd: String, numTasks: Int,
+      partitioning: Partitioning = Hash): Dataset[String] =
+    juice(keyedLines, numTasks, partitioning) { (_, lines) =>
+      pipeProcess(cmd, lines)
+    }
+
+  /** Run one external process, write `input` lines to stdin, return stdout
+    * lines. Stderr is inherited; a non-zero exit raises, failing the Spark
+    * task (which then retries — actual task-level recovery, vs the
+    * reference's stubbed TODO at `maple_juice.go:739-744`).
+    */
+  private def pipeProcess(cmd: String, input: Iterator[String]): Seq[String] = {
+    val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val writer = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+    val feeder = new Thread(() => {
+      try input.foreach(writer.println) finally writer.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      .getLines().toVector
+    feeder.join()
+    val code = proc.waitFor()
+    require(code == 0, s"juice exe '$cmd' exited $code")
+    out
+  }
+
+  // ------------------------------------------------------------ sink
+
+  /** Append-concat text sink (E11). The reference appends reduce outputs
+    * into one SDFS file in nondeterministic order; Spark writes part-files.
+    * `singleFile = true` coalesces to one partition for byte-shape parity
+    * with the reference's single dest file (CLI convenience only — never
+    * use at scale).
+    */
+  def writeText(out: Dataset[String], path: String, singleFile: Boolean = false): Unit = {
+    val ds = if (singleFile) out.coalesce(1) else out
+    ds.write.mode("append").text(path)
+  }
+}

@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.Engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator suite over the driver testdata (TPC-H-ish).
+  *
+  * The reference engine has no relational layer — every aggregation/join in
+  * SURVEY.md §2.3 is hand-coded inside a map/reduce executable
+  * (`mj_exe/juice_wordcount.go:11-29` hash-agg, `mj_exe/contact_juice3.go:41-60`
+  * nested-loop join). Here each of those semantics is a declarative
+  * DataFrame plan so Catalyst supplies pushdown, pruning, partial
+  * aggregation, broadcast-vs-shuffle join choice and whole-stage codegen.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (`nation`, `region`, query-side literals) are
+  *    explicitly `broadcast()`ed — never shuffle a fact table to meet a
+  *    kilobyte-sized dimension;
+  *  - aggregates are expressed on `groupBy` so map-side partial agg kicks
+  *    in before the shuffle;
+  *  - windows partition by high-cardinality keys (custkey/suppkey/user_id),
+  *    never by a constant (the reference's B3 constant-key trick is a
+  *    deliberate single-reducer bottleneck we refuse to reproduce);
+  *  - every rounded output is rounded AFTER aggregation, so the plan works
+  *    on exact doubles and only the presentation is truncated.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (reference workload A2 generalized:
+    * hash aggregation with multiple measures). Map-side partial agg → 32
+    * shuffle partitions → final agg; no join.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Customer rollup across two broadcast dimension joins
+    * (region ⨝ nation ⨝ customer). nation/region are tiny: broadcast both;
+    * the only shuffle is the final groupBy on (r_name, n_name).
+    */
+  def q2MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-10 orders by revenue (TPC-H Q3 shape): fact-fact shuffle join
+    * lineitem ⨝ orders, then broadcast customer filter. Order by exact
+    * revenue with deterministic tiebreak, round only in the output.
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    t.orders
+      .filter(col("o_orderstatus") === "O")
+      .join(rev, col("o_orderkey") === col("l_orderkey"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), round(col("rev"), 2).as("revenue"), col("o_orderpriority"))
+      .limit(10)
+  }
+
+  /** Order-priority count with an EXISTS semi-join (TPC-H Q4 shape).
+    * left_semi keeps the orders row at most once regardless of lineitem
+    * multiplicity — the scalable EXISTS, no distinct needed.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val shipped = t.lineitem.filter(col("l_quantity") >= 25).select(col("l_orderkey"))
+    t.orders
+      .join(shipped, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Forecast-revenue filter+agg (TPC-H Q6 shape). The whole predicate set
+    * is pushed into the parquet scan (PushedFilters), and only 3 of 11
+    * lineitem columns are read (ReadSchema) — verify with .explain.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Per-customer top-3 orders by totalprice: ranking window partitioned by
+    * the high-cardinality custkey (scales linearly with customers; state per
+    * partition is 3 rows).
+    */
+  def q7TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running revenue per supplier over ship-date order — cumulative window
+    * with a fully deterministic sort key (shipdate, orderkey, linenumber are
+    * unique per supplier) so the running sum is reproducible.
+    */
+  def q8RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.lineitem
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(col("running_qty"), 2).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Set operation: customers who placed an 'O' order, minus those who
+    * placed an 'F' order (EXCEPT, with its implicit distinct). Both sides
+    * are key-only projections so the set op shuffles narrow rows.
+    */
+  def q9SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders
+    val open  = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fin   = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.except(fin).orderBy(col("o_custkey"))
+  }
+
+  /** Anti-join: customers with no orders at all. left_anti is the scalable
+    * NOT EXISTS (no null-aware subtlety since keys are non-null).
+    */
+  def q10CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP over region → nation customer counts (grouping-set machinery the
+    * reference entirely lacks). Spark plans this as a single Expand +
+    * aggregate — one shuffle for all grouping sets.
+    */
+  def q11RollupCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Per-nation argmax: the customer holding the maximum account balance
+    * (reference workload B4 is a global argmax over win counts; this is the
+    * grouped generalization). row_number over (acctbal desc, custkey) keeps
+    * ties deterministic, unlike bare max_by.
+    */
+  def q12ArgmaxCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t.customer
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Scalar-function battery over part (string/math built-ins — the
+    * reference's only scalar surface is strings.Split/TrimSpace/Atoi inside
+    * executables, SURVEY §2.4). Everything here is codegen'd, no UDFs.
+    */
+  def q13ScalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        abs(col("p_size") - 25).as("size_dev"),
+        round(col("p_retailprice") * 1.1, 2).as("uplift_price"),
+        when(col("p_size") >= 25, "large").otherwise("small").as("size_class"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Hourly event rollup (tumbling-window buckets — the batch twin of the
+    * streaming window in graft.streaming). events.ts arrives as Long
+    * nanoseconds (see Engine nanosAsLong note); the hour bucket is exact
+    * integer arithmetic emitted as epoch-microseconds, so the oracle
+    * compare is integer-exact.
+    */
+  def q14EventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(expr("(ts DIV 3600000000000) * 3600000000").as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_us"), col("event_type"))
+  }
+
+  /** Distinct aggregation: per market segment, exact distinct nations and
+    * order-count. countDistinct plans as two-phase partial/final distinct
+    * aggregation — no driver-side set.
+    */
+  def q15DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** As-of join: for each purchase event, the most recent click at or
+    * before the purchase by the same user. Implemented the scalable way — a single
+    * union + window pass (sort by (user, ts) once), NOT a triangle
+    * join+max — so it costs one shuffle of events, independent of the
+    * click/purchase ratio. The reference has no such operator; this is the
+    * canonical "operator Spark lacks as a keyword but composes cleanly"
+    * example (SURVEY §7.4).
+    */
+  def q16AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts DIV 1000").as("ts_us"))
+    val tagged = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts_us")))
+    // clicks sort before purchases at identical ts → strict "earlier" via
+    // ordering (tag 0 = click). ts collisions are sub-microsecond-improbable
+    // but the tiebreak keeps the plan deterministic anyway.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), when(col("event_type") === "click", 0).otherwise(1))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("last_click_us", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_click_us"))
+      .orderBy(col("event_id"))
+  }
+}
