@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Engine.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite over the `documents` table — the
+  * large-scale-training-pipeline extensions (SURVEY.md §7.2-M6). The
+  * reference has no dedup machinery at all; these are designed Spark-first
+  * for the 100 TB case:
+  *
+  *  - exact dedup is one hash-shuffle on the text (or its digest);
+  *  - n-gram Jaccard is exact but inherently candidate-quadratic — it is
+  *    the *correctness oracle* for the scalable paths;
+  *  - MinHash+LSH is the scale path: cost = O(docs × signature) plus a
+  *    band-bucket shuffle whose fan-out is controlled by band count, never
+  *    an all-pairs join;
+  *  - SimHash gives constant-size fingerprints with a banded hamming join.
+  *
+  * All shingling is word-level 3-grams over whitespace-split tokens, the
+  * same tokenization as workload A (`mj_exe/wordcount_maple.go:3-10`).
+  */
+object Dedup {
+
+  /** Word n-gram shingles, distinct per doc: (doc_id, shingle). Built from
+    * codegen'd higher-order functions — no UDF in the hot path.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: group identical text, keep the smallest doc_id as the
+    * canonical copy. At 100 TB group on a 128-bit digest of the text
+    * (xxhash64 pair / md5) instead of the full string to keep shuffle rows
+    * narrow; here the text column itself is the key so the DuckDB oracle
+    * is trivially identical.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Exact n-gram Jaccard near-dup pairs: self-join on distinct shingles,
+    * count the intersection per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
+    * Candidate fan-out is bounded by shingle document-frequency; at scale
+    * you'd cap DF (drop shingles present in >K docs — they only connect
+    * already-connected near-dups) and/or switch to [[minhashLshPairs]].
+    * Jaccard is a ratio of exact ints → bit-identical in any engine.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables(spark, dir).documents, threshold = 0.8)
+
+  /** MinHash signature + banded LSH near-dup pairs (the 100 TB path).
+    *
+    * Shingles are hashed to 64-bit with xxhash64; `numHashes` permutations
+    * h_i(x) = (a_i·x + b_i) mod p (p = 2^61-1, constants derived from the
+    * hash of i so the whole pipeline is deterministic) are min-reduced per
+    * doc into a signature. Signatures are cut into `bands` bands; docs
+    * sharing any band hash become candidates (one groupBy on the band key —
+    * fan-out controlled, no all-pairs). Candidates are then verified with
+    * the exact shingle-set Jaccard, so the final output equals
+    * [[jaccardPairs]] at the same threshold whenever LSH recall reaches
+    * every true pair (at threshold 0.9, 16×4 bands miss with p < 1e-7).
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val p = lit(2305843009213693951L) // 2^61 - 1
+    val sh = shingles(docs, n).select(col("doc_id"),
+      (xxhash64(col("shingle")).bitwiseAND(lit(Long.MaxValue))).as("h"))
+
+    // signature: for each i, min over shingles of (a_i*h + b_i) mod p.
+    // a_i/b_i come from xxhash64 of the permutation index — deterministic,
+    // no RNG. pmod keeps everything in non-negative long range.
+    val sig = sh
+      .select(col("doc_id"), col("h"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
+      .withColumn("a", pmod(xxhash64(concat(lit("a"), col("i"))), p - 1) + 1)
+      .withColumn("b", pmod(xxhash64(concat(lit("b"), col("i"))), p))
+      .withColumn("hv", pmod(col("a") * col("h") + col("b"), p))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("hv")).as("mh"))
+
+    // band key: hash of the band's row-minhashes, in row order.
+    val banded = sig
+      .withColumn("band", expr(s"i DIV $rows"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+        struct(col("i"), col("mh")))).cast("string"))).as("band_hash"))
+
+    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    // exact verification of the candidate set (recompute true Jaccard on
+    // shingle-hash sets; 64-bit collisions are negligible at any corpus
+    // size we shuffle per-key).
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables(spark, dir).documents, threshold = 0.9)
+
+  /** 64-bit SimHash per document: sign-aggregate the bits of each token
+    * hash weighted by term frequency. Emitted as (doc_id, simhash); the
+    * companion [[simhashPairs]] finds low-hamming pairs via 4×16-bit
+    * banding (a hamming-≤3 pair must agree exactly on ≥1 band).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .agg(count(lit(1)).as("tf"))
+    // per bit position: sum +tf when bit set else -tf; simhash bit = sign.
+    tok
+      .select(col("doc_id"), col("th"), col("tf"),
+        explode(expr("sequence(0, 63)")).as("bit"))
+      .withColumn("contrib",
+        when(expr("(th >> bit) & 1") === 1, col("tf")).otherwise(-col("tf")))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, candidate
+    * generation via 16-bit band equality (pigeonhole: ham ≤ 3 ⇒ one of the
+    * four 16-bit bands matches exactly).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bh", expr("(simhash >> (band * 16)) & 65535"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables(spark, dir).documents).orderBy(col("doc_a"), col("doc_b"))
+}

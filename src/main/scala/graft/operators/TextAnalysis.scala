@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Engine.Tables
+import graft.functions.Fnv1a64.fnv1a64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, fingerprinting (pipeline extensions,
+  * SURVEY.md §7.2-M6). Everything except the fingerprint is built from
+  * codegen'd built-ins so the whole stage fuses; the fingerprint is a
+  * native Catalyst expression ([[graft.functions.Fnv1a64]]) with its own
+  * doGenCode — still zero UDFs.
+  */
+object TextAnalysis {
+
+  /** Per-document surface statistics: token count (whitespace), a BPE-ish
+    * subword proxy count (alnum runs + isolated punctuation — the classic
+    * pre-tokenizer regex), char count, distinct-token count and punctuation
+    * count. All integers → engine-exact.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("n_subwords"),
+        length(col("text")).as("n_chars_measured"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).as("n_punct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score in [0,1]: mean of three ratio heuristics — distinct
+    * token ratio, alpha-char ratio, short-token penalty. Emitted as exact
+    * integer numerators/denominator plus the rounded score so the oracle
+    * compares integers and one rounded ratio.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nTok = size(toks).cast("double")
+    val nDis = size(array_distinct(toks)).cast("double")
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+    val nChar = length(col("text")).cast("double")
+    val nLong = size(filter(toks, t => length(t) >= 3)).cast("double")
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        round((nDis / nTok + nAlpha / nChar + nLong / nTok) / 3.0, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by marker-token vote: count hits of each language's
+    * high-frequency word list (plus a CJK-codepoint check for zh); argmax
+    * with deterministic tiebreak (hit count desc, language code asc),
+    * 'und' when nothing matches. A real system would use char-n-gram
+    * profiles; the *shape* — per-language score columns then argmax — is
+    * identical and the logic is exactly replicable in the SQL oracle.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+      "fr" -> Seq("le", "la", "les", "des", "et", "une"),
+      "es" -> Seq("el", "los", "las", "que", "y", "una"),
+      "de" -> Seq("der", "die", "das", "und", "ein", "nicht"))
+    val toks = split(trim(col("text")), "\\s+")
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, t => t.isin(ws.map(lit): _*)))
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      hits(markers("en")).as("s_en"),
+      hits(markers("fr")).as("s_fr"),
+      hits(markers("es")).as("s_es"),
+      hits(markers("de")).as("s_de"),
+      size(expr("regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0)")).as("s_zh"))
+    val best = greatest(col("s_en"), col("s_fr"), col("s_es"), col("s_de"), col("s_zh"))
+    scored
+      .withColumn("lang_pred",
+        when(best === 0, "und")
+          .when(col("s_de") === best, "de") // asc tiebreak: de < en < es < fr < zh
+          .when(col("s_en") === best, "en")
+          .when(col("s_es") === best, "es")
+          .when(col("s_fr") === best, "fr")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("lang_pred"), col("s_en"), col("s_zh"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: FNV-1a 64 over the raw text (whole-doc
+    * fingerprint) and over the sorted token multiset (order-insensitive
+    * "bag fingerprint" — catches shuffled near-copies). Custom codegen
+    * expression; no oracle (DuckDB lacks the hash), verified by ScalaTest
+    * against an independent Scala implementation.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        fnv1a64(col("text")).as("fp"),
+        fnv1a64(concat_ws(" ", sort_array(split(trim(col("text")), "\\s+")))).as("bag_fp"))
+      .orderBy(col("doc_id"))
+}
