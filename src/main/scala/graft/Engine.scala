@@ -22,6 +22,9 @@ object Engine {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // native expressions (graft.functions.*) enter through the public
+      // extensions API — Spark 4 has no public Column<->Expression bridge.
+      .withExtensions(graft.functions.Fnv1a64.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -146,7 +146,7 @@ object SparkEntry {
          ORDER BY p.event_id""",
     "wc_wordcount" ->
       """SELECT word, count(*) AS cnt
-         FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
                FROM documents)
          WHERE length(word) > 0 GROUP BY word ORDER BY word""",
     "vote_condorcet" ->

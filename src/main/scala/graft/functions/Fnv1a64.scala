@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -67,8 +69,22 @@ object Fnv1a64 {
     h
   }
 
-  /** Column-level entry point: `fnv1a64($"text")`. */
-  def fnv1a64(c: Column): Column =
-    org.apache.spark.sql.classic.ExpressionUtils.column(
-      Fnv1a64(org.apache.spark.sql.classic.ExpressionUtils.expression(c)))
+  /** SparkSessionExtensions registration descriptor — the public path to a
+    * native expression in Spark 4 (Column no longer wraps Expression
+    * directly, and the bridge utilities are private[sql]). Injected by
+    * [[graft.Engine.session]]; any externally-built session can do the same
+    * via `SparkSession.builder().withExtensions(Fnv1a64.register)`.
+    */
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("fnv1a64"),
+      new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
+      (children: Seq[Expression]) => Fnv1a64(children.head))
+
+  def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(registration)
+
+  /** Column-level entry point: `fnv1a64($"text")` — resolves against the
+    * session's function registry (requires [[register]]ed session).
+    */
+  def fnv1a64(c: Column): Column = call_function("fnv1a64", c)
 }

@@ -79,33 +79,35 @@ object Dedup {
 
   /** MinHash signature + banded LSH near-dup pairs (the 100 TB path).
     *
-    * Shingles are hashed to 64-bit with xxhash64; `numHashes` permutations
-    * h_i(x) = (a_i·x + b_i) mod p (p = 2^61-1, constants derived from the
-    * hash of i so the whole pipeline is deterministic) are min-reduced per
-    * doc into a signature. Signatures are cut into `bands` bands; docs
-    * sharing any band hash become candidates (one groupBy on the band key —
-    * fan-out controlled, no all-pairs). Candidates are then verified with
-    * the exact shingle-set Jaccard, so the final output equals
-    * [[jaccardPairs]] at the same threshold whenever LSH recall reaches
-    * every true pair (at threshold 0.9, 16×4 bands miss with p < 1e-7).
+    * Shingles are hashed to 64-bit with xxhash64; the i-th "permutation" is
+    * a plain deterministic rehash h_i(x) = xxhash64(i, x) — xxhash64 mixes
+    * its seed-per-column thoroughly, so the 64 rehashes behave as
+    * independent hash functions for minwise estimation (the classic
+    * (a·x+b) mod p framing would need overflow-safe 122-bit multiply in
+    * Long arithmetic for its theoretical guarantee; a keyed rehash gives
+    * the same practical recall with one codegen'd call). Each h_i is
+    * min-reduced per doc into a signature; signatures are cut into `bands`
+    * bands; docs sharing any band hash become candidates (one groupBy on
+    * the band key — fan-out controlled, no all-pairs). Candidates are then
+    * verified with the exact shingle-set Jaccard, so the final output
+    * equals [[jaccardPairs]] at the same threshold whenever LSH recall
+    * reaches every true pair (at threshold 0.9, 16×4 bands: miss
+    * probability (1-0.9^4)^16 ≈ 2e-3; verified empirically in ScalaTest
+    * against the exact pairs).
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val p = lit(2305843009213693951L) // 2^61 - 1
     val sh = shingles(docs, n).select(col("doc_id"),
       (xxhash64(col("shingle")).bitwiseAND(lit(Long.MaxValue))).as("h"))
 
-    // signature: for each i, min over shingles of (a_i*h + b_i) mod p.
-    // a_i/b_i come from xxhash64 of the permutation index — deterministic,
-    // no RNG. pmod keeps everything in non-negative long range.
+    // signature: for each i, min over shingles of xxhash64(i, h) — a
+    // deterministic keyed rehash, no RNG, overflow-free by construction.
     val sig = sh
       .select(col("doc_id"), col("h"),
         explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
-      .withColumn("a", pmod(xxhash64(concat(lit("a"), col("i"))), p - 1) + 1)
-      .withColumn("b", pmod(xxhash64(concat(lit("b"), col("i"))), p))
-      .withColumn("hv", pmod(col("a") * col("h") + col("b"), p))
+      .withColumn("hv", xxhash64(col("i"), col("h")))
       .groupBy(col("doc_id"), col("i"))
       .agg(min(col("hv")).as("mh"))
 

@@ -113,7 +113,9 @@ object MapleJuice {
     */
   private def pipeProcess(cmd: String, input: Iterator[String]): Seq[String] = {
     val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
-    pb.redirectErrorStream(false)
+    // stderr must go somewhere a human sees AND never back-pressure the
+    // child: an unread PIPE blocks the exe after ~64 KB of diagnostics.
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val writer = new java.io.PrintWriter(
       new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))

@@ -76,7 +76,7 @@ object Similarity {
     val signed = base.withColumn("sig", expr(
       s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
           acc + IF(aggregate(sequence(0, ${dim - 1}), 0D, (a, d) ->
-            a + (CAST((xxhash64(CAST(p * $dim + d AS STRING)) % 1000000) AS DOUBLE) / 1000000.0 - 0.5)
+            a + (CAST(pmod(xxhash64(CAST(p * $dim + d AS STRING)), 1000000) AS DOUBLE) / 1000000.0 - 0.5)
               * CAST(element_at(embedding, d + 1) AS DOUBLE)) > 0D,
             shiftleft(1L, p), 0L))"""))
     val queries = broadcast(signed
