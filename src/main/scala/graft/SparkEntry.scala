@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, Workloads}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,22 @@ object SparkEntry {
     "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
     "vote_condorcet"       -> (Workloads.voteCondorcet(_, _)),
     "trace_contact"        -> (Workloads.traceContacts(_, _)),
+    // --- the MapleJuice engine surface itself (SURVEY §2.1 E1-E11)
+    "mj_wordcount"         -> (Workloads.mjWordCount(_, _)),
+    // --- training-data pipeline: dedup (SURVEY §7.2-M6)
+    "dedup_exact"          -> (Dedup.exactDedup(_, _)),
+    "dedup_jaccard"        -> (Dedup.ngramJaccard(_, _)),
+    "dedup_minhash_lsh"    -> (Dedup.minhashLsh(_, _)),
+    "dedup_simhash"        -> (Dedup.simhashDocs(_, _)),
+    // --- training-data pipeline: similarity search over embeddings
+    "ann_topk"             -> (Similarity.annBruteForce(_, _)),
+    "ann_lsh"              -> (Similarity.annLsh(_, _)),
+    "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
+    // --- training-data pipeline: text analysis
+    "text_stats"           -> (TextAnalysis.textStats(_, _)),
+    "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
+    "text_langid"          -> (TextAnalysis.langId(_, _)),
+    "text_fingerprint"     -> (TextAnalysis.fingerprint(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -189,5 +205,129 @@ object SparkEntry {
            ON t.user_id = p.user_id
           AND t.value < p.value + 50 AND p.value < t.value + 50
          ORDER BY name""",
+    "mj_wordcount" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+               FROM documents)
+         WHERE length(word) > 0 GROUP BY word ORDER BY word""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_jaccard" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+         ORDER BY doc_a, doc_b""",
+    // LSH output = the exact-Jaccard pair set at the same threshold
+    // (candidates are re-verified exactly; banding miss probability at the
+    // 0.9 threshold is < 1e-7) — so the exact SQL is a genuine oracle for
+    // the approximate path.
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9
+         ORDER BY doc_a, doc_b""",
+    "ann_topk" ->
+      """WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(c.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
+               / (c.norm * q.norm), 4) AS cos
+           FROM base q JOIN base c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, neighbor_id, cos FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "embed_neardup" ->
+      """WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings WHERE vec_id < 2000)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(a.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)))
+             / (a.norm * b.norm), 4) AS cos
+         FROM base a JOIN base b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(a.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)))
+             / (a.norm * b.norm) >= 0.9
+         ORDER BY id_a, id_b""",
+    "text_stats" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+         length(text) AS n_chars_measured,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+         FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """SELECT doc_id,
+         round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+              + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+              + CAST(len(list_filter(w, t -> length(t) >= 3)) AS DOUBLE) / len(w)) / 3.0, 4) AS quality
+         FROM (SELECT doc_id, text,
+                      regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents)
+         ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             len(list_filter(w, t -> t IN ('the','and','of','to','in','is','a'))) AS s_en,
+             len(list_filter(w, t -> t IN ('le','la','les','des','et','une'))) AS s_fr,
+             len(list_filter(w, t -> t IN ('el','los','las','que','y','una'))) AS s_es,
+             len(list_filter(w, t -> t IN ('der','die','das','und','ein','nicht'))) AS s_de,
+             len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+           FROM (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents))
+         SELECT doc_id,
+           CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'de'
+                WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred, s_en, s_zh
+         FROM scored ORDER BY doc_id""",
+    // dedup_simhash, ann_lsh, text_fingerprint: xxhash64/FNV-1a are not
+    // available in DuckDB → rows-only driver check; exact semantics are
+    // covered by ScalaTest (independent reimplementation + recall vs the
+    // exact paths).
   )
 }

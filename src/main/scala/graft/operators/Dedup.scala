@@ -70,7 +70,9 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      // emit rounded (6 dp) so the value is engine-portable; the filter ran
+      // on the exact ratio, same as the oracle's WHERE clause.
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -136,7 +138,7 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -44,6 +44,28 @@ object Workloads {
   def wcDocuments(spark: SparkSession, dir: String): DataFrame =
     wordCount(Tables(spark, dir).documents, "text").orderBy(col("word"))
 
+  /** The same wordcount driven through the [[MapleJuice]] engine surface —
+    * native maple emits `word 1` lines (`mj_exe/wordcount_maple.go:3-10`),
+    * native juice counts each key's group (`mj_exe/juice_wordcount.go:11-29`)
+    * — so the oracle gate exercises the generic dataflow path
+    * (flatMap → key shuffle → flatMapGroups), not just the Catalyst plan.
+    */
+  def mjWordCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir).documents.select(col("text")).as[String]
+    val keyed = MapleJuice.maple(lines, 8) { line =>
+      line.trim.split("\\s+").iterator.filter(_.nonEmpty).map(w => s"$w 1")
+    }
+    val out = MapleJuice.juice(keyed, 8) { (word, group) =>
+      Iterator.single(s"$word ${group.size}")
+    }
+    out.toDF("line")
+      .select(
+        substring_index(col("line"), " ", 1).as("word"),
+        substring_index(col("line"), " ", -1).cast("long").as("cnt"))
+      .orderBy(col("word"))
+  }
+
   // ---------------------------------------------------------------- B. Condorcet
 
   /** Workload B (Condorcet pairwise-majority) over arbitrary 3-candidate
