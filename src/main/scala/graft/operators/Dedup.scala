@@ -106,19 +106,25 @@ object Dedup {
 
     // signature: for each i, min over shingles of xxhash64(i, h) — a
     // deterministic keyed rehash, no RNG, overflow-free by construction.
+    // All numHashes minima are computed as parallel aggregate columns in
+    // ONE groupBy, so the shuffle carries the shingle rows once (with
+    // map-side partial min), not numHashes× exploded copies.
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
     val sig = sh
-      .select(col("doc_id"), col("h"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
-      .withColumn("hv", xxhash64(col("i"), col("h")))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("hv")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
 
-    // band key: hash of the band's row-minhashes, in row order.
+    // band key: hash of the band's row-minhashes, in row order (xxhash64
+    // hashes array elements recursively — no string round-trip).
     val banded = sig
-      .withColumn("band", expr(s"i DIV $rows"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-        struct(col("i"), col("mh")))).cast("string"))).as("band_hash"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+            b -> struct(b AS band, xxhash64(b, slice(sig, b * $rows + 1, $rows)) AS band_hash))"""))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
 
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
@@ -146,26 +152,28 @@ object Dedup {
     minhashLshPairs(Tables(spark, dir).documents, threshold = 0.9)
 
   /** 64-bit SimHash per document: sign-aggregate the bits of each token
-    * hash weighted by term frequency. Emitted as (doc_id, simhash); the
-    * companion [[simhashPairs]] finds low-hamming pairs via 4×16-bit
-    * banding (a hamming-≤3 pair must agree exactly on ≥1 band).
+    * occurrence's hash (each occurrence contributes ±1 per bit, which sums
+    * to the classic ±tf weighting without a distinct/tf pre-pass). All 64
+    * bit-sums are parallel aggregate columns in one groupBy — one shuffle
+    * of token rows with map-side partial sums, no 64× explode. Emitted as
+    * (doc_id, simhash); the companion [[simhashPairs]] finds low-hamming
+    * pairs via 4×16-bit banding (a hamming-≤3 pair must agree exactly on
+    * ≥1 band).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .groupBy(col("doc_id"), xxhash64(col("tok")).as("th"))
-      .agg(count(lit(1)).as("tf"))
-    // per bit position: sum +tf when bit set else -tf; simhash bit = sign.
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"(th >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
     tok
-      .select(col("doc_id"), col("th"), col("tf"),
-        explode(expr("sequence(0, 63)")).as("bit"))
-      .withColumn("contrib",
-        when(expr("(th >> bit) & 1") === 1, col("tf")).otherwise(-col("tf")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        ).reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, candidate

@@ -1,27 +1,32 @@
 package graft.operators
 
 import graft.Engine.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.VecDot.vecDot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64) —
   * pipeline extension (SURVEY.md §7.2-M6).
   *
   *  - [[bruteForceTopK]] is the exact baseline: broadcast the (small) query
-  *    set against the full corpus, compute cosine with codegen'd
-  *    higher-order functions (zip_with + aggregate — no UDF), rank per
-  *    query. One corpus scan, no corpus-side shuffle except the final
-  *    per-query top-k.
+  *    set against the full corpus, score with the native codegen'd
+  *    [[graft.functions.VecDot]] kernel, rank per query. One corpus scan,
+  *    no corpus-side shuffle except the final per-query top-k.
   *  - [[lshTopK]] is the scale path: random-hyperplane LSH — each vector
-  *    gets a b-bit signature from deterministic hash-derived hyperplanes;
-  *    candidates come from multi-probe bucket equality, then exact rerank.
-  *    At 100 TB the bucket join replaces the full scan per query batch.
+  *    gets a b-bit signature from deterministic hash-derived hyperplanes
+  *    (precomputed on the driver, shipped as literal arrays; signature =
+  *    b codegen'd dot products per row); candidates come from bucket
+  *    equality, then exact rerank. At 100 TB the bucket join replaces the
+  *    full scan per query batch.
   *
   * Cosine ordering uses round(cos, 4) with vec_id tiebreak so ranking is
   * reproducible across engines (floats are summed in engine-dependent
   * order; 4 decimals absorbs the reorder error while keeping rank
-  * deterministic).
+  * deterministic). VecDot accumulates left-to-right in double — the same
+  * order DuckDB's list_sum uses — so the oracle compare is exact.
   */
 object Similarity {
 
@@ -29,8 +34,10 @@ object Similarity {
 
   /** (vec_id, embedding, norm) with the L2 norm precomputed. */
   private def withNorm(vecs: DataFrame): DataFrame =
-    vecs.withColumn("norm",
-      sqrt(expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    vecs.withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(vecDot(a, b) / (na * nb), 4)
 
   /** Exact cosine top-k for each query vector (default: the first
     * `numQueries` vec_ids, mirroring a query batch). The query side is
@@ -43,9 +50,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm")))
     val scored = base
       .join(queries, col("vec_id") =!= col("q_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
-      .withColumn("cos", round(col("dot") / (col("norm") * col("q_norm")), 4))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -57,40 +62,48 @@ object Similarity {
   def annBruteForce(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables(spark, dir).embeddings)
 
+  /** Hyperplane weight matrix, computed once on the driver: plane p,
+    * dimension d gets xxhash64((p·dim+d).toString) — the exact value the
+    * SQL builtin produces (XXH64, seed 42) — mapped via floorMod into
+    * [-0.5, 0.5). Deterministic, no RNG, and shipping it as a broadcast
+    * literal costs bits×dim×8 bytes once instead of bits×dim hash
+    * evaluations per row.
+    */
+  private def planeWeights(bits: Int): IndexedSeq[Array[Double]] =
+    IndexedSeq.tabulate(bits) { p =>
+      Array.tabulate(dim) { d =>
+        val s = UTF8String.fromString((p * dim + d).toString)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        Math.floorMod(h, 1000000L).toDouble / 1000000.0 - 0.5
+      }
+    }
+
   /** Approximate top-k via random-hyperplane LSH.
     *
-    * Hyperplane p∈[0,bits), dim d gets a deterministic pseudo-random
-    * weight from xxhash64(p·dim+d) mapped to [-0.5, 0.5) — no RNG, stable
-    * across runs/engines. Signature bit p = sign(Σ_d w(p,d)·v_d).
-    * Candidates = vectors sharing the full signature bucket with the
-    * query (single-probe here; multi-probe = also visiting neighbor
-    * buckets differing in 1 bit). Exact cosine rerank on candidates.
-    * Recall is data-dependent; ScalaTest measures it against
+    * Signature bit p = sign(w_p · v) with w_p from [[planeWeights]];
+    * bits packed into a long. Candidates = vectors sharing the full
+    * signature bucket with the query (single-probe; multi-probe = also
+    * visiting neighbor buckets differing in 1 bit). Exact cosine rerank on
+    * candidates. Recall is data-dependent; ScalaTest measures it against
     * [[bruteForceTopK]].
     */
   def lshTopK(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
       bits: Int = 8): DataFrame = {
-    val base = withNorm(vecs)
-    // signature: for each plane, dot the embedding with the hash-derived
-    // hyperplane; pack sign bits into a long.
-    val signed = base.withColumn("sig", expr(
-      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
-          acc + IF(aggregate(sequence(0, ${dim - 1}), 0D, (a, d) ->
-            a + (CAST(pmod(xxhash64(CAST(p * $dim + d AS STRING)), 1000000) AS DOUBLE) / 1000000.0 - 0.5)
-              * CAST(element_at(embedding, d + 1) AS DOUBLE)) > 0D,
-            shiftleft(1L, p), 0L))"""))
+    val w = planeWeights(bits)
+    val sig = (0 until bits).map { p =>
+      when(vecDot(col("embedding"), lit(w(p))) > 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val signed = withNorm(vecs).withColumn("sig", sig)
     val queries = broadcast(signed
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("sig").as("q_sig")))
     val candidates = signed
       .join(queries, col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
-      .withColumn("cos", round(col("dot") / (col("norm") * col("q_norm")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+    val win = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     candidates
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy(col("q_id"), col("rk"))
@@ -100,21 +113,20 @@ object Similarity {
     lshTopK(Tables(spark, dir).embeddings)
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Exact formulation (broadcast-free self-join would be quadratic; at
-    * scale run [[lshTopK]]-style bucketing first). The driver testdata has
-    * no planted embedding near-dups (max off-diagonal cosine ≈ 0.48), so
-    * the default 0.9 threshold yields an empty — but oracle-checkable —
-    * result.
+    * Exact formulation (the self-join is quadratic in rows; at scale run
+    * [[lshTopK]]-style bucketing first to cut the candidate set). The
+    * driver testdata has no planted embedding near-dups (max off-diagonal
+    * cosine ≈ 0.48), so the default 0.9 threshold yields an empty — but
+    * oracle-checkable — result: it proves no false positives.
     */
   def nearDupPairs(vecs: DataFrame, threshold: Double = 0.9): DataFrame = {
     val base = withNorm(vecs)
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", vecDot(col("emb_a"), col("emb_b")))
+      .filter(col("dot") / (col("norm_a") * col("norm_b")) >= threshold)
       .withColumn("cos", round(col("dot") / (col("norm_a") * col("norm_b")), 4))
-      .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
