@@ -42,12 +42,15 @@ object Dedup {
     * narrow; here the text column itself is the key so the DuckDB oracle
     * is trivially identical.
     */
-  def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+  def exactDedupDocs(docs: DataFrame): DataFrame =
+    docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
+
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedupDocs(Tables(spark, dir).documents)
 
   /** Exact n-gram Jaccard near-dup pairs: self-join on distinct shingles,
     * count the intersection per pair, Jaccard = |∩| / (|A|+|B|-|∩|).

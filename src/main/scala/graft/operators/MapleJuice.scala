@@ -93,7 +93,9 @@ object MapleJuice {
     val spark = lines.sparkSession
     import spark.implicits._
     val in = if (numTasks > 0) lines.repartition(numTasks) else lines
-    keyed(spark.createDataset(in.rdd.pipe(cmd)))
+    // Seq form: pipe(String) would whitespace-tokenize the command; the
+    // reference invokes exes through `/bin/sh -c` too (maple_juice.go:246)
+    keyed(spark.createDataset(in.rdd.pipe(Seq("/bin/sh", "-c", cmd))))
   }
 
   /** Literal juice: one `cmd` process per key, fed that key's lines on

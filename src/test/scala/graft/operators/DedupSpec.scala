@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Independent shingle-Jaccard oracle. */
+  private def jaccard(a: String, b: String, n: Int = 3): Double = {
+    def sh(s: String) = s.trim.split("\\s+").sliding(n).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  private val docB = "the quick brown fox jumps over the lazy dog again and once" // near-dup of A
+  private val docC = "completely different content with no overlap whatsoever here ok"
+
+  test("exact dedup groups identical text, keeps min doc_id") {
+    import spark.implicits._
+    val docs = Seq((0L, docA), (1L, docB), (2L, docA), (3L, docA)).toDF("doc_id", "text")
+    val got = Dedup.exactDedupDocs(docs).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 3L), (1L, 1L)))
+  }
+
+  test("n-gram jaccard pairs match an independent implementation") {
+    import spark.implicits._
+    val docs = Seq((0L, docA), (1L, docB), (2L, docC)).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val expect = jaccard(docA, docB)
+    assert(got.map(p => (p._1, p._2)) === Seq((0L, 1L)))
+    assert(math.abs(got.head._3 - expect) < 1e-6)
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard pairs on testdata") {
+    // sf0.01 has 25 planted near-dup pairs at jaccard ≥ 0.9 (sf0.001 may
+    // have too few for a meaningful recall check)
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact) // full recall at 0.9 with 16x4 bands + exact verify
+  }
+
+  test("simhash: identical docs collide at hamming 0; banding finds them") {
+    import spark.implicits._
+    val docs = Seq((0L, docA), (1L, docA), (2L, docC)).toDF("doc_id", "text")
+    val hashes = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(hashes(0L) === hashes(1L))
+    assert(hashes(0L) !== hashes(2L))
+    val pairs = Dedup.simhashPairs(docs)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+}

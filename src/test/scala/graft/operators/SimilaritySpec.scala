@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+
+  /** Crafted corpus in R^64: query 0 plus vectors at known cosines. */
+  private def craftedVecs = {
+    import spark.implicits._
+    def v(f: Int => Float) = Array.tabulate(64)(f)
+    Seq(
+      (0L, v(i => if (i == 0) 1f else 0f)),             // e0 (query)
+      (1L, v(i => if (i == 0) 2f else 0f)),             // parallel → cos 1.0
+      (2L, v(i => if (i <= 1) 1f else 0f)),             // 45° → cos ≈ 0.7071
+      (3L, v(i => if (i == 1) 1f else 0f)),             // orthogonal → cos 0
+      (4L, v(i => if (i == 0) -1f else 0f))             // opposite → cos -1
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic tiebreak") {
+    val got = Similarity.bruteForceTopK(craftedVecs, numQueries = 1, k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1, 1L, 1.0), (2, 2L, 0.7071), (3, 3L, 0.0), (4, 4L, -1.0)))
+  }
+
+  test("near-dup pairs: planted duplicate found at cos 1.0, rest excluded") {
+    val got = Similarity.nearDupPairs(craftedVecs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0L, 1L, 1.0)))
+  }
+
+  test("LSH results are a subset of brute force with identical cosines") {
+    // sf0.01 (500 vecs): ~20 bucket collisions expected at 8 bits; sf0.001's
+    // 50 vecs could plausibly produce zero, making the test flaky
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    // k = corpus size: LSH candidates can sit below any smaller top-k
+    // cutoff, so the exact map must cover every (query, corpus) pair
+    val brute = Similarity.bruteForceTopK(vecs, numQueries = 10, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(vecs, numQueries = 10, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(lsh.nonEmpty, "some bucket collisions expected at 8 bits / 50 vecs")
+    lsh.foreach { case (pair, cos) =>
+      assert(brute(pair) === cos, s"LSH cosine for $pair diverges from exact")
+    }
+  }
+}

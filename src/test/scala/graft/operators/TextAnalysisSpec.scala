@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.functions.Fnv1a64
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TextAnalysis operators run on a crafted `documents` parquet table (the
+  * operators take a table dir, mirroring the driver contract).
+  */
+class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-text").toString
+    Seq(
+      (0L, "the cat and the dog, the end."),
+      (1L, "le chat et le chien une fois"),
+      (2L, "zzz qqq xxx"),
+      (3L, "der Hund und die Katze nicht ein")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("textStats: hand-computed counts for a known doc") {
+    val r = TextAnalysis.textStats(spark, dir).collect().head
+    // "the cat and the dog, the end." → 7 tokens, 5 distinct ("the","cat",
+    // "and","dog,","end." → distinct tokens incl. punct variants)
+    assert(r.getLong(0) === 0L)
+    assert(r.getInt(1) === 7)             // n_tokens
+    assert(r.getInt(2) === 5)             // n_distinct_tokens
+    assert(r.getInt(3) === 9)             // subwords: 7 words + ',' + '.'... ("dog" "," "the" "end" ".")
+    assert(r.getInt(4) === "the cat and the dog, the end.".length)
+    assert(r.getInt(5) === 2)             // ',' and '.'
+  }
+
+  test("quality score is the documented mean of three ratios") {
+    val r = TextAnalysis.qualityScore(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val text = "the cat and the dog, the end."
+    val toks = text.trim.split("\\s+")
+    val expect = (toks.distinct.length.toDouble / toks.length
+      + text.count(_.isLetter).toDouble / text.length
+      + toks.count(_.length >= 3).toDouble / toks.length) / 3.0
+    assert(math.abs(r(0L) - expect) < 5e-5)
+  }
+
+  test("language id votes by marker tokens") {
+    val got = TextAnalysis.langId(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "en", 1L -> "fr", 2L -> "und", 3L -> "de"))
+  }
+
+  test("fingerprint equals the independent FNV-1a implementation") {
+    val rows = TextAnalysis.fingerprint(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val text = "the cat and the dog, the end."
+    assert(byId(0L)._1 === Fnv1a64.hash(text.getBytes("UTF-8")))
+    val bag = text.trim.split("\\s+").sorted.mkString(" ")
+    assert(byId(0L)._2 === Fnv1a64.hash(bag.getBytes("UTF-8")))
+  }
+}
