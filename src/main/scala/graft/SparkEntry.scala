@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,19 @@ object SparkEntry {
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
     "text_langid"          -> (TextAnalysis.langId(_, _)),
     "text_fingerprint"     -> (TextAnalysis.fingerprint(_, _)),
+    // --- training-data pipeline: multimodal binary columns
+    "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
+    "mm_decode"            -> (Multimodal.decodeDims(_, _)),
+    "mm_frames"            -> (Multimodal.sampleFrames(_, _)),
+    "mm_features"          -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      // gate on a scalar digest of the vector (parquet float arrays are
+      // awkward to hash-compare); full vector checked in ScalaTest
+      Multimodal.extractFeatures(s, d)
+        .select(col("doc_id"),
+          round(graft.functions.VecDot.vecDot(col("embedding"), col("embedding")), 4).as("sq_norm"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -325,9 +338,16 @@ object SparkEntry {
                 WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
                 ELSE 'zh' END AS lang_pred, s_en, s_zh
          FROM scored ORDER BY doc_id""",
-    // dedup_simhash, ann_lsh, text_fingerprint: xxhash64/FNV-1a are not
-    // available in DuckDB → rows-only driver check; exact semantics are
-    // covered by ScalaTest (independent reimplementation + recall vs the
-    // exact paths).
+    "mm_metadata" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         upper(substr(hex(encode(text)), 1, 16)) AS magic_hex
+         FROM documents ORDER BY doc_id""",
+    // dedup_simhash, ann_lsh, text_fingerprint, mm_decode/mm_frames/
+    // mm_features (stub codec): xxhash64/FNV-1a aren't available in DuckDB
+    // → rows-only driver check; exact semantics are covered by ScalaTest
+    // (independent reimplementation + recall vs the exact paths).
   )
 }

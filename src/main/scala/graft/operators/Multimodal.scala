@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Engine.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-at-a-time inside
+  * executors (pipeline extension; the reference has no binary data plane —
+  * its closest analogue is shipping opaque files through SDFS,
+  * `file_system/file_system.go:89-119`).
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB (clearly marked below): it "decodes" a fake
+  * width/height/channels from the blob's bytes. Everything around it —
+  * the binary column, the metadata struct schema, the mapPartitions
+  * batch shape, partition sizing, and the feature-vector contract
+  * (`Array[Float]`, unit-norm) — is the real 100 TB-shape plumbing: swap
+  * [[FakeCodec.decodeDims]]/[[FakeCodec.decodePixels]] for a JNI/codec
+  * call and nothing else changes.
+  *
+  * Scale notes: blobs never pass through a shuffle here — metadata and
+  * features are derived in the scan stage (narrow), so a 100 TB corpus
+  * streams through executors at parquet-split granularity
+  * (`spark.sql.files.maxPartitionBytes` bounds per-task memory; no
+  * collect, no grouping on blob values).
+  */
+object Multimodal {
+
+  /** The blob view of the corpus: text bytes stand in for media bytes
+    * (same opaque-binary plumbing; the driver testdata has no media
+    * column). kind is derived deterministically so queries can
+    * filter/partition by modality.
+    */
+  def blobs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      to_binary(col("text"), lit("utf-8")).as("blob"),
+      element_at(lit(Array("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
+
+  /** Byte-level blob metadata — pure Catalyst, oracle-checkable: size,
+    * first-8-bytes magic (how real container formats are sniffed), and a
+    * 64-bit content hash for exact-dup detection on media.
+    */
+  def blobMetadata(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir).select(
+      col("doc_id"),
+      col("kind"),
+      length(col("blob")).as("n_bytes"),
+      hex(substring(col("blob"), 1, 8)).as("magic_hex"),
+      xxhash64(col("blob")).as("content_hash"))
+      .orderBy(col("doc_id"))
+
+  // ----------------------------------------------------------- STUB codec
+
+  /** DETERMINISTIC FAKE of a media codec. A real deployment replaces this
+    * object with bindings to an actual decoder (libjpeg/ffmpeg/...); the
+    * function signatures are the contract the Spark plumbing depends on.
+    */
+  private[operators] object FakeCodec {
+    /** "Decode" (width, height, channels, nFrames) from a blob. */
+    def decodeDims(blob: Array[Byte]): (Int, Int, Int, Int) = {
+      val h = graft.functions.Fnv1a64.hash(blob)
+      (64 + (Math.floorMod(h, 8L) * 32).toInt,
+        64 + (Math.floorMod(h >>> 8, 8L) * 32).toInt,
+        3,
+        1 + Math.floorMod(h >>> 16, 30L).toInt)
+    }
+
+    /** "Decode" one frame to a fixed 8x8 grayscale patch (byte-histogram
+      * proxy) — stands in for pixel decode + resize.
+      */
+    def decodePixels(blob: Array[Byte], frame: Int): Array[Float] = {
+      val out = new Array[Float](64)
+      var i = frame % math.max(blob.length, 1)
+      var n = 0
+      while (n < blob.length) {
+        out(java.lang.Byte.toUnsignedInt(blob(i % blob.length)) % 64) += 1f
+        i += 1; n += 1
+      }
+      val norm = math.sqrt(out.map(x => x * x.toDouble).sum).toFloat
+      if (norm > 0) out.map(_ / norm) else out
+    }
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Decode dimensions batch-at-a-time: one [[FakeCodec]] call per blob
+    * inside `mapPartitions` — the executor-side batch shape a real codec
+    * needs (amortized init per partition, zero driver involvement). A
+    * production variant would initialize the codec once per partition
+    * here; that is exactly where the stub sits.
+    */
+  def decodeDims(spark: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    blobs(spark, dir).select("doc_id", "kind", "blob")
+      .mapPartitions { rows =>
+        // per-partition codec init would go here
+        rows.map { r =>
+          val (w, h, c, f) = FakeCodec.decodeDims(r.getAs[Array[Byte]]("blob"))
+          Row(r.getLong(0), r.getString(1), w, h, c, f)
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic frame sampling: every ceil(n_frames / maxFrames)-th
+    * frame index, exploded to one row per sampled frame — the standard
+    * video pre-processing fan-out, all Catalyst (the codec is only needed
+    * per sampled frame downstream).
+    */
+  def sampleFrames(spark: SparkSession, dir: String, maxFrames: Int = 4): DataFrame =
+    decodeDims(spark, dir)
+      .where(col("kind") === "video")
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          greatest(ceil(col("n_frames") / maxFrames).cast("int"), lit(1))))
+          .as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Feature extraction: blob → unit-norm Array[Float] embedding via the
+    * stub pixel decode, again `mapPartitions`-batched. Output schema is
+    * exactly the `embeddings` table shape, so every [[Similarity]]
+    * operator composes downstream (media near-dup = this + cosine LSH).
+    */
+  def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(schema)
+    blobs(spark, dir).select("doc_id", "blob")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), FakeCodec.decodePixels(r.getAs[Array[Byte]]("blob"), 0).toSeq)
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+}

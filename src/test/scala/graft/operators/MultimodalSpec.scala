@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("blob metadata reflects the exact bytes") {
+    val texts = graft.Engine.Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val meta = Multimodal.blobMetadata(spark, dir).collect()
+    assert(meta.length === texts.size)
+    meta.foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      assert(r.getInt(2) === bytes.length)
+      assert(r.getString(3) ===
+        bytes.take(8).map(b => f"${b & 0xff}%02X").mkString)
+    }
+  }
+
+  test("decode runs batch-wise in executors and matches the stub codec") {
+    val texts = graft.Engine.Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dims = Multimodal.decodeDims(spark, dir).collect()
+    dims.foreach { r =>
+      val (w, h, c, f) =
+        Multimodal.FakeCodec.decodeDims(texts(r.getLong(0)).getBytes("UTF-8"))
+      assert((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)) === ((w, h, c, f)))
+    }
+  }
+
+  test("frame sampling: bounded count, valid indices, even stride") {
+    val frames = Multimodal.sampleFrames(spark, dir, maxFrames = 4).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val n = rs.head.getInt(1)
+      val idx = rs.map(_.getInt(2)).sorted
+      assert(idx.length <= 4)
+      assert(idx.forall(i => i >= 0 && i < n))
+      assert(idx.head === 0)
+    }
+  }
+
+  test("feature extraction emits unit-norm embeddings, Similarity-composable") {
+    import org.apache.spark.sql.functions.col
+    val feats = Multimodal.extractFeatures(spark, dir)
+    val schema = feats.schema("embedding").dataType
+    assert(schema.simpleString === "array<float>")
+    // composes with the similarity operators (same column contract)
+    val dup = Similarity.nearDupPairs(
+      feats.withColumnRenamed("doc_id", "vec_id"), threshold = 0.999999)
+    val exactDups = dup.collect()
+    // unit norm on every vector
+    feats.collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum)
+      assert(math.abs(norm - 1.0) < 1e-4)
+    }
+    // near-dup by features must at least be symmetric-consistent (no crash,
+    // ids come from doc_ids)
+    exactDups.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+}
