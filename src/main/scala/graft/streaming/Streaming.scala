@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema — an extension
+  * beyond the reference (its only "streams" are UDP heartbeats,
+  * `detect_failures/detect_failures.go:160-200`; the data plane is purely
+  * batch). SURVEY §7.5 reserves streaming for M6; this is that module.
+  *
+  * Every transform is source-agnostic: it accepts any DataFrame with the
+  * events columns (`ts` as Long nanoseconds, matching the
+  * nanosAsLong-read parquet), batch or streaming — the same plan runs
+  * under `spark.read` for backfill and `readStream` for live data, which
+  * is the Spark-idiomatic way to keep one codebase for both. State is
+  * bounded: windowed aggs are purged by watermark; sessions are evicted
+  * by event-time timeout — no unbounded per-key state at 100 TB/day.
+  */
+object Streaming {
+
+  /** Streaming scan of an events directory (new parquet files appear as
+    * micro-batches). Schema comes from a batch peek — required by
+    * readStream, and pins the nanosAsLong Long `ts`.
+    */
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  /** Hourly tumbling-window counts per event type, 1-hour watermark:
+    * late events beyond the watermark are dropped, finalized windows are
+    * emitted exactly once in append mode, and window state is purged —
+    * the streaming twin of the batch `q14_events_hourly` query.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // ------------------------------------------------------- sessionization
+
+  /** Input row for [[sessionize]]: `event_ts` carries the watermark. */
+  case class Event(user_id: Long, event_ts: java.sql.Timestamp, value: Double)
+
+  /** Open-session accumulator (the per-key state). */
+  case class SessionAcc(startMs: Long, lastMs: Long, n: Int, sum: Double)
+
+  /** A closed session. */
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, total_value: Double)
+
+  /** Prepare an events DataFrame (Long-ns `ts`) for [[sessionize]]:
+    * derive the timestamp column and declare the watermark on it.
+    */
+  def sessionInput(events: DataFrame, watermarkDelay: String = "1 hour"): Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_ts", watermarkDelay)
+      .select(col("user_id"), col("event_ts"), col("value"))
+      .as[Event]
+  }
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`
+    * (SURVEY §2.1-E9's per-key-full-group contract, upgraded to
+    * incremental state): a session closes when the next event of the key
+    * arrives more than `gapMinutes` after the last, or — in streaming —
+    * when the event-time watermark passes last + gap (timeout eviction,
+    * so idle keys hold no state forever). Works on batch Datasets too,
+    * where only gap-closed sessions emit (timeouts never fire in batch by
+    * Spark's contract).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60_000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.startMs, s.lastMs, s.n, s.sum))
+          } else {
+            // a micro-batch's group fits in memory (bounded by batch
+            // size); order within the batch is not guaranteed → sort
+            val sorted = it.toVector.sortBy(_.event_ts.getTime)
+            val out = Vector.newBuilder[Session]
+            var acc = state.getOption
+            for (e <- sorted) {
+              val t = e.event_ts.getTime
+              acc match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  out += Session(uid, s.startMs, s.lastMs, s.n, s.sum)
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+                case Some(s) =>
+                  acc = Some(SessionAcc(s.startMs, t, s.n + 1, s.sum + e.value))
+                case None =>
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { s =>
+              state.update(s)
+              // evict (and emit) once the watermark passes the gap. In
+              // batch mode the watermark node is elided and the getter
+              // throws — and timeouts never fire there anyway.
+              if (scala.util.Try(state.getCurrentWatermarkMs()).isSuccess)
+                state.setTimeoutTimestamp(math.max(
+                  s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

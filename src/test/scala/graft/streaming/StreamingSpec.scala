@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private val H = 3_600_000_000_000L // 1 hour in ns
+
+  test("hourlyCounts: batch plan equals an independent aggregation") {
+    val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
+    val got = Streaming.hourlyCounts(events)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val expect = events
+      .groupBy((col("ts") / H).cast("long").as("h"), col("event_type"))
+      .agg(count(lit(1)), round(sum(col("value")), 2))
+      .collect().map(r => (r.getLong(0) * 3_600_000L, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === expect)
+  }
+
+  test("hourlyCounts: streaming append emits finalized windows, drops late data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      // hour 0: two clicks; hour 1: one view
+      input.addData((10L * 1_000_000_000L, "click", 1.0),
+        (20L * 1_000_000_000L, "click", 2.0), (H + 5, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark beyond hour 0 + 1h delay: event at hour 3
+      input.addData((3 * H, "click", 9.0))
+      q.processAllAvailable()
+      // one more batch so the new watermark finalizes hour 0
+      input.addData((3 * H + 7, "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((0L, "click", 2L, 3.0)), s"got: ${rows.mkString(", ")}")
+      // a late event for hour 0 after the watermark passed must be dropped
+      input.addData((30L * 1_000_000_000L, "click", 100.0))
+      q.processAllAvailable()
+      val after = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(after.count(t => t._1 == 0L && t._2 == "click") === 1)
+      assert(after.contains((0L, "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes sessions; watermark timeout evicts the tail") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(userId: Long, ms: Long, v: Double) =
+      Streaming.Event(userId, new java.sql.Timestamp(ms), v)
+    val input = MemoryStream[Streaming.Event]
+    val sessions = Streaming.sessionize(
+      Streaming.sessionInput(
+        input.toDF().select(
+          col("user_id"),
+          (unix_millis(col("event_ts")) * 1_000_000L).as("ts"),
+          col("value")),
+        watermarkDelay = "10 minutes"),
+      gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val min = 60_000L
+      val base = 60 * min // keep every event past the initial watermark (0)
+      // user 1: two events 5 min apart, then 40-min gap → session closes
+      input.addData(ev(1, base, 1.0), ev(1, base + 5 * min, 2.0),
+        ev(1, base + 45 * min, 7.0))
+      q.processAllAvailable()
+      val first = spark.table("sessions").as[Streaming.Session].collect()
+      assert(first.toSeq === Seq(Streaming.Session(1L, base, base + 5 * min, 2, 3.0)))
+      // push the watermark far past last+gap → open tail session evicted
+      input.addData(ev(2, base + 400 * min, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(2, base + 401 * min, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Streaming.Session].collect()
+      assert(all.contains(
+        Streaming.Session(1L, base + 45 * min, base + 45 * min, 1, 7.0)),
+        s"got: ${all.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("sessionize on a batch Dataset emits gap-closed sessions") {
+    import spark.implicits._
+    val min = 60_000L
+    val events = Seq(
+      (1L, 0L, 1.0), (1L, 10 * min, 2.0),        // session A
+      (1L, 120 * min, 5.0), (1L, 125 * min, 1.0), // session B (open tail)
+      (2L, 0L, 4.0), (2L, 200 * min, 1.0)         // one closed, one open
+    ).toDF("user_id", "ms", "value")
+      .select(col("user_id"), (col("ms") * 1_000_000L).as("ts"), col("value"))
+    val got = Streaming.sessionize(Streaming.sessionInput(events))
+      .collect().toSet
+    assert(got === Set(
+      Streaming.Session(1L, 0L, 10 * min, 2, 3.0),
+      Streaming.Session(2L, 0L, 0L, 1, 4.0)))
+  }
+}
