@@ -60,7 +60,11 @@ object Dedup {
     * Jaccard is a ratio of exact ints → bit-identical in any engine.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    // join on the shingle's 64-bit hash, not the string: the self-join
+    // shuffle then carries 8-byte keys instead of ~n-word strings, and the
+    // intersection count is unchanged (collision odds ~(#shingles)²/2⁶⁴)
     val sh = shingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))

@@ -78,14 +78,15 @@ object Similarity {
       }
     }
 
-  /** Approximate top-k via random-hyperplane LSH.
+  /** Approximate top-k via random-hyperplane LSH with 1-bit multi-probe.
     *
     * Signature bit p = sign(w_p · v) with w_p from [[planeWeights]];
-    * bits packed into a long. Candidates = vectors sharing the full
-    * signature bucket with the query (single-probe; multi-probe = also
-    * visiting neighbor buckets differing in 1 bit). Exact cosine rerank on
-    * candidates. Recall is data-dependent; ScalaTest measures it against
-    * [[bruteForceTopK]].
+    * bits packed into a long. The query side (small, broadcast) probes its
+    * own bucket plus every bucket differing in one bit — bits+1 probe
+    * rows per query, corpus side untouched — which recovers most of the
+    * recall single-probe loses to near-hyperplane sign flips. Exact
+    * cosine rerank on candidates. Recall is data-dependent; ScalaTest
+    * measures it against [[bruteForceTopK]].
     */
   def lshTopK(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
       bits: Int = 8): DataFrame = {
@@ -94,12 +95,19 @@ object Similarity {
       when(vecDot(col("embedding"), lit(w(p))) > 0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val signed = withNorm(vecs).withColumn("sig", sig)
+    val probeMasks = lit(0L) +: (0 until bits).map(p => lit(1L << p))
     val queries = broadcast(signed
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("sig").as("q_sig")))
+        col("norm").as("q_norm"), col("sig").as("q_sig"))
+      .withColumn("probe", explode(array(probeMasks: _*)))
+      .withColumn("probe_sig", expr("q_sig ^ probe")))
     val candidates = signed
-      .join(queries, col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
+      .join(queries, col("sig") === col("probe_sig") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("vec_id"),
+        col("embedding"), col("norm"))
+      // a vector can match several probes of one query
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
     val win = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     candidates
