@@ -34,6 +34,7 @@ object SparkEntry {
     "q14_events_hourly"    -> (Relational.q14EventsHourly(_, _)),
     "q15_distinct_agg"     -> (Relational.q15DistinctAgg(_, _)),
     "q16_asof_join"        -> (Relational.q16AsofJoin(_, _)),
+    "q17_json_props"       -> (Relational.q17JsonProps(_, _)),
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
     "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
     "vote_condorcet"       -> (Workloads.voteCondorcet(_, _)),
@@ -48,6 +49,7 @@ object SparkEntry {
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
+    "ann_ivf"              -> (Similarity.annIvf(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
@@ -173,6 +175,11 @@ object SparkEntry {
             AND epoch_us(c.ts) <= epoch_us(p.ts)) AS last_click_us
          FROM events p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+    "q17_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "wc_wordcount" ->
       """SELECT word, count(*) AS cnt
          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -242,6 +242,24 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** JSON column processing: parse the events `props` payload with an
+    * explicit schema (`from_json` — schema'd parse stays inside codegen;
+    * never schema-infer per row at scale) and aggregate the extracted
+    * field. The reference has no semi-structured support at all
+    * (SURVEY §2.4: no json functions).
+    */
+  def q17JsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** As-of join: for each purchase event, the most recent click at or
     * before the purchase by the same user. Implemented the scalable way — a single
     * union + window pass (sort by (user, ts) once), NOT a triangle

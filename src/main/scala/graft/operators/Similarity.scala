@@ -120,6 +120,57 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables(spark, dir).embeddings)
 
+  /** IVF (inverted-file) ANN — the second scale path, complementary to
+    * LSH: partition the corpus into `cells` by nearest centroid, probe
+    * only the `nProbe` best cells per query, exact-rerank the survivors.
+    *
+    * Centroids are the first `cells` corpus vectors (deterministic; a
+    * production system would k-means — the index structure, assignment
+    * expression and probe path are identical either way). The centroid
+    * table is tiny by construction, so it is collected once and compiled
+    * INTO the assignment expression as literal arrays: cell assignment is
+    * then `cells` codegen'd vec_dot calls in the scan stage — one corpus
+    * pass, no join, no shuffle (vs. a corpus×centroids join that would
+    * shuffle `cells`× the data). greatest() over (cos, c_id) structs
+    * gives a deterministic argmax.
+    */
+  def ivfTopK(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
+      cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = withNorm(vecs)
+    val cents = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("c_id"), col("embedding"), col("norm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+    require(cents.nonEmpty, "corpus must contain the centroid seed vectors")
+    val scores = cents.map { case (id, w, n) =>
+      struct((vecDot(col("embedding"), lit(w)) / (col("norm") * lit(n))).as("cos"),
+        lit(id).as("c_id"))
+    }
+    val assigned = base.withColumn("cell", greatest(scores: _*).getField("c_id"))
+    // per-query probe list: the nProbe highest-cosine cells (array_sort on
+    // (cos, c_id) structs is ascending → reverse → slice)
+    val probes = transform(
+      slice(reverse(array_sort(array(scores: _*))), 1, nProbe),
+      s => s.getField("c_id"))
+    val queries = broadcast(assigned
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), probes.as("q_probes")))
+    val candidates = assigned
+      .join(queries,
+        array_contains(col("q_probes"), col("cell")) && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+    val win = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables(spark, dir).embeddings)
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
     * Exact formulation (the self-join is quadratic in rows; at scale run
     * [[lshTopK]]-style bucketing first to cut the candidate set). The

@@ -60,6 +60,44 @@ class CliSpec extends AnyFunSuite with SparkTestSession {
     assert(got === expect)
   }
 
+  /** Replay of the reference's two-stage Condorcet smoke script
+    * (`command_backup:13-20`): maple_vote → juice_vote → maple_vote_two →
+    * juice_vote_two, each exe re-stated in awk with the *intended*
+    * semantics (the ref's juice_vote resets its counters per line —
+    * SURVEY §2.3-B2 — which we do not reproduce). Known answer:
+    * vote_input_Anna ⇒ "Anna win!".
+    */
+  test("two-stage vote pipeline: vote_input_Anna elects Anna") {
+    cli.execute("put /root/reference/mj_exe/vote_input_Anna vote_in")
+    // stage 1 map (mj_exe/maple_vote.go): 3 pairs per ballot, key min,max
+    val m1 = exe(
+      """awk '{ for (i = 1; i <= 2; i++) for (j = i + 1; j <= 3; j++) {
+        |  a = $i; b = $j;
+        |  if (a < b) print a "," b, 1; else print b "," a, 0; } }'""".stripMargin)
+    // stage 1 reduce (juice_vote.go, intended): pairwise majority
+    val j1 = exe(
+      """awk '{ k = $1; if ($2 == 1) ones++; else zeros++ }
+        |END { split(k, c, ",");
+        |  if (ones > zeros) print c[1] "," c[2]; else print c[2] "," c[1] }'""".stripMargin)
+    // stage 2 map (maple_vote_two.go): constant key 1
+    val m2 = exe("""awk '{ print 1, $0 }'""")
+    // stage 2 reduce (juice_vote_two.go): win count + argmax
+    val j2 = exe(
+      """awk '{ split($2, w, ","); wins[w[1]]++ }
+        |END { bn = -1;
+        |  for (c in wins) if (wins[c] > bn || (wins[c] == bn && c < best)) { best = c; bn = wins[c] }
+        |  print best, "win!" }'""".stripMargin)
+    assert(cli.execute(s"maple $m1 3 v1 vote_in").contains("maple done"))
+    assert(cli.execute(s"juice $j1 3 v1 v1_out 1 hash").contains("juice done"))
+    assert(cli.execute(s"maple $m2 3 v2 v1_out").contains("maple done"))
+    assert(cli.execute(s"juice $j2 1 v2 vote_result 1 hash").contains("juice done"))
+    val out = java.nio.file.Files.createTempFile("graft-vote", ".txt").toString
+    new java.io.File(out).delete()
+    cli.execute(s"get vote_result $out")
+    val result = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(result === Seq("Anna win!"))
+  }
+
   test("delete removes from the namespace; members/id report topology") {
     cli.execute(s"put /root/reference/mj_exe/wc_simple_input doomed")
     assert(cli.execute("delete doomed") === "deleted doomed")

@@ -46,4 +46,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       assert(brute(pair) === cos, s"LSH cosine for $pair diverges from exact")
     }
   }
+
+  test("IVF results agree with brute force; probe set covers the query cell") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val brute = Similarity.bruteForceTopK(vecs, numQueries = 10, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteTop = Similarity.bruteForceTopK(vecs, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(vecs, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (pair, cos) =>
+      assert(brute(pair) === cos, s"IVF cosine for $pair diverges from exact")
+    }
+    val recall = ivf.map(_._1).count(bruteTop) / bruteTop.size.toDouble
+    assert(recall > 0.2, s"IVF recall collapsed: $recall") // 4/16 cells probed
+  }
 }
