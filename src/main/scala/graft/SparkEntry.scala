@@ -56,6 +56,7 @@ object SparkEntry {
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
     "text_langid"          -> (TextAnalysis.langId(_, _)),
     "text_fingerprint"     -> (TextAnalysis.fingerprint(_, _)),
+    "text_winnow"          -> (TextAnalysis.winnowDocs(_, _)),
     // --- training-data pipeline: multimodal binary columns
     "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
     "mm_decode"            -> (Multimodal.decodeDims(_, _)),

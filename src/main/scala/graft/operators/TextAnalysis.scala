@@ -99,4 +99,25 @@ object TextAnalysis {
         fnv1a64(col("text")).as("fp"),
         fnv1a64(concat_ws(" ", sort_array(split(trim(col("text")), "\\s+")))).as("bag_fp"))
       .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every k-char gram,
+    * slide a window of w consecutive gram hashes, keep each window's
+    * minimum — guarantees any shared substring of length ≥ w+k-1 yields a
+    * shared fingerprint, with ~2/(w+1) selection density. Entirely
+    * Catalyst (two transform() passes + explode), so it fuses into the
+    * scan; emitted as (doc_id, fp) distinct rows — group by fp to find
+    * cross-document substring reuse at corpus scale.
+    */
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, length(text) - ${k - 1}),
+            i -> xxhash64(substring(text, i, $k)))""").as("grams"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(grams) - $w),
+            j -> array_min(slice(grams, j + 1, $w))))""")).as("fp"))
+
+  def winnowDocs(spark: SparkSession, dir: String): DataFrame =
+    winnow(Tables(spark, dir).documents).orderBy(col("doc_id"), col("fp"))
 }

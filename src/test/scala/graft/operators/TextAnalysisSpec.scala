@@ -50,6 +50,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Map(0L -> "en", 1L -> "fr", 2L -> "und", 3L -> "de"))
   }
 
+  test("winnowing: shared substrings share fingerprints; density bounded") {
+    import spark.implicits._
+    val common = "the winnowing algorithm selects minima"
+    val docs = Seq(
+      (0L, s"prefix AAA $common suffix BBB"),
+      (1L, s"totally other start $common and another end"),
+      (2L, "nothing in common with the rest zzz qqq")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs, k = 5, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // guarantee: a shared substring of length >= w+k-1 (= 8) yields at
+    // least one shared fingerprint
+    assert((fps(0L) intersect fps(1L)).nonEmpty)
+    // density: far fewer fingerprints than character positions
+    assert(fps(0L).size < docs.filter($"doc_id" === 0L).head.getString(1).length / 2)
+  }
+
   test("fingerprint equals the independent FNV-1a implementation") {
     val rows = TextAnalysis.fingerprint(spark, dir).collect()
     val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
