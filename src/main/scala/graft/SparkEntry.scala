@@ -35,6 +35,7 @@ object SparkEntry {
     "q15_distinct_agg"     -> (Relational.q15DistinctAgg(_, _)),
     "q16_asof_join"        -> (Relational.q16AsofJoin(_, _)),
     "q17_json_props"       -> (Relational.q17JsonProps(_, _)),
+    "q18_sketches"         -> (Relational.q18Sketches(_, _)),
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
     "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
     "vote_condorcet"       -> (Workloads.voteCondorcet(_, _)),

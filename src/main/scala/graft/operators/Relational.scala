@@ -260,6 +260,24 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Approximate sketch aggregates — the constant-memory path for
+    * cardinality/quantiles at 100 TB where exact distinct would shuffle
+    * every key: HyperLogLog++ (`approx_count_distinct`, mergeable partial
+    * sketches) and t-digest quantiles (`percentile_approx`). Error bounds
+    * vs the exact answers are asserted in ScalaTest; no DuckDB oracle
+    * (different sketch implementations legitimately differ).
+    */
+  def q18Sketches(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** As-of join: for each purchase event, the most recent click at or
     * before the purchase by the same user. Implemented the scalable way — a single
     * union + window pass (sort by (user, ts) once), NOT a triangle

@@ -42,6 +42,20 @@ object Streaming {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact deduplication on an id column: watermarked
+    * `dropDuplicates`, the ingest-side twin of [[graft.operators.Dedup]] —
+    * duplicate ids arriving within the watermark horizon are dropped
+    * exactly once, and the dedup state is purged as the watermark
+    * advances (bounded memory; an unwatermarked streaming dedup would
+    * grow forever).
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicates(idCol, "event_ts")
+
   // ------------------------------------------------------- sessionization
 
   /** Input row for [[sessionize]]: `event_ts` carries the watermark. */
