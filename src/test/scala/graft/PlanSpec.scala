@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the 100 TB properties the scale design
+  * depends on, asserted against the optimized/executed plans so a future
+  * refactor can't silently lose them (SURVEY §4.1: everything here is
+  * what the reference engine lacks and Catalyst provides).
+  */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6: predicates pushed into the parquet scan; columns pruned") {
+    val plan = planOf("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_discount)"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"),
+      "scan must read exactly the 3 referenced columns")
+  }
+
+  test("q2: dimension joins broadcast, never shuffle the fact side") {
+    val plan = planOf("q2_market_share")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "kilobyte dims must not SMJ")
+  }
+
+  test("wordcount: partial aggregation runs before the shuffle") {
+    val plan = planOf("wc_wordcount")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"map-side combine missing:\n${plan.take(2000)}")
+  }
+
+  test("q4: EXISTS plans as a semi join (no row multiplication)") {
+    val plan = planOf("q4_order_priority")
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("q1: whole-stage codegen covers the aggregation pipeline") {
+    // AQE only collapses codegen stages at execution → materialize first
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen stage marker in the tree string
+    assert(plan.contains("*("), plan.take(2000))
+  }
+}

@@ -46,6 +46,18 @@ class WorkloadsSpec extends AnyFunSuite with SparkTestSession {
     assert(a === b)
   }
 
+  test("largest reference workload: 21,855 ballots → 65,565 pairs (BASELINE.md)") {
+    val ballots = ballotsFromFile("/root/reference/mj_exe/vote_input")
+    val src = scala.io.Source.fromFile("/root/reference/mj_exe/vote_input")
+    val expected = try src.getLines().count(_.trim.split("\\s+").length == 3)
+      finally src.close()
+    assert(ballots.count() === expected.toLong) // ~21,855 (BASELINE.md)
+    val wins = Workloads.condorcetWins(ballots).collect()
+    // 3 candidates → 3 pairwise decisions, each won by someone
+    assert(wins.map(_.getLong(1)).sum === 3L)
+    assert(wins.nonEmpty)
+  }
+
   test("crafted 3-ballot election: full pairwise majority") {
     import spark.implicits._
     // X>Y>Z, X>Y>Z, Y>Z>X → X beats Y 2-1, X beats Z 2-1, Y beats Z 3-0
