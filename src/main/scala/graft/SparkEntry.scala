@@ -23,6 +23,7 @@ object SparkEntry {
     "q2_market_share"      -> (Relational.q2MarketShare(_, _)),
     "q3_top_orders"        -> (Relational.q3TopOrders(_, _)),
     "q4_order_priority"    -> (Relational.q4OrderPriority(_, _)),
+    "q5_local_supplier"    -> (Relational.q5LocalSupplierVolume(_, _)),
     "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue(_, _)),
     "q7_top_per_customer"  -> (Relational.q7TopOrdersPerCustomer(_, _)),
     "q8_running_revenue"   -> (Relational.q8RunningRevenue(_, _)),
@@ -108,6 +109,17 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_quantity >= 25)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q5_local_supplier" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
          count(*) AS n_items

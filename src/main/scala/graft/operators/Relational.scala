@@ -78,6 +78,29 @@ object Relational {
       .limit(10)
   }
 
+  /** Local-supplier volume (TPC-H Q5 shape): the multi-way join — three
+    * fact-fact shuffle joins (customer⨝orders⨝lineitem⨝supplier, the
+    * supplier join carrying the same-nation conjunct) finished by two
+    * broadcast dimension joins. The canonical mixed join topology: big
+    * sides shuffle on their keys, kilobyte dims broadcast, one final
+    * groupBy shuffle.
+    */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(t.supplier,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** Order-priority count with an EXISTS semi-join (TPC-H Q4 shape).
     * left_semi keeps the orders row at most once regardless of lineitem
     * multiplicity — the scalable EXISTS, no distinct needed.
