@@ -37,6 +37,7 @@ object SparkEntry {
     "q16_asof_join"        -> (Relational.q16AsofJoin(_, _)),
     "q17_json_props"       -> (Relational.q17JsonProps(_, _)),
     "q18_sketches"         -> (Relational.q18Sketches(_, _)),
+    "q19_pivot"            -> (Relational.q19Pivot(_, _)),
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
     "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
     "vote_condorcet"       -> (Workloads.voteCondorcet(_, _)),
@@ -194,6 +195,14 @@ object SparkEntry {
          CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q19_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+         CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+         CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+         CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+         CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+         FROM events GROUP BY 1 ORDER BY 1""",
     "wc_wordcount" ->
       """SELECT word, count(*) AS cnt
          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -301,6 +301,20 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Pivot: event counts per user-bucket, one column per event type —
+    * `groupBy().pivot()` with an EXPLICIT value list (an unlisted pivot
+    * makes Spark run a distinct-values job first; at 100 TB always name
+    * the columns). Restated as CASE aggregation in the oracle.
+    */
+  def q19Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .orderBy(col("user_bucket"))
+  }
+
   /** As-of join: for each purchase event, the most recent click at or
     * before the purchase by the same user. Implemented the scalable way — a single
     * union + window pass (sort by (user, ts) once), NOT a triangle

@@ -42,6 +42,31 @@ object Streaming {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked stream-stream join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can expire
+    * buffered state on both sides — the only way a stream-stream join
+    * stays bounded-memory on infinite inputs. Works identically on batch
+    * frames (the condition is an ordinary interval predicate there).
+    */
+  def purchasesWithRecentClicks(events: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val base = events.withColumn("event_ts",
+      timestamp_micros((col("ts") / 1000).cast("long")))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", window)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", window)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Streaming exact deduplication on an id column: watermarked
     * `dropDuplicates`, the ingest-side twin of [[graft.operators.Dedup]] —
     * duplicate ids arriving within the watermark horizon are dropped

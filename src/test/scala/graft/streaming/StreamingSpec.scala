@@ -109,6 +109,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases match only in-window prior clicks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)] // event_id, ts, user, type
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = Streaming.purchasesWithRecentClicks(df, window = "10 minutes")
+      .select("purchase_id")
+      .writeStream.format("memory").queryName("attributed").outputMode("append").start()
+    try {
+      val base = 10 * H
+      val min = 60_000_000_000L // 1 minute in ns
+      input.addData(
+        (1L, base, 7L, "click"),                 // 5 min before purchase → match
+        (2L, base + 5 * min, 7L, "purchase"),
+        (3L, base + 5 * min, 8L, "purchase"),    // other user: no click → drop
+        (4L, base + 30 * min, 9L, "click"),      // click 20 min before purchase
+        (5L, base + 50 * min, 9L, "purchase"))   // → outside 10-min window
+      q.processAllAvailable()
+      val got = spark.table("attributed").as[Long].collect().toSeq.sorted
+      assert(got === Seq(2L), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize on a batch Dataset emits gap-closed sessions") {
     import spark.implicits._
     val min = 60_000L
