@@ -37,6 +37,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("LeftSemi"), plan.take(2000))
   }
 
+  test("partitionBy layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Engine.Tables(spark, dir).events
+      .write.partitionBy("event_type").mode("overwrite").parquet(s"$tmp/events_part")
+    val df = spark.read.parquet(s"$tmp/events_part")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter missing:\n${plan.take(1500)}")
+    // the pruned scan must not read the data column for the filter
+    assert(plan.contains("ReadSchema: struct<event_id:bigint>"), plan.take(1500))
+  }
+
   test("q1: whole-stage codegen covers the aggregation pipeline") {
     // AQE only collapses codegen stages at execution → materialize first
     val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
