@@ -36,6 +36,24 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, h): distinct 64-bit shingle hashes per doc — the form every
+    * dedup path actually consumes. Hashing BEFORE the distinct means the
+    * dedup shuffle carries 8-byte keys, never the ~n-word strings
+    * (collision odds ~(#shingles)²/2⁶⁴ — the same negligible bound the
+    * downstream set-intersections already accept).
+    */
+  private def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+  }
+
   /** Exact dedup: group identical text, keep the smallest doc_id as the
     * canonical copy. At 100 TB group on a 128-bit digest of the text
     * (xxhash64 pair / md5) instead of the full string to keep shuffle rows
@@ -60,11 +78,8 @@ object Dedup {
     * Jaccard is a ratio of exact ints → bit-identical in any engine.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    // join on the shingle's 64-bit hash, not the string: the self-join
-    // shuffle then carries 8-byte keys instead of ~n-word strings, and the
-    // intersection count is unchanged (collision odds ~(#shingles)²/2⁶⁴)
-    val sh = shingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // every shuffle (distinct, self-join, sizes) runs on 8-byte hashes
+    val sh = shingleHashes(docs, n).withColumnRenamed("h", "shingle")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -108,8 +123,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingles(docs, n).select(col("doc_id"),
-      (xxhash64(col("shingle")).bitwiseAND(lit(Long.MaxValue))).as("h"))
+    val sh = shingleHashes(docs, n)
+      .select(col("doc_id"), col("h").bitwiseAND(lit(Long.MaxValue)).as("h"))
 
     // signature: for each i, min over shingles of xxhash64(i, h) — a
     // deterministic keyed rehash, no RNG, overflow-free by construction.
