@@ -78,7 +78,11 @@ object Fnv1a64 {
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
-      (children: Seq[Expression]) => Fnv1a64(children.head))
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"fnv1a64 requires exactly 1 argument, got ${children.length}")
+        Fnv1a64(children.head)
+      })
 
   def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
     ext.injectFunction(registration)

@@ -90,7 +90,11 @@ object VecDot {
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1)))
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"vec_dot requires exactly 2 arguments, got ${children.length}")
+        VecDot(children(0), children(1))
+      })
 
   def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
     ext.injectFunction(registration)

@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles, distinct per doc: (doc_id, shingle). Built from
-    * codegen'd higher-order functions — no UDF in the hot path.
+  /** One row per (doc_id, shingle) OCCURRENCE — shared tokenize/explode
+    * body for the two views below.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  private def rawShingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     docs
       .select(col("doc_id"), toks.as("w"))
@@ -33,8 +33,13 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
         .as("shingle"))
-      .distinct()
   }
+
+  /** Word n-gram shingles, distinct per doc: (doc_id, shingle). Built from
+    * codegen'd higher-order functions — no UDF in the hot path.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    rawShingles(docs, n).distinct()
 
   /** (doc_id, h): distinct 64-bit shingle hashes per doc — the form every
     * dedup path actually consumes. Hashing BEFORE the distinct means the
@@ -42,17 +47,10 @@ object Dedup {
     * (collision odds ~(#shingles)²/2⁶⁴ — the same negligible bound the
     * downstream set-intersections already accept).
     */
-  private def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    docs
-      .select(col("doc_id"), toks.as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
-        .as("shingle"))
+  private def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    rawShingles(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
-  }
 
   /** Exact dedup: group identical text, keep the smallest doc_id as the
     * canonical copy. At 100 TB group on a 128-bit digest of the text
@@ -115,16 +113,15 @@ object Dedup {
     * the band key — fan-out controlled, no all-pairs). Candidates are then
     * verified with the exact shingle-set Jaccard, so the final output
     * equals [[jaccardPairs]] at the same threshold whenever LSH recall
-    * reaches every true pair (at threshold 0.9, 16×4 bands: miss
-    * probability (1-0.9^4)^16 ≈ 2e-3; verified empirically in ScalaTest
-    * against the exact pairs).
+    * reaches every true pair (at threshold 0.9, 16 bands × 4 rows: miss
+    * probability (1-0.9⁴)¹⁶ ≈ 4e-8; verified empirically in ScalaTest
+    * against the exact pairs, at both sf0.01 and sf0.1).
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = shingleHashes(docs, n)
-      .select(col("doc_id"), col("h").bitwiseAND(lit(Long.MaxValue)).as("h"))
 
     // signature: for each i, min over shingles of xxhash64(i, h) — a
     // deterministic keyed rehash, no RNG, overflow-free by construction.

@@ -312,6 +312,8 @@ object Relational {
       .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
+      // pivot+count leaves NULL in absent cells; a count must read 0
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
       .orderBy(col("user_bucket"))
   }
 

@@ -18,17 +18,20 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted sum-aggregation: phase 1 groups on
-    * (key, salt = hash(row) mod saltBuckets) so a hot key's rows spread
+    * (key, salt = row-position mod saltBuckets) so a hot key's rows spread
     * over `saltBuckets` reducers; phase 2 merges the per-salt partials.
     * Output is identical to `df.groupBy(keys).agg(sum...)` — the salt is
-    * internal. Use when AQE skew handling isn't enough (e.g. a single key
-    * holding >10% of all rows).
+    * internal, and because it cancels in phase 2 its assignment needs no
+    * cross-run stability (a content hash would collapse IDENTICAL
+    * duplicate rows of the hot key into one salt bucket — exactly the
+    * constant-key count/sum workload the salt exists for). Use when AQE
+    * skew handling isn't enough (e.g. a single key holding >10% of rows).
     */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int = 32): DataFrame = {
     val keyCols = keys.map(col)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltBuckets.toLong)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     salted
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(sum(col(valueCol)).as("__partial"))

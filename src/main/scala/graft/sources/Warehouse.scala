@@ -84,10 +84,8 @@ final class Warehouse(spark: SparkSession, root: String) {
   def readText(name: String): Dataset[String] = spark.read.textFile(p(name).toString)
 
   /** Append-concat text sink (E11 semantics — unordered concatenation). */
-  def writeText(ds: Dataset[String], name: String, singleFile: Boolean = false): Unit = {
-    val out = if (singleFile) ds.coalesce(1) else ds
-    out.write.mode("append").text(p(name).toString)
-  }
+  def writeText(ds: Dataset[String], name: String, singleFile: Boolean = false): Unit =
+    graft.operators.MapleJuice.writeText(ds, p(name).toString, singleFile)
 
   def path(name: String): String = p(name).toString
 }

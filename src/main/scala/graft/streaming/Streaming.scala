@@ -35,7 +35,7 @@ object Streaming {
     */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
@@ -52,7 +52,7 @@ object Streaming {
   def purchasesWithRecentClicks(events: DataFrame,
       window: String = "1 hour"): DataFrame = {
     val base = events.withColumn("event_ts",
-      timestamp_micros((col("ts") / 1000).cast("long")))
+      timestamp_micros(expr("ts div 1000")))
     val clicks = base.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_ts").as("click_ts"))
       .withWatermark("click_ts", window)
@@ -77,7 +77,7 @@ object Streaming {
   def dedupStream(events: DataFrame, idCol: String = "event_id",
       watermarkDelay: String = "1 hour"): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", watermarkDelay)
       .dropDuplicates(idCol, "event_ts")
 
@@ -100,7 +100,7 @@ object Streaming {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", watermarkDelay)
       .select(col("user_id"), col("event_ts"), col("value"))
       .as[Event]
@@ -142,7 +142,10 @@ object Streaming {
                   out += Session(uid, s.startMs, s.lastMs, s.n, s.sum)
                   acc = Some(SessionAcc(t, t, 1, e.value))
                 case Some(s) =>
-                  acc = Some(SessionAcc(s.startMs, t, s.n + 1, s.sum + e.value))
+                  // a within-watermark late event (out of order ACROSS
+                  // micro-batches) must not regress the session frontier
+                  acc = Some(SessionAcc(s.startMs, math.max(s.lastMs, t),
+                    s.n + 1, s.sum + e.value))
                 case None =>
                   acc = Some(SessionAcc(t, t, 1, e.value))
               }

@@ -109,6 +109,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("sessionize: a within-watermark late event cannot regress the session") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(userId: Long, ms: Long) =
+      Streaming.Event(userId, new java.sql.Timestamp(ms), 1.0)
+    val input = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionize(
+      Streaming.sessionInput(
+        input.toDF().select(col("user_id"),
+          (unix_millis(col("event_ts")) * 1_000_000L).as("ts"), col("value")),
+        watermarkDelay = "10 minutes"),
+      gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      val min = 60_000L
+      input.addData(ev(1, 100 * min))
+      q.processAllAvailable()
+      input.addData(ev(1, 95 * min)) // late but within watermark (90 min)
+      q.processAllAvailable()
+      // 28 min after the session FRONTIER (100) → must extend, not split
+      input.addData(ev(1, 128 * min))
+      q.processAllAvailable()
+      input.addData(ev(2, 600 * min)); q.processAllAvailable()
+      input.addData(ev(2, 601 * min)); q.processAllAvailable()
+      val all = spark.table("late_sessions").as[Streaming.Session].collect()
+      assert(all.contains(Streaming.Session(1L, 100 * min, 128 * min, 3, 3.0)),
+        s"late event split or regressed the session: ${all.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases match only in-window prior clicks") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
