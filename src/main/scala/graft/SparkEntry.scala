@@ -60,6 +60,13 @@ object SparkEntry {
     "text_langid"          -> (TextAnalysis.langId(_, _)),
     "text_fingerprint"     -> (TextAnalysis.fingerprint(_, _)),
     "text_winnow"          -> (TextAnalysis.winnowDocs(_, _)),
+    // --- training-data pipeline: deterministic sampling
+    "sample_det"           -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      operators.Sampling.deterministicSample(
+        graft.Engine.Tables(s, d).documents, "doc_id", 0.3)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // --- training-data pipeline: multimodal binary columns
     "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
     "mm_decode"            -> (Multimodal.decodeDims(_, _)),

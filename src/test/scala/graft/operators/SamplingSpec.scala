@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val docs =
+    graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
+
+  test("deterministic: identical membership across runs and partitionings") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(math.abs(a.size - 150) < 60, s"~30% of 500 expected, got ${a.size}")
+  }
+
+  test("different salts give independent samples; same salt is a subset chain") {
+    val train = Sampling.deterministicSample(docs, "doc_id", 0.5, salt = "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val eval = Sampling.deterministicSample(docs, "doc_id", 0.1, salt = "eval")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same salt, smaller fraction ⊂ larger fraction (hash gate is a prefix)
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.2, salt = "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(train))
+    // independent salts overlap roughly at product rate, not structurally
+    assert((train intersect eval).size < eval.size.max(1) * 2)
+  }
+
+  test("stratified: per-language fractions respected; unlisted strata dropped") {
+    val got = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 1.0))
+    val counts = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("en", "de")) // fr/es/zh unlisted → dropped
+    assert(counts("de") === totals("de"))
+    assert(math.abs(counts("en") - totals("en") * 0.5) < totals("en") * 0.25)
+  }
+}
