@@ -324,6 +324,54 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rk, neighbor_id, cos FROM ranked
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    // the IVF index is fully relational (centroids ARE data vectors), so
+    // the approximate path itself is oracle-checkable, probe-for-probe
+    "ann_ivf" ->
+      """WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+           FROM base WHERE vec_id < 16),
+         scores AS (
+           SELECT b.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(b.embedding[d] AS DOUBLE) * CAST(c.c_emb[d] AS DOUBLE)))
+               / (b.norm * c.c_norm) AS ccos
+           FROM base b CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, c_id AS probe_cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn <= 4 AND vec_id < 10),
+         cand AS (
+           SELECT p.q_id, a.vec_id
+           FROM probes p JOIN assigned a ON a.cell = p.probe_cell
+           WHERE a.vec_id != p.q_id),
+         scored AS (
+           SELECT c.q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(bc.embedding[d] AS DOUBLE) * CAST(bq.embedding[d] AS DOUBLE)))
+               / (bc.norm * bq.norm), 4) AS cos
+           FROM cand c
+           JOIN base bc ON bc.vec_id = c.vec_id
+           JOIN base bq ON bq.vec_id = c.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, neighbor_id, cos FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk""",
     "embed_neardup" ->
       """WITH base AS (
            SELECT vec_id, embedding,
