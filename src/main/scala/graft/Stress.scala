@@ -25,6 +25,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    require(factor >= 1, s"replication factor must be >= 1, got $factor")
     val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val spark = Engine.session(
       cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-stress")
@@ -59,7 +60,11 @@ object Stress {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try fn(spark, out).count() catch { case _: Throwable => -1L }
+      val n = try fn(spark, out).count() catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[stress] $name failed: ${e.getMessage}")
+          -1L
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (sec, n)
     }
@@ -68,5 +73,7 @@ object Stress {
     println(s"""{"metric":"stress_total","value":${results.map(_._2._1).sum},""" +
       s""""unit":"sec","factor":$factor,"queries":$qs,"base":"$sfDir"}""")
     spark.stop()
+    // a smoke that cannot fail is not a smoke
+    if (results.exists(_._2._2 < 0)) sys.exit(1)
   }
 }

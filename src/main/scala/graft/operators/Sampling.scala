@@ -16,18 +16,41 @@ object Sampling {
 
   private val Buckets = 1_000_000L
 
-  private def gate(keyCol: Column, fraction: Double, salt: String): Column =
-    pmod(xxhash64(lit(salt), keyCol), lit(Buckets)) <
-      (lit(Buckets) * lit(fraction)).cast("long")
+  private def bucket(keyCol: Column, salt: String): Column =
+    pmod(xxhash64(lit(salt), keyCol), lit(Buckets))
 
-  /** Keep ~`fraction` of rows, chosen by hash of `keyCol`. `salt` yields
-    * independent samples from the same corpus (train/eval splits: gate on
-    * disjoint salts, membership provably disjoint per salt).
+  private def gate(keyCol: Column, fraction: Column, salt: String): Column =
+    bucket(keyCol, salt) < (lit(Buckets) * fraction).cast("long")
+
+  /** Keep ~`fraction` of rows, chosen by hash of `keyCol`. Distinct
+    * `salt`s yield INDEPENDENT samples (overlap ≈ product of fractions —
+    * for guaranteed-disjoint train/eval membership use [[disjointSplits]],
+    * which carves non-overlapping bucket ranges out of ONE salt).
     */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
-    df.filter(gate(col(keyCol), fraction, salt))
+    df.filter(gate(col(keyCol), lit(fraction), salt))
+  }
+
+  /** Partition the corpus into provably disjoint, jointly exhaustive
+    * splits with the given weights (e.g. Seq(0.9, 0.05, 0.05) →
+    * train/val/test): split i keeps the bucket range
+    * [cum(w_0..w_{i-1}), cum(w_0..w_i)) of one shared hash, so no row can
+    * land in two splits and every row lands in exactly one.
+    */
+  def disjointSplits(df: DataFrame, keyCol: String, weights: Seq[Double],
+      salt: String = ""): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ >= 0), "weights must be >= 0")
+    require(math.abs(weights.sum - 1.0) < 1e-9, s"weights must sum to 1, got ${weights.sum}")
+    val cuts = weights.scanLeft(0.0)(_ + _).map(c => (Buckets * c).toLong)
+    val b = bucket(col(keyCol), salt)
+    cuts.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), i) =>
+      // last split's upper bound is inclusive of the final bucket so
+      // rounding never drops rows
+      if (i == weights.length - 1) df.filter(b >= lo)
+      else df.filter(b >= lo && b < hi)
+    }
   }
 
   /** Per-stratum fractions (e.g. language-balanced corpus sampling):
@@ -41,7 +64,6 @@ object Sampling {
     val frac = fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
       when(col(strataCol) === stratum, lit(f)).otherwise(acc)
     }
-    df.filter(pmod(xxhash64(lit(salt), col(keyCol)), lit(Buckets)) <
-      (lit(Buckets) * frac).cast("long"))
+    df.filter(gate(col(keyCol), frac, salt))
   }
 }

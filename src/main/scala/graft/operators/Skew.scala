@@ -24,8 +24,12 @@ object Skew {
     * internal, and because it cancels in phase 2 its assignment needs no
     * cross-run stability (a content hash would collapse IDENTICAL
     * duplicate rows of the hot key into one salt bucket — exactly the
-    * constant-key count/sum workload the salt exists for). Use when AQE
-    * skew handling isn't enough (e.g. a single key holding >10% of rows).
+    * constant-key count/sum workload the salt exists for). The positional
+    * salt is a nondeterministic expression, so its map stage is
+    * INDETERMINATE: on a fetch failure Spark rolls the whole stage back
+    * and re-runs it (SPARK-23243) rather than mixing attempts —
+    * correctness holds, at the cost of wider retries. Use when AQE skew
+    * handling isn't enough (e.g. a single key holding >10% of rows).
     */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int = 32): DataFrame = {

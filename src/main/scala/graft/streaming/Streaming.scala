@@ -143,9 +143,11 @@ object Streaming {
                   acc = Some(SessionAcc(t, t, 1, e.value))
                 case Some(s) =>
                   // a within-watermark late event (out of order ACROSS
-                  // micro-batches) must not regress the session frontier
-                  acc = Some(SessionAcc(s.startMs, math.max(s.lastMs, t),
-                    s.n + 1, s.sum + e.value))
+                  // micro-batches) must not regress the frontier, and must
+                  // extend the start backwards if it precedes it — matching
+                  // what a single batch over the same data would produce
+                  acc = Some(SessionAcc(math.min(s.startMs, t),
+                    math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
                 case None =>
                   acc = Some(SessionAcc(t, t, 1, e.value))
               }

@@ -27,8 +27,20 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     val small = Sampling.deterministicSample(docs, "doc_id", 0.2, salt = "train")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(train))
-    // independent salts overlap roughly at product rate, not structurally
-    assert((train intersect eval).size < eval.size.max(1) * 2)
+    // independent salts overlap at ~product rate (0.5×|eval| expected);
+    // if the salt were ignored, eval ⊂ train and the intersection would
+    // equal |eval| — assert strictly below that
+    assert((train intersect eval).size < eval.size)
+  }
+
+  test("disjointSplits: pairwise disjoint, jointly exhaustive, ~weighted") {
+    val splits = Sampling.disjointSplits(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+      .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+    splits.combinations(2).foreach { case Seq(a, b) =>
+      assert((a intersect b).isEmpty)
+    }
+    assert(splits.map(_.size).sum === docs.count())
+    assert(splits.head.size > 300, s"~400 expected in the 0.8 split, got ${splits.head.size}")
   }
 
   test("stratified: per-language fractions respected; unlisted strata dropped") {
