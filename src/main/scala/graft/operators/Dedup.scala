@@ -220,4 +220,55 @@ object Dedup {
 
   def simhashDocs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables(spark, dir).documents).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Connected components over a near-dup pair set — the stage that turns
+    * PAIRS into duplicate CLUSTERS so exactly one canonical doc survives
+    * per group (pairs alone over-delete: a~b and b~c with keep-min drops
+    * b and c even though c was only transitively similar). Min-label
+    * propagation: every vertex repeatedly takes the minimum label among
+    * itself and its neighbors until fixpoint — O(cluster diameter)
+    * rounds, and near-dup clusters are near-cliques (diameter ≤ ~2), so
+    * it converges in 2-3 rounds regardless of corpus size. Each round is
+    * one shuffle join; `localCheckpoint` truncates the growing lineage so
+    * round N doesn't replay rounds 1..N-1.
+    *
+    * Returns (doc_id, component) where component = min doc_id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val updated = viaNeighbor.union(labels)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
+        .filter(col("component") =!= col("prev"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end duplicate clustering: LSH near-dup pairs → connected
+    * components → one row per cluster with its canonical (minimum) doc_id
+    * and member count. Docs in no cluster are implicitly canonical.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(Tables(spark, dir).documents, threshold = 0.9)
+    connectedComponents(pairs)
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
 }

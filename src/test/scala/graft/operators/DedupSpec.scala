@@ -45,6 +45,15 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh === exact) // full recall at 0.9 with 16x4 bands + exact verify
   }
 
+  test("connected components: chains merge transitively, islands stay apart") {
+    import spark.implicits._
+    // graph: 1-2, 2-3, 3-4 (chain) and 10-11 (island); 99 isolated (absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical docs collide at hamming 0; banding finds them") {
     import spark.implicits._
     val docs = Seq((0L, docA), (1L, docA), (2L, docC)).toDF("doc_id", "text")
