@@ -143,10 +143,12 @@ object SparkEntry {
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q8_running_revenue" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
          round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
-         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber""",
     "q9_set_ops" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          EXCEPT

@@ -143,20 +143,30 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** Running revenue per supplier over ship-date order — cumulative window
-    * with a fully deterministic sort key (shipdate, orderkey, linenumber are
-    * unique per supplier) so the running sum is reproducible.
+  /** Running quantity per supplier over ship-date order. The window ORDER
+    * BY must make the running sum WELL-DEFINED: (shipdate, orderkey,
+    * linenumber) is NOT unique in the data, and tied rows with different
+    * quantities would make the cumulative value depend on engine-internal
+    * tie order (observed: DuckDB's parallel window breaks such ties
+    * nondeterministically run-to-run). Appending l_quantity to the
+    * ordering fixes it — any rows still tied have equal quantity, so
+    * their order cannot change any cumulative sum.
     */
   def q8RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.lineitem
       .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      // emit the full window ordering key: (orderkey, linenumber) alone is
+      // NOT unique in the data, and duplicate-keyed output rows make any
+      // row-wise compare ambiguous
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
         round(col("running_qty"), 2).as("running_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("ship_day"), col("l_orderkey"), col("l_linenumber"))
   }
 
   /** Set operation: customers who placed an 'O' order, minus those who
