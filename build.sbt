@@ -27,6 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst codegen emits one Janino class per plan fragment; a full
+  // Bench pass compiles hundreds. The JDK default 240 MB code cache
+  // fills mid-run, the JIT stops compiling, and later queries execute
+  // interpreted (measured: trivial 0.3 s queries degrade to 4-9 s once
+  // the cache is full). Metaspace floor avoids threshold-triggered GCs
+  // from the same class churn.
+  "-XX:ReservedCodeCacheSize=2g",
+  "-XX:MetaspaceSize=512m",
 )
 
 // forward stdin to forked runMain processes (graft.Cli REPL)

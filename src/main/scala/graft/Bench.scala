@@ -5,9 +5,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cpus, "graft-bench")
-    // JIT/codegen/scan warm-up on the smoke-scale data so the first timed
-    // query doesn't absorb several seconds of JVM start-up cost
+    // Warm-up pass: run every query once (same SF) before the timed pass —
+    // the standard measure-the-second-run benchmark discipline. Plan
+    // compilation, Janino codegen and JIT tiering otherwise land on
+    // whichever timed query touches a code path first, measured as
+    // multi-second run-to-run-bimodal noise (the IVF/LSH queries compile
+    // data-derived literal plans, so warming at a smaller SF misses them).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
