@@ -6,14 +6,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cpus, "graft-bench")
     // Warm-up pass: run every query once (same SF) before the timed pass —
-    // the standard measure-the-second-run benchmark discipline. Plan
-    // compilation, Janino codegen and JIT tiering otherwise land on
+    // the standard measure-the-second-run benchmark discipline, in effect
+    // since round 3 (numbers before that are cold-run and not comparable).
+    // Plan compilation, Janino codegen and JIT tiering otherwise land on
     // whichever timed query touches a code path first, measured as
     // multi-second run-to-run-bimodal noise (the IVF/LSH queries compile
     // data-derived literal plans, so warming at a smaller SF misses them).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // A warm-up failure is loud (it predicts a -1 in the timed pass), just
+    // not fatal.
+    System.err.println(s"[bench] methodology: warm-run (untimed full pass at $sfDir, then timed)")
+    try SparkEntry.entry(spark).count() catch {
+      case t: Throwable => System.err.println(s"[bench] WARM-UP FAILURE entry: $t")
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case t: Throwable => System.err.println(s"[bench] WARM-UP FAILURE $name: $t")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -228,28 +228,46 @@ object Dedup {
     * propagation: every vertex repeatedly takes the minimum label among
     * itself and its neighbors until fixpoint — O(cluster diameter)
     * rounds, and near-dup clusters are near-cliques (diameter ≤ ~2), so
-    * it converges in 2-3 rounds regardless of corpus size. Each round is
-    * one shuffle join; `localCheckpoint` truncates the growing lineage so
-    * round N doesn't replay rounds 1..N-1.
+    * it converges in 2-3 rounds regardless of corpus size. Every 5th
+    * round `localCheckpoint` truncates the accumulated lineage, so cache
+    * eviction or executor loss late in a long (high-diameter) run replays
+    * at most the rounds since the last checkpoint, never the whole
+    * history.
     *
     * The loop runs on pair RDDs with one shared HashPartitioner — the
     * GraphX iteration pattern, and the one place in this library where
     * dropping below the DataFrame API is the right call: a DataFrame
     * loop re-plans, re-compiles and AQE-schedules 4-5 stages EVERY round
     * (measured ~1 s/round of pure overhead on a 25-edge graph), while a
-    * co-partitioned RDD loop is a narrow join + one shuffle per round and
-    * exactly one job per round, with no per-round plan rebuilding. At
-    * scale the same property holds: edges are partitioned once, every
-    * round's join is narrow, and only the (node → label) contributions
-    * shuffle.
+    * co-partitioned RDD loop is exactly one job per round with no
+    * per-round plan rebuilding. Per round, only the (node → label)
+    * contributions shuffle (one reduceByKey): the edges join and the
+    * combine-with-own-label join are both narrow because edges, labels
+    * and the reduceByKey output share the partitioner — the labels side
+    * never re-shuffles. Convergence detection rides the same action as
+    * the round's materialization via an accumulator (task retries can
+    * only over-count, and only the zero/non-zero distinction is used).
     *
-    * Returns (id, component) where component = min doc_id reachable.
+    * Input id columns must be integral (doc ids): a silent long cast of
+    * string/UUID ids would produce nulls under non-ANSI casting and
+    * collapse all such nodes into one bogus component, so non-integral
+    * ids are rejected up front.
+    *
+    * Returns (id, component) where component = min doc_id reachable. If
+    * the loop hits `maxIter` before fixpoint (component diameter >
+    * maxIter), labels are only partially merged — this logs a warning
+    * rather than failing, matching the lenient semantics of the other
+    * approximate dedup paths.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = pairs.sparkSession
     import spark.implicits._
+    val idTypes = pairs.schema.fields.take(2).map(_.dataType)
+    require(idTypes.forall(Seq(ByteType, ShortType, IntegerType, LongType).contains),
+      s"connectedComponents needs integral id columns, got ${idTypes.mkString(", ")}")
     val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
     // (dst → src) both directions, partitioned by dst = the join side key
     val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
@@ -266,23 +284,31 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_round_$i")
       // neighbor contributions: narrow join (same partitioner both sides),
-      // then one shuffle to min-combine by target node
+      // ONE shuffle to min-combine by target node, then a narrow join back
+      // to the old labels — min with own label and change-counting happen
+      // in the same fused pass
       val next = edges.join(labels)
         .map { case (_, (src, lbl)) => (src, lbl) }
-        .union(labels)
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .join(labels)
+        .mapPartitions(_.map { case (id, (contrib, own)) =>
+          val nl = math.min(contrib, own)
+          if (nl != own) changedAcc.add(1)
+          (id, nl)
+        }, preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // convergence probe rides the same job: the co-partitioned join with
-      // the previous labels is narrow, count is the round's single action
-      val changed = next.join(labels)
-        .filter { case (_, (n, o)) => n != o }
-        .count()
+      if (i % 5 == 4) next.localCheckpoint()
+      next.count() // the round's single action; validates changedAcc
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = changedAcc.value == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: no fixpoint after $maxIter rounds; labels are partially merged")
     val out = labels.toDF("id", "component")
     edges.unpersist(blocking = false)
     out
