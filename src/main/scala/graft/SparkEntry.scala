@@ -83,6 +83,94 @@ object SparkEntry {
     }),
   )
 
+  /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
+    * value graft computes as `conv(substr(md5(x),1,15),16,10)::long`
+    * (see [[operators.TextAnalysis.md5_60]]).
+    */
+  private def duckMd5_60(x: String): String =
+    s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** SimHash replicated in SQL: per-bit sign sums, then bit assembly —
+    * generated once here so the constants (60 bits) can never drift from
+    * [[operators.Dedup.SimhashBits]].
+    */
+  private def simhashOracle: String = {
+    val bits = operators.Dedup.SimhashBits
+    val bitSums = (0 until bits)
+      .map(i => s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n             ")
+    val assemble = (0 until bits)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+           SELECT doc_id, ${duckMd5_60("t")} AS th
+           FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                 FROM documents)
+           WHERE length(t) > 0),
+         bits AS (
+           SELECT doc_id,
+             $bitSums
+           FROM tok GROUP BY doc_id),
+         sh AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc_a, doc_b"""
+  }
+
+  /** Random-hyperplane LSH replicated in SQL. The hyperplane weights are
+    * deterministic driver-side constants ([[operators.Similarity
+    * .planeWeights]]); they are inlined as a literal VALUES table, so the
+    * oracle exercises the exact same planes without needing xxhash64 in
+    * DuckDB. Dot products evaluate left-to-right in double on both
+    * engines (VecDot ≡ list_sum∘list_transform), so the sign of every
+    * signature bit — and hence bucket membership, candidates and the
+    * final rerank — matches bit-for-bit.
+    */
+  private def annLshOracle: String = {
+    val w = operators.Similarity.planeWeights(8)
+    val rows = w.zipWithIndex
+      .map { case (arr, p) => s"($p, [${arr.mkString(", ")}])" }
+      .mkString(",\n           ")
+    val masks = 0L +: (0 until 8).map(p => 1L << p)
+    s"""WITH weights(p, w) AS (VALUES
+           $rows),
+         base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         sigs AS (
+           SELECT b.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(b.embedding[d] AS DOUBLE) * wt.w[d])) > 0
+               THEN (1::BIGINT << wt.p) ELSE 0 END) AS BIGINT) AS sig
+           FROM base b CROSS JOIN weights wt GROUP BY b.vec_id),
+         probes AS (
+           SELECT s.vec_id AS q_id, xor(s.sig, t.m) AS probe_sig
+           FROM sigs s, UNNEST([${masks.mkString(", ")}]) t(m)
+           WHERE s.vec_id < 10),
+         cand AS (
+           SELECT DISTINCT p.q_id, s.vec_id
+           FROM probes p JOIN sigs s ON s.sig = p.probe_sig AND s.vec_id != p.q_id),
+         scored AS (
+           SELECT c.q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(bc.embedding[d] AS DOUBLE) * CAST(bq.embedding[d] AS DOUBLE)))
+               / (bc.norm * bq.norm), 4) AS cos
+           FROM cand c
+           JOIN base bc ON bc.vec_id = c.vec_id
+           JOIN base bq ON bq.vec_id = c.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, neighbor_id, cos FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -462,9 +550,56 @@ object SparkEntry {
          octet_length(encode(text)) AS n_bytes,
          upper(substr(hex(encode(text)), 1, 16)) AS magic_hex
          FROM documents ORDER BY doc_id""",
-    // dedup_simhash, ann_lsh, text_fingerprint, mm_decode/mm_frames/
-    // mm_features (stub codec): xxhash64/FNV-1a aren't available in DuckDB
-    // → rows-only driver check; exact semantics are covered by ScalaTest
-    // (independent reimplementation + recall vs the exact paths).
+    "dedup_simhash" -> simhashOracle,
+    "ann_lsh" -> annLshOracle,
+    "sample_det" ->
+      s"""SELECT doc_id FROM documents
+         WHERE ${duckMd5_60("CAST(doc_id AS VARCHAR)")} % 1000000
+               < ${(1000000L * 0.3).toLong}
+         ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         ${duckMd5_60("text")} AS fp,
+         ${duckMd5_60("array_to_string(list_sort(regexp_split_to_array(trim(text), '\\s+')), ' ')")} AS bag_fp
+         FROM documents ORDER BY doc_id""",
+    // winnow: same degree-4 polynomial gram hash (base 257 mod 1e9+7) over
+    // code points, same least-of-4 window minimum, same distinct
+    "text_winnow" ->
+      """WITH cs AS (
+           SELECT doc_id, list_transform(generate_series(1, length(text)),
+             i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cs
+           FROM documents WHERE length(text) >= 8),
+         g AS (
+           SELECT doc_id, list_transform(generate_series(1, len(cs) - 4),
+             i -> (cs[i] * 4362470401 + cs[i+1] * 16974593 + cs[i+2] * 66049
+                   + cs[i+3] * 257 + cs[i+4]) % 1000000007) AS grams
+           FROM cs)
+         SELECT DISTINCT doc_id, list_min(grams[j:j+3]) AS fp
+         FROM g, UNNEST(generate_series(1, len(grams) - 3)) t(j)
+         ORDER BY doc_id, fp""",
+    "mm_decode" ->
+      s"""WITH h AS (
+           SELECT doc_id, ${duckMd5_60("text")} AS h FROM documents)
+         SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(64 + (h % 8) * 32 AS INT) AS width,
+           CAST(64 + ((h >> 8) % 8) * 32 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(1 + ((h >> 16) % 30) AS INT) AS n_frames
+         FROM h ORDER BY doc_id""",
+    "mm_frames" ->
+      s"""WITH h AS (
+           SELECT doc_id, ${duckMd5_60("text")} AS h FROM documents
+           WHERE CAST(doc_id % 3 AS INT) = 2),
+         d AS (
+           SELECT doc_id, CAST(1 + ((h >> 16) % 30) AS INT) AS n_frames FROM h)
+         SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
+         FROM d, UNNEST(generate_series(0, n_frames - 1,
+           greatest(CAST(ceil(n_frames / 4.0) AS INT), 1))) t(f)
+         ORDER BY doc_id, frame_idx""",
+    // q18_sketches (HLL++/t-digest are approximate by design) and
+    // mm_features (float-normalized stub pixels) stay rows-only; exact
+    // semantics are covered by ScalaTest.
   )
 }

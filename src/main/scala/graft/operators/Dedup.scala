@@ -173,40 +173,48 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairs(Tables(spark, dir).documents, threshold = 0.9)
 
-  /** 64-bit SimHash per document: sign-aggregate the bits of each token
+  /** 60-bit SimHash per document: sign-aggregate the bits of each token
     * occurrence's hash (each occurrence contributes ±1 per bit, which sums
-    * to the classic ±tf weighting without a distinct/tf pre-pass). All 64
+    * to the classic ±tf weighting without a distinct/tf pre-pass). All 60
     * bit-sums are parallel aggregate columns in one groupBy — one shuffle
-    * of token rows with map-side partial sums, no 64× explode. Emitted as
+    * of token rows with map-side partial sums, no 60× explode. Emitted as
     * (doc_id, simhash); the companion [[simhashPairs]] finds low-hamming
-    * pairs via 4×16-bit banding (a hamming-≤3 pair must agree exactly on
+    * pairs via 4×15-bit banding (a hamming-≤3 pair must agree exactly on
     * ≥1 band).
+    *
+    * The token hash is the engine-portable 60-bit md5 digest
+    * ([[TextAnalysis.md5_60]]) rather than xxhash64, so the whole
+    * simhash→banding→hamming pipeline is replicated verbatim by the
+    * DuckDB oracle (the fingerprint width only changes constants: 60
+    * sign-sums, 15-bit bands).
     */
+  val SimhashBits = 60
+
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col("doc_id"), TextAnalysis.md5_60(col("tok")).as("th"))
+    val bitSums = (0 until SimhashBits).map(i =>
       sum(when(expr(s"(th >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
     tok
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
+        (0 until SimhashBits).map(i =>
           when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
         ).reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, candidate
-    * generation via 16-bit band equality (pigeonhole: ham ≤ 3 ⇒ one of the
-    * four 16-bit bands matches exactly).
+    * generation via 15-bit band equality (pigeonhole: ham ≤ 3 ⇒ one of the
+    * four 15-bit bands matches exactly).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bh", expr("(simhash >> (band * 16)) & 65535"))
+      .withColumn("bh", expr("(simhash >> (band * 15)) & 32767"))
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("band", "bh"))

@@ -61,13 +61,20 @@ object Multimodal {
     * function signatures are the contract the Spark plumbing depends on.
     */
   private[operators] object FakeCodec {
-    /** "Decode" (width, height, channels, nFrames) from a blob. */
+    /** "Decode" (width, height, channels, nFrames) from a blob. The fake
+      * dims derive from the low 60 bits of md5(blob) — the same digest
+      * DuckDB computes as `('0x' || substr(md5(text),1,15))::BIGINT` —
+      * so even the stubbed decode is driver-oracle-checkable end to end
+      * (the point is gating the PLUMBING: schema, batch shape, fan-out).
+      */
     def decodeDims(blob: Array[Byte]): (Int, Int, Int, Int) = {
-      val h = graft.functions.Fnv1a64.hash(blob)
-      (64 + (Math.floorMod(h, 8L) * 32).toInt,
-        64 + (Math.floorMod(h >>> 8, 8L) * 32).toInt,
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(blob)
+        .take(8).map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) // 60 bits, always positive
+      (64 + (h % 8 * 32).toInt,
+        64 + ((h >> 8) % 8 * 32).toInt,
         3,
-        1 + Math.floorMod(h >>> 16, 30L).toInt)
+        1 + ((h >> 16) % 30).toInt)
     }
 
     /** "Decode" one frame to a fixed 8x8 grayscale patch (byte-histogram

@@ -8,16 +8,20 @@ import org.apache.spark.sql.functions._
   * the sample changes, which poisons reproducibility of a data recipe.
   * Hash-gating on a stable key makes the sample a pure function of the
   * DATA: the same rows are selected on any cluster, any partitioning,
-  * any engine that agrees on xxhash64. It is also the only sampler that
-  * composes with incremental ingestion (a row's membership never changes
-  * as the corpus grows).
+  * any engine that can MD5 a string (the bucket is the low 60 bits of
+  * md5(salt ++ key) mod 1e6 — portable to DuckDB/Trino/Postgres verbatim,
+  * which is also what lets the driver oracle-check the sample
+  * row-for-row). It is also the only sampler that composes with
+  * incremental ingestion (a row's membership never changes as the corpus
+  * grows).
   */
 object Sampling {
 
   private val Buckets = 1_000_000L
 
   private def bucket(keyCol: Column, salt: String): Column =
-    pmod(xxhash64(lit(salt), keyCol), lit(Buckets))
+    pmod(conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(Buckets))
 
   private def gate(keyCol: Column, fraction: Column, salt: String): Column =
     bucket(keyCol, salt) < (lit(Buckets) * fraction).cast("long")

@@ -69,7 +69,7 @@ object Similarity {
     * literal costs bits×dim×8 bytes once instead of bits×dim hash
     * evaluations per row.
     */
-  private def planeWeights(bits: Int): IndexedSeq[Array[Double]] =
+  private[graft] def planeWeights(bits: Int): IndexedSeq[Array[Double]] =
     IndexedSeq.tabulate(bits) { p =>
       Array.tabulate(dim) { d =>
         val s = UTF8String.fromString((p * dim + d).toString)

@@ -86,13 +86,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Document fingerprint: FNV-1a 64 over the raw text (whole-doc
+  /** 60-bit md5-derived hash of a string column — the engine-portable
+    * digest used wherever a fingerprint must be reproducible outside
+    * Spark (DuckDB/Trino/Postgres all evaluate the identical bytes:
+    * `('0x' || substr(md5(x),1,15))::BIGINT`). 15 hex chars keep the
+    * value positive in a signed 64-bit long on every engine.
+    */
+  private[operators] def md5_60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint: 60-bit md5 digest over the raw text (whole-doc
     * fingerprint) and over the sorted token multiset (order-insensitive
-    * "bag fingerprint" — catches shuffled near-copies). Custom codegen
-    * expression; no oracle (DuckDB lacks the hash), verified by ScalaTest
-    * against an independent Scala implementation.
+    * "bag fingerprint" — catches shuffled near-copies). Both digests are
+    * engine-portable ([[md5_60]]), so the driver hash-compares them
+    * against DuckDB bit-for-bit. [[fnvFingerprint]] is the custom-codegen
+    * variant of the same query.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        md5_60(col("text")).as("fp"),
+        md5_60(concat_ws(" ", sort_array(split(trim(col("text")), "\\s+")))).as("bag_fp"))
+      .orderBy(col("doc_id"))
+
+  /** FNV-1a 64 fingerprint — same shape as [[fingerprint]] but through the
+    * native codegen expression [[graft.functions.Fnv1a64]] (one fused
+    * 8-byte-at-a-time pass, ~3× cheaper than md5's block cipher — the
+    * production choice when the digest never leaves Spark). No DuckDB
+    * oracle (FNV needs byte access DuckDB lacks); verified by ScalaTest
+    * against an independent Scala implementation.
+    */
+  def fnvFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(
         col("doc_id"),
@@ -104,11 +129,21 @@ object TextAnalysis {
     * slide a window of w consecutive gram hashes, keep each window's
     * minimum — guarantees any shared substring of length ≥ w+k-1 yields a
     * shared fingerprint, with ~2/(w+1) selection density. Entirely
-    * Catalyst (two transform() passes + explode), so it fuses into the
-    * scan; emitted as (doc_id, fp) distinct rows — group by fp to find
+    * Catalyst (transform() passes + explode), so it fuses into the scan;
+    * emitted as (doc_id, fp) distinct rows — group by fp to find
     * cross-document substring reuse at corpus scale.
+    *
+    * The gram hash is a degree-(k-1) polynomial over the code points,
+    * base 257 mod 1e9+7 — pure integer arithmetic any engine evaluates
+    * identically (code points first materialized once per char, k array
+    * lookups per gram), which is what makes the full pipeline
+    * DuckDB-oracle-checkable. Hash quality only has to break ties among
+    * ~w candidate grams per window; a 30-bit polynomial is plenty.
     */
   def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val mod = 1000000007L
+    val pows = Iterator.iterate(1L)(p => p * 257 % mod).take(k).toSeq.reverse
+    val gramHash = (0 until k).map(o => s"cs[i + $o] * ${pows(o)}L").mkString("(", " + ", s") % $mod")
     // Window minimum as least(grams[j..j+w-1]): w direct array lookups per
     // window, no per-window slice() allocation. Measured against a native
     // WindowExec sliding-min and a hash-agg variant: this single-stage
@@ -118,8 +153,9 @@ object TextAnalysis {
     docs
       .filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"), expr(
-        s"""transform(sequence(0, length(text) - $k),
-            i -> xxhash64(substring(text, i + 1, $k)))""").as("grams"))
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))").as("cs"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(cs) - $k), i -> $gramHash)").as("grams"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(grams) - $w),
             j -> $windowMin)""")).as("fp"))

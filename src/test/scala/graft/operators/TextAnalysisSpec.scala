@@ -67,12 +67,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(fps(0L).size < docs.filter($"doc_id" === 0L).head.getString(1).length / 2)
   }
 
-  test("fingerprint equals the independent FNV-1a implementation") {
-    val rows = TextAnalysis.fingerprint(spark, dir).collect()
+  test("fnvFingerprint equals the independent FNV-1a implementation") {
+    val rows = TextAnalysis.fnvFingerprint(spark, dir).collect()
     val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val text = "the cat and the dog, the end."
     assert(byId(0L)._1 === Fnv1a64.hash(text.getBytes("UTF-8")))
     val bag = text.trim.split("\\s+").sorted.mkString(" ")
     assert(byId(0L)._2 === Fnv1a64.hash(bag.getBytes("UTF-8")))
+  }
+
+  test("fingerprint (md5_60) equals the independent MD5 implementation") {
+    val rows = TextAnalysis.fingerprint(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def md5_60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val text = "the cat and the dog, the end."
+    assert(byId(0L)._1 === md5_60(text))
+    val bag = text.trim.split("\\s+").sorted.mkString(" ")
+    assert(byId(0L)._2 === md5_60(bag))
   }
 }
