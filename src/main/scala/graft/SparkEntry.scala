@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,14 @@ object SparkEntry {
     "q17_json_props"       -> (Relational.q17JsonProps(_, _)),
     "q18_sketches"         -> (Relational.q18Sketches(_, _)),
     "q19_pivot"            -> (Relational.q19Pivot(_, _)),
+    // --- second-tier analytics (ordered/moment stats, sessions, windows)
+    "q20_percentiles"      -> (Analytics.q20Percentiles(_, _)),
+    "q21_stats"            -> (Analytics.q21Stats(_, _)),
+    "q22_sessions"         -> (Analytics.q22Sessions(_, _)),
+    "q23_grouping_sets"    -> (Analytics.q23GroupingSets(_, _)),
+    "q24_window_suite"     -> (Analytics.q24WindowSuite(_, _)),
+    "q25_tfidf"            -> (Analytics.q25Tfidf(_, _)),
+    "skew_salted_agg"      -> (Analytics.skewSaltedAgg(_, _)),
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
     "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
     "vote_condorcet"       -> (Workloads.voteCondorcet(_, _)),
@@ -550,6 +558,87 @@ object SparkEntry {
          octet_length(encode(text)) AS n_bytes,
          upper(substr(hex(encode(text)), 1, 16)) AS magic_hex
          FROM documents ORDER BY doc_id""",
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.75) AS p75,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q21_stats" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+         round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+         round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_price_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q22_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tns,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                    OR lag(epoch_ns(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+         numbered AS (
+           SELECT user_id, tns,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY tns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(tns) // 1000 AS start_us,
+           max(tns) // 1000 AS end_us,
+           max(tns) // 1000 - min(tns) // 1000 AS duration_us
+         FROM numbered GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q23_grouping_sets" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE (r_name, c_mktsegment)
+         ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""",
+    "q24_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER k AS INT) AS rn,
+         CAST(rank() OVER p AS INT) AS prio_rank,
+         CAST(dense_rank() OVER p AS INT) AS prio_dense,
+         round(percent_rank() OVER p, 6) AS prio_prank,
+         CAST(ntile(4) OVER k AS INT) AS tile4,
+         round(lag(o_totalprice, 1) OVER k, 2) AS prev_price,
+         round(lead(o_totalprice, 1) OVER k, 2) AS next_price
+         FROM orders
+         WINDOW k AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+                p AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+         ORDER BY o_orderkey""",
+    "q25_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           WHERE length(term) > 0 GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, tf, df, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS INT) AS rk
+           FROM scored)
+         SELECT doc_id, rk, term, score, tf, df FROM ranked
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
     "sample_det" ->

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tier of relational analytics — the operator families a user of
+  * the reference would reach for next once the §2.3 workloads are native
+  * (ordered statistics, moment statistics, sessionization, grouping
+  * sets, the full window-function family, TF-IDF) plus the skew-salting
+  * pattern the 100 TB design notes call for. All queries are
+  * DuckDB-oracle-gated; float columns are emitted rounded with
+  * engine-exact ordering keys.
+  */
+object Analytics {
+
+  /** Exact interpolated percentiles (quartiles) of l_quantity per return
+    * flag. Quartile fractions are picked deliberately: positions
+    * 0.25·(n-1) and quarter interpolation weights are binary-exact, and
+    * l_quantity is integer-valued, so `lower + frac·(upper-lower)` is
+    * exact double arithmetic — identical in any engine regardless of how
+    * the interpolation is associated. (0.9-style fractions would put an
+    * inexact 0.1 into the product and expose cross-engine ulp noise.)
+    * One sort-based agg per group, no window.
+    */
+  def q20Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("min_qty"), col("max_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Moment statistics per return flag: correlation, sample covariance,
+    * sample stddev and regression slope of price on quantity. All are
+    * single-pass partial-aggregable (Welford merge) — one shuffle of
+    * 6 groups × O(1) state, the shape that holds at any scale. Rounded
+    * for cross-engine float stability (summation order differs between
+    * engines; the statistics are smooth so 2-4 decimals absorb it).
+    */
+  def q21Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("stddev_price"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope_price_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Gap-based sessionization of the events stream, batch formulation:
+    * a session breaks when a user is idle > `gapMinutes`. Classic
+    * two-window shape — lag() to flag boundaries, running sum to number
+    * sessions — then one aggregation per session. All time arithmetic is
+    * exact integer ns (events.ts arrives as Long ns; `div 1000` for µs —
+    * double math would lose precision above 2^53). Ordering inside a
+    * user is (ts, event_id): event_id is unique, so session numbering is
+    * deterministic even if two events share a timestamp. Scale shape:
+    * both windows and the final agg shuffle ONCE on user_id (Spark
+    * reuses the partitioning across the three), no driver state.
+    */
+  def q22Sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapNs = gapMinutes * 60L * 1000000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) > gapNs
+          || lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(ts) div 1000").as("start_us"),
+        expr("max(ts) div 1000").as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** CUBE over (region, market segment): all four grouping-set shapes in
+    * one pass (Spark expands to a single Expand + one hash agg — one
+    * shuffle, 4× the group rows, not 4 scans).
+    */
+  def q23GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** The full window-function family over orders, partitioned by
+    * customer: ranking with ties (priority has duplicates per customer —
+    * rank/dense_rank/percent_rank are still deterministic because peers
+    * share a value), ntile over a unique total order, and lead/lag
+    * navigation. One window partition spec → one shuffle + sort serves
+    * every function.
+    */
+  def q24WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("prio_rank", rank().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))))
+      .withColumn("prio_dense", dense_rank().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))))
+      .withColumn("prio_prank", round(percent_rank().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))), 6))
+      .withColumn("tile4", ntile(4).over(byKey))
+      .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(byKey), 2))
+      .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(byKey), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("prio_rank"),
+        col("prio_dense"), col("prio_prank"), col("tile4"),
+        col("prev_price"), col("next_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TF-IDF top terms per document: tf from one (doc, term) agg, df from
+    * one term-level agg of the same pre-aggregated rows (never the raw
+    * token stream twice), idf = ln((N+1)/(df+1)), top-3 terms per doc by
+    * rounded score with term tiebreak. The df side joins back on term —
+    * a broadcast in practice (vocabulary ≪ corpus); at 100 TB the
+    * vocabulary is still executor-memory-small after the first agg.
+    */
+  def q25Tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val nDocs = docs.count() // tiny driver scalar: corpus cardinality
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so a
+    * pathologically hot key spreads over `salts` reducers before the
+    * final per-key merge. Results are identical to the plain groupBy
+    * (the oracle IS the plain groupBy) — only the shuffle layout
+    * changes. events.event_type has 5 values over millions of rows: the
+    * exact key profile where an unsalted shuffle puts whole keys on
+    * single reducers. The salt is derived from event_id, not random —
+    * deterministic replay, engine-portable.
+    */
+  def skewSaltedAgg(spark: SparkSession, dir: String, salts: Int = 64): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), round(sum(col("pv")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q20: quartiles bracket correctly and are exact on a known set") {
+    import spark.implicits._
+    // 1..5 → p25=2, p50=3, p75=4 (positions land on elements exactly)
+    val df = Seq(1d, 2d, 3d, 4d, 5d).map(("A", _)).toDF("l_returnflag", "l_quantity")
+    val r = df.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .head.getSeq[Double](1)
+    assert(r === Seq(2d, 3d, 4d))
+  }
+
+  test("q21: corr of an exact linear relation is 1") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, 3d * i + 7d, "A"))
+      .toDF("l_quantity", "l_extendedprice", "l_returnflag")
+    val row = df.groupBy($"l_returnflag").agg(
+      round(corr($"l_quantity", $"l_extendedprice"), 4).as("c"),
+      round(regr_slope($"l_extendedprice", $"l_quantity"), 2).as("s")).head
+    assert(row.getDouble(1) === 1.0)
+    assert(row.getDouble(2) === 3.0)
+  }
+
+  test("sessionization: gap splits, unique-event ordering, exact us math") {
+    import spark.implicits._
+    val m = 60L * 1000000000L // one minute in ns
+    val ev = Seq(
+      (1L, 10L, 0L * m), (1L, 11L, 5L * m), (1L, 12L, 50L * m), // user 1: 2 sessions
+      (2L, 20L, 0L * m) // user 2: 1 session
+    ).toDF("user_id", "event_id", "ts")
+    val sess = {
+      // same logic as q22Sessions, applied to the in-memory frame
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      ev.withColumn("new_session",
+        when($"ts" - lag($"ts", 1).over(byUser) > 30L * m
+          || lag($"ts", 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_session").over(
+          byUser.rowsBetween(Long.MinValue, 0)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(sess === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("cube emits all four grouping shapes") {
+    val out = Analytics.q23GroupingSets(spark, dir)
+    val shapes = out.select(
+      col("r_name").isNull.as("rn"), col("c_mktsegment").isNull.as("mn"))
+      .distinct.collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSet
+    assert(shapes === Set((false, false), (false, true), (true, false), (true, true)))
+  }
+
+  test("salted agg equals the plain groupBy exactly") {
+    val salted = Analytics.skewSaltedAgg(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = graft.Engine.Tables(spark, dir).events
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted === plain)
+  }
+
+  test("tfidf: a corpus-unique term outranks ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta common common"),
+      (1L, "common beta gamma"),
+      (2L, "common beta delta")).toDF("doc_id", "text")
+    // reuse the real pipeline against a temp dir-less frame via the same ops
+    val tf = docs.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val top = tf.join(dfreq, "term")
+      .withColumn("score", $"tf" * log((lit(n) + 1.0) / ($"df" + 1.0)))
+      .where($"doc_id" === 0L).orderBy($"score".desc, $"term")
+      .select($"term").head.getString(0)
+    // 'common' appears twice in doc 0 but everywhere in the corpus;
+    // 'alpha' is unique to doc 0 and must win
+    assert(top === "alpha")
+  }
+}
