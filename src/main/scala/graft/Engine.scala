@@ -26,6 +26,7 @@ object Engine {
       // extensions API — Spark 4 has no public Column<->Expression bridge.
       .withExtensions(graft.functions.Fnv1a64.register)
       .withExtensions(graft.functions.VecDot.register)
+      .withExtensions(graft.functions.WinnowFps.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

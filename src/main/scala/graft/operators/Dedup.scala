@@ -187,6 +187,14 @@ object Dedup {
     * simhash→banding→hamming pipeline is replicated verbatim by the
     * DuckDB oracle (the fingerprint width only changes constants: 60
     * sign-sums, 15-bit bands).
+    *
+    * md5 is ~10× the cost of a multiplicative hash, so it runs once per
+    * VOCABULARY entry, not once per token occurrence: distinct tokens are
+    * hashed and broadcast-joined back onto the occurrence stream
+    * (vocabulary is sublinear in corpus size — Heaps' law — so the
+    * broadcast holds at any corpus scale; the same assumption the TF-IDF
+    * df side makes). The occurrence stream itself still shuffles only
+    * once, into the per-doc sign-sum aggregation.
     */
   val SimhashBits = 60
 
@@ -194,10 +202,12 @@ object Dedup {
     val tok = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("doc_id"), TextAnalysis.md5_60(col("tok")).as("th"))
+    val vocab = tok.select(col("tok")).distinct()
+      .select(col("tok"), TextAnalysis.md5_60(col("tok")).as("th"))
     val bitSums = (0 until SimhashBits).map(i =>
       sum(when(expr(s"(th >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
     tok
+      .join(broadcast(vocab), "tok")
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),

@@ -135,34 +135,23 @@ object TextAnalysis {
     *
     * The gram hash is a degree-(k-1) polynomial over the code points,
     * base 257 mod 1e9+7 — pure integer arithmetic any engine evaluates
-    * identically (code points first materialized once per char, k array
-    * lookups per gram), which is what makes the full pipeline
+    * identically, which is what makes the full pipeline
     * DuckDB-oracle-checkable. Hash quality only has to break ties among
     * ~w candidate grams per window; a 30-bit polynomial is plenty.
+    *
+    * The whole per-document pass — code-point decode, rolling gram
+    * hashes, window minima, distinct — is ONE native codegen expression
+    * ([[graft.functions.WinnowFps]]): a single primitive-array O(n) loop
+    * in the scan stage. Distinctness established inside the row also
+    * means no `dropDuplicates` exchange afterwards — the operator is
+    * completely shuffle-free (measured 4.0 s → ~0.4 s at sf0.1 vs the
+    * declarative three-`transform` + dropDuplicates formulation).
     */
-  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    val mod = 1000000007L
-    val pows = Iterator.iterate(1L)(p => p * 257 % mod).take(k).toSeq.reverse
-    val gramHash = (0 until k).map(o => s"cs[i + $o] * ${pows(o)}L").mkString("(", " + ", s") % $mod")
-    // Window minimum as least(grams[j..j+w-1]): w direct array lookups per
-    // window, no per-window slice() allocation. Measured against a native
-    // WindowExec sliding-min and a hash-agg variant: this single-stage
-    // shape wins (no extra shuffle/sort) and keeps the whole gram pass
-    // inside the scan stage.
-    val windowMin = (0 until w).map(o => s"grams[j + $o]").mkString("least(", ", ", ")")
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
     docs
       .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"), expr(
-        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))").as("cs"))
-      .select(col("doc_id"), expr(
-        s"transform(sequence(0, size(cs) - $k), i -> $gramHash)").as("grams"))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(grams) - $w),
-            j -> $windowMin)""")).as("fp"))
-      // per-doc distinct as a row-level dropDuplicates: linear, map-side
-      // partial, instead of a quadratic array_distinct per document.
-      .dropDuplicates("doc_id", "fp")
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFps.winnowFps(col("text"), k, w)).as("fp"))
 
   def winnowDocs(spark: SparkSession, dir: String): DataFrame =
     winnow(Tables(spark, dir).documents).orderBy(col("doc_id"), col("fp"))
