@@ -68,10 +68,14 @@ object Analytics {
     * both windows and the final agg shuffle ONCE on user_id (Spark
     * reuses the partitioning across the three), no driver state.
     */
-  def q22Sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def q22Sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionize(Tables(spark, dir).events, gapMinutes)
+
+  /** Core sessionization over any (user_id, event_id, ts-ns) frame. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapNs = gapMinutes * 60L * 1000000000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables(spark, dir).events
+    events
       .select(col("user_id"), col("event_id"), col("ts"))
       .withColumn("new_session",
         when(col("ts") - lag(col("ts"), 1).over(byUser) > gapNs

@@ -60,4 +60,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // "*(n)" is the WholeStageCodegen stage marker in the tree string
     assert(plan.contains("*("), plan.take(2000))
   }
+
+  test("winnow: completely shuffle-free up to the final presentation sort") {
+    // distinctness is established inside winnow_fps, so the operator body
+    // must contain NO exchange; the only allowed one is the global sort
+    // the gated query adds for deterministic output.
+    val plan = operators.TextAnalysis.winnow(
+      Engine.Tables(spark, dir).documents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"winnow grew a shuffle:\n${plan.take(2000)}")
+    assert(plan.toLowerCase.contains("winnow"), plan.take(500))
+  }
+
+  test("sessionization: both windows and the session agg share ONE user_id exchange") {
+    val plan = planOf("q22_sessions")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // lag-window, sum-window and the final groupBy all partition by
+    // user_id; Spark must plan a single hash exchange (plus the rangesort
+    // for presentation) — two+ would mean the partitioning is not reused
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("salted agg: two aggregation levels, both with map-side partials") {
+    val plan = planOf("skew_salted_agg")
+    val partials = "partial".r.findAllIn(plan.toLowerCase).length
+    assert(partials >= 2, s"expected partial aggs at both levels:\n${plan.take(2000)}")
+  }
 }

@@ -65,4 +65,53 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       assert(lsh.subsetOf(exact), s"seed=$seed: lsh=$lsh exact=$exact")
     }
   }
+
+  test("sessionize equals a naive per-user fold on arbitrary event streams (10 seeds)") {
+    import spark.implicits._
+    val gapNs = 30L * 60 * 1000000000L
+    for (seed <- 0 until 10) {
+      val r = rng(300 + seed)
+      val events = Seq.tabulate(80) { i =>
+        (r.nextInt(5).toLong, i.toLong, r.nextLong(4L * gapNs).abs)
+      }
+      val got = Analytics.sessionize(events.toDF("user_id", "event_id", "ts"))
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // naive: sort each user's events by (ts, event_id), fold sessions
+      val expect = events.groupBy(_._1).flatMap { case (uid, evs) =>
+        val sorted = evs.map(e => (e._3, e._2)).sorted
+        val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+          case (acc @ cur :: rest, e) =>
+            if (e._1 - cur.head._1 > gapNs) List(e) :: acc else (e :: cur) :: rest
+          case (Nil, e) => List(List(e))
+        }.reverse
+        sessions.zipWithIndex.map { case (s, i) =>
+          val ts = s.map(_._1)
+          (uid, (i + 1).toLong, s.size.toLong,
+            Math.floorDiv(ts.min, 1000L), Math.floorDiv(ts.max, 1000L))
+        }
+      }.toSet
+      assert(got === expect, s"seed=$seed")
+    }
+  }
+
+  test("exact percentile matches naive type-7 interpolation (10 seeds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    for (seed <- 0 until 10) {
+      val r = rng(400 + seed)
+      val xs = Seq.fill(1 + r.nextInt(50))(r.nextInt(100).toDouble)
+      val got = xs.map(("A", _)).toDF("g", "x").groupBy($"g")
+        .agg(expr("percentile(x, array(0.25D, 0.5D, 0.75D))").as("q"))
+        .head.getSeq[Double](1)
+      def naive(p: Double): Double = {
+        val s = xs.sorted
+        val pos = p * (s.size - 1)
+        val lo = pos.toInt
+        val frac = pos - lo
+        if (lo + 1 < s.size) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+      }
+      assert(got === Seq(naive(0.25), naive(0.5), naive(0.75)), s"seed=$seed")
+    }
+  }
 }
