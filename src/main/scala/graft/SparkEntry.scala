@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Multimodal, Relational, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Dedup, HeavyHitters, Multimodal, Relational, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,7 +45,10 @@ object SparkEntry {
     "q23_grouping_sets"    -> (Analytics.q23GroupingSets(_, _)),
     "q24_window_suite"     -> (Analytics.q24WindowSuite(_, _)),
     "q25_tfidf"            -> (Analytics.q25Tfidf(_, _)),
+    "q26_correlated"       -> (Analytics.q26Correlated(_, _)),
+    "q27_range_window"     -> (Analytics.q27RangeWindow(_, _)),
     "skew_salted_agg"      -> (Analytics.skewSaltedAgg(_, _)),
+    "hh_heavy_hitters"     -> (HeavyHitters.frequentUsers(_, _)),
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
     "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
     "vote_condorcet"       -> (Workloads.voteCondorcet(_, _)),
@@ -639,6 +642,29 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          round(sum(value), 2) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q26_correlated" ->
+      """SELECT p_brand,
+         round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly,
+         count(*) AS n_small_orders
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q27_range_window" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER w, 2) AS hour_sum,
+         count(*) OVER w AS hour_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+           RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    // the sketch pass is recall-guaranteed and the count pass is exact,
+    // so the plain GROUP BY ... HAVING is a true oracle for the
+    // Misra-Gries pipeline
+    "hh_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+         GROUP BY user_id HAVING count(*) * 2000 >= (SELECT count(*) FROM events)
+         ORDER BY user_id""",
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
     "sample_det" ->

@@ -161,6 +161,48 @@ object Analytics {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape), deliberately written
+    * as SQL so Catalyst's decorrelation does the rewrite: "lineitems
+    * ordering less than 20% of their part's average quantity" becomes a
+    * per-part aggregate joined back to the fact — no per-row re-scan,
+    * which is the difference between O(n) and O(n²) at any scale. The
+    * threshold compare is cross-engine exact: avg of integer-valued
+    * doubles is a correctly-rounded division of exact sums, identical in
+    * any IEEE engine.
+    */
+  def q26Correlated(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.part.createOrReplaceTempView("part")
+    spark.sql("""
+      SELECT p_brand,
+             round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly,
+             count(*) AS n_small_orders
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                          FROM lineitem WHERE l_partkey = p_partkey)
+      GROUP BY p_brand ORDER BY p_brand""")
+  }
+
+  /** Time-based sliding aggregation: trailing one-hour sum/count per
+    * user over the event stream, as a RANGE window frame (frame bounds
+    * are VALUE offsets on exact integer-ns timestamps, so peers at equal
+    * ts are all included and the result is deterministic even under
+    * ordering ties — the property ROWS frames lack). One shuffle+sort on
+    * user_id serves both aggregates.
+    */
+  def q27RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-hourNs, Window.currentRow)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("hour_sum", round(sum(col("value")).over(w), 2))
+      .withColumn("hour_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("hour_sum"), col("hour_n"))
+      .orderBy(col("event_id"))
+  }
+
   /** Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so a
     * pathologically hot key spreads over `salts` reducers before the
     * final per-key merge. Results are identical to the plain groupBy
