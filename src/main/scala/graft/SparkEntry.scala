@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, HeavyHitters, Multimodal, Relational, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Multimodal, Relational, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,7 @@ object SparkEntry {
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
     "ann_ivf"              -> (Similarity.annIvf(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
+    "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
@@ -713,8 +714,10 @@ object SparkEntry {
          FROM d, UNNEST(generate_series(0, n_frames - 1,
            greatest(CAST(ceil(n_frames / 4.0) AS INT), 1))) t(f)
          ORDER BY doc_id, frame_idx""",
-    // q18_sketches (HLL++/t-digest are approximate by design) and
-    // mm_features (float-normalized stub pixels) stay rows-only; exact
+    // q18_sketches (HLL++/t-digest are approximate by design),
+    // mm_features (float-normalized stub pixels) and kmeans_assign
+    // (centroid means are float sums whose value depends on partition
+    // merge order — inherent to parallel k-means) stay rows-only; exact
     // semantics are covered by ScalaTest.
   )
 }

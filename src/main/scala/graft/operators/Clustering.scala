@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Engine.Tables
+import graft.functions.VecDot.vecDot
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over the embeddings table — the clustering
+  * stage a training-data pipeline runs before IVF indexing, corpus
+  * balancing or semantic dedup (and the "production system would
+  * k-means" referenced by [[Similarity.ivfTopK]]'s seeded centroids).
+  *
+  * Scale shape per iteration:
+  *  - centroids live on the DRIVER (k × dim doubles — k-means state is
+  *    tiny by construction) and are compiled into the assignment
+  *    expression as literals, so assignment is k codegen'd [[vecDot]]
+  *    calls fused into the scan — one corpus pass, no join, no shuffle
+  *    of the vectors;
+  *  - the centroid update shuffles only (cluster, dim, partial-sum)
+  *    triples after map-side partial aggregation: k·dim rows total,
+  *    independent of corpus size;
+  *  - vectors are never collected; only the k·dim aggregate comes back.
+  *
+  * Determinism: init is the first k vectors by vec_id (no RNG), argmin
+  * breaks distance ties toward the lower cluster id, and every distance
+  * is the same left-to-right double sum on every engine. Float summation
+  * order in the centroid UPDATE does vary with partitioning — that is
+  * inherent to parallel k-means (it can flip a borderline assignment
+  * next round), so cross-engine gating uses row counts, with exact
+  * recovery asserted on separated data in ScalaTest.
+  */
+object Clustering {
+
+  /** (assignments, centroids): assignments = (vec_id, cluster, dist2);
+    * centroids = driver-side array indexed by cluster id.
+    */
+  def kmeans(vecs: DataFrame, k: Int = 16, iters: Int = 5,
+      idCol: String = "vec_id", embCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
+    val spark = vecs.sparkSession
+
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.length == k, s"corpus has fewer than k=$k vectors")
+    val dim = centroids.head.length
+
+    // assignment expression for the current centroids: argmin over
+    // ||v||² - 2·v·c + ||c||² (the ||v||² term is constant per row, so
+    // argmin only needs the last two); least() over (dist2, c_id)
+    // structs is a deterministic argmin with lower-id tiebreak.
+    def assigned: DataFrame = {
+      val scores = centroids.zipWithIndex.map { case (c, id) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * vecDot(col(embCol), lit(c))).as("d"),
+          lit(id).as("c_id"))
+      }
+      vecs.withColumn("cluster", least(scores: _*).getField("c_id"))
+    }
+
+    for (_ <- 1 to iters) {
+      // new centroid = per-dimension mean of assigned vectors: explode to
+      // (cluster, dim, x) and aggregate — k·dim result rows, map-side
+      // partial sums carry the corpus weight.
+      val sums = assigned
+        .select(col("cluster"), posexplode(col(embCol)).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(k)(i => centroids(i).clone()) // empty clusters keep position
+      sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        next(c) = v
+      }
+      centroids = next
+    }
+
+    // dist2 = ||v||² + (||c||² - 2·v·c) — the second term is exactly the
+    // struct field the argmin already minimized.
+    val scores = centroids.zipWithIndex.map { case (c, id) =>
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col(embCol), lit(c))).as("d"),
+        lit(id).as("c_id"))
+    }
+    val best = least(scores: _*)
+    val finalAssign = vecs
+      .withColumn("cluster", best.getField("c_id"))
+      .withColumn("dist2",
+        round(vecDot(col(embCol), col(embCol)) + best.getField("d"), 4))
+      .select(col(idCol), col("cluster"), col("dist2"))
+    (finalAssign, centroids)
+  }
+
+  /** Gated query: final assignment per vector (rows = corpus size; exact
+    * recovery on separated data is ScalaTest-verified — float centroid
+    * sums are partition-order-dependent, so value-level cross-engine
+    * hashing would over-promise).
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = kmeans(Tables(spark, dir).embeddings, k = 16, iters = 3)
+    assign.select(col("vec_id"), col("cluster")).orderBy(col("vec_id"))
+  }
+}
