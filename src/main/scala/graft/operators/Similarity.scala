@@ -141,7 +141,35 @@ object Similarity {
       .select(col("vec_id").cast("int").as("c_id"), col("embedding"), col("norm"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
-    require(cents.nonEmpty, "corpus must contain the centroid seed vectors")
+    ivfWithCentroids(base, cents, numQueries, k, nProbe)
+  }
+
+  /** IVF with TRAINED centroids: spherical k-means ([[Clustering.kmeans]]
+    * over unit-normalized vectors, so its L2 objective coincides with the
+    * cosine assignment the index uses) supplies the cell structure
+    * instead of the first-k seed vectors — same index layout, assignment
+    * expression and probe path. On clustered corpora (the case that
+    * matters: real embedding spaces are clustered) trained centroids
+    * cover the data's regions where arbitrary seeds may all fall in one —
+    * ScalaTest asserts the recall advantage on separable clusters and a
+    * stable floor on the near-uniform testdata. Rows-only gate upstream
+    * for the same reason as kmeans itself.
+    */
+  def ivfTopKKmeans(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
+      cells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val unit = withNorm(vecs).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
+    val (_, centroids) = Clustering.kmeans(unit, k = cells, iters = iters)
+    val cents = centroids.zipWithIndex.map { case (c, id) =>
+      (id, c, math.sqrt(c.map(x => x * x).sum))
+    }
+    ivfWithCentroids(withNorm(vecs), cents, numQueries, k, nProbe)
+  }
+
+  private def ivfWithCentroids(base: DataFrame,
+      cents: Array[(Int, Array[Double], Double)],
+      numQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
     val scores = cents.map { case (id, w, n) =>
       struct((vecDot(col("embedding"), lit(w)) / (col("norm") * lit(n))).as("cos"),
         lit(id).as("c_id"))

@@ -80,6 +80,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("q26: correlated scalar subquery decorrelates to an aggregate join") {
+    val plan = planOf("q26_correlated")
+    // Catalyst must rewrite the per-row subquery into a per-part
+    // aggregate joined back — a surviving subquery would re-scan lineitem
+    // per outer row
+    assert(!plan.contains("Subquery"), s"subquery survived:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(plan.contains("Join"), plan.take(2000))
+  }
+
   test("salted agg: two aggregation levels, both with map-side partials") {
     val plan = planOf("skew_salted_agg")
     val partials = "partial".r.findAllIn(plan.toLowerCase).length
