@@ -286,13 +286,23 @@ object Dedup {
     val idTypes = pairs.schema.fields.take(2).map(_.dataType)
     require(idTypes.forall(Seq(ByteType, ShortType, IntegerType, LongType).contains),
       s"connectedComponents needs integral id columns, got ${idTypes.mkString(", ")}")
-    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
-    // (dst → src) both directions, partitioned by dst = the join side key
-    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+    // Size the loop's partitioner to the REAL edge count (RDD stages get
+    // no AQE coalescing): a near-dup graph is orders of magnitude smaller
+    // than its corpus, and paying 32 tasks × 4 stages × rounds on a
+    // hundred-edge graph is pure scheduler overhead. ~100k edges/partition,
+    // capped at the session's shuffle parallelism for big graphs.
+    val raw = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (raw.count() / 100000L).toInt + 1))
+    val part = new HashPartitioner(nParts)
+    // (dst → src) both directions, partitioned by dst = the join side key
+    val edges = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.foreachPartition(_ => ()) // materialize off the cached raw edges
+    raw.unpersist(blocking = false) //   ... then drop the unpartitioned copy
     // initial label of every node = its own id; reduceByKey on the
     // co-partitioned edge RDD is narrow (dedup without a shuffle)
     var labels = edges.mapValues(_ => ())
