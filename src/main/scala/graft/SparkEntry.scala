@@ -578,24 +578,26 @@ object SparkEntry {
          round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_price_qty,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // µs resolution on BOTH sides: DuckDB loads TIMESTAMP(NANOS) parquet
+    // at µs, so comparing at ns would flake on sub-µs knife-edge gaps
     "q22_sessions" ->
       """WITH flagged AS (
-           SELECT user_id, event_id, epoch_ns(ts) AS tns,
-             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
-                    OR lag(epoch_ns(ts)) OVER w IS NULL
+           SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
          numbered AS (
-           SELECT user_id, tns,
+           SELECT user_id, tus, event_id,
              CAST(sum(new_session) OVER (PARTITION BY user_id
-               ORDER BY tns, event_id
+               ORDER BY tus, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
-           min(tns) // 1000 AS start_us,
-           max(tns) // 1000 AS end_us,
-           max(tns) // 1000 - min(tns) // 1000 AS duration_us
+           min(tus) AS start_us,
+           max(tus) AS end_us,
+           max(tus) - min(tus) AS duration_us
          FROM numbered GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
     "q23_grouping_sets" ->
@@ -656,8 +658,8 @@ object SparkEntry {
          round(sum(value) OVER w, 2) AS hour_sum,
          count(*) OVER w AS hour_n
          FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
-           RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     // the sketch pass is recall-guaranteed and the count pass is exact,
     // so the plain GROUP BY ... HAVING is a true oracle for the

@@ -61,31 +61,35 @@ object Analytics {
     * a session breaks when a user is idle > `gapMinutes`. Classic
     * two-window shape — lag() to flag boundaries, running sum to number
     * sessions — then one aggregation per session. All time arithmetic is
-    * exact integer ns (events.ts arrives as Long ns; `div 1000` for µs —
-    * double math would lose precision above 2^53). Ordering inside a
-    * user is (ts, event_id): event_id is unique, so session numbering is
-    * deterministic even if two events share a timestamp. Scale shape:
-    * both windows and the final agg shuffle ONCE on user_id (Spark
-    * reuses the partitioning across the three), no driver state.
+    * exact integer µs (`ts div 1000` off the Long-ns column — double
+    * math would lose precision above 2^53, and µs is deliberately the
+    * comparison resolution: engines that load TIMESTAMP(NANOS) parquet
+    * at microsecond precision, DuckDB included, must see the identical
+    * gap and ordering decisions or knife-edge events flake the
+    * compare). Ordering inside a user is (µs, event_id): event_id is
+    * unique, so session numbering is deterministic even for same-µs
+    * events. Scale shape: both windows and the final agg shuffle ONCE
+    * on user_id (Spark reuses the partitioning across the three), no
+    * driver state.
     */
   def q22Sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
     sessionize(Tables(spark, dir).events, gapMinutes)
 
   /** Core sessionization over any (user_id, event_id, ts-ns) frame. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val gapNs = gapMinutes * 60L * 1000000000L
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     events
-      .select(col("user_id"), col("event_id"), col("ts"))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
       .withColumn("new_session",
-        when(col("ts") - lag(col("ts"), 1).over(byUser) > gapNs
-          || lag(col("ts"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        when(col("tus") - lag(col("tus"), 1).over(byUser) > gapUs
+          || lag(col("tus"), 1).over(byUser).isNull, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        expr("min(ts) div 1000").as("start_us"),
-        expr("max(ts) div 1000").as("end_us"))
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
       .orderBy(col("user_id"), col("session_id"))
   }
@@ -114,16 +118,14 @@ object Analytics {
     */
   def q24WindowSuite(spark: SparkSession, dir: String): DataFrame = {
     val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val byPrio = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
     Tables(spark, dir).orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"))
       .withColumn("rn", row_number().over(byKey))
-      .withColumn("prio_rank", rank().over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))))
-      .withColumn("prio_dense", dense_rank().over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))))
-      .withColumn("prio_prank", round(percent_rank().over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))), 6))
+      .withColumn("prio_rank", rank().over(byPrio))
+      .withColumn("prio_dense", dense_rank().over(byPrio))
+      .withColumn("prio_prank", round(percent_rank().over(byPrio), 6))
       .withColumn("tile4", ntile(4).over(byKey))
       .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(byKey), 2))
       .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(byKey), 2))
@@ -186,17 +188,18 @@ object Analytics {
 
   /** Time-based sliding aggregation: trailing one-hour sum/count per
     * user over the event stream, as a RANGE window frame (frame bounds
-    * are VALUE offsets on exact integer-ns timestamps, so peers at equal
-    * ts are all included and the result is deterministic even under
-    * ordering ties — the property ROWS frames lack). One shuffle+sort on
-    * user_id serves both aggregates.
+    * are VALUE offsets on exact integer-µs timestamps — µs, not ns, so
+    * engines whose parquet reader is µs-resolution compute the identical
+    * frame; peers at equal ts are all included, so the result is
+    * deterministic even under ordering ties — the property ROWS frames
+    * lack). One shuffle+sort on user_id serves both aggregates.
     */
   def q27RangeWindow(spark: SparkSession, dir: String): DataFrame = {
-    val hourNs = 3600L * 1000000000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(-hourNs, Window.currentRow)
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-hourUs, Window.currentRow)
     Tables(spark, dir).events
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"), col("value"))
       .withColumn("hour_sum", round(sum(col("value")).over(w), 2))
       .withColumn("hour_n", count(lit(1)).over(w))
       .select(col("event_id"), col("user_id"), col("hour_sum"), col("hour_n"))

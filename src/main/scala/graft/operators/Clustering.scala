@@ -36,7 +36,9 @@ object Clustering {
     */
   def kmeans(vecs: DataFrame, k: Int = 16, iters: Int = 5,
       idCol: String = "vec_id", embCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
-    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
+    // k >= 2: the argmin builds least() over k structs, which Spark
+    // requires to have at least two arguments (k = 1 is degenerate anyway)
+    require(k >= 2 && iters >= 1, s"need k >= 2, iters >= 1; got k=$k iters=$iters")
     val spark = vecs.sparkSession
 
     var centroids: Array[Array[Double]] = vecs

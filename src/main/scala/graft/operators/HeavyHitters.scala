@@ -65,7 +65,9 @@ object HeavyHitters {
     */
   def heavyHitters(df: DataFrame, keyCol: String, phiDenominator: Long,
       capacity: Int = 2047): DataFrame = {
-    require(capacity + 1 >= phiDenominator,
+    // strict: at capacity+1 == phiDenominator the worst-case undercount
+    // equals the threshold and an exactly-at-threshold key could vanish
+    require(capacity + 1 > phiDenominator,
       s"capacity $capacity cannot guarantee recall at phi=1/$phiDenominator")
     val spark = df.sparkSession
     import spark.implicits._

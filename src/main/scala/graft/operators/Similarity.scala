@@ -169,7 +169,8 @@ object Similarity {
   private def ivfWithCentroids(base: DataFrame,
       cents: Array[(Int, Array[Double], Double)],
       numQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    require(cents.nonEmpty, "centroid set must be non-empty")
+    // >= 2: greatest() over the per-centroid structs needs two arguments
+    require(cents.length >= 2, s"need at least 2 centroids, got ${cents.length}")
     val scores = cents.map { case (id, w, n) =>
       struct((vecDot(col("embedding"), lit(w)) / (col("norm") * lit(n))).as("cos"),
         lit(id).as("c_id"))

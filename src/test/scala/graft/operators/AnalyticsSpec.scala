@@ -36,19 +36,9 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
       (1L, 10L, 0L * m), (1L, 11L, 5L * m), (1L, 12L, 50L * m), // user 1: 2 sessions
       (2L, 20L, 0L * m) // user 2: 1 session
     ).toDF("user_id", "event_id", "ts")
-    val sess = {
-      // same logic as q22Sessions, applied to the in-memory frame
-      val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"ts", $"event_id")
-      ev.withColumn("new_session",
-        when($"ts" - lag($"ts", 1).over(byUser) > 30L * m
-          || lag($"ts", 1).over(byUser).isNull, 1L).otherwise(0L))
-        .withColumn("session_id", sum($"new_session").over(
-          byUser.rowsBetween(Long.MinValue, 0)))
-        .groupBy($"user_id", $"session_id")
-        .agg(count(lit(1)).as("n_events"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    }
+    val sess = Analytics.sessionize(ev)
+      .select($"user_id", $"session_id", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(sess === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
