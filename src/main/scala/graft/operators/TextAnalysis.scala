@@ -92,7 +92,7 @@ object TextAnalysis {
     * `('0x' || substr(md5(x),1,15))::BIGINT`). 15 hex chars keep the
     * value positive in a signed 64-bit long on every engine.
     */
-  private[operators] def md5_60(c: Column): Column =
+  private[graft] def md5_60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Document fingerprint: 60-bit md5 digest over the raw text (whole-doc

@@ -81,6 +81,34 @@ object Streaming {
       .withWatermark("event_ts", watermarkDelay)
       .dropDuplicates(idCol, "event_ts")
 
+  /** Running top-k leaderboard (complete output mode): the per-key counts
+    * are incrementally maintained streaming state; the sort + limit
+    * re-ranks the (small, key-cardinality-bounded) aggregate on each
+    * micro-batch emit. The streaming twin of [[graft.operators
+    * .HeavyHitters]]'s exact pass — for unbounded key spaces feed it the
+    * sketch's candidate keys first; for bounded ones (event types, top
+    * users) this is the whole operator.
+    */
+  def topKLeaderboard(events: DataFrame, keyCol: String = "user_id",
+      k: Int = 10): DataFrame =
+    events
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col(keyCol))
+      .limit(k)
+
+  /** Stateless fingerprint enrichment of a document stream: the portable
+    * md5-60 digest plus the winnowing fingerprint count, both computed by
+    * the same codegen expressions the batch operators use — scalar
+    * expressions need no state, so the streaming plan is the batch plan
+    * per micro-batch (one codebase, both modes; SURVEY §7.5).
+    */
+  def fingerprintStream(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.operators.TextAnalysis.md5_60(col("text")).as("fp"),
+      size(graft.functions.WinnowFps.winnowFps(col("text"), 5, 4)).as("n_winnow_fps"))
+
   // ------------------------------------------------------- sessionization
 
   /** Input row for [[sessionize]]: `event_ts` carries the watermark. */

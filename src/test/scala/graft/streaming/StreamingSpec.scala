@@ -180,4 +180,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       Streaming.Session(1L, 0L, 10 * min, 2, 3.0),
       Streaming.Session(2L, 0L, 0L, 1, 4.0)))
   }
+
+  test("topKLeaderboard: complete-mode ranks update across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val df = input.toDF().toDF("user_id")
+    val q = Streaming.topKLeaderboard(df, k = 2)
+      .writeStream.format("memory").queryName("board").outputMode("complete").start()
+    try {
+      input.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      assert(spark.table("board").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L), (2L, 1L)))
+      // user 2 overtakes user 1 in the next batch; complete mode re-ranks
+      input.addData(2L, 2L, 3L)
+      q.processAllAvailable()
+      assert(spark.table("board").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 3L), (1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("fingerprintStream: streaming rows carry the exact batch fingerprints") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.fingerprintStream(df)
+      .writeStream.format("memory").queryName("fps").outputMode("append").start()
+    try {
+      val text = "the quick brown fox jumps over the lazy dog"
+      input.addData((7L, text))
+      q.processAllAvailable()
+      val row = spark.table("fps").collect().head
+      val batch = Streaming.fingerprintStream(Seq((7L, text)).toDF("doc_id", "text"))
+        .collect().head
+      assert(row.getLong(0) === 7L)
+      assert(row.getLong(1) === batch.getLong(1), "md5-60 diverged batch vs stream")
+      assert(row.getInt(2) === batch.getInt(2), "winnow count diverged batch vs stream")
+      assert(row.getInt(2) > 0)
+    } finally q.stop()
+  }
 }
