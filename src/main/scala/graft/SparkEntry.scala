@@ -365,7 +365,7 @@ object SparkEntry {
          WHERE length(word) > 0 GROUP BY word ORDER BY word""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-         FROM documents GROUP BY text ORDER BY keep_id""",
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "dedup_jaccard" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle

@@ -55,15 +55,17 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
 
-  /** Exact dedup: group identical text, keep the smallest doc_id as the
-    * canonical copy. At 100 TB group on a 128-bit digest of the text
-    * (xxhash64 pair / md5) instead of the full string to keep shuffle rows
-    * narrow; here the text column itself is the key so the DuckDB oracle
-    * is trivially identical.
+  /** Exact dedup: group identical text by its 128-bit md5 digest, keep
+    * the smallest doc_id as the canonical copy. Grouping on the digest —
+    * not the text — is the 100 TB shape: the dedup shuffle carries 32
+    * hex chars per row instead of whole documents (collision odds
+    * ~(#docs)²/2¹²⁸ — no engine at any scale hits that). The oracle
+    * groups by the identical DuckDB md5, so the gate covers the digest
+    * path itself, not a stand-in.
     */
   def exactDedupDocs(docs: DataFrame): DataFrame =
     docs
-      .groupBy(col("text"))
+      .groupBy(md5(col("text")))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
@@ -71,32 +73,69 @@ object Dedup {
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     exactDedupDocs(Tables(spark, dir).documents)
 
+  /** Exact Jaccard verification of a candidate pair set against the full
+    * shingle-hash sets — shared by the LSH path and the DF-capped exact
+    * path: whatever generated the candidates, every REPORTED value is
+    * the true Jaccard over ALL shingles (candidate generation can only
+    * cost recall, never correctness).
+    */
+  private def verifiedPairs(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: self-join on distinct shingles,
     * count the intersection per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
     * Candidate fan-out is bounded by shingle document-frequency; at scale
-    * you'd cap DF (drop shingles present in >K docs — they only connect
-    * already-connected near-dups) and/or switch to [[minhashLshPairs]].
+    * pass `maxDf` — candidate generation then skips shingles present in
+    * > maxDf docs (the self-join's quadratic hot keys) and survivors are
+    * re-verified over ALL shingles via [[verifiedPairs]]: a pair whose
+    * entire overlap is ubiquitous shingles may be missed (one-sided,
+    * like LSH recall) but every reported value is the true Jaccard.
     * Jaccard is a ratio of exact ints → bit-identical in any engine.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      maxDf: Option[Int] = None): DataFrame = {
     // every shuffle (distinct, self-join, sizes) runs on 8-byte hashes
-    val sh = shingleHashes(docs, n).withColumnRenamed("h", "shingle")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
-      .filter(col("jac") >= threshold)
-      // emit rounded (6 dp) so the value is engine-portable; the filter ran
-      // on the exact ratio, same as the oracle's WHERE clause.
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    val sh = shingleHashes(docs, n)
+    maxDf match {
+      case Some(cap) =>
+        val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("h"))
+        val capped = sh.join(rare, Seq("h"))
+        val candidates = capped.select(col("h"), col("doc_id").as("doc_a"))
+          .join(capped.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        verifiedPairs(candidates, sh, threshold)
+      case None =>
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("h"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("h"))
+        val inter = a.join(b, Seq("h"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+          .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+          .filter(col("jac") >= threshold)
+          // emit rounded (6 dp) so the value is engine-portable; the filter
+          // ran on the exact ratio, same as the oracle's WHERE clause.
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+          .orderBy(col("doc_a"), col("doc_b"))
+    }
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -158,16 +197,7 @@ object Dedup {
     // exact verification of the candidate set (recompute true Jaccard on
     // shingle-hash sets; 64-bit collisions are negligible at any corpus
     // size we shuffle per-key).
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifiedPairs(candidates, sh, threshold)
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =

@@ -66,6 +66,28 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("DF-capped jaccard: subset of exact with identical reported values (5 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 5) {
+      val r = rng(700 + seed)
+      val vocab = Seq("red", "green", "blue", "fox", "dog", "cat", "owl")
+      val docs = Seq.tabulate(10)(i =>
+        (i.toLong, Seq.fill(14)(vocab(r.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val exact = Dedup.jaccardPairs(docs, threshold = 0.4)
+        .as[(Long, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      val capped = Dedup.jaccardPairs(docs, threshold = 0.4, maxDf = Some(4))
+        .as[(Long, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      // one-sided: capped may MISS pairs, but never invents or distorts one
+      capped.foreach { case (pair, jac) =>
+        assert(exact.contains(pair), s"seed=$seed: capped invented $pair")
+        assert(exact(pair) === jac, s"seed=$seed: value drifted for $pair")
+      }
+    }
+  }
+
   test("sessionize equals a naive per-user fold on arbitrary event streams (10 seeds)") {
     import spark.implicits._
     val gapNs = 30L * 60 * 1000000000L
