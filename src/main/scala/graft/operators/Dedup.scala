@@ -319,15 +319,18 @@ object Dedup {
     // Size the loop's partitioner to the REAL edge count (RDD stages get
     // no AQE coalescing): a near-dup graph is orders of magnitude smaller
     // than its corpus, and paying 32 tasks × 4 stages × rounds on a
-    // hundred-edge graph is pure scheduler overhead. ~100k edges/partition,
-    // capped at the session's shuffle parallelism for big graphs.
+    // hundred-edge graph is pure scheduler overhead. ~20k edges/partition
+    // (the joins are CPU-bound, so partitions must stay small enough to
+    // keep every core busy — 100k/partition measurably under-parallelized
+    // a 440k-edge graph on 24 cores), capped at the session's shuffle
+    // parallelism for big graphs.
     val raw = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nParts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions,
-      (raw.count() / 100000L).toInt + 1))
+      (raw.count() / 20000L).toInt + 1))
     val part = new HashPartitioner(nParts)
     // (dst → src) both directions, partitioned by dst = the join side key
     val edges = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
