@@ -34,10 +34,13 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info]; drop a clean machine-readable copy
-    // next to the repo so nothing has to strip prefixes.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // so nothing has to strip prefixes. Anchor the path explicitly
+    // (SPARK_GRAFT_BENCH_OUT) rather than trusting the process CWD —
+    // spark-submit/CI may run from elsewhere or from a read-only dir.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
-    catch { case t: Throwable => System.err.println(s"[bench] could not write BENCH_LOCAL.json: $t") }
+    catch { case t: Throwable => System.err.println(s"[bench] could not write $outPath: $t") }
     spark.stop()
   }
 }

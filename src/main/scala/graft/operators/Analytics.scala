@@ -144,16 +144,19 @@ object Analytics {
     */
   def q25Tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val nDocs = docs.count() // tiny driver scalar: corpus cardinality
+    // corpus cardinality stays IN the plan (single-row aggregate broadcast-
+    // cross-joined onto the scored rows, exactly like the oracle's CROSS
+    // JOIN n) so building this DataFrame stays lazy like every other entry
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     scored

@@ -220,11 +220,12 @@ object Dedup {
     *
     * md5 is ~10× the cost of a multiplicative hash, so it runs once per
     * VOCABULARY entry, not once per token occurrence: distinct tokens are
-    * hashed and broadcast-joined back onto the occurrence stream
-    * (vocabulary is sublinear in corpus size — Heaps' law — so the
-    * broadcast holds at any corpus scale; the same assumption the TF-IDF
-    * df side makes). The occurrence stream itself still shuffles only
-    * once, into the per-doc sign-sum aggregation.
+    * hashed and joined back onto the occurrence stream. The join strategy
+    * is left to AQE — Heaps' law keeps the vocabulary sublinear in corpus
+    * size, but web-scale corpora (URLs, typos, numerals) can still push
+    * distinct tokens past any broadcast limit, so forcing a broadcast
+    * here would be a scale cliff; AQE broadcasts when the measured vocab
+    * is small and falls back to a shuffled join when it isn't.
     */
   val SimhashBits = 60
 
@@ -237,7 +238,7 @@ object Dedup {
     val bitSums = (0 until SimhashBits).map(i =>
       sum(when(expr(s"(th >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
     tok
-      .join(broadcast(vocab), "tok")
+      .join(vocab, "tok")
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
@@ -277,10 +278,13 @@ object Dedup {
     * itself and its neighbors until fixpoint — O(cluster diameter)
     * rounds, and near-dup clusters are near-cliques (diameter ≤ ~2), so
     * it converges in 2-3 rounds regardless of corpus size. Every 5th
-    * round `localCheckpoint` truncates the accumulated lineage, so cache
-    * eviction or executor loss late in a long (high-diameter) run replays
-    * at most the rounds since the last checkpoint, never the whole
-    * history.
+    * round `localCheckpoint` truncates the accumulated lineage, bounding
+    * the replay cost of cache eviction late in a long (high-diameter)
+    * run. Note the trade-off: localCheckpoint data is executor-local, so
+    * it does NOT protect against executor loss — after one, checkpointed
+    * partitions are unrecoverable and the job fails; a deployment that
+    * needs executor-loss resilience in this loop should use reliable
+    * `checkpoint()` to durable storage instead.
     *
     * The loop runs on pair RDDs with one shared HashPartitioner — the
     * GraphX iteration pattern, and the one place in this library where
