@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh(_, _)),
     "dedup_simhash"        -> (Dedup.simhashDocs(_, _)),
     "dedup_clusters"       -> (Dedup.dedupClusters(_, _)),
+    "dedup_survivors"      -> (Dedup.dedupSurvivors(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
@@ -456,6 +457,36 @@ object SparkEntry {
            SELECT u, min(comp) AS component FROM r GROUP BY u)
          SELECT component AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
          FROM reach GROUP BY 1 ORDER BY 1""",
+    // retention contract: every cluster keeps its minimum member, docs in
+    // no cluster keep themselves (same pair set + closure as dedup_clusters)
+    "dedup_survivors" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(u, comp) AS (
+             SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             UNION
+             SELECT e.u, r.comp FROM edges e JOIN r ON e.v = r.u)
+           SELECT u, min(comp) AS component FROM r GROUP BY u)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT u FROM reach WHERE u != component)
+         ORDER BY doc_id""",
     // the IVF index is fully relational (centroids ARE data vectors), so
     // the approximate path itself is oracle-checkable, probe-for-probe
     "ann_ivf" ->

@@ -390,4 +390,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_id"))
   }
+
+  /** The retention side of fuzzy dedup — the doc_ids that SURVIVE: every
+    * cluster keeps exactly its canonical (minimum) member, docs in no
+    * cluster keep themselves. This is the pipeline's actual output
+    * contract (what ships to training); pairs and clusters are its
+    * intermediate evidence. Implemented as an anti-join of the corpus
+    * against the non-canonical cluster members, so the big side (the
+    * corpus) streams through one broadcast-able anti-join — the dropped
+    * set is bounded by duplicate volume, not corpus size.
+    */
+  def survivors(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val dropped = connectedComponents(minhashLshPairs(docs, threshold))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    survivors(Tables(spark, dir).documents)
 }

@@ -83,6 +83,44 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def readText(name: String): Dataset[String] = spark.read.textFile(p(name).toString)
 
+  /** Bucketed table: the storage-side answer to repeated joins/aggs on
+    * one key. Writing pre-hash-partitions (and pre-sorts) the rows into
+    * `numBuckets` files per key hash, so every later equi-join or
+    * aggregation on the bucket key between co-bucketed tables plans with
+    * NO Exchange on either side — at 100 TB the shuffle this removes is
+    * the dominant cost of every fact-to-fact join, and it is removed
+    * once at write time instead of paid per query. (The reference's
+    * closest analogue is the FNV key→node placement,
+    * `maple_juice/maple_juice.go:817-849` — same idea: co-locate by key
+    * hash so the reduce needs no further movement.)
+    */
+  def saveBucketed(df: org.apache.spark.sql.DataFrame, name: String,
+      numBuckets: Int, bucketCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", p(name).toString)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+
+  /** Read a bucketed table back (bucket metadata lives in the catalog,
+    * so this goes through the table name, not the path).
+    */
+  def table(name: String): org.apache.spark.sql.DataFrame = spark.table(name)
+
+  /** Hive-style partitioned parquet: directory-per-value layout so a
+    * predicate on the partition column prunes whole directories at plan
+    * time (PartitionFilters) — the scan never opens non-matching files.
+    * The partition column must be low-cardinality (event_type, date):
+    * high-cardinality partitioning produces the classic
+    * millions-of-tiny-files failure at scale.
+    */
+  def savePartitioned(df: org.apache.spark.sql.DataFrame, name: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(p(name).toString)
+
+  def readParquet(name: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(p(name).toString)
+
   /** Append-concat text sink (E11 semantics — unordered concatenation). */
   def writeText(ds: Dataset[String], name: String, singleFile: Boolean = false): Unit =
     graft.operators.MapleJuice.writeText(ds, p(name).toString, singleFile)

@@ -54,6 +54,21 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("survivors: one canonical doc per near-dup chain, islands keep themselves") {
+    import spark.implicits._
+    // 0~1 near-dups (chain via LSH pairs), 2 unrelated: survivors = {0, 2}
+    val docs = Seq((0L, docA), (1L, docA), (2L, docC)).toDF("doc_id", "text")
+    val got = Dedup.survivors(docs).as[Long].collect().toSeq
+    assert(got === Seq(0L, 2L))
+    // retention invariant on real data: survivors = corpus − (members − clusters)
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
+    val pairs = Dedup.minhashLshPairs(real, threshold = 0.9)
+    val members = Dedup.connectedComponents(pairs).count()
+    val clusters = Dedup.connectedComponents(pairs)
+      .select("component").distinct().count()
+    assert(Dedup.survivors(real).count() === real.count() - (members - clusters))
+  }
+
   test("simhash: identical docs collide at hamming 0; banding finds them") {
     import spark.implicits._
     val docs = Seq((0L, docA), (1L, docA), (2L, docC)).toDF("doc_id", "text")
