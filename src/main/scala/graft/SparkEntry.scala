@@ -47,6 +47,8 @@ object SparkEntry {
     "q25_tfidf"            -> (Analytics.q25Tfidf(_, _)),
     "q26_correlated"       -> (Analytics.q26Correlated(_, _)),
     "q27_range_window"     -> (Analytics.q27RangeWindow(_, _)),
+    "q28_array_fns"        -> (Analytics.q28ArrayFns(_, _)),
+    "q29_dates_regex"      -> (Analytics.q29DatesRegex(_, _)),
     "skew_salted_agg"      -> (Analytics.skewSaltedAgg(_, _)),
     "hh_heavy_hitters"     -> (HeavyHitters.frequentUsers(_, _)),
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
@@ -62,6 +64,7 @@ object SparkEntry {
     "dedup_simhash"        -> (Dedup.simhashDocs(_, _)),
     "dedup_clusters"       -> (Dedup.dedupClusters(_, _)),
     "dedup_survivors"      -> (Dedup.dedupSurvivors(_, _)),
+    "decon_survivors"      -> (Dedup.deconSurvivors(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
@@ -74,6 +77,11 @@ object SparkEntry {
     "text_langid"          -> (TextAnalysis.langId(_, _)),
     "text_fingerprint"     -> (TextAnalysis.fingerprint(_, _)),
     "text_winnow"          -> (TextAnalysis.winnowDocs(_, _)),
+    "text_repetition"      -> (TextAnalysis.repetition(_, _)),
+    // --- training-data pipeline: deterministic corpus shuffle
+    "shuffle_train"        -> ((s, d) =>
+      operators.Sampling.trainOrderShuffle(
+        graft.Engine.Tables(s, d).documents.select("doc_id"), "doc_id")),
     // --- training-data pipeline: deterministic sampling
     "sample_det"           -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -487,6 +495,72 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT u FROM reach WHERE u != component)
          ORDER BY doc_id""",
+    // 5-gram train/eval leakage: eval = doc_id % 20 == 0, drop train docs
+    // sharing any 5-gram with eval, keep the rest
+    "decon_survivors" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+           WHERE len(w) >= 5),
+         contaminated AS (
+           SELECT DISTINCT t.doc_id
+           FROM sh t JOIN sh e ON t.shingle = e.shingle
+           WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 20 != 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         bg AS (
+           SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+           FROM w, UNNEST(generate_series(1, len(w) - 1)) t(i)
+           WHERE len(w) >= 2),
+         bgc AS (
+           SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg,
+                  count(*) AS n_dbg, CAST(max(cnt) AS BIGINT) AS top
+           FROM (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2)
+           GROUP BY doc_id)
+         SELECT w.doc_id, len(w.w) AS n_words,
+           round(1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w), 4)
+             AS dup_word_frac,
+           round(1.0 - CAST(n_dbg AS DOUBLE) / n_bg, 4) AS dup_bigram_frac,
+           top AS top_bigram_n
+         FROM w JOIN bgc ON w.doc_id = bgc.doc_id
+         WHERE len(w.w) >= 2
+         ORDER BY w.doc_id""",
+    "shuffle_train" ->
+      """SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey
+         FROM documents ORDER BY skey""",
+    "q28_array_fns" ->
+      """SELECT l_orderkey,
+           len(qtys) AS n_items,
+           CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS total_qty,
+           len(list_filter(qtys, x -> x > 25)) AS n_heavy,
+           qtys[1] * 2 AS min_qty_x2,
+           qtys[-1] AS max_qty
+         FROM (SELECT l_orderkey,
+                      list_sort(array_agg(CAST(l_quantity AS BIGINT))) AS qtys
+               FROM lineitem GROUP BY l_orderkey)
+         ORDER BY l_orderkey""",
+    "q29_dates_regex" ->
+      """SELECT o_orderkey,
+           year(o_orderdate) AS o_year,
+           quarter(o_orderdate) AS o_quarter,
+           month(o_orderdate) AS o_month,
+           day(o_orderdate) AS o_day,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS days_since_95,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+           CAST(regexp_extract(o_orderpriority, '^(\d)-', 1) AS INT)
+             AS priority_num,
+           regexp_replace(lower(o_orderpriority), '^\d-', '') AS priority_name
+         FROM orders ORDER BY o_orderkey""",
     // the IVF index is fully relational (centroids ARE data vectors), so
     // the approximate path itself is oracle-checkable, probe-for-probe
     "ann_ivf" ->

@@ -226,4 +226,55 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n_events"), round(sum(col("pv")), 2).as("total_value"))
       .orderBy(col("event_type"))
+
+  /** Array + higher-order function suite: per order, collect the line
+    * quantities into a sorted array, then compute everything else INSIDE
+    * the array — length, fold-sum, filtered count, head transform. One
+    * shuffle (the collect_list groupBy, map-side partial); the
+    * higher-order passes are per-row and add nothing to shuffle volume.
+    * Quantities are integer-valued (1..50), cast to long so the fold is
+    * exact integer arithmetic in any engine. sort_array makes the
+    * collect_list order (partition-arrival, nondeterministic)
+    * deterministic before anything order-sensitive reads it.
+    */
+  def q28ArrayFns(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("q"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).as("n_items"),
+        expr("aggregate(qtys, 0L, (a, x) -> a + x)").as("total_qty"),
+        size(expr("filter(qtys, x -> x > 25)")).as("n_heavy"),
+        expr("element_at(qtys, 1) * 2").as("min_qty_x2"),
+        expr("element_at(qtys, -1)").as("max_qty"))
+      .orderBy(col("l_orderkey"))
+
+  /** Calendar + regexp scalar-function suite over orders: date-part
+    * extraction, month truncation, day arithmetic against a fixed epoch,
+    * end-of-month, and regexp capture/replace on the priority code.
+    * Pure narrow projection — no shuffle but the final presentation
+    * sort; every function is codegen'd (no UDFs), and all outputs are
+    * integers/strings so the oracle compare is exact. Timestamps are
+    * emitted as epoch microseconds (the engine-portable form — see
+    * q14/q16).
+    */
+  def q29DatesRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since_95"),
+        last_day(col("o_orderdate")).cast("string").as("eom"),
+        regexp_extract(col("o_orderpriority"), "^(\\d)-", 1).cast("int")
+          .as("priority_num"),
+        regexp_replace(lower(col("o_orderpriority")), "^\\d-", "")
+          .as("priority_name"))
+      .orderBy(col("o_orderkey"))
 }

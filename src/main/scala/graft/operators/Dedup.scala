@@ -411,4 +411,39 @@ object Dedup {
 
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
     survivors(Tables(spark, dir).documents)
+
+  /** Train/eval decontamination — the overlap-removal pass a training
+    * pipeline runs before the data ships: drop from the training split
+    * every document sharing at least one word n-gram (default 5) with
+    * the held-out evaluation split, so benchmark answers can't leak into
+    * training. Returns the surviving train doc_ids.
+    *
+    * Scale shape: the eval side is tiny (benchmark suites are ~1e5 docs
+    * against ~1e10 train docs), so its distinct shingle-hash set is
+    * force-broadcast and the train corpus streams through a broadcast
+    * semi-join on 8-byte hashes — the 100 TB side is never shuffled.
+    * The contaminated-id set is bounded by leak volume, so the final
+    * anti-join broadcasts too: the whole pass is one scan of train.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    val evalHashes = broadcast(
+      rawShingles(evalDocs, n).select(xxhash64(col("shingle")).as("h")).distinct())
+    val contaminated = rawShingles(train, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .join(evalHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train.select(col("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate entry: eval split = doc_id % 20 == 0 (a deterministic stand-in
+    * for a real benchmark suite), train = the rest.
+    */
+  def deconSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
 }

@@ -70,4 +70,19 @@ object Sampling {
     }
     df.filter(gate(col(keyCol), frac, salt))
   }
+
+  /** Deterministic global shuffle — the "shuffle the corpus before
+    * training" step, made a pure function of the data: order by
+    * md5(salt ++ key). Reproducible on any cluster at any partitioning
+    * (unlike orderBy(rand(seed))), and resumable — a row's position
+    * depends only on its own key and the fixed salt. Spark plans the
+    * orderBy as a range-partitioned total sort (sampled range exchange +
+    * per-partition sort), the shape that scales: no single-reducer sort,
+    * and downstream writers can stream partition files in order.
+    */
+  def trainOrderShuffle(df: DataFrame, keyCol: String,
+      salt: String = "shuf42:"): DataFrame = {
+    val skey = md5(concat(lit(salt), col(keyCol).cast("string")))
+    df.withColumn("skey", skey).orderBy(col("skey"))
+  }
 }

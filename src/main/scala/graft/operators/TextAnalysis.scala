@@ -32,6 +32,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition metrics (the Gopher/MassiveText repetition filters): per
+    * document, the duplicate-word fraction, duplicate-bigram fraction and
+    * the occurrence count of the most-repeated bigram. Everything is
+    * computed INSIDE the row's token array with higher-order functions —
+    * `array_distinct` for the duplicate fractions and a sorted-array
+    * longest-run fold for the top-bigram count (O(n log n) per doc, no
+    * quadratic all-pairs scan) — so the operator is a narrow map over the
+    * corpus: zero shuffles at any scale, and corpus-size-independent
+    * memory per row.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))").as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        round(lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w")), 4)
+          .as("dup_word_frac"),
+        round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 4)
+          .as("dup_bigram_frac"),
+        expr("""aggregate(sort_array(bg),
+                  named_struct('prev', '', 'run', 0, 'best', 0),
+                  (a, x) -> named_struct(
+                    'prev', x,
+                    'run',  CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END,
+                    'best', greatest(a.best,
+                              CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END)),
+                  a -> CAST(a.best AS BIGINT))""").as("top_bigram_n"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality score in [0,1]: mean of three ratio heuristics — distinct
     * token ratio, alpha-char ratio, short-token penalty. Emitted as exact
     * integer numerators/denominator plus the rounded score so the oracle

@@ -8,6 +8,44 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q28: in-array fold/filter agree with plain aggregation") {
+    import spark.implicits._
+    val got = Analytics.q28ArrayFns(spark, dir)
+    val plain = graft.Engine.Tables(spark, dir).lineitem
+      .select($"l_orderkey", $"l_quantity".cast("long").as("q"))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("e_n"), sum($"q").as("e_total"),
+        sum(when($"q" > 25, 1L).otherwise(0L)).as("e_heavy"),
+        (min($"q") * 2).as("e_min2"), max($"q").as("e_max"))
+    val mismatches = got.join(plain, "l_orderkey")
+      .filter($"n_items" =!= $"e_n" || $"total_qty" =!= $"e_total" ||
+        $"n_heavy" =!= $"e_heavy" || $"min_qty_x2" =!= $"e_min2" ||
+        $"max_qty" =!= $"e_max")
+      .count()
+    assert(mismatches === 0L)
+    assert(got.count() === plain.count())
+  }
+
+  test("q29: calendar fields reconstruct the source date") {
+    import spark.implicits._
+    val orders = graft.Engine.Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val bad = Analytics.q29DatesRegex(spark, dir).join(orders, "o_orderkey")
+      .filter(
+        make_date($"o_year", $"o_month", $"o_day") =!= $"o_orderdate".cast("date") ||
+        $"o_quarter" =!= expr("(o_month + 2) div 3") ||
+        // month_start_us is midnight UTC on the 1st of the same month
+        from_unixtime($"month_start_us" / 1000000L, "yyyy-MM-01") =!=
+          date_format($"o_orderdate", "yyyy-MM-01") ||
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")) =!=
+          $"days_since_95" ||
+        !$"eom".startsWith(date_format($"o_orderdate", "yyyy-MM")) ||
+        concat($"priority_num", lit("-"), upper($"priority_name")) =!=
+          $"o_orderpriority")
+      .count()
+    assert(bad === 0L)
+  }
+
   test("q20: quartiles bracket correctly and are exact on a known set") {
     import spark.implicits._
     // 1..5 → p25=2, p50=3, p75=4 (positions land on elements exactly)

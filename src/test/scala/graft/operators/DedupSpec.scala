@@ -69,6 +69,17 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.survivors(real).count() === real.count() - (members - clusters))
   }
 
+  test("decontaminate: train docs sharing a 5-gram with eval are dropped") {
+    import spark.implicits._
+    // train doc 1 embeds a 5-gram of eval doc 0; train doc 2 is clean
+    val evalDocs = Seq((0L, docA)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the quick brown fox jumps and more"),
+      (2L, docC)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, evalDocs).as[Long].collect().toSeq
+    assert(kept === Seq(2L))
+  }
+
   test("simhash: identical docs collide at hamming 0; banding finds them") {
     import spark.implicits._
     val docs = Seq((0L, docA), (1L, docA), (2L, docC)).toDF("doc_id", "text")

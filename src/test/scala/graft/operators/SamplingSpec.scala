@@ -54,4 +54,14 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(counts("de") === totals("de"))
     assert(math.abs(counts("en") - totals("en") * 0.5) < totals("en") * 0.25)
   }
+
+  test("trainOrderShuffle: total order is a pure function of the data") {
+    val a = Sampling.trainOrderShuffle(docs.select("doc_id"), "doc_id")
+      .collect().map(_.getLong(0))
+    val b = Sampling.trainOrderShuffle(docs.select("doc_id").repartition(17), "doc_id")
+      .collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq) // same order at any input partitioning
+    assert(a.toSet.size === a.length)
+    assert(a.toSeq !== a.sorted.toSeq, "md5 order must not be key order")
+  }
 }

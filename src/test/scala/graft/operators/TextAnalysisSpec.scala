@@ -21,6 +21,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     d
   }
 
+  test("repetition: hand-computed duplicate fractions and top-bigram run") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (0L, "a b a b a b"), // 6 words {a,b}; bigrams: ab,ba,ab,ba,ab
+      (1L, "all words here differ"),
+      (2L, "solo") // < 2 words → filtered, like the oracle
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.repetition(spark, d).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    val r0 = rows(0)
+    assert(r0.getInt(1) === 6)
+    assert(r0.getDouble(2) === 0.6667) // 1 - 2/6
+    assert(r0.getDouble(3) === 0.6)    // 1 - 2/5
+    assert(r0.getLong(4) === 3L)       // "a b" occurs 3×
+    val r1 = rows(1)
+    assert(r1.getDouble(2) === 0.0 && r1.getDouble(3) === 0.0 && r1.getLong(4) === 1L)
+  }
+
   test("textStats: hand-computed counts for a known doc") {
     val r = TextAnalysis.textStats(spark, dir).collect().head
     // "the cat and the dog, the end." → 7 tokens, 5 distinct ("the","cat",
