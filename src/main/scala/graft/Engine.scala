@@ -27,6 +27,7 @@ object Engine {
       .withExtensions(graft.functions.Fnv1a64.register)
       .withExtensions(graft.functions.VecDot.register)
       .withExtensions(graft.functions.WinnowFps.register)
+      .withExtensions(graft.functions.SimHash60.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

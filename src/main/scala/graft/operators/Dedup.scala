@@ -218,34 +218,22 @@ object Dedup {
     * DuckDB oracle (the fingerprint width only changes constants: 60
     * sign-sums, 15-bit bands).
     *
-    * md5 is ~10× the cost of a multiplicative hash, so it runs once per
-    * VOCABULARY entry, not once per token occurrence: distinct tokens are
-    * hashed and joined back onto the occurrence stream. The join strategy
-    * is left to AQE — Heaps' law keeps the vocabulary sublinear in corpus
-    * size, but web-scale corpora (URLs, typos, numerals) can still push
-    * distinct tokens past any broadcast limit, so forcing a broadcast
-    * here would be a scale cliff; AQE broadcasts when the measured vocab
-    * is small and falls back to a shuffled join when it isn't.
+    * The fingerprint is ONE native codegen expression
+    * ([[graft.functions.SimHash60]]) evaluated per row: no token explode,
+    * no vocabulary distinct/join, no 60-column groupBy — zero shuffles
+    * and zero cross-row state, so there is no vocabulary-size cliff at
+    * any corpus scale (the declarative formulation this replaced kept a
+    * distinct-token side that web-scale corpora push past any broadcast
+    * or memory bound; its bit-exact equivalence to the native expression
+    * is pinned by FunctionsSpec).
     */
   val SimhashBits = 60
 
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val vocab = tok.select(col("tok")).distinct()
-      .select(col("tok"), TextAnalysis.md5_60(col("tok")).as("th"))
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(when(expr(s"(th >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
-    tok
-      .join(vocab, "tok")
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"),
-        (0 until SimhashBits).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
-        ).reduce(_ + _).as("simhash"))
-  }
+        graft.functions.SimHash60.simhash60(col("text")).as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, candidate
     * generation via 15-bit band equality (pigeonhole: ham ≤ 3 ⇒ one of the

@@ -76,3 +76,57 @@ class VecDotSpec extends AnyFunSuite with SparkTestSession {
     assert(got === expect)
   }
 }
+
+class SimHash60Spec extends AnyFunSuite with SparkTestSession {
+  import graft.functions.SimHash60.simhash60
+
+  test("single-token doc: simhash IS the token's 60-bit md5 digest") {
+    import spark.implicits._
+    // with one occurrence every sign-sum is ±1, so the packed bits equal
+    // the digest itself — pins the digest extraction against the SQL form
+    for (tok <- Seq("spark", "眼鏡", "a")) {
+      val got = Seq(tok).toDF("t").select(simhash60(col("t"))).as[Long].head()
+      val expect = Seq(tok).toDF("t")
+        .select(expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"))
+        .as[Long].head()
+      assert(got === expect, s"token $tok")
+    }
+  }
+
+  test("bit-identical to the declarative vocab-join formulation on real docs") {
+    import spark.implicits._
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
+    val native = graft.operators.Dedup.simhash(docs)
+      .as[(Long, Long)].collect().toMap
+    val tok = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = tok.select(col("tok")).distinct()
+      .select(col("tok"), expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("th"))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(expr(s"(th >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
+    val declarative = tok.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(native === declarative)
+  }
+
+  test("codegen equals interpreted; whitespace runs and empties handled") {
+    import spark.implicits._
+    val texts = Seq("a  b\t c\n", "  ", "", "one", "repeat repeat repeat")
+    val viaDf = texts.toDF("t").select(simhash60(col("t"))).as[Long].collect()
+    val direct = texts.map(t =>
+      SimHash60.compute(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    assert(viaDf.toSeq === direct)
+    assert(direct(1) === 0L && direct(2) === 0L) // no tokens → 0
+  }
+
+  test("null propagates") {
+    val r = spark.sql("SELECT simhash60(CAST(NULL AS STRING))").collect()
+    assert(r.head.isNullAt(0))
+  }
+}
