@@ -121,6 +121,29 @@ final class Warehouse(spark: SparkSession, root: String) {
   def readParquet(name: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(p(name).toString)
 
+  /** CSV with an EXPLICIT schema — never schema inference, which costs an
+    * extra full pass over the data and can silently re-type columns
+    * between runs (fatal to a reproducible 100 TB recipe). Header
+    * written/expected so files stay self-describing for other tools.
+    */
+  def saveCsv(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(p(name).toString)
+
+  def readCsv(name: String, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(p(name).toString)
+
+  /** JSON-lines with an explicit schema (same inference prohibition).
+    * Schema'd reads also let Catalyst prune unread fields at the parser —
+    * `ReadSchema` applies to JSON like it does to parquet.
+    */
+  def saveJson(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+    df.write.mode("overwrite").json(p(name).toString)
+
+  def readJson(name: String, schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.schema(schema).json(p(name).toString)
+
   /** Append-concat text sink (E11 semantics — unordered concatenation). */
   def writeText(ds: Dataset[String], name: String, singleFile: Boolean = false): Unit =
     graft.operators.MapleJuice.writeText(ds, p(name).toString, singleFile)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -108,6 +109,51 @@ object Streaming {
       col("doc_id"),
       graft.operators.TextAnalysis.md5_60(col("text")).as("fp"),
       size(graft.functions.WinnowFps.winnowFps(col("text"), 5, 4)).as("n_winnow_fps"))
+
+  /** Streaming decontamination: drop from an incoming document stream
+    * every doc sharing a word n-gram with a held-out eval set — the
+    * ingest-time counterpart of the batch `Dedup.decontaminate`, so
+    * leaks never land in the corpus at all.
+    *
+    * Structured Streaming supports stream-static inner/left-outer/semi
+    * joins but NOT the anti join this needs (and a per-doc "no shingle
+    * hit" aggregate would drag in a state store), so the production
+    * shape is a broadcast SET filter: the eval suite's shingle hashes —
+    * bounded by construction, eval sets don't grow with the corpus — are
+    * collected once at stream setup ([[evalShingleHashSet]]), broadcast,
+    * and each doc is checked row-locally. Stateless, watermark-free,
+    * scan-speed; the per-row probe hashes each n-gram with the same
+    * seed-42 XXH64 the `xxhash64` SQL builtin uses, short-circuiting on
+    * the first hit.
+    */
+  def decontaminateStream(docs: DataFrame, evalHashes: Set[Long],
+      n: Int = 5): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(evalHashes)
+    docs.filter { row =>
+      val toks = row.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty)
+      val hit = (0 to toks.length - n).exists { i =>
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks.slice(i, i + n).mkString(" "))
+        bc.value.contains(
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+      }
+      !hit
+    }
+  }
+
+  /** One-time static-side builder for [[decontaminateStream]]: the
+    * distinct xxhash64 n-gram hashes of the (bounded) eval corpus,
+    * collected to the driver for broadcast.
+    */
+  def evalShingleHashSet(evalDocs: DataFrame, n: Int = 5): Set[Long] =
+    evalDocs
+      .select(split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $n))))"))
+        .as("h"))
+      .distinct()
+      .collect().map(_.getLong(0)).toSet
 
   // ------------------------------------------------------- sessionization
 

@@ -221,4 +221,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(row.getInt(2) > 0)
     } finally q.stop()
   }
+
+  test("decontaminateStream: leaked 5-gram dropped at ingest; agrees with batch op") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val hashes = Streaming.evalShingleHashSet(evalDocs)
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), hashes)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "intro words then the quick brown fox jumps and tail"), // leak
+        (2L, "completely clean document with no overlap at all ok"),
+        (3L, "short doc")) // < 5 tokens can never leak
+      q.processAllAvailable()
+      assert(spark.table("decon").select("doc_id").as[Long].collect().sorted
+        === Seq(2L, 3L))
+    } finally q.stop()
+    // same predicate, batch source: agrees with Dedup.decontaminate on real data
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
+    val evalSplit = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val viaStreamOp = Streaming.decontaminateStream(
+        train, Streaming.evalShingleHashSet(evalSplit))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaBatchOp = graft.operators.Dedup.decontaminate(train, evalSplit)
+      .as[Long].collect().toSeq
+    assert(viaStreamOp === viaBatchOp)
+  }
 }
