@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Multimodal, Relational, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Multimodal, Packing, Relational, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +78,8 @@ object SparkEntry {
     "text_fingerprint"     -> (TextAnalysis.fingerprint(_, _)),
     "text_winnow"          -> (TextAnalysis.winnowDocs(_, _)),
     "text_repetition"      -> (TextAnalysis.repetition(_, _)),
+    "text_pii_redact"      -> (TextAnalysis.piiRedactDocs(_, _)),
+    "ngram_lm"             -> ((s, d) => TextAnalysis.ngramLm(s, d)),
     // --- training-data pipeline: deterministic corpus shuffle
     "shuffle_train"        -> ((s, d) =>
       operators.Sampling.trainOrderShuffle(
@@ -89,6 +91,22 @@ object SparkEntry {
         graft.Engine.Tables(s, d).documents, "doc_id", 0.3)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "strat_sample"         -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      operators.Sampling.stratifiedSample(
+        graft.Engine.Tables(s, d).documents, "lang", "doc_id",
+        StratFractions, "strat:")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+    // --- training-data pipeline: per-domain capping + shard packing
+    "source_cap"           -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      operators.Sampling.capPerGroup(
+        graft.Engine.Tables(s, d).documents.select(col("doc_id"), col("source")),
+        "source", "doc_id", 15)
+        .orderBy(col("doc_id"))
+    }),
+    "pack_shards"          -> ((s, d) => Packing.packShardsDocs(s, d, PackBudget)),
     // --- training-data pipeline: multimodal binary columns
     "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
     "mm_decode"            -> (Multimodal.decodeDims(_, _)),
@@ -110,6 +128,23 @@ object SparkEntry {
     */
   private def duckMd5_60(x: String): String =
     s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** Per-language sampling rates for `strat_sample` — defined once so the
+    * Spark gate and the interpolated oracle thresholds can never drift.
+    */
+  private val StratFractions: Map[String, Double] =
+    Map("en" -> 0.2, "fr" -> 0.5, "es" -> 0.5, "de" -> 0.5, "zh" -> 0.4)
+
+  /** Oracle-side CASE with the SAME long truncation of bucket-count ×
+    * fraction the Spark gate applies ((1e6 · f).cast(long)).
+    */
+  private def stratCaseSql: String =
+    StratFractions.toSeq.sorted
+      .map { case (l, f) => s"WHEN '$l' THEN ${(1000000L * f).toLong}" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+
+  /** Token budget for the gated `pack_shards` query (both sides). */
+  private val PackBudget = 512L
 
   /** SimHash replicated in SQL: per-bit sign sums, then bit assembly —
     * generated once here so the constants (60 bits) can never drift from
@@ -775,6 +810,70 @@ object SparkEntry {
          ORDER BY user_id""",
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
+    "text_pii_redact" ->
+      s"""WITH p AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'reach user' || CAST(doc_id AS VARCHAR) || '@' || source
+                 || '.example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' re: ' || text
+               WHEN 1 THEN 'server 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7 logged: ' || text
+               ELSE text END AS pii_text
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(pii_text, '${operators.TextAnalysis.EmailRe}')) AS n_emails,
+           len(regexp_extract_all(pii_text, '${operators.TextAnalysis.PhoneRe}')) AS n_phones,
+           len(regexp_extract_all(pii_text, '${operators.TextAnalysis.Ipv4Re}')) AS n_ips,
+           ${duckMd5_60(
+             s"""regexp_replace(regexp_replace(regexp_replace(pii_text,
+                '${operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                '${operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+                '${operators.TextAnalysis.Ipv4Re}', '<IP>', 'g')""")} AS red_fp
+         FROM p ORDER BY doc_id""",
+    "ngram_lm" ->
+      """WITH toks AS (
+           SELECT lang, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         bg AS (
+           SELECT lang, w[i] AS w1, w[i + 1] AS w2
+           FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)
+           WHERE len(w) >= 2),
+         c AS (SELECT lang, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+         p AS (
+           SELECT lang, w1, w2, n,
+             CAST(sum(n) OVER (PARTITION BY lang, w1) AS BIGINT) AS n_prefix,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, w1, w2) AS rk
+           FROM c)
+         SELECT lang, rk, w1, w2, n, n_prefix FROM p
+         WHERE rk <= 20 ORDER BY lang, rk""",
+    "strat_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${duckMd5_60("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000000
+               < $stratCaseSql
+         ORDER BY doc_id""",
+    "source_cap" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, source, rk FROM r WHERE rk <= 15 ORDER BY doc_id""",
+    "pack_shards" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+             md5('pack:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         c AS (
+           SELECT tok,
+             sum(tok) OVER (ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT CAST((cum - tok) // $PackBudget AS BIGINT) AS shard_id,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1 ORDER BY 1""",
     "sample_det" ->
       s"""SELECT doc_id FROM documents
          WHERE ${duckMd5_60("CAST(doc_id AS VARCHAR)")} % 1000000

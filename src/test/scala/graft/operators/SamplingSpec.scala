@@ -33,6 +33,26 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert((train intersect eval).size < eval.size)
   }
 
+  test("capPerGroup: <= k per group, repartition-stable, equals one-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val in = docs.select(col("doc_id"), col("source"))
+    val capped = Sampling.capPerGroup(in, "source", "doc_id", 7)
+    capped.groupBy("source").count().collect()
+      .foreach(r => assert(r.getLong(1) <= 7, s"group ${r.getString(0)} over cap"))
+    // the two-phase (bucketed) ranking must equal the naive single window
+    val ref = in
+      .withColumn("o", md5(concat(lit("cap:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("o"), col("doc_id"))))
+      .filter(col("rk") <= 7).select("doc_id", "source", "rk")
+    assert(capped.collect().toSet === ref.collect().toSet)
+    // membership is a function of the data, not the partitioning
+    val again = Sampling.capPerGroup(
+      docs.repartition(17).select(col("doc_id"), col("source")), "source", "doc_id", 7)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet
+      === capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("disjointSplits: pairwise disjoint, jointly exhaustive, ~weighted") {
     val splits = Sampling.disjointSplits(docs, "doc_id", Seq(0.8, 0.1, 0.1))
       .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)

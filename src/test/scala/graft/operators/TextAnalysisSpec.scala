@@ -95,6 +95,61 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(byId(0L)._2 === Fnv1a64.hash(bag.getBytes("UTF-8")))
   }
 
+  test("redactPii: masks every class, counts them, leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail a.b+c@foo-bar.org and x@y.io or call 555-123-4567"),
+      (1L, "host 192.168.0.1 and 10.0.42.7 up"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "t")
+    val out = TextAnalysis.redactPii(df, "t")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getInt(1) === 2 && out(0L).getInt(2) === 1 && out(0L).getInt(3) === 0)
+    assert(out(0L).getString(4) === "mail <EMAIL> and <EMAIL> or call <PHONE>")
+    assert(out(1L).getInt(3) === 2)
+    assert(out(1L).getString(4) === "host <IP> and <IP> up")
+    assert(out(2L).getString(4) === "no pii here at all")
+  }
+
+  test("piiRedactDocs: each doc carries exactly its synthesized PII classes") {
+    val rows = TextAnalysis.piiRedactDocs(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getLong(0) % 3 match {
+        case 0 => (1, 1, 0) // email + phone overlay
+        case 1 => (0, 0, 1) // ip overlay
+        case _ => (0, 0, 0) // untouched (corpus itself is PII-free)
+      }
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) === expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("ngramLm matches a naive in-memory recount at sf0.001") {
+    val realDir = "/root/testdata/sf0.001"
+    val bigram = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    val prefix = scala.collection.mutable.Map.empty[(String, String), Long]
+    graft.Engine.Tables(spark, realDir).documents
+      .select("lang", "text").collect().foreach { r =>
+        val lang = r.getString(0)
+        val w = r.getString(1).trim.split("\\s+")
+        if (w.length >= 2) w.sliding(2).foreach { pair =>
+          val (a, b) = (pair(0), pair(1))
+          bigram((lang, a, b)) = bigram.getOrElse((lang, a, b), 0L) + 1
+          prefix((lang, a)) = prefix.getOrElse((lang, a), 0L) + 1
+        }
+      }
+    val expected = bigram.groupBy(_._1._1).flatMap { case (lang, m) =>
+      m.toSeq.map { case ((_, a, b), n) => (a, b, n) }
+        .sortBy { case (a, b, n) => (-n, a, b) }.take(20).zipWithIndex
+        .map { case ((a, b, n), i) => (lang, i + 1, a, b, n, prefix((lang, a))) }
+    }.toSet
+    val got = TextAnalysis.ngramLm(spark, realDir).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+  }
+
   test("fingerprint (md5_60) equals the independent MD5 implementation") {
     val rows = TextAnalysis.fingerprint(spark, dir).collect()
     val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -30,4 +30,16 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     assert(back.orderBy(col("n_nationkey")).collect().toSeq
       === nation.orderBy(col("n_nationkey")).collect().toSeq)
   }
+
+  test("orc round-trip is lossless and pushes filters to the scan") {
+    wh.saveOrc(nation, "nation_orc")
+    val back = wh.readOrc("nation_orc")
+    assert(back.schema === nation.schema)
+    assert(back.orderBy(col("n_nationkey")).collect().toSeq
+      === nation.orderBy(col("n_nationkey")).collect().toSeq)
+    val plan = back.filter(col("n_nationkey") === 3)
+      .select("n_name").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]"),
+      plan.take(1500))
+  }
 }

@@ -222,6 +222,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("dedupContentStream: same text, different timestamps, across batches → one survivor") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = 1_700_000_000_000L // well past epoch so watermark 0 drops nothing
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streaming.dedupContentStream(
+        input.toDF().toDF("doc_id", "text", "event_ts"))
+      .writeStream.format("memory").queryName("dcs").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "same exact content", new java.sql.Timestamp(base)),
+        (2L, "same exact content", new java.sql.Timestamp(base + 60_000)), // in-batch dup, later ts
+        (3L, "different content", new java.sql.Timestamp(base)))
+      q.processAllAvailable()
+      // re-crawl of doc 1's content in a LATER batch, inside the horizon
+      input.addData(
+        (4L, "same exact content", new java.sql.Timestamp(base + 120_000)),
+        (5L, "brand new content", new java.sql.Timestamp(base + 120_000)))
+      q.processAllAvailable()
+      val ids = spark.table("dcs").select("doc_id").as[Long].collect().sorted
+      assert(ids === Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("decontaminateStream: leaked 5-gram dropped at ingest; agrees with batch op") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
