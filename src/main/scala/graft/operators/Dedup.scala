@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** One row per (doc_id, shingle) OCCURRENCE — shared tokenize/explode
-    * body for the two views below.
+    * body for the two views below. `private[graft]` (not local): the
+    * streaming decontamination path builds its broadcast hash set from
+    * THIS expression, so batch and stream can never drift apart on
+    * tokenization.
     */
-  private def rawShingles(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def rawShingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     docs
       .select(col("doc_id"), toks.as("w"))

@@ -44,11 +44,20 @@ object Packing {
     val base = docs
       .select(col("doc_id"), tok.as("tok"), skey.as("skey"))
       .withColumn("pid", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+      // pid is never null in practice; filtering explicitly puts the
+      // SAME isnotnull(pid) the inner join pushes into branch A into
+      // branch B too, so the two pid-exchange subtrees canonicalize
+      // equal and ReuseExchange reads the corpus once
+      .filter(col("pid").isNotNull)
     val withLocal = base.withColumn("cum_local",
       sum(col("tok")).over(
         Window.partitionBy(col("pid")).orderBy(col("skey"), col("doc_id"))))
-    val offsets = base
-      .groupBy(col("pid")).agg(sum(col("tok")).as("ptot"))
+    // bucket totals come from the WINDOWED frame (a bucket's total = its
+    // max running sum), not from re-aggregating `base`: both branches
+    // then share the scan→tokenize→md5→shuffle(pid) subtree, which Spark
+    // reuses (ReusedExchange) instead of reading the corpus twice.
+    val offsets = withLocal
+      .groupBy(col("pid")).agg(max(col("cum_local")).as("ptot"))
       .withColumn("poff", coalesce(
         sum(col("ptot")).over(
           Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),

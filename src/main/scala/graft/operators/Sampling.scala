@@ -75,35 +75,19 @@ object Sampling {
     * domain" rule every web-scale corpus recipe applies so one giant
     * domain can't dominate training). Selection is deterministic in the
     * data: within a group, rows rank by md5(salt ++ key) — a stable,
-    * engine-portable order — and ranks > K drop.
-    *
-    * A single `row_number` over the group would put an ENTIRE domain in
-    * one task — exactly the skew this operator exists to fight (the
-    * biggest crawl domains hold billions of pages). So it runs
-    * two-phase: rank inside (group × 64 hash sub-buckets) and keep each
-    * bucket's top-K — any global top-K row is necessarily in its
-    * bucket's top-K — then rank the surviving ≤ 64·K rows per group for
-    * the true top-K. The heavy window is over sub-buckets (64× less
-    * skewed), the exact one sees a bounded input regardless of domain
-    * size.
+    * engine-portable order — and ranks > K drop. Runs through
+    * [[Ranking.bucketedTopK]] so a billion-page domain never serializes
+    * into one window task; the output keeps the caller's columns plus
+    * the appended 1-based `rk` (which replaces any existing `rk`).
     */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, k: Int,
-      salt: String = "cap:", buckets: Int = 64): DataFrame = {
-    require(k > 0, s"cap k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val ord = md5(concat(lit(salt), col(keyCol).cast("string")))
-    val bkt = pmod(xxhash64(col(keyCol)), lit(buckets))
-    df.withColumn("cap_ord", ord)
-      .withColumn("lrk", row_number().over(
-        Window.partitionBy(col(groupCol), bkt)
-          .orderBy(col("cap_ord"), col(keyCol))))
-      .filter(col("lrk") <= k)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(groupCol))
-          .orderBy(col("cap_ord"), col(keyCol))))
-      .filter(col("rk") <= k)
-      .drop("lrk", "cap_ord")
-  }
+      salt: String = "cap:", buckets: Int = 64): DataFrame =
+    Ranking.bucketedTopK(df,
+      groupCols = Seq(col(groupCol)),
+      orderCols = Seq(md5(concat(lit(salt), col(keyCol).cast("string"))), col(keyCol)),
+      k = k,
+      bucketKeys = Seq(col(keyCol)),
+      buckets = buckets)
 
   /** Deterministic global shuffle — the "shuffle the corpus before
     * training" step, made a pure function of the data: order by

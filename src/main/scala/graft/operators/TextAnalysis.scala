@@ -259,12 +259,11 @@ object TextAnalysis {
     * Scale shape: bigram expansion is a narrow per-row transform;
     * the (lang,w1,w2) count is the wordcount pattern (map-side partial
     * agg); the prefix marginal is a window over (lang,w1) — millions of
-    * partitions, no skew. The per-language final top-N would naively be a
-    * 5-partition window over EVERY distinct bigram (one task per
+    * partitions, no skew. The per-language final top-N would naively be
+    * a 5-partition window over EVERY distinct bigram (one task per
     * language scanning billions of rows at corpus scale), so it runs
-    * two-phase: a local top-N inside each of 64 hash buckets per
-    * language first, then the true top-N among the surviving ≤ 64·topN
-    * candidates — same result, bounded final task.
+    * through [[Ranking.bucketedTopK]] — same result, bounded final
+    * task.
     */
   def ngramLm(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
@@ -278,16 +277,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .withColumn("n_prefix",
         sum(col("n")).over(Window.partitionBy(col("lang"), col("w1"))))
-    val bucket = pmod(xxhash64(col("w1"), col("w2")), lit(64))
-    counted
-      .withColumn("lrk", row_number().over(
-        Window.partitionBy(col("lang"), bucket)
-          .orderBy(col("n").desc, col("w1"), col("w2"))))
-      .filter(col("lrk") <= topN)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("lang"))
-          .orderBy(col("n").desc, col("w1"), col("w2"))))
-      .filter(col("rk") <= topN)
+    Ranking.bucketedTopK(counted,
+        groupCols = Seq(col("lang")),
+        orderCols = Seq(col("n").desc, col("w1"), col("w2")),
+        k = topN,
+        bucketKeys = Seq(col("w1"), col("w2")))
       .select(col("lang"), col("rk"), col("w1"), col("w2"), col("n"),
         col("n_prefix"))
       .orderBy(col("lang"), col("rk"))

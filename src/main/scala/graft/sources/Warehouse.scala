@@ -129,9 +129,16 @@ final class Warehouse(spark: SparkSession, root: String) {
   def saveCsv(df: org.apache.spark.sql.DataFrame, name: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(p(name).toString)
 
+  /** multiLine: the writer quotes fields containing line breaks (text
+    * corpora routinely have them); without it the reader would split
+    * records mid-field and corrupt the round-trip. Cost: multiLine CSV
+    * parses per-FILE, not per-split — parallelism comes from the many
+    * part files the save wrote, so keep them reasonably sized.
+    */
   def readCsv(name: String, schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(p(name).toString)
+    spark.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").csv(p(name).toString)
 
   /** JSON-lines with an explicit schema (same inference prohibition).
     * Schema'd reads also let Catalyst prune unread fields at the parser —

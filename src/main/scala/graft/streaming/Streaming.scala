@@ -149,28 +149,43 @@ object Streaming {
       n: Int = 5): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(evalHashes)
     docs.filter { row =>
-      val toks = row.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty)
-      val hit = (0 to toks.length - n).exists { i =>
-        val s = org.apache.spark.unsafe.types.UTF8String.fromString(
-          toks.slice(i, i + n).mkString(" "))
-        bc.value.contains(
-          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+      val text = row.getAs[String]("text")
+      text == null || { // null text can't shingle → never contaminated
+        val toks = sqlWhitespaceTokens(text)
+        !(0 to toks.length - n).exists { i =>
+          val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+            toks.slice(i, i + n).mkString(" "))
+          bc.value.contains(
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+        }
       }
-      !hit
     }
+  }
+
+  /** Tokenize EXACTLY as the SQL-side `split(trim(text), "\\s+")` does,
+    * for the row-local probe: SQL `trim` strips ASCII spaces only (never
+    * \t/\n/\r — unlike JVM `String.trim`), and SQL `split` keeps leading
+    * AND trailing empty tokens (Java needs limit -1 for the trailing
+    * ones). Any divergence here silently breaks the stream/batch
+    * decontamination agreement the spec asserts.
+    */
+  private[streaming] def sqlWhitespaceTokens(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
   }
 
   /** One-time static-side builder for [[decontaminateStream]]: the
     * distinct xxhash64 n-gram hashes of the (bounded) eval corpus,
-    * collected to the driver for broadcast.
+    * collected to the driver for broadcast. Shingles come from the SAME
+    * [[graft.operators.Dedup.rawShingles]] expression the batch
+    * decontamination uses — one tokenization definition for both modes.
     */
   def evalShingleHashSet(evalDocs: DataFrame, n: Int = 5): Set[Long] =
-    evalDocs
-      .select(split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $n))))"))
-        .as("h"))
+    graft.operators.Dedup.rawShingles(evalDocs, n)
+      .select(xxhash64(col("shingle")).as("h"))
       .distinct()
       .collect().map(_.getLong(0)).toSet
 

@@ -107,6 +107,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("pack_shards: AQE reuses the corpus exchange — both prefix-sum branches, one scan") {
+    val df = SparkEntry.queries("pack_shards")(spark, dir)
+    df.collect() // AQE reuse decisions only exist in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected shuffle reuse in final adaptive plan:\n${plan.take(3000)}")
+  }
+
   test("q26: correlated scalar subquery decorrelates to an aggregate join") {
     val plan = planOf("q26_correlated")
     // Catalyst must rewrite the per-row subquery into a per-part

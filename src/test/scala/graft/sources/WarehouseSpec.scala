@@ -31,6 +31,20 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
       === nation.orderBy(col("n_nationkey")).collect().toSeq)
   }
 
+  test("csv round-trip survives embedded newlines, quotes and delimiters") {
+    import spark.implicits._
+    val nasty = Seq(
+      (0L, "line one\nline two\r\nline three"),
+      (1L, "a \"quoted\" value, with comma"),
+      (2L, "trailing space \t tab"),
+      (3L, "plain")
+    ).toDF("id", "text")
+    wh.saveCsv(nasty, "nasty_csv")
+    val back = wh.readCsv("nasty_csv", nasty.schema)
+    assert(back.orderBy(col("id")).collect().toSeq
+      === nasty.orderBy(col("id")).collect().toSeq)
+  }
+
   test("orc round-trip is lossless and pushes filters to the scan") {
     wh.saveOrc(nation, "nation_orc")
     val back = wh.readOrc("nation_orc")

@@ -276,4 +276,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .as[Long].collect().toSeq
     assert(viaStreamOp === viaBatchOp)
   }
+
+  test("decontaminateStream: probe tokenization matches SQL on hostile text; null survives") {
+    import spark.implicits._
+    // leading tab / newline: SQL trim keeps them, so the SQL-side split
+    // yields a leading empty token the probe must reproduce
+    val evalDocs = Seq((100L, "\tw1 w2 w3 w4 tail marker alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "\tw1 w2 w3 w4 other words beyond the leak"), // leaks ONLY via the leading-empty-token 5-gram ['',w1,w2,w3,w4]
+      (2L, "w1 w2 w3 w4 tail padding padding padding"),  // shares the 5-gram 'w1 w2 w3 w4 tail'
+      (3L, null.asInstanceOf[String]),                    // null text: batch keeps → stream must too
+      (4L, "completely unrelated clean words here today")
+    ).toDF("doc_id", "text")
+    val viaStream = Streaming.decontaminateStream(
+        train, Streaming.evalShingleHashSet(evalDocs))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaBatch = graft.operators.Dedup.decontaminate(train, evalDocs)
+      .as[Long].collect().toSeq
+    assert(viaStream === viaBatch)
+    // doc 2 leaks ('w1 w2 w3 w4 tail'); docs 3 and 4 survive either way
+    assert(!viaStream.contains(2L))
+    assert(viaStream.contains(3L) && viaStream.contains(4L))
+  }
 }
