@@ -49,6 +49,8 @@ object SparkEntry {
     "q27_range_window"     -> (Analytics.q27RangeWindow(_, _)),
     "q28_array_fns"        -> (Analytics.q28ArrayFns(_, _)),
     "q29_dates_regex"      -> (Analytics.q29DatesRegex(_, _)),
+    "cohort_retention"     -> (Analytics.cohortRetention(_, _)),
+    "funnel_stages"        -> (Analytics.funnelStages(_, _)),
     "skew_salted_agg"      -> (Analytics.skewSaltedAgg(_, _)),
     "hh_heavy_hitters"     -> (HeavyHitters.frequentUsers(_, _)),
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
@@ -80,6 +82,14 @@ object SparkEntry {
     "text_repetition"      -> (TextAnalysis.repetition(_, _)),
     "text_pii_redact"      -> (TextAnalysis.piiRedactDocs(_, _)),
     "ngram_lm"             -> ((s, d) => TextAnalysis.ngramLm(s, d)),
+    "doc_chunks"           -> (TextAnalysis.docChunksDocs(_, _)),
+    "quality_ntile"        -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      operators.Ranking.distributedNtile(
+        TextAnalysis.qualityScore(s, d), "quality", "doc_id", 10)
+        .select(col("doc_id"), col("quality"), col("rank"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
     // --- training-data pipeline: deterministic corpus shuffle
     "shuffle_train"        -> ((s, d) =>
       operators.Sampling.trainOrderShuffle(
@@ -145,6 +155,18 @@ object SparkEntry {
 
   /** Token budget for the gated `pack_shards` query (both sides). */
   private val PackBudget = 512L
+
+  /** Quality-score oracle body — shared by `text_quality` and
+    * `quality_ntile` so the score definition can't drift between them.
+    */
+  private val qualityOracleBody: String =
+    """SELECT doc_id,
+       round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+            + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+            + CAST(len(list_filter(w, t -> length(t) >= 3)) AS DOUBLE) / len(w)) / 3.0, 4) AS quality
+       FROM (SELECT doc_id, text,
+                    regexp_split_to_array(trim(text), '\s+') AS w
+             FROM documents)"""
 
   /** SimHash replicated in SQL: per-bit sign sums, then bit assembly —
     * generated once here so the constants (60 bits) can never drift from
@@ -667,15 +689,7 @@ object SparkEntry {
          length(text) AS n_chars_measured,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
          FROM documents ORDER BY doc_id""",
-    "text_quality" ->
-      """SELECT doc_id,
-         round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
-              + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
-              + CAST(len(list_filter(w, t -> length(t) >= 3)) AS DOUBLE) / len(w)) / 3.0, 4) AS quality
-         FROM (SELECT doc_id, text,
-                      regexp_split_to_array(trim(text), '\s+') AS w
-               FROM documents)
-         ORDER BY doc_id""",
+    "text_quality" -> s"$qualityOracleBody ORDER BY doc_id",
     "text_langid" ->
       """WITH scored AS (
            SELECT doc_id,
@@ -848,6 +862,56 @@ object SparkEntry {
            FROM c)
          SELECT lang, rk, w1, w2, n, n_prefix FROM p
          WHERE rk <= 20 ORDER BY lang, rk""",
+    "cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         c AS (
+           SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day
+           FROM e)
+         SELECT cohort_day, day - cohort_day AS day_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "funnel_stages" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         v AS (SELECT user_id, min(us) AS v_us FROM ev
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT ev.user_id, min(us) AS c_us FROM ev
+               JOIN v ON ev.user_id = v.user_id
+               WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+         p AS (SELECT ev.user_id, min(us) AS p_us FROM ev
+               JOIN c ON ev.user_id = c.user_id
+               WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+         SELECT u.user_id,
+           CASE WHEN p_us IS NOT NULL THEN 3 WHEN c_us IS NOT NULL THEN 2
+                WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
+           coalesce(v_us, -1) AS v_us, coalesce(c_us, -1) AS c_us,
+           coalesce(p_us, -1) AS p_us
+         FROM (SELECT DISTINCT user_id FROM ev) u
+         LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         LEFT JOIN p USING (user_id)
+         ORDER BY u.user_id""",
+    "doc_chunks" ->
+      s"""WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+         n AS (SELECT doc_id, w, len(w) AS nw FROM t),
+         c AS (
+           SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(w[i * 24 + 1 : i * 24 + 32], ' ') AS chunk
+           FROM n, UNNEST(generate_series(0,
+             CASE WHEN nw <= 32 THEN 0 ELSE (23 + nw - 32) // 24 END)) t2(i))
+         SELECT doc_id, chunk_idx,
+           len(regexp_split_to_array(chunk, '\\s+')) AS n_chunk_tokens,
+           ${duckMd5_60("chunk")} AS chunk_fp
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "quality_ntile" ->
+      s"""WITH q AS ($qualityOracleBody)
+         SELECT doc_id, quality,
+           row_number() OVER (ORDER BY quality, doc_id) AS rank,
+           ntile(10) OVER (ORDER BY quality, doc_id) AS bin
+         FROM q ORDER BY doc_id""",
     "strat_sample" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE ${duckMd5_60("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000000

@@ -277,4 +277,60 @@ object Analytics {
         regexp_replace(lower(col("o_orderpriority")), "^\\d-", "")
           .as("priority_name"))
       .orderBy(col("o_orderkey"))
+
+  /** Cohort retention matrix: users grouped by first-seen day, activity
+    * counted as distinct users per (cohort day, day offset) — the
+    * product-analytics staple. Day is integer µs-epoch division (the
+    * engine-portable time bucket, see q14); the first-seen day is a
+    * window min over user_id — high-cardinality partitioning, no skew —
+    * and the matrix agg is one shuffle on (cohort_day, offset). Exact
+    * distinct is fine at any scale here because the matrix is bounded
+    * (days × days), though each cell's distinct-user set shuffles; an
+    * HLL variant (q18 machinery) is the knob if cells get hot.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("ts div 1000 div 86400000000")
+    Tables(spark, dir).events
+      .select(col("user_id"), day.as("day"))
+      .withColumn("cohort_day", min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Ordered funnel: per user, the first 'view', the first 'click'
+    * AFTER that view, the first 'purchase' after that click — stage
+    * reached plus the three µs timestamps (-1 when the stage was never
+    * reached, keeping the output null-free for exact comparison).
+    *
+    * Each stage is a filter → groupBy(user) min → join back: three
+    * shuffles that all hash on user_id, so AQE plans them into one
+    * co-partitioned pipeline; the per-stage aggregates only shrink
+    * (users still in the funnel), and nothing ever materializes
+    * per-event state. Timestamps compare at µs on every engine (ns
+    * precision dies at the oracle boundary — see the project notes).
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").where(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    ev.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("p_us").isNotNull, 3).when(col("c_us").isNotNull, 2)
+          .when(col("v_us").isNotNull, 1).otherwise(0).as("stage"),
+        coalesce(col("v_us"), lit(-1L)).as("v_us"),
+        coalesce(col("c_us"), lit(-1L)).as("c_us"),
+        coalesce(col("p_us"), lit(-1L)).as("p_us"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -39,4 +39,50 @@ object Ranking {
         Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)))
       .filter(col("rk") <= k)
   }
+
+  /** Exact global NTILE(k) over (`valueCol`, `keyCol`) ordering — WITHOUT
+    * the single-task global window `ntile()` plans (the whole corpus in
+    * one partition is exactly what curriculum binning at 100 TB can't
+    * do). Requires a BOUNDED value domain (e.g. a quality score rounded
+    * to 4 decimals → ≤ 10⁴+1 distinct values); cardinality bounds the
+    * driver-side broadcast, not correctness.
+    *
+    * Same two-level decomposition as shard packing: a row's global rank
+    * = (count of rows in strictly smaller value groups — a running sum
+    * over the small distinct-values table, broadcast back) + (its
+    * row_number within its value group — a window partitioned by value,
+    * thousands of balanced partitions). The bucket boundaries then come
+    * from SQL NTILE's exact definition: with N rows, the first N mod k
+    * buckets hold ⌈N/k⌉ rows, the rest ⌊N/k⌋ — reproduced arithmetically
+    * from the rank, with N supplied by a broadcast 1-row aggregate (the
+    * plan stays fully lazy). Appends `rank` and `bin`.
+    */
+  def distributedNtile(df: DataFrame, valueCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"ntile k must be positive, got $k")
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__nt_cnt"))
+      .withColumn("__nt_before", coalesce(
+        sum(col("__nt_cnt")).over(
+          Window.orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(valueCol), col("__nt_before"))
+    val total = df.agg(count(lit(1)).as("__nt_n"))
+    val r = col("__nt_before") +
+      row_number().over(Window.partitionBy(col(valueCol)).orderBy(col(keyCol)))
+    df.join(broadcast(counts), valueCol)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", r)
+      // all-integer `div` arithmetic (no doubles → no 2^53 rank ceiling);
+      // when N < k the WHEN branch always fires, so the ELSE's div-by-
+      // zero base is never evaluated (CASE short-circuits per row)
+      .withColumn("bin", expr(
+        s"""CAST(CASE
+              WHEN rank <= (__nt_n % $k) * (__nt_n div $k + 1)
+              THEN (rank - 1) div (__nt_n div $k + 1) + 1
+              ELSE (__nt_n % $k)
+                   + (rank - (__nt_n % $k) * (__nt_n div $k + 1) - 1)
+                     div (__nt_n div $k) + 1
+            END AS INT)"""))
+      .drop("__nt_before", "__nt_n")
+  }
 }

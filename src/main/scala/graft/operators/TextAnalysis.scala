@@ -248,6 +248,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------- sequence chunking
+
+  /** Stride chunking — cut each document into fixed-size token windows
+    * with overlap (`chunkTokens` wide, advancing `stride` tokens), the
+    * context-window packing step before tokenization in a pre-training /
+    * RAG pipeline. A doc with n tokens yields 1 + ⌈max(0, n-C)/S⌉
+    * chunks; the final chunk may be short, every token lands in ≥ 1
+    * chunk, and consecutive chunks share C-S tokens of context.
+    *
+    * Entirely inside the row — `transform` over a `sequence` of chunk
+    * starts, then `posexplode` — so the operator is a narrow scan-fused
+    * generator: zero shuffles, memory per row bounded by the doc itself.
+    * Emits the chunk's token count and portable digest (not the text) so
+    * the gate hash-compares bytes without shipping the corpus twice.
+    */
+  def docChunks(docs: DataFrame, chunkTokens: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val (c, s) = (chunkTokens, stride)
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+              sequence(0, CASE WHEN size(w) <= $c THEN 0
+                               ELSE ($s - 1 + size(w) - $c) div $s END),
+              i -> concat_ws(' ', slice(w, i * $s + 1, $c)))""")))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_idx"),
+        size(split(col("col"), "\\s+")).as("n_chunk_tokens"),
+        md5_60(col("col")).as("chunk_fp"))
+  }
+
+  def docChunksDocs(spark: SparkSession, dir: String): DataFrame =
+    docChunks(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   // ------------------------------------------------------- n-gram LM stats
 
   /** Per-language bigram language-model statistics: for each language the

@@ -116,4 +116,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     // 'alpha' is unique to doc 0 and must win
     assert(top === "alpha")
   }
+
+  test("cohortRetention: offset-0 covers each cohort; cells bounded by cohort size") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.cohortRetention(spark, dir).collect()
+    assert(out.nonEmpty)
+    val offset0 = out.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every cohort's first-seen day is an offset-0 cell containing ALL its
+    // users, so the offset-0 column partitions the user base
+    assert(out.map(_.getLong(0)).distinct.forall(offset0.contains))
+    val totalUsers = graft.Engine.Tables(spark, dir).events
+      .select("user_id").distinct().count()
+    assert(offset0.values.sum === totalUsers)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0, "offset can't precede the cohort day")
+      assert(r.getLong(2) <= offset0(r.getLong(0)), "retention exceeds cohort size")
+    }
+  }
+
+  test("funnelStages: stage timestamps are strictly ordered, -1 marks unreached") {
+    val out = Analytics.funnelStages(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (stage, v, c, p) = (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      stage match {
+        case 3 => assert(v > 0 && c > v && p > c)
+        case 2 => assert(v > 0 && c > v && p == -1L)
+        case 1 => assert(v > 0 && c == -1L && p == -1L)
+        case 0 => assert(v == -1L && c == -1L && p == -1L)
+      }
+    }
+    // the synthetic events are dense enough that some user completes it
+    assert(out.exists(_.getInt(1) == 3))
+  }
 }

@@ -125,6 +125,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("docChunks: stride windows cover every token; digests match a recount") {
+    import spark.implicits._
+    def md5_60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val words = (1 to 81).map(i => s"w$i")
+    val df = Seq((0L, words.mkString(" ")), (1L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.docChunks(df, chunkTokens = 8, stride = 6).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    // 81 tokens, C=8, S=6 → 1 + ceil(73/6) = 14 chunks; last starts at 78 → 3 tokens
+    assert(out.keys.count(_._1 == 0L) === 14)
+    (0 until 14).foreach { i =>
+      val expectTokens = words.slice(i * 6, i * 6 + 8)
+      assert(out((0L, i)) === ((expectTokens.length, md5_60(expectTokens.mkString(" ")))),
+        s"chunk $i")
+    }
+    // short doc: one chunk, whole doc
+    assert(out((1L, 0)) === ((3, md5_60("a b c"))))
+    assert(out.keys.count(_._1 == 1L) === 1)
+  }
+
   test("ngramLm matches a naive in-memory recount at sf0.001") {
     val realDir = "/root/testdata/sf0.001"
     val bigram = scala.collection.mutable.Map.empty[(String, String, String), Long]
