@@ -303,34 +303,39 @@ object Analytics {
     * reached plus the three µs timestamps (-1 when the stage was never
     * reached, keeping the output null-free for exact comparison).
     *
-    * Each stage is a filter → groupBy(user) min → join back: three
-    * shuffles that all hash on user_id, so AQE plans them into one
-    * co-partitioned pipeline; the per-stage aggregates only shrink
-    * (users still in the funnel), and nothing ever materializes
-    * per-event state. Timestamps compare at µs on every engine (ns
-    * precision dies at the oracle boundary — see the project notes).
+    * Shape: three chained `min(when(...))` full-partition windows over
+    * user_id — each stage's condition references the previous stage's
+    * (partition-constant) timestamp, so "first click after the first
+    * view" is one window expression, no self-join. All three windows
+    * AND the final collapse share a single user_id hash partitioning:
+    * the 100 TB events table is scanned once and shuffled once
+    * (plan-asserted in PlanSpec) — versus the naive per-stage
+    * filter+agg+join chain, which reads the fact table once per stage.
+    * Timestamps compare at µs on every engine (ns precision dies at the
+    * oracle boundary — see the project notes).
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    val w = Window.partitionBy(col("user_id"))
+    Tables(spark, dir).events
       .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").where(col("us") > col("v_us"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id").where(col("us") > col("c_us"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
-    ev.select(col("user_id")).distinct()
-      .join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" && col("us") > col("v_us"),
+          col("us"))).over(w))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("c_us"),
+          col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_us")).as("mv"), min(col("c_us")).as("mc"),
+        min(col("p_us")).as("mp"))
       .select(
         col("user_id"),
-        when(col("p_us").isNotNull, 3).when(col("c_us").isNotNull, 2)
-          .when(col("v_us").isNotNull, 1).otherwise(0).as("stage"),
-        coalesce(col("v_us"), lit(-1L)).as("v_us"),
-        coalesce(col("c_us"), lit(-1L)).as("c_us"),
-        coalesce(col("p_us"), lit(-1L)).as("p_us"))
+        when(col("mp").isNotNull, 3).when(col("mc").isNotNull, 2)
+          .when(col("mv").isNotNull, 1).otherwise(0).as("stage"),
+        coalesce(col("mv"), lit(-1L)).as("v_us"),
+        coalesce(col("mc"), lit(-1L)).as("c_us"),
+        coalesce(col("mp"), lit(-1L)).as("p_us"))
       .orderBy(col("user_id"))
   }
 }

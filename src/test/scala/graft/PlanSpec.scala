@@ -115,6 +115,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"expected shuffle reuse in final adaptive plan:\n${plan.take(3000)}")
   }
 
+  test("funnel: one events scan, one user_id exchange for all three stage windows") {
+    val plan = planOf("funnel_stages")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected a single events scan, got $scans:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("q26: correlated scalar subquery decorrelates to an aggregate join") {
     val plan = planOf("q26_correlated")
     // Catalyst must rewrite the per-row subquery into a per-part
