@@ -189,6 +189,63 @@ object Streaming {
       .distinct()
       .collect().map(_.getLong(0)).toSet
 
+  // ------------------------------------------------------- funnel state
+
+  /** Input row for [[funnelStream]] (µs event time). */
+  case class FunnelEvent(user_id: Long, us: Long, event_type: String)
+
+  /** Per-user funnel frontier: first view, first click after it, first
+    * purchase after that — -1 while unreached (never regresses).
+    */
+  case class FunnelState(v: Long, c: Long, p: Long)
+
+  case class FunnelRow(user_id: Long, stage: Int, v_us: Long, c_us: Long,
+      p_us: Long)
+
+  def funnelInput(events: DataFrame): Dataset[FunnelEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), expr("ts div 1000").as("us"),
+      col("event_type")).as[FunnelEvent]
+  }
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.operators.Analytics.funnelStages]]: per-user state machine
+    * over `mapGroupsWithState`, re-emitting the user's stage whenever a
+    * micro-batch touches them (Update output mode). Events are sorted by
+    * (event time, type) inside each batch, so on a single batch — or
+    * when each user's funnel events arrive in event-time order across
+    * batches — the result equals the batch operator exactly (the spec
+    * asserts it); an event arriving AFTER a later-stage event was
+    * already accepted refines nothing, which is the monotone-frontier
+    * semantics an online funnel wants. State is three longs per user —
+    * bounded by the user population, not the event volume.
+    */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          // ties sort click < purchase < view, matching the batch
+          // operator's strict us > prev comparisons
+          for (e <- it.toVector.sortBy(ev => (ev.us, ev.event_type))) {
+            if (s.v == -1L && e.event_type == "view")
+              s = s.copy(v = e.us)
+            else if (s.v != -1L && s.c == -1L && e.event_type == "click" && e.us > s.v)
+              s = s.copy(c = e.us)
+            else if (s.c != -1L && s.p == -1L && e.event_type == "purchase" && e.us > s.c)
+              s = s.copy(p = e.us)
+          }
+          state.update(s)
+          val stage =
+            if (s.p != -1L) 3 else if (s.c != -1L) 2 else if (s.v != -1L) 1 else 0
+          FunnelRow(uid, stage, s.v, s.c, s.p)
+      }
+  }
+
   // ------------------------------------------------------- sessionization
 
   /** Input row for [[sessionize]]: `event_ts` carries the watermark. */

@@ -222,6 +222,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("funnelStream: batch mode equals the batch funnel operator exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Engine.Tables(spark, dir).events
+    val got = Streaming.funnelStream(Streaming.funnelInput(events))
+      .collect().map(r => (r.user_id, r.stage, r.v_us, r.c_us, r.p_us)).toSet
+    val ref = graft.operators.Analytics.funnelStages(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === ref)
+  }
+
+  test("funnelStream: state advances across micro-batches, never regresses") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Streaming.FunnelEvent]
+    val q = Streaming.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Streaming.FunnelEvent(1L, 1000L, "view"),
+        Streaming.FunnelEvent(1L, 900L, "click"), // before the view → ignored
+        Streaming.FunnelEvent(2L, 500L, "click")) // click with no view → stage 0
+      q.processAllAvailable()
+      input.addData(
+        Streaming.FunnelEvent(1L, 2000L, "click"),
+        Streaming.FunnelEvent(1L, 3000L, "purchase"),
+        Streaming.FunnelEvent(2L, 600L, "view"))
+      q.processAllAvailable()
+      // last update per user wins
+      val last = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      assert(last(1L) === ((3, 1000L, 2000L, 3000L)))
+      assert(last(2L) === ((1, 600L, -1L, -1L))) // view arrived; old click stays spent
+    } finally q.stop()
+  }
+
   test("dedupContentStream: same text, different timestamps, across batches → one survivor") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
