@@ -899,9 +899,10 @@ object SparkEntry {
          n AS (SELECT doc_id, w, len(w) AS nw FROM t),
          c AS (
            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-             array_to_string(w[i * 24 + 1 : i * 24 + 32], ' ') AS chunk
+             array_to_string(w[i * ${TextAnalysis.ChunkStride} + 1 : i * ${TextAnalysis.ChunkStride} + ${TextAnalysis.ChunkTokens}], ' ') AS chunk
            FROM n, UNNEST(generate_series(0,
-             CASE WHEN nw <= 32 THEN 0 ELSE (23 + nw - 32) // 24 END)) t2(i))
+             CASE WHEN nw <= ${TextAnalysis.ChunkTokens} THEN 0
+                  ELSE (${TextAnalysis.ChunkStride - 1} + nw - ${TextAnalysis.ChunkTokens}) // ${TextAnalysis.ChunkStride} END)) t2(i))
          SELECT doc_id, chunk_idx,
            len(regexp_split_to_array(chunk, '\\s+')) AS n_chunk_tokens,
            ${duckMd5_60("chunk")} AS chunk_fp

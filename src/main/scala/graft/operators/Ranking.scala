@@ -54,23 +54,32 @@ object Ranking {
     * thousands of balanced partitions). The bucket boundaries then come
     * from SQL NTILE's exact definition: with N rows, the first N mod k
     * buckets hold ⌈N/k⌉ rows, the rest ⌊N/k⌋ — reproduced arithmetically
-    * from the rank, with N supplied by a broadcast 1-row aggregate (the
-    * plan stays fully lazy). Appends `rank` and `bin`.
+    * from the rank, with N = the full-frame sum over the same counts
+    * table (one corpus aggregation total; the plan stays fully lazy).
+    * Appends `rank` and `bin`.
+    *
+    * Semantics match SQL `ntile(k) OVER (ORDER BY value NULLS LAST,
+    * key)`: NULL values are kept and rank after all non-NULL values.
+    * `keyCol` must be unique within each value group (so that
+    * (valueCol, keyCol) is a total order) — duplicate keys would make
+    * rank/bin nondeterministic across runs.
     */
   def distributedNtile(df: DataFrame, valueCol: String, keyCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"ntile k must be positive, got $k")
+    val cw = Window.orderBy(col(valueCol).asc_nulls_last)
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__nt_cnt"))
       .withColumn("__nt_before", coalesce(
         sum(col("__nt_cnt")).over(
-          Window.orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, -1)),
+          cw.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col(valueCol), col("__nt_before"))
-    val total = df.agg(count(lit(1)).as("__nt_n"))
+      .withColumn("__nt_n", sum(col("__nt_cnt")).over(
+        cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(valueCol).as("__nt_v"), col("__nt_before"), col("__nt_n"))
     val r = col("__nt_before") +
       row_number().over(Window.partitionBy(col(valueCol)).orderBy(col(keyCol)))
-    df.join(broadcast(counts), valueCol)
-      .crossJoin(broadcast(total))
+    df.join(broadcast(counts), col(valueCol) <=> col("__nt_v"))
+      .drop("__nt_v")
       .withColumn("rank", r)
       // all-integer `div` arithmetic (no doubles → no 2^53 rank ceiling);
       // when N < k the WHEN branch always fires, so the ELSE's div-by-

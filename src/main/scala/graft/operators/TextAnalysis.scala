@@ -263,8 +263,13 @@ object TextAnalysis {
     * Emits the chunk's token count and portable digest (not the text) so
     * the gate hash-compares bytes without shipping the corpus twice.
     */
-  def docChunks(docs: DataFrame, chunkTokens: Int = 32,
-      stride: Int = 24): DataFrame = {
+  /** Default chunk geometry — interpolated into the DuckDB oracle too,
+    * so the two sides can't drift. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  def docChunks(docs: DataFrame, chunkTokens: Int = ChunkTokens,
+      stride: Int = ChunkStride): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
     val (c, s) = (chunkTokens, stride)

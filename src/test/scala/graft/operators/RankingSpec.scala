@@ -30,6 +30,16 @@ class RankingSpec extends AnyFunSuite with SparkTestSession {
     assert(out === Set((2L, 1L, 1), (1L, 2L, 2), (3L, 3L, 3)))
   }
 
+  test("distributedNtile: NULL values are kept and rank last (NULLS LAST)") {
+    import spark.implicits._
+    val df = Seq(1L -> Option(0.5), 2L -> Option.empty[Double],
+      3L -> Option(0.1), 4L -> Option.empty[Double]).toDF("id", "v")
+    val out = Ranking.distributedNtile(df, "v", "id", 2)
+      .select("id", "rank", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === Set((3L, 1L, 1), (1L, 2L, 1), (2L, 3L, 2), (4L, 4L, 2)))
+  }
+
   test("distributedNtile: heavy value ties split across buckets like NTILE") {
     import spark.implicits._
     // 7 rows, 4 of them the same value, k=3: buckets must hold 3,2,2
