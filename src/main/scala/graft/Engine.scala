@@ -28,6 +28,7 @@ object Engine {
       .withExtensions(graft.functions.VecDot.register)
       .withExtensions(graft.functions.WinnowFps.register)
       .withExtensions(graft.functions.SimHash60.register)
+      .withExtensions(graft.functions.BloomFn.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

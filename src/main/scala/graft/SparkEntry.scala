@@ -67,6 +67,8 @@ object SparkEntry {
     "dedup_clusters"       -> (Dedup.dedupClusters(_, _)),
     "dedup_survivors"      -> (Dedup.dedupSurvivors(_, _)),
     "decon_survivors"      -> (Dedup.deconSurvivors(_, _)),
+    "decon_bloom"          -> (Dedup.deconBloomSurvivors(_, _)),
+    "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
@@ -83,6 +85,7 @@ object SparkEntry {
     "text_pii_redact"      -> (TextAnalysis.piiRedactDocs(_, _)),
     "ngram_lm"             -> ((s, d) => TextAnalysis.ngramLm(s, d)),
     "doc_chunks"           -> (TextAnalysis.docChunksDocs(_, _)),
+    "vocab_coverage"       -> (TextAnalysis.vocabCoverageDocs(_, _)),
     "quality_ntile"        -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       operators.Ranking.distributedNtile(
@@ -569,6 +572,45 @@ object SparkEntry {
          WHERE doc_id % 20 != 0
            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          ORDER BY doc_id""",
+    // bloom path: false positives are exact-verified away, so the result
+    // is defined to equal the exact decontamination — same oracle
+    "decon_bloom" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+           WHERE len(w) >= 5),
+         contaminated AS (
+           SELECT DISTINCT t.doc_id
+           FROM sh t JOIN sh e ON t.shingle = e.shingle
+           WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 20 != 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ORDER BY doc_id""",
+    "dup_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+         FROM documents GROUP BY source ORDER BY source""",
+    "vocab_coverage" ->
+      s"""WITH tok AS (
+           SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+           FROM documents),
+         c AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+           WHERE token != '' GROUP BY token),
+         r AS (
+           SELECT token, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rk,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+           FROM c)
+         SELECT rk, token, cnt,
+           round(cum / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c), 6) AS cum_share
+         FROM r WHERE rk <= ${TextAnalysis.VocabK} ORDER BY rk""",
     "text_repetition" ->
       """WITH w AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

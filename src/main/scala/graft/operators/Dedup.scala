@@ -437,4 +437,74 @@ object Dedup {
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
   }
+
+  /** [[decontaminate]] without broadcasting the eval hash set: the scale
+    * path for when the eval suite itself is huge (its distinct shingle
+    * set near or past the 8 GB broadcast hard limit). Same output,
+    * different plan:
+    *
+    *  1. the eval shingle hashes are folded into a Bloom filter INSIDE
+    *     the plan — `bloom_agg` is Spark's own runtime-filter aggregate
+    *     (distributed partial buffers, merged once), delivered to the
+    *     probe side as a scalar subquery, ~1.2 GB at 3% fpp for 10⁹
+    *     shingles where the exact set is ≥ 8 GB;
+    *  2. the 100 TB train side streams through the Bloom probe — a
+    *     codegen'd filter in the scan stage, no join, no shuffle — which
+    *     discards ~(1-fpp) of its shingles;
+    *  3. the surviving sliver (true leaks + fpp share) is verified with
+    *     an exact SHUFFLE semi-join against the eval hashes — both sides
+    *     are modest now, so no broadcast limit applies anywhere — making
+    *     false positives semantically invisible: output == exact
+    *     decontaminate, bit for bit (asserted in DedupSpec and by the
+    *     gate, which runs this against the same DuckDB oracle as
+    *     `decon_survivors`).
+    *
+    * `expectedEvalShingles` sizes the filter (Spark's default fpp curve);
+    * overestimating costs memory, underestimating costs fpp (more exact-
+    * verify work), never correctness.
+    */
+  def decontaminateBloom(train: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      expectedEvalShingles: Long = 4L << 20): DataFrame = {
+    import graft.functions.BloomFn
+    val evalHashes = rawShingles(evalDocs, n)
+      .select(xxhash64(col("shingle")).as("h"))
+    val bloom = evalHashes
+      .agg(BloomFn.bloomAgg(col("h"), expectedEvalShingles).as("bf"))
+      .scalar()
+    val contaminated = rawShingles(train, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .filter(BloomFn.mightContain(bloom, col("h")))
+      .join(evalHashes.distinct().hint("shuffle_hash"), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train.select(col("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate entry: same split as [[deconSurvivors]], Bloom-prefiltered path
+    * — the driver checks it against the identical oracle.
+    */
+  def deconBloomSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    decontaminateBloom(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** Per-source duplication report — the health dashboard a crawl
+    * pipeline watches per ingest source: document count, distinct-text
+    * count, and the exact-duplicate ratio. One shuffle on (source, text)
+    * via partial distinct-aggregation; no text ever leaves the executor
+    * whole (Spark's ObjectHashAggregate dedups map-side first).
+    */
+  def dupStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"))
+      .withColumn("dup_ratio", round(
+        lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+
+  def dupStatsDocs(spark: SparkSession, dir: String): DataFrame =
+    dupStats(Tables(spark, dir).documents)
 }

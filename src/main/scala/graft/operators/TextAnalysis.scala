@@ -329,4 +329,48 @@ object TextAnalysis {
         col("n_prefix"))
       .orderBy(col("lang"), col("rk"))
   }
+
+  // ------------------------------------------------- vocabulary coverage
+
+  /** Tokenizer-prep vocabulary: the corpus-wide top-`k` whitespace tokens
+    * by frequency, each with its rank and the cumulative share of ALL
+    * corpus token occurrences covered through that rank — the curve a
+    * tokenizer-training / vocab-sizing pass reads to pick |V| ("how many
+    * entries until 99% coverage").
+    *
+    * Scale shape: token counting is the wordcount pattern (partial agg
+    * before the shuffle). The global top-k would naively be a
+    * single-task window over every distinct token (billions at corpus
+    * scale), so it runs through [[Ranking.bucketedTopK]] with a global
+    * (empty) group — 64 hash sub-buckets rank in parallel, the exact
+    * final window sees ≤ 64·k survivors. The denominator (total token
+    * occurrences) folds over the counts table, NOT the corpus — one
+    * corpus scan total — and arrives as a scalar subquery so the plan
+    * stays lazy. `(cnt DESC, token)` is a total order: token is the
+    * group-by key, hence unique.
+    */
+  /** Default vocab size — interpolated into the DuckDB oracle too. */
+  val VocabK = 500
+
+  def vocabCoverage(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    val counts = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("t")).scalar()
+    Ranking.bucketedTopK(counts,
+        groupCols = Seq.empty,
+        orderCols = Seq(col("cnt").desc, col("token")),
+        k = k,
+        bucketKeys = Seq(col("token")))
+      .withColumn("cum_share", round(
+        sum(col("cnt")).over(Window.orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / total.cast("double"), 6))
+      .select(col("rk"), col("token"), col("cnt"), col("cum_share"))
+      .orderBy(col("rk"))
+  }
+
+  def vocabCoverageDocs(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables(spark, dir).documents)
 }

@@ -80,6 +80,47 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Seq(2L))
   }
 
+  test("decontaminateBloom: identical output to exact decontaminate, no broadcast join") {
+    import spark.implicits._
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0)
+    val evalD = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
+    val exact = Dedup.decontaminate(train, evalD).as[Long].collect().toSeq
+    val bloomed = Dedup.decontaminateBloom(train, evalD)
+    assert(bloomed.as[Long].collect().toSeq === exact)
+    // the Bloom path's contract: the eval hash set is never broadcast —
+    // the prefilter is a scalar-subquery bloom probe and the exact verify
+    // a SHUFFLED semi-join. (The final anti-join on contaminated ids,
+    // bounded by leak volume, may still broadcast — that's fine.)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
+      s"exact verify should be a shuffled semi-join:\n$plan")
+  }
+
+  test("bloom false positives never leak: tiny filter still yields exact output") {
+    import spark.implicits._
+    // expectedItems=1 forces a saturated, high-fpp filter — the exact
+    // verify join must still remove every false positive
+    val evalDocs = Seq((0L, docA)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the quick brown fox jumps and more"),
+      (2L, docC), (3L, "unrelated filler sentence about nothing in particular today")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateBloom(train, evalDocs, expectedEvalShingles = 1L)
+      .as[Long].collect().toSeq
+    assert(kept === Seq(2L, 3L))
+  }
+
+  test("dupStats: per-source doc counts, distinct counts, dup ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "web", docA), (1L, "web", docA), (2L, "web", docB),
+      (3L, "books", docC)).toDF("doc_id", "source", "text")
+    val got = Dedup.dupStats(docs).as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("books", 1L, 1L, 0.0), ("web", 3L, 2L, 0.333333)))
+  }
+
   test("simhash: identical docs collide at hamming 0; banding finds them") {
     import spark.implicits._
     val docs = Seq((0L, docA), (1L, docA), (2L, docC)).toDF("doc_id", "text")

@@ -182,4 +182,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     val bag = text.trim.split("\\s+").sorted.mkString(" ")
     assert(byId(0L)._2 === md5_60(bag))
   }
+
+  test("vocabCoverage matches an in-memory count/sort/cumsum reference") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val got = TextAnalysis.vocabCoverage(docs, k = 50).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val counts = docs.select("text").collect().map(_.getString(0))
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val total = counts.values.sum.toDouble
+    var cum = 0L
+    val ref = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+      .zipWithIndex.map { case ((t, c), i) =>
+        cum += c
+        (i + 1, t, c,
+          BigDecimal(cum / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got.toSeq === ref)
+  }
 }
