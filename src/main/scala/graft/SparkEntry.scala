@@ -49,6 +49,8 @@ object SparkEntry {
     "q27_range_window"     -> (Analytics.q27RangeWindow(_, _)),
     "q28_array_fns"        -> (Analytics.q28ArrayFns(_, _)),
     "q29_dates_regex"      -> (Analytics.q29DatesRegex(_, _)),
+    "q30_unpivot"          -> (Analytics.q30Unpivot(_, _)),
+    "q31_resample"         -> (Analytics.q31Resample(_, _)),
     "cohort_retention"     -> (Analytics.cohortRetention(_, _)),
     "funnel_stages"        -> (Analytics.funnelStages(_, _)),
     "skew_salted_agg"      -> (Analytics.skewSaltedAgg(_, _)),
@@ -69,6 +71,7 @@ object SparkEntry {
     "decon_survivors"      -> (Dedup.deconSurvivors(_, _)),
     "decon_bloom"          -> (Dedup.deconBloomSurvivors(_, _)),
     "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
+    "ingest_dedup"         -> (Dedup.ingestDedupDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
@@ -589,6 +592,34 @@ object SparkEntry {
          WHERE doc_id % 20 != 0
            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          ORDER BY doc_id""",
+    // ingest (delta-vs-corpus) dedup: LSH candidates are exact-verified, so
+    // the exact cross-split formulation is the oracle (same recall argument
+    // as dedup_minhash_lsh)
+    "ingest_dedup" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         near AS (
+           SELECT d.doc_id
+           FROM (SELECT a.doc_id, b.doc_id AS corpus_id, count(*) AS ni
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle
+                 WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 != 7
+                 GROUP BY 1, 2) d
+           JOIN sizes sa ON sa.doc_id = d.doc_id
+           JOIN sizes sb ON sb.doc_id = d.corpus_id
+           WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.9),
+         ex AS (
+           SELECT DISTINCT d.doc_id
+           FROM documents d JOIN documents c ON d.text = c.text
+           WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 != 7)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 10 = 7
+           AND doc_id NOT IN (SELECT doc_id FROM near UNION SELECT doc_id FROM ex)
+         ORDER BY doc_id""",
     "dup_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
@@ -660,6 +691,34 @@ object SparkEntry {
              AS priority_num,
            regexp_replace(lower(o_orderpriority), '^\d-', '') AS priority_name
          FROM orders ORDER BY o_orderkey""",
+    "q30_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+             CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(count(*) AS DOUBLE) AS n_rows,
+             CAST(max(l_linenumber) AS DOUBLE) AS max_line
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, measure, val FROM (
+           SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'n_rows', n_rows FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'max_line', max_line FROM wide)
+         ORDER BY l_returnflag, measure""",
+    "q31_resample" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value
+           FROM events WHERE user_id % 50 = 0),
+         h AS (SELECT user_id, hr, max(value) AS hr_max FROM ev GROUP BY 1, 2),
+         s AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1),
+         slots AS (SELECT user_id, UNNEST(generate_series(h0, h1)) AS hr FROM s),
+         j AS (SELECT sl.user_id, sl.hr, h.hr_max
+               FROM slots sl LEFT JOIN h ON h.user_id = sl.user_id AND h.hr = sl.hr)
+         SELECT user_id, CAST(hr AS BIGINT) AS hr,
+           hr_max IS NOT NULL AS is_observed,
+           last_value(hr_max IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr) AS filled
+         FROM j ORDER BY user_id, hr""",
     // the IVF index is fully relational (centroids ARE data vectors), so
     // the approximate path itself is oracle-checkable, probe-for-probe
     "ann_ivf" ->

@@ -338,4 +338,54 @@ object Analytics {
         coalesce(col("mp"), lit(-1L)).as("p_us"))
       .orderBy(col("user_id"))
   }
+
+  /** Wide→long reshape (the inverse of q19's pivot): per-returnflag
+    * measures melted into (l_returnflag, measure, val) rows via
+    * `Dataset.unpivot` — Spark plans it as a single Expand over the
+    * aggregate, no join, no shuffle beyond the agg's own. All three
+    * measures are exact integers cast to double, so the common value
+    * column is engine-exact.
+    */
+  def q30Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).cast("double").as("n_rows"),
+        max(col("l_linenumber")).cast("double").as("max_line"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("n_rows"), col("max_line")),
+        "measure", "val")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** Time-series resample + forward fill: per sampled user, an hourly
+    * grid spanning their [first, last] observed hour, each slot carrying
+    * the hour's max value if observed, else the most recent observed
+    * hour's value (last-observation-carried-forward). The grid comes
+    * from `sequence()` + explode — generated INSIDE the row, no driver
+    * loop, no cross join with a calendar table — and the fill is one
+    * `last(ignoreNulls)` running window per user: partitioned by
+    * user_id, so thousands of small windows, never a global sort. Hour =
+    * integer µs-epoch division (engine-portable, see q14); hr_max is a
+    * max — an input double, bit-exact in any engine, no rounding needed.
+    */
+  def q31Resample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), expr("ts div 1000 div 3600000000").as("hr"),
+        col("value"))
+    val hourly = ev.groupBy(col("user_id"), col("hr"))
+      .agg(max(col("value")).as("hr_max"))
+    val slots = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    slots.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        col("hr_max").isNotNull.as("is_observed"),
+        last(col("hr_max"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("hr"))).as("filled"))
+      .orderBy(col("user_id"), col("hr"))
+  }
 }

@@ -162,17 +162,20 @@ object Dedup {
     * probability (1-0.9⁴)¹⁶ ≈ 4e-8; verified empirically in ScalaTest
     * against the exact pairs, at both sf0.01 and sf0.1).
     */
-  def minhashLshPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  /** (doc_id, band, band_hash) rows: the minhash signature cut into LSH
+    * band keys. Signature: for each i, min over shingles of
+    * xxhash64(i, h) — a deterministic keyed rehash, no RNG, overflow-free
+    * by construction. All numHashes minima are computed as parallel
+    * aggregate columns in ONE groupBy, so the shuffle carries the shingle
+    * rows once (with map-side partial min), not numHashes× exploded
+    * copies. Band key: hash of the band's row-minhashes, in row order
+    * (xxhash64 hashes array elements recursively — no string
+    * round-trip).
+    */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingleHashes(docs, n)
-
-    // signature: for each i, min over shingles of xxhash64(i, h) — a
-    // deterministic keyed rehash, no RNG, overflow-free by construction.
-    // All numHashes minima are computed as parallel aggregate columns in
-    // ONE groupBy, so the shuffle carries the shingle rows once (with
-    // map-side partial min), not numHashes× exploded copies.
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
     val sig = sh
@@ -180,16 +183,18 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
-
-    // band key: hash of the band's row-minhashes, in row order (xxhash64
-    // hashes array elements recursively — no string round-trip).
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${bands - 1}),
             b -> struct(b AS band, xxhash64(b, slice(sig, b * $rows + 1, $rows)) AS band_hash))"""))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
 
+  def minhashLshPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = shingleHashes(docs, n)
+    val banded = bandedSignatures(sh, numHashes, bands)
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
     val candidates = l.join(r, Seq("band", "band_hash"))
@@ -489,6 +494,55 @@ object Dedup {
     decontaminateBloom(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** Incremental ingest dedup — the daily-batch shape: a (small) `delta`
+    * of freshly crawled documents is admitted only if it duplicates
+    * nothing in the (enormous) existing `corpus`. Two screens, both
+    * delta-driven so the corpus is never self-joined:
+    *
+    *  - exact: 8-byte text-digest semi-join against the corpus digests
+    *    (catches short docs below the shingle width too);
+    *  - near: the delta's LSH band keys PROBE the corpus's band index —
+    *    candidates are (delta, corpus) pairs only, never corpus×corpus,
+    *    so work scales with |delta| × bucket occupancy, not |corpus|² —
+    *    then exact shingle-Jaccard verification at `threshold` (same
+    *    recall argument as [[minhashLshPairs]]).
+    *
+    * Returns the surviving delta doc_ids. At production scale the corpus
+    * band index and digests are precomputed once and stored (bucketed by
+    * band_hash / digest), making the daily cost independent of corpus
+    * re-scanning; here both sides derive in-plan from the same table.
+    */
+  def ingestDedup(corpus: DataFrame, delta: DataFrame,
+      threshold: Double = 0.9, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val exactDup = delta.select(col("doc_id"), xxhash64(col("text")).as("dg"))
+      .join(corpus.select(xxhash64(col("text")).as("dg")).distinct(),
+        Seq("dg"), "left_semi")
+      .select(col("doc_id"))
+    val shD = shingleHashes(delta, n)
+    val shC = shingleHashes(corpus, n)
+    val probe = bandedSignatures(shD, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val index = bandedSignatures(shC, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val nearDup = verifiedPairs(
+        probe.join(index, Seq("band", "band_hash"))
+          .select(col("doc_a"), col("doc_b")).distinct(),
+        shD.union(shC), threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    delta.select(col("doc_id"))
+      .join(exactDup.union(nearDup).distinct(), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate entry: delta = doc_id % 10 == 7, corpus = the rest. */
+  def ingestDedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    ingestDedup(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
   }
 
   /** Per-source duplication report — the health dashboard a crawl

@@ -150,4 +150,47 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     // the synthetic events are dense enough that some user completes it
     assert(out.exists(_.getInt(1) == 3))
   }
+
+  test("q30 unpivot: three measure rows per flag, values equal the wide agg") {
+    val long = Analytics.q30Unpivot(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val flags = long.keys.map(_._1).toSet
+    assert(long.size === flags.size * 3)
+    val wide = graft.Engine.Tables(spark, "/root/testdata/sf0.001").lineitem
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("s"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(1 + 1))).toMap
+    wide.foreach { case (f, (s, n)) =>
+      assert(long((f, "sum_qty")) === s)
+      assert(long((f, "n_rows")) === n.toDouble)
+    }
+  }
+
+  test("q31 resample: contiguous hourly grid, LOCF fill matches a replay") {
+    val rows = Analytics.q31Resample(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // independent reference: replay per user from the raw events
+    val ev = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
+      .filter("user_id % 50 = 0")
+      .selectExpr("user_id", "ts div 1000 div 3600000000 AS hr", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hourly = ev.groupBy(e => (e._1, e._2))
+      .map { case ((u, h), xs) => (u, h) -> xs.map(_._3).max }
+    val byUser = hourly.keys.groupBy(_._1)
+    for ((u, keys) <- byUser) {
+      val (h0, h1) = (keys.map(_._2).min, keys.map(_._2).max)
+      val mine = rows.filter(_._1 == u).sortBy(_._2)
+      assert(mine.map(_._2).toSeq === (h0 to h1).toSeq) // contiguous grid
+      var lastVal = Double.NaN
+      for ((_, hr, obs, filled) <- mine) {
+        hourly.get((u, hr)) match {
+          case Some(v) => assert(obs && filled == v); lastVal = v
+          case None    => assert(!obs && filled == lastVal)
+        }
+      }
+    }
+  }
 }

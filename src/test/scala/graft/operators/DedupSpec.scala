@@ -112,6 +112,32 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Seq(2L, 3L))
   }
 
+  test("ingestDedup: delta docs duplicating the corpus are rejected") {
+    import spark.implicits._
+    val corpus = Seq((0L, docA), (2L, docC),
+      (4L, "xy")                        // short doc, below shingle width
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (7L, docA),                       // exact dup of corpus 0
+      (17L, docB),                      // near dup of corpus 0 (jac >= 0.9? check below)
+      (27L, "totally fresh sentence nothing like anything else whatsoever indeed"),
+      (37L, "xy")                       // exact dup of a short corpus doc
+    ).toDF("doc_id", "text")
+    val kept = Dedup.ingestDedup(corpus, delta, threshold = 0.5)
+      .as[Long].collect().toSeq
+    // docB vs docA jaccard at 3-gram ~0.6 >= 0.5 -> rejected
+    assert(jaccard(docA, docB) >= 0.5)
+    assert(kept === Seq(27L))
+  }
+
+  test("ingestDedup: within-delta duplicates are NOT rejected (corpus-only screen)") {
+    import spark.implicits._
+    val corpus = Seq((0L, docC)).toDF("doc_id", "text")
+    val delta = Seq((7L, docA), (17L, docA)).toDF("doc_id", "text")
+    val kept = Dedup.ingestDedup(corpus, delta).as[Long].collect().toSeq
+    assert(kept === Seq(7L, 17L))
+  }
+
   test("dupStats: per-source doc counts, distinct counts, dup ratio") {
     import spark.implicits._
     val docs = Seq(
