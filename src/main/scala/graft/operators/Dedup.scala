@@ -471,15 +471,22 @@ object Dedup {
   def decontaminateBloom(train: DataFrame, evalDocs: DataFrame, n: Int = 5,
       expectedEvalShingles: Long = 4L << 20): DataFrame = {
     import graft.functions.BloomFn
+    // distinct FIRST so the bloom aggregates each hash once and the same
+    // shape feeds the verify join. NOTE the eval side is still scanned
+    // twice (subquery + verify build): constraint propagation copies the
+    // might_contain probe into the verify branch, which breaks canonical
+    // equality with the subquery's subtree, so ReuseExchange cannot fire.
+    // That is a constant-factor cost on the SMALL side; at production
+    // scale the eval hash set is precomputed and stored once anyway.
     val evalHashes = rawShingles(evalDocs, n)
-      .select(xxhash64(col("shingle")).as("h"))
+      .select(xxhash64(col("shingle")).as("h")).distinct()
     val bloom = evalHashes
       .agg(BloomFn.bloomAgg(col("h"), expectedEvalShingles).as("bf"))
       .scalar()
     val contaminated = rawShingles(train, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .filter(BloomFn.mightContain(bloom, col("h")))
-      .join(evalHashes.distinct().hint("shuffle_hash"), Seq("h"), "left_semi")
+      .join(evalHashes.hint("shuffle_hash"), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
     train.select(col("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")

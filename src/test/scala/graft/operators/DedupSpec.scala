@@ -87,7 +87,9 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     val evalD = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
     val exact = Dedup.decontaminate(train, evalD).as[Long].collect().toSeq
     val bloomed = Dedup.decontaminateBloom(train, evalD)
-    assert(bloomed.as[Long].collect().toSeq === exact)
+    // collect on THIS Dataset (not a .as[] derivative) so the inspected
+    // queryExecution is the one that ran
+    assert(bloomed.collect().map(_.getLong(0)).toSeq === exact)
     // the Bloom path's contract: the eval hash set is never broadcast —
     // the prefilter is a scalar-subquery bloom probe and the exact verify
     // a SHUFFLED semi-join. (The final anti-join on contaminated ids,
@@ -96,6 +98,11 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
     assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftSemi"),
       s"exact verify should be a shuffled semi-join:\n$plan")
+    // the bloom subquery appears on both sides of the verify join
+    // (constraint propagation copies the probe filter); it must be
+    // EXECUTED once — Spark's ReuseSubquery dedupes the second instance
+    assert(plan.contains("ReusedSubquery"),
+      s"expected the bloom subquery to be built once:\n${plan.take(3000)}")
   }
 
   test("bloom false positives never leak: tiny filter still yields exact output") {

@@ -56,4 +56,18 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]"),
       plan.take(1500))
   }
+
+  test("compact: collapses a many-small-files table, preserves every row") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    docs.repartition(40).write.mode("overwrite").parquet(wh.path("docs_frag"))
+    def partFiles: Int = new java.io.File(wh.path("docs_frag"))
+      .listFiles().count(f => f.getName.startsWith("part-"))
+    assert(partFiles === 40)
+    val before = docs.collect().map(_.getLong(0)).sorted.toSeq
+    val n = wh.compact("docs_frag")
+    assert(n === 1 && partFiles === 1) // tiny table -> one target file
+    val after = wh.readParquet("docs_frag")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
+  }
 }
