@@ -30,6 +30,13 @@ object Engine {
       .withExtensions(graft.functions.SimHash60.register)
       .withExtensions(graft.functions.BloomFn.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // BloomFilterAggregate silently clamps its size arguments to these
+      // confs (Spark tunes them for its own runtime join filters); raise
+      // them so Dedup.decontaminateBloom can size filters for billion-
+      // shingle eval suites — 2^32 items / 2^36 bits (8 GB) ceilings,
+      // actual size always comes from the operator's argument.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", (1L << 32).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", (1L << 36).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by

@@ -165,6 +165,26 @@ object SparkEntry {
   /** Quality-score oracle body — shared by `text_quality` and
     * `quality_ntile` so the score definition can't drift between them.
     */
+  /** Shared by `decon_survivors` and `decon_bloom`: the bloom path's
+    * contract is bit-equality with the exact path, enforced by gating
+    * both against this single string.
+    */
+  private val deconOracleSql: String =
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents),
+              UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+         WHERE len(w) >= 5),
+       contaminated AS (
+         SELECT DISTINCT t.doc_id
+         FROM sh t JOIN sh e ON t.shingle = e.shingle
+         WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0)
+       SELECT doc_id FROM documents
+       WHERE doc_id % 20 != 0
+         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       ORDER BY doc_id"""
+
   private val qualityOracleBody: String =
     """SELECT doc_id,
        round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
@@ -560,38 +580,11 @@ object SparkEntry {
          ORDER BY doc_id""",
     // 5-gram train/eval leakage: eval = doc_id % 20 == 0, drop train docs
     // sharing any 5-gram with eval, keep the rest
-    "decon_survivors" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-                 FROM documents),
-                UNNEST(generate_series(1, len(w) - 4)) AS t(i)
-           WHERE len(w) >= 5),
-         contaminated AS (
-           SELECT DISTINCT t.doc_id
-           FROM sh t JOIN sh e ON t.shingle = e.shingle
-           WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0)
-         SELECT doc_id FROM documents
-         WHERE doc_id % 20 != 0
-           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-         ORDER BY doc_id""",
+    "decon_survivors" -> deconOracleSql,
     // bloom path: false positives are exact-verified away, so the result
-    // is defined to equal the exact decontamination — same oracle
-    "decon_bloom" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-                 FROM documents),
-                UNNEST(generate_series(1, len(w) - 4)) AS t(i)
-           WHERE len(w) >= 5),
-         contaminated AS (
-           SELECT DISTINCT t.doc_id
-           FROM sh t JOIN sh e ON t.shingle = e.shingle
-           WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0)
-         SELECT doc_id FROM documents
-         WHERE doc_id % 20 != 0
-           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-         ORDER BY doc_id""",
+    // is defined to equal the exact decontamination — ONE shared oracle
+    // string, so the two entries can never drift apart
+    "decon_bloom" -> deconOracleSql,
     // ingest (delta-vs-corpus) dedup: LSH candidates are exact-verified, so
     // the exact cross-split formulation is the oracle (same recall argument
     // as dedup_minhash_lsh)
@@ -622,8 +615,8 @@ object SparkEntry {
          ORDER BY doc_id""",
     "dup_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
-           round(1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
          FROM documents GROUP BY source ORDER BY source""",
     "vocab_coverage" ->

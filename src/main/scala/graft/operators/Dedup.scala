@@ -83,12 +83,24 @@ object Dedup {
     * cost recall, never correctness).
     */
   private def verifiedPairs(candidates: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id"))
+      threshold: Double): DataFrame =
+    verifiedPairsSided(candidates, sh, sh, threshold)
+
+  /** Exact-Jaccard verification with each pair side resolved against its
+    * OWN shingle table — doc_a ids against `shA`, doc_b ids against
+    * `shB`. For self-joins both sides are the same table; for
+    * delta-vs-corpus screens they differ, and keeping them separate means
+    * an id present in both tables (a re-crawl of an existing doc_id)
+    * still sizes each side from the right document instead of merging
+    * the two shingle sets.
+    */
+  private def verifiedPairsSided(candidates: DataFrame, shA: DataFrame,
+      shB: DataFrame, threshold: Double): DataFrame = {
+    def sets(sh: DataFrame) = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n_sh").as("nb")), Seq("doc_b"))
+      .join(sets(shA).select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets(shB).select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= threshold)
@@ -466,7 +478,11 @@ object Dedup {
     *
     * `expectedEvalShingles` sizes the filter (Spark's default fpp curve);
     * overestimating costs memory, underestimating costs fpp (more exact-
-    * verify work), never correctness.
+    * verify work), never correctness. NOTE Spark clamps the size to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * — [[graft.Engine.session]] raises them to 2^32 items / 2^36 bits so
+    * billion-shingle sizings actually take effect; a session built
+    * elsewhere must do the same or large arguments silently saturate.
     */
   def decontaminateBloom(train: DataFrame, evalDocs: DataFrame, n: Int = 5,
       expectedEvalShingles: Long = 4L << 20): DataFrame = {
@@ -524,8 +540,12 @@ object Dedup {
   def ingestDedup(corpus: DataFrame, delta: DataFrame,
       threshold: Double = 0.9, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
-    val exactDup = delta.select(col("doc_id"), xxhash64(col("text")).as("dg"))
-      .join(corpus.select(xxhash64(col("text")).as("dg")).distinct(),
+    // 128-bit digest for text identity — same standard as exactDedupDocs:
+    // at 10¹⁰-doc corpora a 64-bit digest's |delta|×|corpus| birthday
+    // pressure accumulates daily, md5's 2^-128 does not. 32 hex chars
+    // per row cross the shuffle, never the text.
+    val exactDup = delta.select(col("doc_id"), md5(col("text")).as("dg"))
+      .join(corpus.select(md5(col("text")).as("dg")).distinct(),
         Seq("dg"), "left_semi")
       .select(col("doc_id"))
     val shD = shingleHashes(delta, n)
@@ -534,10 +554,13 @@ object Dedup {
       .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val index = bandedSignatures(shC, numHashes, bands)
       .select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    val nearDup = verifiedPairs(
+    // sided verify: delta ids resolve against delta shingles, corpus ids
+    // against corpus shingles — correct even when a delta re-crawl
+    // reuses an existing corpus doc_id
+    val nearDup = verifiedPairsSided(
         probe.join(index, Seq("band", "band_hash"))
           .select(col("doc_a"), col("doc_b")).distinct(),
-        shD.union(shC), threshold)
+        shD, shC, threshold)
       .select(col("doc_a").as("doc_id")).distinct()
     delta.select(col("doc_id"))
       .join(exactDup.union(nearDup).distinct(), Seq("doc_id"), "left_anti")
@@ -554,14 +577,15 @@ object Dedup {
 
   /** Per-source duplication report — the health dashboard a crawl
     * pipeline watches per ingest source: document count, distinct-text
-    * count, and the exact-duplicate ratio. One shuffle on (source, text)
-    * via partial distinct-aggregation; no text ever leaves the executor
-    * whole (Spark's ObjectHashAggregate dedups map-side first).
+    * count, and the exact-duplicate ratio. Distinctness is counted over
+    * the 128-bit md5 digest, not the text, so the distinct-agg shuffle
+    * carries 32 hex chars per row instead of whole documents — the same
+    * identity standard as [[exactDedupDocs]].
     */
   def dupStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_unique"))
+        countDistinct(md5(col("text"))).as("n_unique"))
       .withColumn("dup_ratio", round(
         lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 6))
       .orderBy(col("source"))

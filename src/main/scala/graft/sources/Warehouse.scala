@@ -172,19 +172,35 @@ final class Warehouse(spark: SparkSession, root: String) {
     * plus per-file open cost dominates scans. Rewrites the table into
     * ⌈bytes/targetFileBytes⌉ files via a round-robin repartition (keeps
     * no ordering promise — parquet row-group stats still prune), staged
-    * into a sibling temp dir then swapped in, so a concurrent reader
-    * sees either the old or the new complete table, never a partial
-    * write. Returns the new file count.
+    * into a sibling temp dir then swapped in via two renames (old→backup,
+    * staged→live, delete backup). On HDFS renames are atomic, so a reader
+    * races only the instant between the two renames (retryable
+    * not-found), never a partially written table; on copy-based object
+    * stores the swap degrades to best-effort and every rename result is
+    * checked so a failure surfaces instead of silently dropping the
+    * table. Refuses Hive-partitioned layouts (directory-per-value would
+    * be flattened, silently destroying partition pruning — compact the
+    * leaf directories individually instead). Bucketed tables live in the
+    * session catalog, not this namespace, and are not addressable here.
+    * Returns the new file count.
     */
   def compact(name: String, targetFileBytes: Long = 128L << 20): Int = {
     val path = p(name)
+    require(!fs.listStatus(path).exists(s => s.isDirectory && s.getPath.getName.contains("=")),
+      s"$name has a Hive-partitioned layout; compact its partition directories individually")
     val bytes = fs.getContentSummary(path).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(path.getParent, s".${path.getName}__compacting")
+    val bak = new Path(path.getParent, s".${path.getName}__precompact")
+    fs.delete(tmp, true); fs.delete(bak, true)
     spark.read.parquet(path.toString)
       .repartition(parts).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    require(fs.rename(path, bak), s"compact: could not stage old $name aside")
+    if (!fs.rename(tmp, path)) { // roll back so the table is never lost
+      fs.rename(bak, path)
+      throw new IllegalStateException(s"compact: swap failed for $name; original restored")
+    }
+    fs.delete(bak, true)
     parts
   }
 

@@ -137,6 +137,18 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Seq(27L))
   }
 
+  test("ingestDedup: a delta re-crawl reusing a corpus doc_id is sized per side") {
+    import spark.implicits._
+    // same doc_id 5 on both sides with DIFFERENT text: the delta text is a
+    // near-dup of corpus doc 0, and must still be caught — a union-based
+    // verify would merge id 5's two shingle sets and deflate the Jaccard
+    val corpus = Seq((0L, docA), (5L, docC)).toDF("doc_id", "text")
+    val delta = Seq((5L, docB)).toDF("doc_id", "text")
+    val kept = Dedup.ingestDedup(corpus, delta, threshold = 0.5)
+      .as[Long].collect().toSeq
+    assert(kept === Seq.empty)
+  }
+
   test("ingestDedup: within-delta duplicates are NOT rejected (corpus-only screen)") {
     import spark.implicits._
     val corpus = Seq((0L, docC)).toDF("doc_id", "text")

@@ -70,4 +70,13 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(after === before)
   }
+
+  test("compact refuses a Hive-partitioned layout instead of flattening it") {
+    wh.savePartitioned(nation, "nation_part", "n_regionkey")
+    val e = intercept[IllegalArgumentException](wh.compact("nation_part"))
+    assert(e.getMessage.contains("partitioned"))
+    // the table is untouched: pruning layout still present
+    assert(new java.io.File(wh.path("nation_part"))
+      .listFiles().exists(_.getName.startsWith("n_regionkey=")))
+  }
 }
