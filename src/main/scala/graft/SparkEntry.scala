@@ -51,6 +51,9 @@ object SparkEntry {
     "q29_dates_regex"      -> (Analytics.q29DatesRegex(_, _)),
     "q30_unpivot"          -> (Analytics.q30Unpivot(_, _)),
     "q31_resample"         -> (Analytics.q31Resample(_, _)),
+    "q32_full_outer"       -> (Relational.q32FullOuter(_, _)),
+    "q33_multiset_ops"     -> (Relational.q33MultisetOps(_, _)),
+    "q34_lateral_topk"     -> (Relational.q34LateralTopk(_, _)),
     "cohort_retention"     -> (Analytics.cohortRetention(_, _)),
     "funnel_stages"        -> (Analytics.funnelStages(_, _)),
     "skew_salted_agg"      -> (Analytics.skewSaltedAgg(_, _)),
@@ -712,6 +715,38 @@ object SparkEntry {
            last_value(hr_max IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY hr) AS filled
          FROM j ORDER BY user_id, hr""",
+    "q32_full_outer" ->
+      """WITH o_open AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_open
+           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+         o_fin AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_fin
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+         SELECT coalesce(o_open.o_custkey, o_fin.o_custkey) AS o_custkey,
+           o_open.o_custkey IS NOT NULL AS has_open,
+           o_fin.o_custkey IS NOT NULL AS has_fin,
+           coalesce(n_open, 0) AS n_open,
+           coalesce(n_fin, 0) AS n_fin
+         FROM o_open FULL OUTER JOIN o_fin
+           ON o_open.o_custkey = o_fin.o_custkey
+         ORDER BY 1""",
+    "q33_multiset_ops" ->
+      """WITH hi AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 25),
+         disc AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+         SELECT 'except_all' AS tag, l_orderkey
+         FROM (SELECT l_orderkey FROM hi EXCEPT ALL SELECT l_orderkey FROM disc)
+         UNION ALL
+         SELECT 'intersect_all' AS tag, l_orderkey
+         FROM (SELECT l_orderkey FROM hi INTERSECT ALL SELECT l_orderkey FROM disc)
+         ORDER BY tag, l_orderkey""",
+    "q34_lateral_topk" ->
+      """SELECT n_nationkey, n_name, c_custkey,
+           round(c_acctbal, 2) AS acctbal
+         FROM nation, LATERAL (
+           SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         ORDER BY n_nationkey, acctbal DESC, c_custkey""",
     // the IVF index is fully relational (centroids ARE data vectors), so
     // the approximate path itself is oracle-checkable, probe-for-probe
     "ann_ivf" ->

@@ -355,4 +355,66 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("last_click_us"))
       .orderBy(col("event_id"))
   }
+
+  /** FULL OUTER join of two per-customer aggregates (open vs finished
+    * order counts) — the reconciliation shape: customers present on
+    * either side survive, presence tracked explicitly and counts
+    * coalesced. Both sides aggregate BEFORE the join, so the outer join
+    * matches one row per key per side (no fan-out) and both inputs are
+    * already shuffled on the join key — the join reuses that
+    * partitioning instead of adding an exchange.
+    */
+  def q32FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def perCust(status: String, as: String) =
+      o.filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as(as))
+    perCust("O", "n_open").join(perCust("F", "n_fin"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        col("n_open").isNotNull.as("has_open"),
+        col("n_fin").isNotNull.as("has_fin"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_fin"), lit(0L)).as("n_fin"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL, which
+    * keep multiplicity (a value occurring 3× on the left and 1× on the
+    * right survives EXCEPT ALL 2×, INTERSECT ALL 1×) where q9's EXCEPT
+    * collapses to distinct. Spark plans both as a single aggregate
+    * computing per-row counts on each side plus a generate — one shuffle,
+    * no join.
+    */
+  def q33MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val hi = li.filter(col("l_quantity") > 25).select(col("l_orderkey"))
+    val disc = li.filter(col("l_discount") > 0.05).select(col("l_orderkey"))
+    hi.exceptAll(disc).select(lit("except_all").as("tag"), col("l_orderkey"))
+      .unionAll(
+        hi.intersectAll(disc).select(lit("intersect_all").as("tag"), col("l_orderkey")))
+      .orderBy(col("tag"), col("l_orderkey"))
+  }
+
+  /** Correlated LATERAL table subquery — per nation, its top-2 customers
+    * by account balance, expressed with Spark 4's `lateralJoin` +
+    * `Column.outer()` correlation (the SQL `, LATERAL (...)` form).
+    * Catalyst decorrelates the per-row subquery into a window-ranked
+    * join — the same plan a hand-written row_number query gets — so the
+    * declarative form costs nothing at scale; the ordering
+    * (c_acctbal DESC, c_custkey) is a total order so top-2 is
+    * deterministic.
+    */
+  def q34LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val top2 = t.customer
+      .where(col("c_nationkey") === col("n_nationkey").outer())
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(2)
+      .select(col("c_custkey"), col("c_acctbal"))
+    t.nation.select(col("n_nationkey"), col("n_name"))
+      .lateralJoin(top2)
+      .select(col("n_nationkey"), col("n_name"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("n_nationkey"), col("acctbal").desc, col("c_custkey"))
+  }
 }

@@ -115,6 +115,17 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"expected shuffle reuse in final adaptive plan:\n${plan.take(3000)}")
   }
 
+  test("q34 lateral: decorrelated to a windowed join with group-limit pushdown") {
+    val plan = planOf("q34_lateral_topk")
+    // the correlated LIMIT subquery must NOT survive as a per-row
+    // subquery: Catalyst rewrites it to a window rank + join, and the
+    // LIMIT 2 becomes a WindowGroupLimit (rank computed only until k)
+    assert(!plan.contains("LateralJoin") && plan.contains("Window"),
+      s"expected decorrelated window plan:\n${plan.take(2000)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected group-limit pushdown for the correlated LIMIT:\n${plan.take(2000)}")
+  }
+
   test("vocab_coverage: the token-counts shuffle is shared with the total subquery") {
     val df = SparkEntry.queries("vocab_coverage")(spark, dir)
     df.collect()
