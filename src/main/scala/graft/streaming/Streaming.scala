@@ -117,6 +117,34 @@ object Streaming {
       .orderBy(col("n_events").desc, col(keyCol))
       .limit(k)
 
+  /** Stream-static dimension enrichment: join each micro-batch of the
+    * event stream against a STATIC dimension table (here: per-user
+    * profile aggregated from the batch events table — stand-in for any
+    * slowly-changing dim). Structured Streaming re-plans the static side
+    * per micro-batch, so a small dim broadcasts (no state store, no
+    * watermark) and a refreshed dim snapshot is picked up on restart —
+    * the canonical enrichment shape before sessionization/funnel state.
+    * Left join keeps events whose user has no profile (tagged
+    * `is_known=false`) rather than dropping them.
+    */
+  def enrichWithDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("home_type").isNotNull.as("is_known"),
+        coalesce(col("home_type"), lit("unknown")).as("home_type"))
+
+  /** The static side for [[enrichWithDim]]: each user's modal event type
+    * from the batch table (deterministic tie-break on type name).
+    */
+  def userDim(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Engine.Tables(spark, dir).events
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), struct(col("n"), col("event_type"))).as("home_type"))
+  }
+
   /** Stateless fingerprint enrichment of a document stream: the portable
     * md5-60 digest plus the winnowing fingerprint count, both computed by
     * the same codegen expressions the batch operators use — scalar

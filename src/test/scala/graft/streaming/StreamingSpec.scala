@@ -109,6 +109,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("enrichWithDim: stream-static left join matches batch, keeps unknown users") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Streaming.userDim(spark, "/root/testdata/sf0.001")
+    val knownUser = dim.select("user_id").as[Long].head()
+    val ghost = -999L // no profile row
+    val input = MemoryStream[(Long, Long, String)] // event_id, user_id, type
+    val df = input.toDF().toDF("event_id", "user_id", "event_type")
+    val q = Streaming.enrichWithDim(df, dim).writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData((1L, knownUser, "click"), (2L, ghost, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(3), r.getString(4))).toMap
+      val expectedHome = dim.filter(col("user_id") === knownUser)
+        .select("home_type").head().getString(0)
+      assert(rows(1L) === (true, expectedHome))
+      assert(rows(2L) === (false, "unknown"))
+    } finally q.stop()
+  }
+
   test("sessionize: a within-watermark late event cannot regress the session") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
