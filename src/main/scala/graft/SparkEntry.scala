@@ -92,6 +92,9 @@ object SparkEntry {
     "ngram_lm"             -> ((s, d) => TextAnalysis.ngramLm(s, d)),
     "doc_chunks"           -> (TextAnalysis.docChunksDocs(_, _)),
     "vocab_coverage"       -> (TextAnalysis.vocabCoverageDocs(_, _)),
+    "filter_cascade"       -> (TextAnalysis.filterCascade(_, _)),
+    "lang_balance"         -> ((s, d) =>
+      operators.Sampling.langBalance(graft.Engine.Tables(s, d).documents)),
     "quality_ntile"        -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       operators.Ranking.distributedNtile(
@@ -1042,6 +1045,36 @@ object SparkEntry {
            row_number() OVER (ORDER BY quality, doc_id) AS rank,
            ntile(10) OVER (ORDER BY quality, doc_id) AS bin
          FROM q ORDER BY doc_id""",
+    "filter_cascade" ->
+      s"""WITH r AS (
+           SELECT doc_id, len(w) AS n_tok,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS ar,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr
+           FROM (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents))
+         SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+           round(ar, 4) AS alpha_ratio, round(dr, 4) AS distinct_ratio,
+           CASE WHEN n_tok < ${TextAnalysis.CascadeMinTokens} THEN 'too_short'
+                WHEN ar < ${TextAnalysis.CascadeMinAlpha} THEN 'low_alpha'
+                WHEN dr < ${TextAnalysis.CascadeMinDistinct} THEN 'high_dup'
+                ELSE 'keep' END AS verdict
+         FROM r ORDER BY doc_id""",
+    "lang_balance" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS tok
+           FROM documents),
+         lt AS (SELECT lang, sum(tok) AS lang_tok FROM d GROUP BY lang),
+         f AS (SELECT lang,
+                 least(1.0, sum(lang_tok) OVER () / count(*) OVER ()
+                            / lang_tok) AS frac
+               FROM lt)
+         SELECT doc_id, lang FROM d JOIN f USING (lang)
+         WHERE ${duckMd5_60("'bal:' || CAST(doc_id AS VARCHAR)")} % 1000000
+               < CAST(floor(1000000.0 * frac) AS BIGINT)
+         ORDER BY doc_id""",
     "strat_sample" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE ${duckMd5_60("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000000

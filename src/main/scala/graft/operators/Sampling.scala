@@ -103,4 +103,34 @@ object Sampling {
     val skey = md5(concat(lit(salt), col(keyCol).cast("string")))
     df.withColumn("skey", skey).orderBy(col("skey"))
   }
+
+  /** Language-mixture rebalancing: downsample over-represented languages
+    * so every language targets an EQUAL share of corpus tokens (the
+    * uniform special case of pre-training mixture weighting). Per-language
+    * keep-fractions are computed IN-PLAN — token totals per language, the
+    * corpus total and language count via full-frame windows over that
+    * tiny aggregate — so there is no eager count, no driver constant to
+    * drift, and the operator re-derives correct fractions as the corpus
+    * grows. Document membership is the same salted-md5 gate as every
+    * sampler here: deterministic, partitioning-invariant, stable under
+    * incremental ingest. Languages at or under target keep everything
+    * (frac clamps to 1).
+    */
+  def langBalance(docs: DataFrame, salt: String = "bal:"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("double").as("tok"))
+    val w = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // integer-valued doubles: all sums exact, so frac is bit-identical
+    // in any engine and under any partitioning
+    val lt = d.groupBy(col("lang")).agg(sum(col("tok")).as("lang_tok"))
+      .withColumn("frac", least(lit(1.0),
+        sum(col("lang_tok")).over(w) / count(lit(1)).over(w) / col("lang_tok")))
+    d.join(broadcast(lt.select(col("lang"), col("frac"))), Seq("lang"))
+      .filter(bucket(col("doc_id"), salt) <
+        floor(lit(Buckets.toDouble) * col("frac")).cast("long"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
 }

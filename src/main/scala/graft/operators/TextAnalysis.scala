@@ -373,4 +373,41 @@ object TextAnalysis {
 
   def vocabCoverageDocs(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables(spark, dir).documents)
+
+  // --------------------------------------------------- filter cascade
+
+  /** Ordered quality-filter cascade (the CCNet/Gopher-style rejection
+    * funnel): every document gets the FIRST rule it fails — too short →
+    * low alphabetic ratio → high token repetition — or `keep`. Emitting
+    * the verdict (not just the survivors) is the point: the per-rule
+    * rejection counts are the dashboard a curation pipeline watches to
+    * see which rule is eating the corpus, and re-runs stay comparable
+    * rule by rule. Pure per-row expressions — a narrow scan-fused pass,
+    * zero shuffles at any corpus size.
+    */
+  /** Cascade thresholds — interpolated into the DuckDB oracle too. */
+  val CascadeMinTokens = 12
+  val CascadeMinAlpha = 0.78
+  val CascadeMinDistinct = 0.35
+
+  def filterCascade(spark: SparkSession, dir: String,
+      minTokens: Int = CascadeMinTokens, minAlpha: Double = CascadeMinAlpha,
+      minDistinct: Double = CascadeMinDistinct): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nTok = size(toks)
+    val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / length(col("text")).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") /
+      nTok.cast("double")
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        nTok.as("n_tok"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        round(distinctRatio, 4).as("distinct_ratio"),
+        when(nTok < minTokens, "too_short")
+          .when(alphaRatio < minAlpha, "low_alpha")
+          .when(distinctRatio < minDistinct, "high_dup")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
 }

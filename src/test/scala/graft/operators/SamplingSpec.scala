@@ -84,4 +84,22 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(a.toSet.size === a.length)
     assert(a.toSeq !== a.sorted.toSeq, "md5 order must not be key order")
   }
+
+  test("langBalance: under-target languages keep all, over-target downsample") {
+    import spark.implicits._
+    val ten = "one two three four five six seven eight nine ten"
+    val df = ((0L until 10L).map(i => (i, "en", ten)) :+ (100L, "fr", ten))
+      .toDF("doc_id", "lang", "text")
+    val kept = Sampling.langBalance(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // fr holds 10 of 110 tokens, target 55 -> frac clamps to 1, all kept
+    assert(kept.contains((100L, "fr")))
+    // en holds 100, target 55 -> frac 0.55: a strict, non-empty subset
+    val en = kept.filter(_._2 == "en")
+    assert(en.nonEmpty && en.length < 10, s"en kept ${en.length}")
+    // deterministic under repartitioning
+    val again = Sampling.langBalance(df.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq === kept.sorted.toSeq)
+  }
 }

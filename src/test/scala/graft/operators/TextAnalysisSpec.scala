@@ -183,6 +183,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(byId(0L)._2 === md5_60(bag))
   }
 
+  test("filterCascade: first failing rule wins, in cascade order") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-cascade").toString
+    Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (1L, "tiny doc"),                                              // too_short
+      (2L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2 m3 n4"),             // low_alpha
+      (3L, "word word word word word word word word word word word word word word"), // high_dup
+      (4L, "11 11 11 11 11 11 11 11 11 11 11 11 11 11")              // fails alpha AND dup -> low_alpha first
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.filterCascade(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got === Map(0L -> "keep", 1L -> "too_short", 2L -> "low_alpha",
+      3L -> "high_dup", 4L -> "low_alpha"))
+  }
+
   test("vocabCoverage matches an in-memory count/sort/cumsum reference") {
     val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
     val got = TextAnalysis.vocabCoverage(docs, k = 50).collect()
