@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Pipeline observability — the data-quality counters a production run
+  * records per pass (row counts, null counts, approximate key
+  * cardinality), attached with Spark's `Observation` API: the metrics are
+  * computed DURING whatever action the caller runs (accumulator-backed,
+  * collected on the driver when the action finishes), so a monitored
+  * write costs ZERO extra scans — the difference, at 100 TB, between
+  * "monitored" and "twice as expensive".
+  *
+  * The reference has no observability beyond log lines
+  * (`maple_juice/maple_juice.go` prints timings to stdout); this is the
+  * Spark-idiomatic replacement.
+  */
+object Monitoring {
+
+  /** Attach quality metrics to `df`: total rows, per-column null counts,
+    * and per-column approximate distinct counts (HLL++, ±~2%). Returns
+    * the instrumented frame and the Observation — run any ONE action on
+    * the returned frame, then read `observation.get`.
+    */
+  def observed(df: DataFrame, name: String,
+      cols: Seq[String]): (DataFrame, Observation) = {
+    require(cols.nonEmpty, "need at least one column to observe")
+    val obs = Observation(name)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        approx_count_distinct(col(c)).as(s"${c}_approx_distinct"))
+    }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+}
