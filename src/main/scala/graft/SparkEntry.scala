@@ -194,7 +194,7 @@ object SparkEntry {
   private val qualityOracleBody: String =
     """SELECT doc_id,
        round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
-            + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+            + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)
             + CAST(len(list_filter(w, t -> length(t) >= 3)) AS DOUBLE) / len(w)) / 3.0, 4) AS quality
        FROM (SELECT doc_id, text,
                     regexp_split_to_array(trim(text), '\s+') AS w
@@ -1049,7 +1049,7 @@ object SparkEntry {
       s"""WITH r AS (
            SELECT doc_id, len(w) AS n_tok,
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-               / length(text) AS ar,
+               / greatest(length(text), 1) AS ar,
              CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr
            FROM (SELECT doc_id, text,
                         regexp_split_to_array(trim(text), '\\s+') AS w
@@ -1071,10 +1071,11 @@ object SparkEntry {
                  least(1.0, sum(lang_tok) OVER () / count(*) OVER ()
                             / lang_tok) AS frac
                FROM lt)
-         SELECT doc_id, lang FROM d JOIN f USING (lang)
-         WHERE ${duckMd5_60("'bal:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         SELECT d.doc_id, d.lang
+         FROM d JOIN f ON d.lang IS NOT DISTINCT FROM f.lang
+         WHERE ${duckMd5_60("'bal:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
                < CAST(floor(1000000.0 * frac) AS BIGINT)
-         ORDER BY doc_id""",
+         ORDER BY d.doc_id""",
     "strat_sample" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE ${duckMd5_60("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000000

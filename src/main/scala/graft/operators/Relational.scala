@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Engine.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -378,20 +378,32 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
-  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL, which
-    * keep multiplicity (a value occurring 3× on the left and 1× on the
-    * right survives EXCEPT ALL 2×, INTERSECT ALL 1×) where q9's EXCEPT
-    * collapses to distinct. Spark plans both as a single aggregate
-    * computing per-row counts on each side plus a generate — one shuffle,
-    * no join.
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL
+    * semantics, which keep multiplicity (a value occurring 3× on the
+    * left and 1× on the right survives EXCEPT ALL 2×, INTERSECT ALL 1×)
+    * where q9's EXCEPT collapses to distinct. Computed from per-key
+    * side-counts in ONE scan + ONE shuffle: multiplicity arithmetic
+    * (max(na-nb,0) / min(na,nb)) over a single groupBy, multiplicities
+    * re-expanded with an in-row `sequence` explode; the two output
+    * branches share the aggregate's exchange (AQE reuse). Spark's
+    * built-in `exceptAll`/`intersectAll` plan the same arithmetic but
+    * duplicate the scan per operator — RelationalSpec pins this
+    * formulation equal to the built-ins.
     */
   def q33MultisetOps(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-    val hi = li.filter(col("l_quantity") > 25).select(col("l_orderkey"))
-    val disc = li.filter(col("l_discount") > 0.05).select(col("l_orderkey"))
-    hi.exceptAll(disc).select(lit("except_all").as("tag"), col("l_orderkey"))
-      .unionAll(
-        hi.intersectAll(disc).select(lit("intersect_all").as("tag"), col("l_orderkey")))
+    val counts = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"),
+        (col("l_quantity") > 25).cast("long").as("a"),
+        (col("l_discount") > 0.05).cast("long").as("b"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    def expand(tag: String, m: Column) = counts
+      .withColumn("__m", m).filter(col("__m") > 0)
+      .select(lit(tag).as("tag"), col("l_orderkey"),
+        explode(sequence(lit(1L), col("__m"))).as("__i"))
+      .select(col("tag"), col("l_orderkey"))
+    expand("except_all", greatest(col("na") - col("nb"), lit(0L)))
+      .unionAll(expand("intersect_all", least(col("na"), col("nb"))))
       .orderBy(col("tag"), col("l_orderkey"))
   }
 

@@ -127,9 +127,13 @@ object Sampling {
     val lt = d.groupBy(col("lang")).agg(sum(col("tok")).as("lang_tok"))
       .withColumn("frac", least(lit(1.0),
         sum(col("lang_tok")).over(w) / count(lit(1)).over(w) / col("lang_tok")))
-    d.join(broadcast(lt.select(col("lang"), col("frac"))), Seq("lang"))
-      .filter(bucket(col("doc_id"), salt) <
-        floor(lit(Buckets.toDouble) * col("frac")).cast("long"))
+      .select(col("lang").as("__lb_lang"), col("frac"))
+    // NULL lang (lang-id below confidence) is a language slice like any
+    // other: the null-safe join keeps those docs in their own sampled
+    // group instead of silently dropping them while still counting them
+    // in everyone else's target
+    d.join(broadcast(lt), d("lang") <=> lt("__lb_lang"))
+      .filter(gate(col("doc_id"), col("frac"), salt))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }

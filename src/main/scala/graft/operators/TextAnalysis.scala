@@ -68,21 +68,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared ratio building blocks — ONE definition feeding qualityScore,
+    * filterCascade and their oracles, so the tokenizer/regex can never
+    * drift between the score and the filter verdicts. The char
+    * denominator is `greatest(length, 1)`: an empty document must yield
+    * ratio 0, not a DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    * (token denominators are safe — split of '' is [''], size ≥ 1).
+    */
+  private def qtToks = split(trim(col("text")), "\\s+")
+  private[graft] def alphaRatioExpr: Column =
+    length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+      greatest(length(col("text")), lit(1)).cast("double")
+  private[graft] def distinctRatioExpr: Column =
+    size(array_distinct(qtToks)).cast("double") / size(qtToks).cast("double")
+
   /** Quality score in [0,1]: mean of three ratio heuristics — distinct
     * token ratio, alpha-char ratio, short-token penalty. Emitted as exact
     * integer numerators/denominator plus the rounded score so the oracle
     * compares integers and one rounded ratio.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = qtToks
     val nTok = size(toks).cast("double")
-    val nDis = size(array_distinct(toks)).cast("double")
-    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
-    val nChar = length(col("text")).cast("double")
     val nLong = size(filter(toks, t => length(t) >= 3)).cast("double")
     Tables(spark, dir).documents
       .select(col("doc_id"),
-        round((nDis / nTok + nAlpha / nChar + nLong / nTok) / 3.0, 4).as("quality"))
+        round((distinctRatioExpr + alphaRatioExpr + nLong / nTok) / 3.0, 4).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -393,12 +404,9 @@ object TextAnalysis {
   def filterCascade(spark: SparkSession, dir: String,
       minTokens: Int = CascadeMinTokens, minAlpha: Double = CascadeMinAlpha,
       minDistinct: Double = CascadeMinDistinct): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val nTok = size(toks)
-    val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
-      .cast("double") / length(col("text")).cast("double")
-    val distinctRatio = size(array_distinct(toks)).cast("double") /
-      nTok.cast("double")
+    val nTok = size(qtToks)
+    val alphaRatio = alphaRatioExpr    // shared with qualityScore — the
+    val distinctRatio = distinctRatioExpr // filter and the score can't drift
     Tables(spark, dir).documents
       .select(col("doc_id"),
         nTok.as("n_tok"),

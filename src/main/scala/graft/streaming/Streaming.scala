@@ -136,6 +136,12 @@ object Streaming {
 
   /** The static side for [[enrichWithDim]]: each user's modal event type
     * from the batch table (deterministic tie-break on type name).
+    * Persisted — Structured Streaming RE-EXECUTES the static side every
+    * micro-batch, so an unmaterialized two-shuffle aggregate would pay
+    * full-history cost per batch; with the cache the scan+aggregation
+    * runs once and later batches broadcast from memory. (In production
+    * the dim is a table refreshed out-of-band; re-reading a materialized
+    * snapshot has the same property.)
     */
   def userDim(spark: SparkSession, dir: String): DataFrame = {
     val counts = graft.Engine.Tables(spark, dir).events
@@ -143,6 +149,7 @@ object Streaming {
     counts
       .groupBy(col("user_id"))
       .agg(max_by(col("event_type"), struct(col("n"), col("event_type"))).as("home_type"))
+      .persist()
   }
 
   /** Stateless fingerprint enrichment of a document stream: the portable

@@ -119,8 +119,10 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val plan = planOf("q34_lateral_topk")
     // the correlated LIMIT subquery must NOT survive as a per-row
     // subquery: Catalyst rewrites it to a window rank + join, and the
-    // LIMIT 2 becomes a WindowGroupLimit (rank computed only until k)
-    assert(!plan.contains("LateralJoin") && plan.contains("Window"),
+    // LIMIT 2 becomes a WindowGroupLimit (rank computed only until k).
+    // (A logical LateralJoin node can never appear in a physical plan
+    // string, so the meaningful assertions are the window ones.)
+    assert(plan.contains("Window"),
       s"expected decorrelated window plan:\n${plan.take(2000)}")
     assert(plan.contains("WindowGroupLimit"),
       s"expected group-limit pushdown for the correlated LIMIT:\n${plan.take(2000)}")

@@ -102,4 +102,17 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(again.sorted.toSeq === kept.sorted.toSeq)
   }
+
+  test("langBalance: NULL lang is its own sampled slice, not dropped") {
+    import spark.implicits._
+    val ten = "one two three four five six seven eight nine ten"
+    val df = ((0L until 10L).map(i => (i, Option("en"), ten)) :+
+      (100L, Option.empty[String], ten)).toDF("doc_id", "lang", "text")
+    val kept = Sampling.langBalance(df).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    // the null slice holds 10 of 110 tokens, target 55 -> frac 1, kept
+    assert(kept.contains((100L, None)), s"null-lang doc dropped: ${kept.toSeq}")
+    val en = kept.filter(_._2.contains("en"))
+    assert(en.nonEmpty && en.length < 10)
+  }
 }
