@@ -365,4 +365,26 @@ object Streaming {
           }
       }
   }
+
+  // ----------------------------------------------------------- sinks
+
+  /** Idempotent batch-addressed parquet sink: each micro-batch lands in
+    * its own `batch_id=<id>` directory with mode=overwrite, so a batch
+    * REPLAYED after a failure (Structured Streaming's contract is
+    * at-least-once delivery to foreachBatch) overwrites its own previous
+    * output instead of appending duplicates — end-to-end exactly-once
+    * effect from deterministic batch ids + idempotent writes, the
+    * standard production recipe. Readers use partition discovery over
+    * the batch_id layout (`spark.read.parquet(path)`); run
+    * [[graft.sources.Warehouse.compact]]-style maintenance per leaf if
+    * micro-batches are small.
+    */
+  def idempotentParquetSink(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+      }
+      .start()
 }

@@ -131,6 +131,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("idempotentParquetSink: batch-addressed dirs; re-writing a batch id doesn't duplicate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.idempotentParquetSink(
+      input.toDF().toDF("id", "v"), out, ckpt)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+      // batch_id partition layout present
+      assert(rows.columns.contains("batch_id"))
+      // simulate an at-least-once REPLAY of batch 0: same data, same id
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$out/batch_id=0")
+      val after = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      assert(after === Seq(1L, 2L, 3L)) // overwrite, not append: no dupes
+    } finally q.stop()
+  }
+
   test("sessionize: a within-watermark late event cannot regress the session") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
