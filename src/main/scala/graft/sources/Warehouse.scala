@@ -140,6 +140,33 @@ final class Warehouse(spark: SparkSession, root: String) {
     spark.read.schema(schema).option("header", "true")
       .option("multiLine", "true").csv(p(name).toString)
 
+  /** Fault-tolerant CSV ingest: PERMISSIVE mode with the malformed line
+    * captured whole in `_corrupt_record` instead of either killing the
+    * job (FAILFAST) or silently dropping rows (DROPMALFORMED) — at crawl
+    * scale some rows ARE broken and the pipeline must quarantine them
+    * (filter on `_corrupt_record IS NOT NULL`), not die at hour nine.
+    * The caller's schema gets the extra string column appended here.
+    */
+  def readCsvPermissive(name: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", "true").option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(p(name).toString)
+
+  /** Parquet read with schema evolution: union the footers of every file
+    * (`mergeSchema`) so a table whose later appends added columns reads
+    * as the superset schema, old files yielding NULL for new columns —
+    * how a long-lived lake table grows fields without rewriting
+    * petabytes. Costs a footer read per file; keep it off (the default
+    * [[readParquet]]) when the schema is known stable.
+    */
+  def readParquetMerged(name: String): org.apache.spark.sql.DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(p(name).toString)
+
   /** JSON-lines with an explicit schema (same inference prohibition).
     * Schema'd reads also let Catalyst prune unread fields at the parser —
     * `ReadSchema` applies to JSON like it does to parquet.
