@@ -143,19 +143,28 @@ final class Warehouse(spark: SparkSession, root: String) {
   /** Fault-tolerant CSV ingest: PERMISSIVE mode with the malformed line
     * captured whole in `_corrupt_record` instead of either killing the
     * job (FAILFAST) or silently dropping rows (DROPMALFORMED) — at crawl
-    * scale some rows ARE broken and the pipeline must quarantine them
-    * (filter on `_corrupt_record IS NOT NULL`), not die at hour nine.
-    * The caller's schema gets the extra string column appended here.
+    * scale some rows ARE broken and the pipeline must quarantine them,
+    * not die at hour nine. CAVEAT (Spark restriction since 2.3): a query
+    * that references ONLY `_corrupt_record` from raw CSV (e.g.
+    * `.filter($"_corrupt_record".isNotNull).count()`) throws — project
+    * the data columns alongside it, or `.cache()` the frame first, when
+    * splitting good rows from quarantined ones. The caller's schema gets
+    * the extra string column appended here (skipped if already present,
+    * so a schema captured from a previous permissive read round-trips).
     */
   def readCsvPermissive(name: String,
       schema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
     spark.read
-      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .schema(withCorrupt)
       .option("header", "true").option("multiLine", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(p(name).toString)
+  }
 
   /** Parquet read with schema evolution: union the footers of every file
     * (`mergeSchema`) so a table whose later appends added columns reads
@@ -220,7 +229,10 @@ final class Warehouse(spark: SparkSession, root: String) {
     val tmp = new Path(path.getParent, s".${path.getName}__compacting")
     val bak = new Path(path.getParent, s".${path.getName}__precompact")
     fs.delete(tmp, true); fs.delete(bak, true)
-    spark.read.parquet(path.toString)
+    // mergeSchema: a schema-evolved table (readParquetMerged's contract)
+    // must compact to its SUPERSET schema — a single-footer read could
+    // pick an old file and silently drop later-added columns
+    spark.read.option("mergeSchema", "true").parquet(path.toString)
       .repartition(parts).write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(path, bak), s"compact: could not stage old $name aside")
     if (!fs.rename(tmp, path)) { // roll back so the table is never lost

@@ -368,23 +368,46 @@ object Streaming {
 
   // ----------------------------------------------------------- sinks
 
+  /** The per-batch write [[idempotentParquetSink]] runs: overwrite into a
+    * batch-addressed directory. Public so the idempotence property is
+    * directly testable (write the same id twice → same bytes, no dupes).
+    */
+  def writeBatchIdempotent(batch: DataFrame, id: Long, path: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+
   /** Idempotent batch-addressed parquet sink: each micro-batch lands in
     * its own `batch_id=<id>` directory with mode=overwrite, so a batch
     * REPLAYED after a failure (Structured Streaming's contract is
     * at-least-once delivery to foreachBatch) overwrites its own previous
-    * output instead of appending duplicates — end-to-end exactly-once
-    * effect from deterministic batch ids + idempotent writes, the
-    * standard production recipe. Readers use partition discovery over
-    * the batch_id layout (`spark.read.parquet(path)`); run
-    * [[graft.sources.Warehouse.compact]]-style maintenance per leaf if
-    * micro-batches are small.
+    * output instead of appending duplicates — exactly-once EFFECT from
+    * deterministic batch ids + idempotent writes, the standard
+    * production recipe. The guarantee is tied to the path↔checkpoint
+    * pairing: a FRESH checkpoint restarts batch ids at 0, which would
+    * overwrite low-numbered dirs while stale high-numbered ones survive
+    * — so startup refuses a new checkpoint over a non-empty output
+    * (wipe the output when resetting the checkpoint). Readers use
+    * partition discovery over the layout (`spark.read.parquet(path)`);
+    * if micro-batches are small, periodically rewrite old leaf dirs
+    * with a batch job (they are immutable once their id is committed).
     */
   def idempotentParquetSink(df: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(path)
+    val ckptPath = new org.apache.hadoop.fs.Path(checkpoint)
+    val outFs = outPath.getFileSystem(conf)
+    val ckptFs = ckptPath.getFileSystem(conf)
+    val freshCheckpoint = !ckptFs.exists(ckptPath) || ckptFs.listStatus(ckptPath).isEmpty
+    val outputPopulated = outFs.exists(outPath) && outFs.listStatus(outPath).nonEmpty
+    require(!(freshCheckpoint && outputPopulated),
+      s"fresh checkpoint $checkpoint over non-empty output $path would " +
+        "restart batch ids at 0 and corrupt the directory; wipe the output " +
+        "when resetting the checkpoint")
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+        writeBatchIdempotent(batch.toDF(), id, path)
       }
       .start()
+  }
 }

@@ -103,6 +103,20 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.toSeq === Seq((1L, "a", -1L), (2L, "b", 99L)))
   }
 
+  test("compact preserves a schema-evolved table's superset schema") {
+    import spark.implicits._
+    val name = "evolving_compact"
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(wh.path(name))
+    Seq((2L, "b", 99L)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(wh.path(name))
+    wh.compact(name)
+    val back = wh.readParquet(name) // plain read: compaction normalized the schema
+    assert(back.columns.toSet === Set("id", "v", "extra"))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, -1L), (2L, 99L)))
+  }
+
   test("compact refuses a Hive-partitioned layout instead of flattening it") {
     wh.savePartitioned(nation, "nation_part", "n_regionkey")
     val e = intercept[IllegalArgumentException](wh.compact("nation_part"))

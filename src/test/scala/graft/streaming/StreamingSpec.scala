@@ -148,12 +148,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(rows.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
       // batch_id partition layout present
       assert(rows.columns.contains("batch_id"))
-      // simulate an at-least-once REPLAY of batch 0: same data, same id
-      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
-        .write.mode("overwrite").parquet(s"$out/batch_id=0")
+      // replay batch 0 THROUGH THE SINK'S OWN write path (at-least-once
+      // redelivery = same data, same id, same code): must not duplicate
+      Streaming.writeBatchIdempotent(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L, out)
       val after = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
       assert(after === Seq(1L, 2L, 3L)) // overwrite, not append: no dupes
     } finally q.stop()
+  }
+
+  test("idempotentParquetSink refuses a fresh checkpoint over non-empty output") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    Streaming.writeBatchIdempotent(Seq((9L, "z")).toDF("id", "v"), 7L, out)
+    val freshCkpt = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val input = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException](
+      Streaming.idempotentParquetSink(input.toDF().toDF("id", "v"), out, freshCkpt))
+    assert(e.getMessage.contains("wipe the output"))
   }
 
   test("sessionize: a within-watermark late event cannot regress the session") {
