@@ -29,6 +29,7 @@ object Engine {
       .withExtensions(graft.functions.WinnowFps.register)
       .withExtensions(graft.functions.SimHash60.register)
       .withExtensions(graft.functions.BloomFn.register)
+      .withExtensions(graft.functions.NormText.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       // BloomFilterAggregate silently clamps its size arguments to these
       // confs (Spark tunes them for its own runtime join filters); raise

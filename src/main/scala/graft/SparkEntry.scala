@@ -93,6 +93,7 @@ object SparkEntry {
     "doc_chunks"           -> (TextAnalysis.docChunksDocs(_, _)),
     "vocab_coverage"       -> (TextAnalysis.vocabCoverageDocs(_, _)),
     "filter_cascade"       -> (TextAnalysis.filterCascade(_, _)),
+    "text_normalize"       -> (TextAnalysis.normFingerprint(_, _)),
     "lang_balance"         -> ((s, d) =>
       operators.Sampling.langBalance(graft.Engine.Tables(s, d).documents)),
     "quality_ntile"        -> ((s, d) => {
@@ -1061,6 +1062,14 @@ object SparkEntry {
                 WHEN dr < ${TextAnalysis.CascadeMinDistinct} THEN 'high_dup'
                 ELSE 'keep' END AS verdict
          FROM r ORDER BY doc_id""",
+    "text_normalize" ->
+      s"""WITH n AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id, CAST(length(norm) AS INT) AS n_norm_chars,
+           ${duckMd5_60("norm")} AS norm_fp
+         FROM n ORDER BY doc_id""",
     "lang_balance" ->
       s"""WITH d AS (
            SELECT doc_id, lang,

@@ -396,6 +396,21 @@ object TextAnalysis {
     * rule by rule. Pure per-row expressions — a narrow scan-fused pass,
     * zero shuffles at any corpus size.
     */
+  /** Canonicalized-text fingerprints: md5-60 of [[graft.functions
+    * .NormText]]-normalized text (NFC + casefold + whitespace collapse),
+    * next to the raw fingerprint — the pair a dedup pipeline compares to
+    * find casing/encoding near-misses that byte-exact dedup cannot see.
+    * Zero shuffles (scalar expressions only).
+    */
+  def normFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        graft.functions.NormText.normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        length(col("norm")).as("n_norm_chars"),
+        md5_60(col("norm")).as("norm_fp"))
+      .orderBy(col("doc_id"))
+
   /** Cascade thresholds — interpolated into the DuckDB oracle too. */
   val CascadeMinTokens = 12
   val CascadeMinAlpha = 0.78

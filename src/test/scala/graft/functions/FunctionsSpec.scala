@@ -129,4 +129,26 @@ class SimHash60Spec extends AnyFunSuite with SparkTestSession {
     val r = spark.sql("SELECT simhash60(CAST(NULL AS STRING))").collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("norm_text: NFC composition, casefold, whitespace collapse, edges") {
+    import spark.implicits._
+    val decomposedCafe = "Cafe\u0301"   // e + combining acute (NFD)
+    val precomposed = "Caf\u00e9"        // single-codepoint é
+    val cases = Seq(
+      decomposedCafe -> "caf\u00e9",     // NFC composes, lowercases
+      precomposed -> "caf\u00e9",        // precomposed input, same bytes out
+      "  A\t\tB\nC  " -> "a b c",         // collapse + trim
+      "" -> "",
+      "ZH\u014cNG \u6587" -> "zh\u014dng \u6587")
+    val got = cases.map(_._1).toDF("s")
+      .selectExpr("norm_text(s)").as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+    // interpreted twin agrees (codegen/eval parity)
+    cases.foreach { case (in, want) => assert(NormText.normalize(in) === want) }
+    // both spellings of café now fingerprint identically
+    val fps = Seq(decomposedCafe, precomposed).toDF("s")
+      .selectExpr("norm_text(s) AS n").selectExpr("md5(n)").as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(spark.sql("SELECT norm_text(CAST(NULL AS STRING))").collect().head.isNullAt(0))
+  }
 }
