@@ -64,6 +64,7 @@ object SparkEntry {
     "trace_contact"        -> (Workloads.traceContacts(_, _)),
     // --- the MapleJuice engine surface itself (SURVEY §2.1 E1-E11)
     "mj_wordcount"         -> (Workloads.mjWordCount(_, _)),
+    "mj_wordcount_range"   -> (Workloads.mjWordCountRange(_, _)),
     // --- training-data pipeline: dedup (SURVEY §7.2-M6)
     "dedup_exact"          -> (Dedup.exactDedup(_, _)),
     "dedup_jaccard"        -> (Dedup.ngramJaccard(_, _)),
@@ -81,6 +82,7 @@ object SparkEntry {
     "ann_ivf"              -> (Similarity.annIvf(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
+    "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
@@ -462,20 +464,38 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
                FROM documents)
          WHERE length(word) > 0 GROUP BY word ORDER BY word""",
+    // range partitioning is placement-only (not output-visible): same oracle
+    "mj_wordcount_range" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+               FROM documents)
+         WHERE length(word) > 0 GROUP BY word ORDER BY word""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    // Mirrors the DF-capped scale path (Dedup.JaccardMaxDf): candidate
+    // pairs must share at least one shingle seen in <= cap docs, then the
+    // reported value is the exact Jaccard over ALL shingles.
     "dedup_jaccard" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
                  FROM documents),
                 UNNEST(generate_series(1, len(w) - 2)) AS t(i)
            WHERE len(w) >= 3),
+         rare AS (SELECT shingle FROM sh GROUP BY shingle
+                  HAVING count(*) <= ${graft.operators.Dedup.JaccardMaxDf}),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a
+           JOIN rare r ON r.shingle = a.shingle
+           JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
            GROUP BY 1, 2)
          SELECT doc_a, doc_b,
                 round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
@@ -799,12 +819,15 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rk, neighbor_id, cos FROM ranked
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    // exact all-pairs restatement: the Spark side is LSH-bucketed with
+    // exact verify, so its output is a (full-recall at these cosines)
+    // subset of this — equality checked over the whole table
     "embed_neardup" ->
       """WITH base AS (
            SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-           FROM embeddings WHERE vec_id < 2000)
+           FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_sum(list_transform(generate_series(1, 64),
                d -> CAST(a.embedding[d] AS DOUBLE) * CAST(b.embedding[d] AS DOUBLE)))
@@ -1157,10 +1180,41 @@ object SparkEntry {
          FROM d, UNNEST(generate_series(0, n_frames - 1,
            greatest(CAST(ceil(n_frames / 4.0) AS INT), 1))) t(f)
          ORDER BY doc_id, frame_idx""",
+    // The deterministic half of k-means, fully value-gated: assignment
+    // against the fixed dyadic-grid centroids (Clustering.fixedCentroids),
+    // inlined below as exact decimal literals (each coordinate is k/1024 −
+    // 0.5 and each interpolated square-sum is an exact dyadic double, so
+    // both engines parse bit-identical values and run the identical
+    // left-to-right double arithmetic).
+    "kmeans_fixed_assign" ->
+      s"""WITH cents(c_id, c, c2) AS (VALUES
+           ${kmeansCentroidValues()}),
+         scored AS (
+           SELECT e.vec_id, c.c_id,
+             c.c2 - 2 * list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(e.embedding[d] AS DOUBLE) * c.c[d])) AS d,
+             list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS v2
+           FROM embeddings e CROSS JOIN cents c),
+         ranked AS (
+           SELECT vec_id, c_id, d, v2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rk
+           FROM scored)
+         SELECT vec_id, c_id AS cluster, round(v2 + d, 4) AS dist2
+         FROM ranked WHERE rk = 1 ORDER BY vec_id""",
     // q18_sketches (HLL++/t-digest are approximate by design),
     // mm_features (float-normalized stub pixels) and kmeans_assign
     // (centroid means are float sums whose value depends on partition
     // merge order — inherent to parallel k-means) stay rows-only; exact
     // semantics are covered by ScalaTest.
   )
+
+  /** (c_id, [centroid], c²) VALUES rows for the kmeans_fixed_assign
+    * oracle — the same driver-side constants the Spark entry compiles
+    * into its assignment expression.
+    */
+  private def kmeansCentroidValues(): String =
+    graft.operators.Clustering.fixedCentroids(16).zipWithIndex.map { case (c, id) =>
+      s"($id, [${c.mkString(", ")}], ${c.map(x => x * x).sum})"
+    }.mkString(",\n           ")
 }

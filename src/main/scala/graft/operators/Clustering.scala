@@ -103,4 +103,46 @@ object Clustering {
     val (assign, _) = kmeans(Tables(spark, dir).embeddings, k = 16, iters = 3)
     assign.select(col("vec_id"), col("cluster")).orderBy(col("vec_id"))
   }
+
+  /** Deterministic, data-independent centroids for the FIXED-centroid
+    * assignment gate: centroid p, dim d = floorMod(xxhash64((p·dim+d)),
+    * 1024)/1024 − 0.5 (same keyed-hash scheme as
+    * [[Similarity.planeWeights]]). The /1024 grid makes every coordinate
+    * a dyadic rational: its square and the per-centroid square-sum are
+    * EXACT in double (≤25 mantissa bits), so the decimal literals
+    * interpolated into the oracle SQL parse back to bit-identical values.
+    */
+  private[graft] def fixedCentroids(k: Int, dim: Int = 64): IndexedSeq[Array[Double]] =
+    IndexedSeq.tabulate(k) { p =>
+      Array.tabulate(dim) { d =>
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString((p * dim + d).toString)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        Math.floorMod(h, 1024L).toDouble / 1024.0 - 0.5
+      }
+    }
+
+  /** Gated query: nearest-centroid assignment against the FIXED
+    * [[fixedCentroids]] — the deterministic half of k-means, split out so
+    * it can carry a full value-level oracle (the iterative trainer stays
+    * rows-only: its float centroid sums are partition-order-dependent).
+    * Same argmin expression shape as the trainer: k codegen'd [[vecDot]]
+    * calls fused into the scan, no join, no shuffle. dist² = v·v + (c² −
+    * 2·v·c) with every term computed in the identical left-to-right
+    * double order the DuckDB oracle uses.
+    */
+  def kmeansFixedAssign(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val cents = fixedCentroids(k)
+    val scores = cents.zipWithIndex.map { case (c, id) =>
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col("embedding"), lit(c))).as("d"),
+        lit(id).as("c_id"))
+    }
+    val best = least(scores: _*)
+    Tables(spark, dir).embeddings
+      .withColumn("cluster", best.getField("c_id"))
+      .withColumn("dist2",
+        round(vecDot(col("embedding"), col("embedding")) + best.getField("d"), 4))
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
 }

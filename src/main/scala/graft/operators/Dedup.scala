@@ -153,8 +153,18 @@ object Dedup {
     }
   }
 
+  /** DF cap used by the gated entry: shingles present in more than this
+    * many docs are skipped during candidate generation (they are the
+    * self-join's quadratic hot keys); survivors are re-verified over ALL
+    * shingles. Planted near-dups share plenty of rare shingles, so the
+    * capped pair set equals the uncapped one on the fixtures (pinned in
+    * DedupSpec) — but the capped plan is the one that survives 100×.
+    */
+  val JaccardMaxDf = 100
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables(spark, dir).documents, threshold = 0.8)
+    jaccardPairs(Tables(spark, dir).documents, threshold = 0.8,
+      maxDf = Some(JaccardMaxDf))
 
   /** MinHash signature + banded LSH near-dup pairs (the 100 TB path).
     *

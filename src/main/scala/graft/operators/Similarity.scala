@@ -201,11 +201,10 @@ object Similarity {
     ivfTopK(Tables(spark, dir).embeddings)
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Exact formulation (the self-join is quadratic in rows; at scale run
-    * [[lshTopK]]-style bucketing first to cut the candidate set). The
-    * driver testdata has no planted embedding near-dups (max off-diagonal
-    * cosine ≈ 0.48), so the default 0.9 threshold yields an empty — but
-    * oracle-checkable — result: it proves no false positives.
+    * Exact all-pairs formulation — the CORRECTNESS oracle only (the
+    * self-join is quadratic in rows); the gated scale path is
+    * [[nearDupPairsLsh]], whose output SimilaritySpec pins against this
+    * one on planted near-dups.
     */
   def nearDupPairs(vecs: DataFrame, threshold: Double = 0.9): DataFrame = {
     val base = withNorm(vecs)
@@ -219,10 +218,66 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    // bound the exact-pair space for the oracle-gated query; the LSH path
-    // is the unbounded-scale variant.
-    nearDupPairs(t.embeddings.filter(col("vec_id") < 2000), threshold = 0.9)
+  /** Near-dup pairs at scale: banded hyperplane-LSH candidate generation +
+    * exact cosine verify — never an all-pairs join.
+    *
+    * Each vector gets a `bits`-bit hyperplane signature (same
+    * [[planeWeights]] machinery as [[lshTopK]], computed as codegen'd
+    * dot products in the scan); the signature is cut into `bands` bands of
+    * bits/bands bits, and only pairs agreeing exactly on ≥1 band become
+    * candidates — one groupBy-sized join per band key, fan-out bounded by
+    * bucket occupancy. Candidates shuffle as bare (id_a, id_b); the
+    * embeddings are re-joined for the exact rerank, so the wide vectors
+    * ride the (small) candidate set, not the bucket join. A cosine-θ pair
+    * flips each bit with p = acos(θ)/π (0.14 at 0.9), so with 8 bands × 4
+    * bits the all-bands-miss probability is (1-(1-p)⁴)⁸ ≈ 2·10⁻³ at the
+    * threshold and ≈ 10⁻⁶ at the planted-dup cosines SimilaritySpec
+    * measures; reported pairs always carry the true cosine (candidates
+    * only cost recall, exactly like the MinHash-LSH text path).
+    */
+  def nearDupPairsLsh(vecs: DataFrame, threshold: Double = 0.9,
+      bits: Int = 32, bands: Int = 8): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val w = planeWeights(bits)
+    val sig = (0 until bits).map { p =>
+      when(vecDot(col("embedding"), lit(w(p))) > 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val banded = vecs
+      .withColumn("sig", sig)
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+            b -> struct(b AS band, shiftright(sig, b * $rows) & $mask AS bh))"""))
+        .as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = banded.select(col("band"), col("bh"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("vec_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val base = withNorm(vecs)
+    candidates
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b")), Seq("id_b"))
+      .withColumn("dot", vecDot(col("emb_a"), col("emb_b")))
+      .filter(col("dot") / (col("norm_a") * col("norm_b")) >= threshold)
+      .withColumn("cos", round(col("dot") / (col("norm_a") * col("norm_b")), 4))
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Gated entry: the LSH-bucketed path over the FULL embeddings table
+    * (no row clamp — the plan no longer contains an all-pairs join). The
+    * driver testdata has no planted embedding near-dups (max off-diagonal
+    * cosine ≈ 0.48), so 0.9 yields an empty but oracle-checkable result:
+    * candidates are exact-verified, so output ⊆ the exact pair set and
+    * the empty match proves no false positives; recall is pinned against
+    * [[nearDupPairs]] on planted dups in SimilaritySpec.
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsLsh(Tables(spark, dir).embeddings, threshold = 0.9)
 }

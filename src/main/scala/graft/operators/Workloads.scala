@@ -66,6 +66,28 @@ object Workloads {
       .orderBy(col("word"))
   }
 
+  /** [[mjWordCount]] routed through the RANGE juice partitioning
+    * (`maple_juice.go:688-706` intended semantics — contiguous key
+    * blocks via `repartitionByRange`). Placement is not output-visible,
+    * so the oracle is identical to the hash entry; gating both closes
+    * E8's two partitioning modes in the correctness gate itself.
+    */
+  def mjWordCountRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir).documents.select(col("text")).as[String]
+    val keyed = MapleJuice.maple(lines, 8) { line =>
+      line.trim.split("\\s+").iterator.filter(_.nonEmpty).map(w => s"$w 1")
+    }
+    val out = MapleJuice.juice(keyed, 8, MapleJuice.Range) { (word, group) =>
+      Iterator.single(s"$word ${group.size}")
+    }
+    out.toDF("line")
+      .select(
+        substring_index(col("line"), " ", 1).as("word"),
+        substring_index(col("line"), " ", -1).cast("long").as("cnt"))
+      .orderBy(col("word"))
+  }
+
   // ---------------------------------------------------------------- B. Condorcet
 
   /** Workload B (Condorcet pairwise-majority) over arbitrary 3-candidate

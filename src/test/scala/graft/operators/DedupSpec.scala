@@ -33,6 +33,19 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(got.head._3 - expect) < 1e-6)
   }
 
+  test("DF-capped jaccard equals the uncapped pair set on testdata") {
+    // the gated entry runs with maxDf = JaccardMaxDf; planted near-dups
+    // share rare shingles, so capping candidate generation must not cost
+    // a single pair here — while removing the quadratic hot-shingle keys
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
+    def pairs(maxDf: Option[Int]) =
+      Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped.nonEmpty, "fixture should contain planted near-dups")
+    assert(pairs(Some(Dedup.JaccardMaxDf)) === uncapped)
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs on testdata") {
     // sf0.01 has 25 planted near-dup pairs at jaccard ≥ 0.9 (sf0.001 may
     // have too few for a meaningful recall check)

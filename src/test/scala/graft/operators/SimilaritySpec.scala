@@ -31,6 +31,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq === Seq((0L, 1L, 1.0)))
   }
 
+  test("LSH-bucketed near-dup pairs equal the exact path on planted dups") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+      .select("vec_id", "embedding")
+    // plant 30 near-dups at cos ≈ 0.9988 (alternating ±5% per-dim scale):
+    // hyperplane bit-flip p ≈ 0.016 ⇒ all-8-bands miss ≈ 2e-10 per pair
+    val planted = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x * if(i % 2 = 0, 1.05D, 0.95D) AS float))")
+          .as("embedding"))
+    val vecs = base.unionByName(planted)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Similarity.nearDupPairs(vecs, threshold = 0.9))
+    val lsh = pairs(Similarity.nearDupPairsLsh(vecs, threshold = 0.9))
+    assert(exact.size >= 30, "every planted dup must clear the threshold")
+    assert(lsh === exact) // full recall AND no false positives, same cosines
+  }
+
   test("LSH results are a subset of brute force with identical cosines") {
     // sf0.01 (500 vecs): ~20 bucket collisions expected at 8 bits; sf0.001's
     // 50 vecs could plausibly produce zero, making the test flaky
