@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode text normalization as one codegen'd expression: NFC
-  * composition → ROOT-locale lowercase → ASCII-whitespace collapse →
-  * edge trim. The canonicalization every dedup/fingerprint pass should
+  * composition → simple per-codepoint lowercase → ASCII-whitespace
+  * collapse → edge trim. The canonicalization every dedup/fingerprint pass should
   * run first, so "Café" and "Café" (decomposed) hash
   * identically — without it, byte-level dedup silently misses visually
   * identical documents.
@@ -51,7 +51,21 @@ object NormText {
     */
   def normalize(s: String): String = {
     val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    // SIMPLE per-codepoint lowercase (Character.toLowerCase(int)), NOT
+    // String.toLowerCase: the full mapping expands special-casing code
+    // points (U+0130 'İ' becomes i + combining dot, 2 code points) while
+    // DuckDB's lower() — the oracle's — applies utf8proc's one-to-one
+    // simple mapping. One-to-one also can't lengthen the string, so
+    // NFC → simple-lowercase stays NFC in practice; engines may still
+    // disagree on code points newer than their Unicode tables.
+    val lb = new java.lang.StringBuilder(nfc.length)
+    var j = 0
+    while (j < nfc.length) {
+      val cp = nfc.codePointAt(j)
+      lb.appendCodePoint(Character.toLowerCase(cp))
+      j += Character.charCount(cp)
+    }
+    val lower = lb.toString
     val sb = new java.lang.StringBuilder(lower.length)
     var i = 0
     var pendingSpace = false

@@ -261,7 +261,11 @@ object Dedup {
 
   def simhash(docs: DataFrame): DataFrame =
     docs
-      .filter(length(trim(col("text"))) > 0)
+      // keep docs with ≥1 surviving token — NOT length(trim(text)) > 0:
+      // SQL trim strips ASCII spaces only, so a tabs/newlines-only doc
+      // would pass a length check yet tokenize to nothing, diverging from
+      // the vocab-join formulation (and the oracle), which drop it
+      .filter(exists(split(trim(col("text")), "\\s+"), t => length(t) > 0))
       .select(col("doc_id"),
         graft.functions.SimHash60.simhash60(col("text")).as("simhash"))
 

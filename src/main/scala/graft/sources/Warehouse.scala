@@ -222,12 +222,20 @@ final class Warehouse(spark: SparkSession, root: String) {
     */
   def compact(name: String, targetFileBytes: Long = 128L << 20): Int = {
     val path = p(name)
+    val tmp = new Path(path.getParent, s".${path.getName}__compacting")
+    val bak = new Path(path.getParent, s".${path.getName}__precompact")
+    // crash recovery: a previous compact that died between its two renames
+    // (old→backup done, staged→live not) left the ONLY copy of the table
+    // in the hidden backup. Restore it before anything else — this makes
+    // compact crash-recoverable, not just failure-recoverable (a re-run
+    // would otherwise throw at listStatus with the data invisible).
+    if (!fs.exists(path) && fs.exists(bak))
+      require(fs.rename(bak, path),
+        s"compact: could not restore $name from interrupted-compact backup $bak")
     require(!fs.listStatus(path).exists(s => s.isDirectory && s.getPath.getName.contains("=")),
       s"$name has a Hive-partitioned layout; compact its partition directories individually")
     val bytes = fs.getContentSummary(path).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new Path(path.getParent, s".${path.getName}__compacting")
-    val bak = new Path(path.getParent, s".${path.getName}__precompact")
     fs.delete(tmp, true); fs.delete(bak, true)
     // mergeSchema: a schema-evolved table (readParquetMerged's contract)
     // must compact to its SUPERSET schema — a single-footer read could

@@ -93,11 +93,18 @@ object Streaming {
     * beyond the horizon re-admit (the batch [[graft.operators.Dedup]]
     * pass catches those — ingest dedup is a cheap prefilter, not the
     * source of truth).
+    *
+    * The state key is the FULL 128-bit md5 (the repo's text-identity
+    * standard, same as the batch exact dedup): a truncated 60-bit key
+    * would face birthday pressure at crawl volumes, and a collision here
+    * PERMANENTLY drops a unique document — the one error the downstream
+    * batch pass can never recover, because the doc never lands. 16
+    * bytes per in-horizon doc is the entire cost.
     */
   def dedupContentStream(docs: DataFrame, tsCol: String = "event_ts",
       watermarkDelay: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fp", graft.operators.TextAnalysis.md5_60(col("text")))
+      .withColumn("fp", md5(col("text")))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
@@ -175,10 +182,13 @@ object Streaming {
     * shape is a broadcast SET filter: the eval suite's shingle hashes —
     * bounded by construction, eval sets don't grow with the corpus — are
     * collected once at stream setup ([[evalShingleHashSet]]), broadcast,
-    * and each doc is checked row-locally. Stateless, watermark-free,
-    * scan-speed; the per-row probe hashes each n-gram with the same
-    * seed-42 XXH64 the `xxhash64` SQL builtin uses, short-circuiting on
-    * the first hit.
+    * and each doc is checked row-locally. Stateless and watermark-free;
+    * the per-row probe hashes each n-gram with the same seed-42 XXH64
+    * the `xxhash64` SQL builtin uses, short-circuiting on the first hit.
+    * (Being a Row lambda, the probe crosses the codegen/JVM-object
+    * boundary per row — a constant factor slower than the batch path's
+    * codegen'd expressions; promote to a native expression if ingest
+    * throughput ever becomes the bottleneck.)
     */
   def decontaminateStream(docs: DataFrame, evalHashes: Set[Long],
       n: Int = 5): DataFrame = {

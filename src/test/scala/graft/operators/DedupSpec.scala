@@ -189,4 +189,14 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long, Int)].collect().toSeq
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
+
+  test("simhash drops token-free docs whatever the whitespace flavor") {
+    import spark.implicits._
+    // SQL trim strips spaces only — a tabs/newlines doc must STILL be
+    // dropped (token filter), matching the vocab-join twin and the oracle
+    val docs = Seq((0L, docA), (1L, "\t\n"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val kept = Dedup.simhash(docs).select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(0L))
+  }
 }

@@ -71,6 +71,23 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     assert(after === before)
   }
 
+  test("compact recovers a table stranded by a crash between the two renames") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    docs.repartition(8).write.mode("overwrite").parquet(wh.path("docs_crash"))
+    val before = docs.collect().map(_.getLong(0)).sorted.toSeq
+    // simulate death between rename(path→bak) and rename(tmp→path): the
+    // live dir is gone, the only copy sits in the hidden backup
+    val live = new java.io.File(wh.path("docs_crash"))
+    val bak = new java.io.File(live.getParent, ".docs_crash__precompact")
+    assert(live.renameTo(bak))
+    assert(!live.exists())
+    val n = wh.compact("docs_crash") // must restore, then compact normally
+    assert(n === 1 && !bak.exists())
+    val after = wh.readParquet("docs_crash")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
+  }
+
   test("readCsvPermissive quarantines malformed rows instead of failing") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
