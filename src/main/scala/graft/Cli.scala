@@ -34,10 +34,14 @@ object Cli {
       // maple <exe> <numTasks> <prefix> <src>  (maple_juice.go:135-168)
       case "maple" :: exe :: n :: prefix :: src :: Nil =>
         val keyed = MapleJuice.mapleExe(wh.readText(src), exe, n.toInt)
-        keyed.write.mode("overwrite").parquet(wh.path(intermediate(prefix)))
-        val nKeys = spark.read.parquet(wh.path(intermediate(prefix)))
-          .select("key").distinct().count()
-        s"maple done: $nKeys keys under prefix $prefix"
+        // the status line's key count rides the write itself via
+        // Observation (approximate — observe can't do exact distinct) —
+        // no re-scan of the intermediate just to print a number
+        val obs = org.apache.spark.sql.Observation()
+        keyed.observe(obs, org.apache.spark.sql.functions
+            .approx_count_distinct(org.apache.spark.sql.functions.col("key")).as("n_keys"))
+          .write.mode("overwrite").parquet(wh.path(intermediate(prefix)))
+        s"maple done: ~${obs.get("n_keys")} keys under prefix $prefix"
       // juice <exe> <numTasks> <prefix> <dest> <delete{0|1}> <hash|range>
       case "juice" :: exe :: n :: prefix :: dest :: del :: part :: Nil =>
         val partitioning = part match {

@@ -72,8 +72,12 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("long")).as[Long]
-    val candidates = keys.select(new MisraGries(capacity).toColumn).head()
-    val total = df.count()
+    // sketch and total ride ONE aggregation job — both are driver-sized
+    // results, and folding the count in as a second aggregate column
+    // saves a full extra scan of the (100 TB) input
+    val (candidates, total) = keys
+      .select(new MisraGries(capacity).toColumn, count(lit(1)).as[Long])
+      .head()
     df.filter(col(keyCol).isin(candidates: _*))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"))
