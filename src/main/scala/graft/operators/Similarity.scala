@@ -228,29 +228,34 @@ object Similarity {
     * candidates — one groupBy-sized join per band key, fan-out bounded by
     * bucket occupancy. Candidates shuffle as bare (id_a, id_b); the
     * embeddings are re-joined for the exact rerank, so the wide vectors
-    * ride the (small) candidate set, not the bucket join. A cosine-θ pair
-    * flips each bit with p = acos(θ)/π (0.14 at 0.9), so with 8 bands × 4
-    * bits the all-bands-miss probability is (1-(1-p)⁴)⁸ ≈ 2·10⁻³ at the
-    * threshold and ≈ 10⁻⁶ at the planted-dup cosines SimilaritySpec
-    * measures; reported pairs always carry the true cosine (candidates
-    * only cost recall, exactly like the MinHash-LSH text path).
+    * ride the (small) candidate set, not the bucket join.
+    *
+    * Band sizing is the selectivity/recall dial: an UNRELATED pair
+    * collides on some band with probability ≈ bands/2^(bits/bands), so
+    * bands must be WIDE or the bucket join degenerates toward all-pairs
+    * as the corpus grows. The 16 × 12-bit default keeps the random
+    * collision rate at 16/4096 ≈ 0.4% of pairs while a cosine-θ pair
+    * (per-bit flip p = acos(θ)/π: 0.14 at 0.9) still matches some band
+    * with 1-(1-(1-p)¹²)¹⁶ ≈ 93% at exactly 0.9, ≥ 99.5% by 0.95, and
+    * ≈ 1-10⁻¹⁴ at the planted-dup cosines SimilaritySpec measures.
+    * Reported pairs always carry the true cosine (candidate generation
+    * only costs recall, exactly like the MinHash-LSH text path).
     */
   def nearDupPairsLsh(vecs: DataFrame, threshold: Double = 0.9,
-      bits: Int = 32, bands: Int = 8): DataFrame = {
+      bits: Int = 192, bands: Int = 16): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val rows = bits / bands
-    val mask = (1L << rows) - 1
     val w = planeWeights(bits)
-    val sig = (0 until bits).map { p =>
-      when(vecDot(col("embedding"), lit(w(p))) > 0d, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // per-band hash computed directly (the 192-bit signature doesn't fit
+    // one long): band b packs its `rows` sign bits into a small int
+    val bandCols = (0 until bands).map { b =>
+      (0 until rows).map { j =>
+        when(vecDot(col("embedding"), lit(w(b * rows + j))) > 0d, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
     val banded = vecs
-      .withColumn("sig", sig)
-      .select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-            b -> struct(b AS band, shiftright(sig, b * $rows) & $mask AS bh))"""))
-        .as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     val candidates = banded.select(col("band"), col("bh"), col("vec_id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("vec_id").as("id_b")),
         Seq("band", "bh"))
