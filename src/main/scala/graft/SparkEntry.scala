@@ -61,6 +61,7 @@ object SparkEntry {
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
     "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
     "vote_condorcet"       -> (Workloads.voteCondorcet(_, _)),
+    "vote_winner"          -> (Workloads.voteWinner(_, _)),
     "trace_contact"        -> (Workloads.traceContacts(_, _)),
     // --- the MapleJuice engine surface itself (SURVEY §2.1 E1-E11)
     "mj_wordcount"         -> (Workloads.mjWordCount(_, _)),
@@ -450,6 +451,39 @@ object SparkEntry {
            FROM pairwise)
          SELECT winner, count(*) AS wins FROM winners
          GROUP BY winner ORDER BY wins DESC, winner""",
+    // the reference's argmax-only output line (juice_vote_two.go:17-23)
+    "vote_winner" ->
+      """WITH counted AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+         ranked AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY n DESC, event_type) AS rk
+           FROM counted),
+         ballots AS (
+           SELECT user_id,
+                  max(CASE WHEN rk = 1 THEN event_type END) AS c1,
+                  max(CASE WHEN rk = 2 THEN event_type END) AS c2,
+                  max(CASE WHEN rk = 3 THEN event_type END) AS c3
+           FROM ranked WHERE rk <= 3 GROUP BY user_id
+           HAVING max(CASE WHEN rk = 3 THEN event_type END) IS NOT NULL),
+         prefs AS (
+           SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+                  CASE WHEN a < b THEN 1 ELSE 0 END AS pref_lo
+           FROM (SELECT c1 AS a, c2 AS b FROM ballots
+                 UNION ALL SELECT c1, c3 FROM ballots
+                 UNION ALL SELECT c2, c3 FROM ballots)),
+         pairwise AS (
+           SELECT lo, hi, CAST(sum(pref_lo) AS BIGINT) AS lo_votes,
+                  count(*) AS n
+           FROM prefs GROUP BY lo, hi),
+         winners AS (
+           SELECT CASE WHEN lo_votes * 2 > n THEN lo ELSE hi END AS winner
+           FROM pairwise)
+         SELECT winner || ' win!' AS line FROM (
+           SELECT winner, count(*) AS wins FROM winners
+           GROUP BY winner ORDER BY wins DESC, winner LIMIT 1)""",
     "trace_contact" ->
       """SELECT DISTINCT t.event_id AS name
          FROM (SELECT event_id, user_id, value FROM events

@@ -150,6 +150,18 @@ object Workloads {
   def voteCondorcet(spark: SparkSession, dir: String): DataFrame =
     condorcetWins(ballotsFromEvents(spark, dir))
 
+  /** The reference's single output line, verbatim: `<candidate> win!`
+    * (`mj_exe/juice_vote_two.go:17-23` prints only the argmax of the win
+    * table). The reference's argmax follows Go map iteration order on
+    * ties; here the tie-break is deterministic (most wins, then smallest
+    * candidate), which CliSpec pins to the same `Anna win!` answer on the
+    * reference's own fixture.
+    */
+  def voteWinner(spark: SparkSession, dir: String): DataFrame =
+    condorcetWins(ballotsFromEvents(spark, dir))
+      .limit(1)
+      .select(concat(col("winner"), lit(" win!")).as("line"))
+
   // ---------------------------------------------------------------- C. contact tracing
 
   /** Workload C (contact tracing): per-location interval-overlap join.

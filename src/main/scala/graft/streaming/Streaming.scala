@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -183,44 +182,18 @@ object Streaming {
     * bounded by construction, eval sets don't grow with the corpus — are
     * collected once at stream setup ([[evalShingleHashSet]]), broadcast,
     * and each doc is checked row-locally. Stateless and watermark-free;
-    * the per-row probe hashes each n-gram with the same seed-42 XXH64
-    * the `xxhash64` SQL builtin uses, short-circuiting on the first hit.
-    * (Being a Row lambda, the probe crosses the codegen/JVM-object
-    * boundary per row — a constant factor slower than the batch path's
-    * codegen'd expressions; promote to a native expression if ingest
-    * throughput ever becomes the bottleneck.)
+    * the probe is the native [[graft.functions.NgramAnyIn]] expression —
+    * the same seed-42 XXH64 the `xxhash64` SQL builtin uses, evaluated
+    * inside whole-stage codegen with a primitive binary search per
+    * n-gram, so ingest pays scan speed (no per-row Row boxing, no boxed
+    * set lookups). Null text can't shingle → never contaminated → kept,
+    * matching the batch operator.
     */
   def decontaminateStream(docs: DataFrame, evalHashes: Set[Long],
-      n: Int = 5): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(evalHashes)
-    docs.filter { row =>
-      val text = row.getAs[String]("text")
-      text == null || { // null text can't shingle → never contaminated
-        val toks = sqlWhitespaceTokens(text)
-        !(0 to toks.length - n).exists { i =>
-          val s = org.apache.spark.unsafe.types.UTF8String.fromString(
-            toks.slice(i, i + n).mkString(" "))
-          bc.value.contains(
-            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
-        }
-      }
-    }
-  }
-
-  /** Tokenize EXACTLY as the SQL-side `split(trim(text), "\\s+")` does,
-    * for the row-local probe: SQL `trim` strips ASCII spaces only (never
-    * \t/\n/\r — unlike JVM `String.trim`), and SQL `split` keeps leading
-    * AND trailing empty tokens (Java needs limit -1 for the trailing
-    * ones). Any divergence here silently breaks the stream/batch
-    * decontamination agreement the spec asserts.
-    */
-  private[streaming] def sqlWhitespaceTokens(s: String): Array[String] = {
-    var b = 0
-    var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    s.substring(b, e).split("\\s+", -1)
-  }
+      n: Int = 5): DataFrame =
+    docs.filter(coalesce(
+      !graft.functions.NgramAnyIn.ngramAnyIn(col("text"), n, evalHashes.toArray),
+      lit(true)))
 
   /** One-time static-side builder for [[decontaminateStream]]: the
     * distinct xxhash64 n-gram hashes of the (bounded) eval corpus,

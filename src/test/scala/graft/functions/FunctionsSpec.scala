@@ -130,6 +130,43 @@ class SimHash60Spec extends AnyFunSuite with SparkTestSession {
     assert(r.head.isNullAt(0))
   }
 
+  test("ngram_any_in: agrees with the SQL xxhash64-shingle formulation; edges") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "\tw1 w2 w3 w4 leading tab makes an empty token",
+      "trailing spaces keep no extra token   ",
+      "short doc", "", "   ", "\t\n")
+      .toDF("text")
+    // the hash set: every 3-gram of the eval strings, tokenized exactly as
+    // SQL does and hashed by the SQL builtin itself
+    val evalGrams = Seq("quick brown fox jumps over", "\tw1 w2 w3").flatMap { t =>
+      val toks = NgramAnyIn.sqlWhitespaceTokens(t)
+      (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" "))
+    }
+    val hashes = evalGrams.toDF("g").selectExpr("xxhash64(g)").as[Long].collect()
+    // SQL-side truth: any 3-gram of the doc hashes into the set
+    val sqlTruth = docs.selectExpr(
+      "text",
+      s"""CASE WHEN size(split(trim(text), '\\\\s+')) >= 3 THEN
+            exists(
+              transform(
+                sequence(1, size(split(trim(text), '\\\\s+')) - 2),
+                i -> xxhash64(concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3)))),
+              h -> array_contains(array(${hashes.mkString(",")}L), h))
+          ELSE false END AS hit""")
+      .as[(String, Boolean)].collect().toMap
+    val got = docs.select(col("text"),
+        NgramAnyIn.ngramAnyIn(col("text"), 3, hashes).as("hit"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got === sqlTruth)
+    assert(got("the quick brown fox jumps over the lazy dog")) // real hit
+    assert(!got("short doc") && !got("")) // < n tokens can never hit
+    // null propagates (caller coalesces for keep-null semantics)
+    assert(spark.sql("SELECT ngram_any_in(CAST(NULL AS STRING), 3, array(1L))")
+      .collect().head.isNullAt(0))
+  }
+
   test("norm_text: NFC composition, casefold, whitespace collapse, edges") {
     import spark.implicits._
     val decomposedCafe = "Cafe\u0301"   // e + combining acute (NFD)

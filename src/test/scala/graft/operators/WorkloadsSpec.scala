@@ -38,6 +38,15 @@ class WorkloadsSpec extends AnyFunSuite with SparkTestSession {
     assert(wins.head().getString(0) === "Anna")
   }
 
+  test("voteWinner formats the reference's single output line (juice_vote_two.go)") {
+    import spark.implicits._
+    val wins = Workloads.condorcetWins(
+      ballotsFromFile("/root/reference/mj_exe/vote_input_Anna"))
+      .limit(1)
+      .select(concat(col("winner"), lit(" win!")).as("line"))
+    assert(wins.as[String].head() === "Anna win!")
+  }
+
   test("condorcet is invariant under ballot permutation") {
     val ballots = ballotsFromFile("/root/reference/mj_exe/vote_input_Anna")
     val shuffled = ballots.orderBy(rand(seed = 7))
