@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Multimodal, Packing, Relational, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Multimodal, Packing, Relational, Retrieval, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -133,6 +133,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "pack_shards"          -> ((s, d) => Packing.packShardsDocs(s, d, PackBudget)),
+    "pack_sequences"       -> ((s, d) => Packing.packSequencesDocs(s, d, SeqLen)),
+    "bm25_topk"            -> (Retrieval.bm25Docs(_, _)),
     // --- training-data pipeline: multimodal binary columns
     "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
     "mm_decode"            -> (Multimodal.decodeDims(_, _)),
@@ -171,6 +173,50 @@ object SparkEntry {
 
   /** Token budget for the gated `pack_shards` query (both sides). */
   private val PackBudget = 512L
+
+  /** Sequence length for the gated `pack_sequences` query (both sides). */
+  private val SeqLen = 256L
+
+  /** BM25 oracle, generated from the SAME term list the Spark entry uses
+    * so the two can never drift. Score arithmetic mirrors
+    * [[graft.operators.Retrieval.bm25TopK]] operation-for-operation
+    * (left-to-right term sum, same association) — all inputs are
+    * integer-valued doubles, so only ln() is approximate and the emitted
+    * score is rounded to 6 decimals.
+    */
+  private def bm25OracleSql: String = {
+    val ts = Retrieval.DefaultTerms
+    val tfDefs = ts.indices.map(i =>
+      s"CAST(len(list_filter(toks, t -> t = '${ts(i)}')) AS DOUBLE) AS tf$i")
+      .mkString(",\n             ")
+    val dfDefs = ts.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n             ")
+    val score = ts.indices.map(i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1) * (tf$i * (1.2 + 1)) " +
+        s"/ (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))")
+      .mkString(" + ")
+    val nHits = ts.indices.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             t -> len(t) > 0) AS toks
+         FROM documents),
+       b AS (
+         SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             $tfDefs
+         FROM d),
+       s AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(dl) / count(*) AS avgdl,
+             $dfDefs
+         FROM b)
+       SELECT doc_id, round($score, 6) AS score, $nHits AS n_hits
+       FROM b, s
+       WHERE $score > 0
+       ORDER BY score DESC, doc_id LIMIT 100"""
+  }
 
   /** Quality-score oracle body — shared by `text_quality` and
     * `quality_ntile` so the score definition can't drift between them.
@@ -1168,6 +1214,39 @@ object SparkEntry {
          SELECT CAST((cum - tok) // $PackBudget AS BIGINT) AS shard_id,
            count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
          FROM c GROUP BY 1 ORDER BY 1""",
+    // same deterministic layout as pack_shards; docs split across fixed
+    // seqLen boundaries, one row per (sequence, doc) span
+    "pack_sequences" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+             md5('pack:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         o AS (
+           SELECT doc_id, tok,
+             CAST(sum(tok) OVER (ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS BIGINT) AS off
+           FROM d),
+         spans AS (
+           -- generate_series as a LIST function + unnest: the table-
+           -- function form can't take lateral column parameters
+           SELECT doc_id, tok, off,
+             unnest(generate_series(off // $SeqLen,
+               (off + tok - 1) // $SeqLen)) AS seq_id
+           FROM o)
+         SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(off, seq_id * $SeqLen) - off AS BIGINT)
+             AS doc_start,
+           CAST(greatest(off, seq_id * $SeqLen) - seq_id * $SeqLen
+             AS BIGINT) AS seq_start,
+           CAST(least(off + tok, (seq_id + 1) * $SeqLen)
+             - greatest(off, seq_id * $SeqLen) AS BIGINT) AS n_toks
+         FROM spans
+         ORDER BY seq_id, doc_id""",
+    // BM25: constants written as the same arithmetic Spark evaluates
+    // ((1.2 + 1), not 2.2) so both engines produce bit-identical doubles
+    "bm25_topk" -> bm25OracleSql,
     "sample_det" ->
       s"""SELECT doc_id FROM documents
          WHERE ${duckMd5_60("CAST(doc_id AS VARCHAR)")} % 1000000

@@ -5,13 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Token-budget shard packing — the "cut the shuffled corpus into
-  * fixed-token-budget shards" step at the tail of a training-data
-  * pipeline: documents are laid out in a deterministic shuffled order,
-  * token counts accumulate, and a document whose running total crosses
-  * `k·budget` starts shard k. Pure function of the data (order key is
-  * md5(salt ++ doc_id)), so the same corpus packs into the same shards
-  * on any cluster.
+/** Token-budget shard packing and fixed-length sequence packing — the
+  * "lay the shuffled corpus out as one global token stream and cut it
+  * up" steps at the tail of a training-data pipeline. Documents are laid
+  * out in a deterministic shuffled order (order key is
+  * md5(salt ++ doc_id)), token counts accumulate, and the cut points are
+  * pure arithmetic on the running total — so the same corpus packs into
+  * the same shards/sequences on any cluster.
   *
   * The naive formulation is `sum(tok) OVER (ORDER BY skey)` — a GLOBAL
   * ordered window, which Spark executes as a single task holding the
@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Per-shard packing summary: shard id, documents packed into it and
-    * their total token count. `docs` needs (doc_id, text).
+  /** (doc_id, tok, off) for every document: `tok` its whitespace token
+    * count, `off` the EXCLUSIVE global prefix sum — the index of the
+    * doc's first token in the deterministic global token stream. The
+    * two-level prefix sum documented on the object; shared by
+    * [[packShards]] and [[packSequences]].
     */
-  def packShards(docs: DataFrame, budget: Long,
-      salt: String = "pack:"): DataFrame = {
-    require(budget > 0, s"token budget must be positive, got $budget")
+  private def tokenOffsets(docs: DataFrame, salt: String): DataFrame = {
     val tok = size(split(trim(col("text")), "\\s+")).cast("long")
     val skey = md5(concat(lit(salt), col("doc_id").cast("string")))
     val base = docs
@@ -65,9 +66,21 @@ object Packing {
       .select(col("pid"), col("poff"))
     withLocal
       .join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("tok"),
+        (col("cum_local") + col("poff") - col("tok")).as("off"))
+  }
+
+  /** Per-shard packing summary: shard id, documents packed into it and
+    * their total token count. A document whose first token falls in
+    * `[k·budget, (k+1)·budget)` opens or joins shard k. `docs` needs
+    * (doc_id, text).
+    */
+  def packShards(docs: DataFrame, budget: Long,
+      salt: String = "pack:"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    tokenOffsets(docs, salt)
       // shard of a doc = how many full budgets precede its first token
-      .withColumn("shard_id",
-        expr(s"(cum_local + poff - tok) div $budget"))
+      .withColumn("shard_id", expr(s"off div $budget"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
       .orderBy(col("shard_id"))
@@ -76,4 +89,49 @@ object Packing {
   def packShardsDocs(spark: SparkSession, dir: String,
       budget: Long = 512L): DataFrame =
     packShards(Tables(spark, dir).documents, budget)
+
+  /** GPT-style training-sequence packing: the global token stream is cut
+    * into back-to-back sequences of EXACTLY `seqLen` tokens, documents
+    * crossing a boundary are split (no padding, no discarded remainder
+    * except the final partial sequence a trainer would drop or pad).
+    * One row per (sequence, document) span:
+    *
+    *   - `seq_id`    — which sequence the span lands in
+    *   - `doc_id`    — which document it comes from
+    *   - `doc_start` — first token of the span, 0-based WITHIN the doc
+    *   - `seq_start` — where the span begins WITHIN the sequence
+    *   - `n_toks`    — span length
+    *
+    * so `(seq_id, seq_start)` tiles every sequence exactly and
+    * `(doc_id, doc_start)` tiles every document exactly — the spec
+    * asserts both invariants. Downstream, a trainer materializes
+    * sequence k by concatenating its spans in `seq_start` order.
+    *
+    * Scale shape: the two-level prefix sum above (no global window),
+    * then a per-row `explode(sequence(first_seq, last_seq))` whose
+    * fan-out is ⌈tok/seqLen⌉+1 per doc — output volume is proportional
+    * to corpus tokens / seqLen, never quadratic, and the arithmetic is
+    * all codegen'd column expressions.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long,
+      salt: String = "pack:"): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive, got $seqLen")
+    val L = lit(seqLen)
+    val start = greatest(col("off"), col("seq_id") * L)
+    val end = least(col("off") + col("tok"), (col("seq_id") + lit(1L)) * L)
+    tokenOffsets(docs, salt)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"off div $seqLen"), expr(s"(off + tok - 1) div $seqLen"))))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        (start - col("off")).as("doc_start"),
+        (start - col("seq_id") * L).as("seq_start"),
+        (end - start).as("n_toks"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  def packSequencesDocs(spark: SparkSession, dir: String,
+      seqLen: Long = 256L): DataFrame =
+    packSequences(Tables(spark, dir).documents, seqLen)
 }

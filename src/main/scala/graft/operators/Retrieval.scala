@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Engine.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval over the document corpus — the "find the training docs
+  * most relevant to a fixed query" primitive behind RAG-corpus curation
+  * and targeted data selection. Okapi BM25 with the standard parameters:
+  *
+  *   score(d) = Σ_i idf_i · tf_i·(k1+1) / (tf_i + k1·(1 − b + b·dl/avgdl))
+  *   idf_i    = ln((N − df_i + 0.5) / (df_i + 0.5) + 1)
+  *
+  * Scale shape: the query term list is tiny and FIXED, so nothing ever
+  * explodes the token stream — per-doc term frequencies are higher-order
+  * array expressions inside the scan (codegen'd, zero shuffles), corpus
+  * statistics (N, Σdl, per-term df) are ONE single-row aggregate that
+  * broadcast-cross-joins back onto the scoring scan, and the top-k is
+  * `ORDER BY ... LIMIT k` which Spark executes as TakeOrdered — each
+  * partition keeps k candidates, the driver merges k·partitions rows.
+  * Two passes over the corpus total (stats + scoring), both narrow.
+  *
+  * Cross-engine determinism: tf/df/dl are integer-valued doubles (exact
+  * at any corpus size below 2^53 tokens), avgdl is an exact integer sum
+  * divided once, the per-term score sum is written left-to-right in both
+  * engines, and the emitted score is rounded to 6 decimals.
+  */
+object Retrieval {
+
+  /** Default gated query — terms chosen from the corpus vocabulary. */
+  val DefaultTerms: Seq[String] = Seq("spark", "window", "join", "stream")
+
+  def bm25TopK(docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 100): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(trim(col("text")), "\\s+"),
+      t => length(t) > 0)
+    val tfCols = terms.indices.map { i =>
+      size(filter(col("toks"), t => t === lit(terms(i))))
+        .cast("double").as(s"tf$i")
+    }
+    val base = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("double").as("dl")
+        +: tfCols: _*)
+    // corpus statistics stay IN the plan: one single-row aggregate,
+    // broadcast back — the q25_tfidf idiom, so the DataFrame stays lazy
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +:
+        (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf$i") > 0).cast("long")).cast("double").as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf$i")
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)
+        + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    val score = terms.indices.map(contrib).reduceLeft(_ + _)
+    val nHits = terms.indices
+      .map(i => (col(s"tf$i") > 0).cast("int")).reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_raw", score)
+      .filter(col("score_raw") > 0)
+      .select(col("doc_id"), round(col("score_raw"), 6).as("score"),
+        nHits.as("n_hits"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  def bm25Docs(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables(spark, dir).documents, DefaultTerms)
+}

@@ -40,6 +40,50 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.map(_._1).sum === raw.length.toLong)
   }
 
+  test("packSequences tiles every sequence and every document exactly") {
+    val L = 256L
+    val spans = Packing.packSequencesDocs(spark, dir, L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalToks = graft.Engine.Tables(spark, dir).documents
+      .select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").length.toLong).sum
+    // span lengths conserve the corpus token count exactly
+    assert(spans.map(_._5).sum === totalToks)
+    // sequence side: spans of each seq_id, ordered by seq_start, tile
+    // [0, L) back-to-back; only the final sequence may stop short
+    val lastSeq = spans.map(_._1).max
+    spans.groupBy(_._1).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"seq $seq does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 === b._4, s"gap in seq $seq")
+        case _ =>
+      }
+      val end = sorted.last._4 + sorted.last._5
+      if (seq != lastSeq) assert(end === L, s"seq $seq ends at $end != $L")
+      else assert(end <= L)
+    }
+    // document side: spans of each doc, ordered by doc_start, tile
+    // [0, tok) back-to-back with no overlap and no gap
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"doc $doc does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 === b._3, s"gap in doc $doc")
+        case _ =>
+      }
+    }
+    // consistency with packShards' layout: a doc's first span's sequence
+    // equals off/L, and consecutive spans land in consecutive sequences
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      val seqs = ss.sortBy(_._3).map(_._1)
+      seqs.sliding(2).foreach {
+        case Array(a, b) => assert(b === a + 1, s"doc $doc skips a sequence")
+        case _ =>
+      }
+    }
+  }
+
   test("every shard except possibly the last holds >= one budget of tokens") {
     // greedy packing never closes a shard early: a shard stops only when
     // the running total has crossed its budget boundary

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite with SparkTestSession {
+
+  test("bm25 equals a hand-rolled sequential reference on real docs") {
+    val dir = "/root/testdata/sf0.001"
+    val terms = Retrieval.DefaultTerms
+    val (k1, b) = (1.2, 0.75)
+    val raw = graft.Engine.Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").filter(_.nonEmpty)))
+    val n = raw.length.toDouble
+    val avgdl = raw.map(_._2.length.toDouble).sum / raw.length
+    val dfs = terms.map(t => raw.count(_._2.contains(t)).toDouble)
+    val expected = raw.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val s = terms.indices.map { i =>
+        val tf = toks.count(_ == terms(i)).toDouble
+        val idf = math.log((n - dfs(i) + 0.5) / (dfs(i) + 0.5) + 1.0)
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.reduceLeft(_ + _)
+      val hits = terms.count(toks.contains)
+      // same rounding Catalyst's Round applies to doubles
+      if (s > 0) Some((id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, hits))
+      else None
+    }.sortBy(t => (-t._2, t._1)).take(100).toSeq
+    val got = Retrieval.bm25Docs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall(_._2 > 0))
+  }
+
+  test("bm25 orders by term rarity and saturates term frequency") {
+    import spark.implicits._
+    // 20 filler docs so idf separates; 'zebra' appears once (rare),
+    // 'common' in every doc (idf ~ 0)
+    val filler = (100L until 120L).map(id => (id, "common filler words here"))
+    val docs = (Seq(
+      (1L, "zebra common pad pad"),         // rare term once
+      (2L, "common common pad pad"),        // frequent term only
+      (3L, "zebra zebra zebra common")      // rare term thrice: saturates, still > once
+    ) ++ filler).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(docs, Seq("zebra", "common"), topK = 50)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(3) > r(1), "higher tf of a rare term must score higher")
+    assert(r(1) > r(2), "one rare term must beat any pile of ubiquitous terms")
+    // saturation: tripling tf must NOT triple the score
+    assert(r(3) < 3 * r(1))
+  }
+}
