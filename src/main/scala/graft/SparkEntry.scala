@@ -84,6 +84,7 @@ object SparkEntry {
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
+    "pq_codes"             -> (Similarity.pqCodesDocs(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
@@ -1315,6 +1316,28 @@ object SparkEntry {
            FROM scored)
          SELECT vec_id, c_id AS cluster, round(v2 + d, 4) AS dist2
          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    // PQ: integer codes only — argmin of the same c²−2·v·c doubles the
+    // kmeans_fixed gate proved bit-identical, ties broken by centroid id
+    "pq_codes" ->
+      s"""WITH cents(sub, c_id, c, c2) AS (VALUES
+           ${pqCentroidValues()}),
+         scored AS (
+           SELECT e.vec_id, c.sub, c.c_id,
+             c.c2 - 2 * list_sum(list_transform(generate_series(1, 16),
+                 d -> CAST(e.embedding[c.sub * 16 + d] AS DOUBLE) * c.c[d]))
+               AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         ranked AS (
+           SELECT vec_id, sub, c_id,
+             row_number() OVER (PARTITION BY vec_id, sub
+               ORDER BY dist, c_id) AS rk
+           FROM scored)
+         SELECT vec_id,
+           CAST(max(CASE WHEN sub = 0 THEN c_id END) AS INTEGER) AS code0,
+           CAST(max(CASE WHEN sub = 1 THEN c_id END) AS INTEGER) AS code1,
+           CAST(max(CASE WHEN sub = 2 THEN c_id END) AS INTEGER) AS code2,
+           CAST(max(CASE WHEN sub = 3 THEN c_id END) AS INTEGER) AS code3
+         FROM ranked WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""",
     // q18_sketches (HLL++/t-digest are approximate by design),
     // mm_features (float-normalized stub pixels) and kmeans_assign
     // (centroid means are float sums whose value depends on partition
@@ -1329,5 +1352,15 @@ object SparkEntry {
   private def kmeansCentroidValues(): String =
     graft.operators.Clustering.fixedCentroids(16).zipWithIndex.map { case (c, id) =>
       s"($id, [${c.mkString(", ")}], ${c.map(x => x * x).sum})"
+    }.mkString(",\n           ")
+
+  /** (sub, c_id, [centroid], c²) VALUES rows for the pq_codes oracle —
+    * the same codebooks the Spark entry compiles into its argmin.
+    */
+  private def pqCentroidValues(): String =
+    Similarity.pqCodebooks(m = 4, k = 16, subDim = 16).zipWithIndex.flatMap {
+      case (book, j) => book.zipWithIndex.map { case (c, p) =>
+        s"($j, $p, [${c.mkString(", ")}], ${c.map(x => x * x).sum})"
+      }
     }.mkString(",\n           ")
 }

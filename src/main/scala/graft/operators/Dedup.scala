@@ -98,9 +98,21 @@ object Dedup {
       shB: DataFrame, threshold: Double): DataFrame = {
     def sets(sh: DataFrame) = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
-    candidates
-      .join(sets(shA).select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sets(shB).select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n_sh").as("nb")), Seq("doc_b"))
+    val sa = sets(shA)
+    val sb = sets(shB)
+    // size-ratio prefix filter BEFORE the heavy array joins: |∩| ≤ min, so
+    // jac ≤ min/max and any pair with min/max < t is dead on sizes alone —
+    // the size-only branches prune collect_set out of their aggregates, so
+    // this stage joins 8-byte counts, not shingle arrays. The division
+    // form mirrors the final jac >= t compare exactly (no boundary skew).
+    val pruned = candidates
+      .join(sa.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sb.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(least(col("na"), col("nb")) / greatest(col("na"), col("nb"))
+        >= threshold)
+    pruned
+      .join(sa.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(sb.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= threshold)
@@ -124,13 +136,21 @@ object Dedup {
     val sh = shingleHashes(docs, n)
     maxDf match {
       case Some(cap) =>
-        val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("h"))
-        val capped = sh.join(rare, Seq("h"))
-        val candidates = capped.select(col("h"), col("doc_id").as("doc_a"))
-          .join(capped.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
+        // ONE groupBy(h) produces each shingle's (bounded) posting list
+        // and the ordered pairs expand IN the array — replaces the
+        // df-aggregate + rare-join + self-join spelling, which cost three
+        // extra corpus scans and shuffled the posting rows twice more.
+        // The cap bounds the expansion at cap·(cap−1)/2 pairs per
+        // shingle; hotter shingles are skipped (recall-only, as before).
+        val candidates = sh
+          .groupBy(col("h"))
+          .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, cap))
+          .select(explode(expr(
+            """flatten(transform(ds, (a, i) ->
+              |  transform(slice(ds, i + 2, size(ds) - i - 1),
+              |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
           .distinct()
         verifiedPairs(candidates, sh, threshold)
       case None =>

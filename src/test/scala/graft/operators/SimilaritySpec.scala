@@ -130,4 +130,72 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       s"trained $trained < seeded $seeded on clustered data")
     assert(trained >= 0.9, s"trained recall on separable clusters: $trained")
   }
+
+  test("pq codes equal a sequential argmin over the same codebooks") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val books = Similarity.pqCodebooks(m = 4, k = 16, subDim = 16)
+    val expected = vecs.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val codes = (0 until 4).map { j =>
+        (0 until 16).map { p =>
+          val c = books(j)(p)
+          // same c² − 2·v·c doubles, same left-to-right order as vec_dot
+          var dot = 0.0
+          var d = 0
+          while (d < 16) { dot += v(j * 16 + d).toDouble * c(d); d += 1 }
+          (c.map(x => x * x).sum - 2.0 * dot, p)
+        }.min._2
+      }
+      r.getLong(0) -> codes
+    }.toMap
+    val got = Similarity.pqCodes(vecs).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(got === expected)
+    assert(got.values.flatten.forall(c => c >= 0 && c < 16))
+  }
+
+  test("ADC ranks a planted exact duplicate first (self-code minimality)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = new scala.util.Random(7)
+    def rand() = Array.fill(64)((r.nextDouble() - 0.5).toFloat).toSeq
+    val qs = (0L until 10L).map(i => (i, rand()))
+    // exact copies under ids 100..109; noise under ids >= 1000 so the
+    // adist tie-break (vec_id asc) favors the copy
+    val dups = qs.map { case (i, v) => (i + 100, v) }
+    val noise = (1000L until 1200L).map(i => (i, rand()))
+    val df = (qs ++ dups ++ noise).toDF("vec_id", "embedding")
+    // encode(q) minimizes every per-subspace table entry, so no vector
+    // can have a smaller ADC distance to q than q's own codes — the
+    // planted copy (same codes) must surface at rank 1
+    val top = Similarity.pqAdcTopK(df, numQueries = 10, topK = 3)
+      .filter(col("rk") === 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    (0L until 10L).foreach { q => assert(top(q) === q + 100, s"query $q") }
+  }
+
+  test("lsh_bands equals the declarative per-plane vec_dot formulation") {
+    import graft.functions.LshBandHashes
+    import graft.functions.VecDot.vecDot
+    import org.apache.spark.sql.functions._
+    // lattice sync: the expression's flat plane matrix IS planeWeights
+    assert(LshBandHashes.planesFor(8, 64) sameElements
+      Similarity.planeWeights(8).flatten)
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val (bits, bands) = (192, 16)
+    val rows = bits / bands
+    val w = Similarity.planeWeights(bits)
+    val bandCols = (0 until bands).map { b =>
+      (0 until rows).map { j =>
+        when(vecDot(col("embedding"), lit(w(b * rows + j))) > 0d, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val declarative = vecs.select(col("vec_id"), array(bandCols: _*).as("bh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = vecs.select(col("vec_id"),
+        LshBandHashes.lshBands(col("embedding"), bits, bands).as("bh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === declarative)
+  }
 }
