@@ -90,10 +90,10 @@ object Similarity {
     */
   def lshTopK(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
       bits: Int = 8): DataFrame = {
-    val w = planeWeights(bits)
-    val sig = (0 until bits).map { p =>
-      when(vecDot(col("embedding"), lit(w(p))) > 0d, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one-band lsh_bands call = the whole signature long (bit p = plane
+    // p's sign, identical packing to the former per-plane when-sum)
+    val sig = element_at(
+      graft.functions.LshBandHashes.lshBands(col("embedding"), bits, 1), 1)
     val signed = withNorm(vecs).withColumn("sig", sig)
     val probeMasks = lit(0L) +: (0 until bits).map(p => lit(1L << p))
     val queries = broadcast(signed
