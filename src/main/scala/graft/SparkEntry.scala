@@ -98,6 +98,7 @@ object SparkEntry {
     "vocab_coverage"       -> (TextAnalysis.vocabCoverageDocs(_, _)),
     "filter_cascade"       -> (TextAnalysis.filterCascade(_, _)),
     "text_normalize"       -> (TextAnalysis.normFingerprint(_, _)),
+    "text_novelty"         -> (TextAnalysis.noveltyDocs(_, _)),
     "lang_balance"         -> ((s, d) =>
       operators.Sampling.langBalance(graft.Engine.Tables(s, d).documents)),
     "quality_ntile"        -> ((s, d) => {
@@ -585,6 +586,23 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // novelty over shingle STRINGS — also re-checks the Spark side's
+    // hash-for-string substitution
+    "text_novelty" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+         SELECT s.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+             6) AS novelty
+         FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
     // LSH output = the exact-Jaccard pair set at the same threshold
     // (candidates are re-verified exactly; banding miss probability at the
     // 0.9 threshold is < 1e-7) — so the exact SQL is a genuine oracle for

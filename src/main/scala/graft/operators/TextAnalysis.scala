@@ -433,4 +433,36 @@ object TextAnalysis {
           .otherwise("keep").as("verdict"))
       .orderBy(col("doc_id"))
   }
+
+  /** Document novelty: the fraction of a doc's DISTINCT word n-gram
+    * shingles that occur in no other document — the curation signal
+    * between exact dedup (novelty 0 for byte-copies) and quality scoring
+    * (boilerplate-heavy docs score low without being duplicates of any
+    * single doc). Shingling/tokenization is [[Dedup.rawShingles]] — the
+    * one definition every dedup path shares.
+    *
+    * Scale shape: every shuffle (per-doc distinct, document-frequency
+    * aggregate, the df join back, the per-doc rollup) runs on 8-byte
+    * xxhash64 keys, never shingle strings; fan-out is linear in shingle
+    * volume (no self-join — df comes from ONE groupBy). The oracle
+    * computes df over the shingle strings themselves, so the gate also
+    * re-checks the hash-for-string substitution (collision odds
+    * ~(#shingles)²/2⁶⁴, the bound every dedup path documents).
+    */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup.rawShingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .withColumn("novelty", round(col("n_unique") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  def noveltyDocs(spark: SparkSession, dir: String): DataFrame =
+    novelty(Tables(spark, dir).documents)
 }

@@ -216,4 +216,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
       }
     assert(got.toSeq === ref)
   }
+
+  test("novelty: copies score 0, unique docs score 1, overlap in between") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // all shingles unique → 1.0
+      (2L, "one two three four five"),          // exact copy of 3 → 0.0
+      (3L, "one two three four five"),
+      // shares its first 3-gram with 5, rest unique
+      (4L, "red green blue cyan magenta"),
+      (5L, "red green blue yellow violet")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.novelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((3L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 0L, 0.0)))
+    // docs 4/5: 3 shingles each, 'red green blue' shared → 2/3 unique
+    assert(got(4L)._3 === 0.666667)
+    assert(got(5L)._3 === 0.666667)
+    // naive cross-check on real docs: string-level shingle df
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val raw = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+      .filter(_._2.length >= 3)
+      .map { case (id, w) =>
+        id -> w.sliding(3).map(_.mkString(" ")).toSet
+      }
+    val df = raw.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.length }
+    val expected = raw.map { case (id, ss) =>
+      val uniq = ss.count(df(_) == 1)
+      id -> ((ss.size.toLong, uniq.toLong,
+        BigDecimal(uniq.toDouble / ss.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val gotReal = TextAnalysis.novelty(real).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotReal === expected)
+  }
 }
