@@ -373,6 +373,88 @@ object Streaming {
     * if micro-batches are small, periodically rewrite old leaf dirs
     * with a batch job (they are immutable once their id is committed).
     */
+  // ------------------------------------------- near-dup quarantine
+
+  /** One (doc, band) probe row for [[simhashQuarantineStream]]. */
+  case class BandProbe(doc_id: Long, fp: Long, band: Int, bh: Long)
+
+  /** Per-bucket registered fingerprints, newest first, FIFO-capped. */
+  case class BucketState(fps: List[(Long, Long)])
+
+  /** A near-dup detection: `doc_id` matched `matched_doc` (an earlier
+    * arrival) within `hamming` bits on SimHash, found via `band`.
+    */
+  case class QuarantineHit(doc_id: Long, band: Int, matched_doc: Long,
+      hamming: Int)
+
+  /** Streaming NEAR-dup quarantine — the ingest-time counterpart of the
+    * batch [[graft.operators.Dedup.simhashPairs]]: each incoming doc's
+    * 60-bit SimHash (the same codegen expression as batch, stateless per
+    * row) is cut into the same four 15-bit bands; state keyed by
+    * (band, bucket) holds the fingerprints previously registered there,
+    * and a doc sharing a bucket with an earlier fingerprint within
+    * `maxHamming` bits emits a [[QuarantineHit]]. Pigeonhole makes band
+    * candidate generation EXACT for hamming ≤ 3: any such pair agrees
+    * verbatim on ≥ 1 band, so the flagged set equals "docs with an
+    * earlier near-dup" — StreamingSpec pins set equality against the
+    * batch operator's pairs.
+    *
+    * Every doc registers its fingerprint whether or not it was flagged —
+    * a doc quarantined as a near-dup of X still catches future near-dups
+    * of ITSELF, which is connected-component (cluster) semantics, the
+    * same transitive closure [[graft.operators.Dedup.dedupClusters]]
+    * materializes in batch. The output is the quarantine LOG (hits
+    * only); survivors are everything that never appears in it — the
+    * subtraction happens wherever the corpus lands (one anti-join), so
+    * this stays a single stateful operator in append mode with no
+    * cross-key coordination.
+    *
+    * State is bounded by construction: ≤ 4 bands × 2¹⁵ buckets ×
+    * `bucketCap` (fp, doc_id) pairs, FIFO-evicted per bucket — ~134 MB
+    * at the 64 default even if every bucket fills. A crawl that must
+    * forget old epochs entirely would add event-time TTL (the
+    * [[sessionize]] timeout pattern); the FIFO cap already prevents
+    * unbounded growth on hot buckets.
+    *
+    * Within a micro-batch the group iterator is sorted by doc_id, so
+    * "earlier" means: earlier micro-batch, then smaller doc_id — feeding
+    * ids in arrival order makes stream and batch agree exactly.
+    */
+  def simhashQuarantineStream(docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 64): Dataset[QuarantineHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      // same surviving-token filter as the batch simhash
+      .filter(exists(split(trim(col("text")), "\\s+"), t => length(t) > 0))
+      .select(col("doc_id"),
+        graft.functions.SimHash60.simhash60(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bh", expr("(fp >> (band * 15)) & 32767"))
+      .as[BandProbe]
+    banded
+      .groupByKey(p => (p.band, p.bh))
+      .flatMapGroupsWithState[BucketState, QuarantineHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[BandProbe], state: GroupState[BucketState]) =>
+          val sorted = it.toVector.sortBy(_.doc_id)
+          var fps = state.getOption.map(_.fps).getOrElse(Nil)
+          val out = Vector.newBuilder[QuarantineHit]
+          for (p <- sorted) {
+            fps.find { case (fp, _) =>
+              java.lang.Long.bitCount(fp ^ p.fp) <= maxHamming
+            }.foreach { case (fp, doc) =>
+              out += QuarantineHit(p.doc_id, p.band, doc,
+                java.lang.Long.bitCount(fp ^ p.fp))
+            }
+            fps = ((p.fp, p.doc_id) :: fps).take(bucketCap)
+          }
+          state.update(BucketState(fps))
+          out.result().iterator
+      }
+  }
+
   def idempotentParquetSink(df: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration

@@ -375,6 +375,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(viaStreamOp === viaBatchOp)
   }
 
+  test("simhashQuarantineStream flags exactly the docs with an earlier near-dup") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight nine",
+      3L -> "red orange yellow green blue indigo violet",
+      4L -> "spark window join stream batch merge sort scan",
+      5L -> "north south east west up down left right middle",
+      6L -> "alpha beta gamma delta epsilon zeta eta theta", // copy of 1
+      7L -> "one two three four five six seven eight nine",  // copy of 2 (next batch)
+      8L -> "cat dog bird fish horse sheep goat cow hen",
+      9L -> "alpha beta gamma delta epsilon zeta eta theta") // copy of 1/6 (closure)
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.simhashQuarantineStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quarantine")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 6L).map(i => (i, texts(i))): _*)
+      q.processAllAvailable()
+      input.addData((7L to 9L).map(i => (i, texts(i))): _*)
+      q.processAllAvailable()
+      val flagged = spark.table("quarantine").select("doc_id")
+        .as[Long].collect().toSet
+      // batch truth: pigeonhole banding is EXACT at hamming <= 3, so the
+      // flagged set is precisely the doc_b side of the batch pair set
+      // (arrival order == id order here)
+      val allDocs = texts.toSeq.map { case (id, t) => (id, t) }
+        .toDF("doc_id", "text")
+      val expected = graft.operators.Dedup.simhashPairs(allDocs)
+        .select("doc_b").as[Long].collect().toSet
+      assert(flagged === expected)
+      assert(Set(6L, 7L, 9L).subsetOf(flagged)) // copies, incl. cross-batch
+      assert(!flagged.contains(8L) && !flagged.contains(1L))
+      // the quarantine log names real earlier matches
+      val hits = spark.table("quarantine")
+        .select("doc_id", "matched_doc", "hamming")
+        .as[(Long, Long, Int)].collect()
+      hits.foreach { case (d, m, h) =>
+        assert(m < d, s"matched_doc $m not earlier than $d")
+        assert(h <= 3)
+      }
+    } finally q.stop()
+  }
+
   test("decontaminateStream: probe tokenization matches SQL on hostile text; null survives") {
     import spark.implicits._
     // leading tab / newline: SQL trim keeps them, so the SQL-side split
