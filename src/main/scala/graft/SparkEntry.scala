@@ -77,6 +77,7 @@ object SparkEntry {
     "decon_bloom"          -> (Dedup.deconBloomSurvivors(_, _)),
     "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
     "ingest_dedup"         -> (Dedup.ingestDedupDocs(_, _)),
+    "dedup_substr"         -> (Dedup.substrDupStatsDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "filter_cascade"       -> (TextAnalysis.filterCascade(_, _)),
     "text_normalize"       -> (TextAnalysis.normFingerprint(_, _)),
     "text_novelty"         -> (TextAnalysis.noveltyDocs(_, _)),
+    "doc_perplexity"       -> (TextAnalysis.docPerplexityDocs(_, _)),
     "lang_balance"         -> ((s, d) =>
       operators.Sampling.langBalance(graft.Engine.Tables(s, d).documents)),
     "quality_ntile"        -> ((s, d) => {
@@ -603,6 +605,54 @@ object SparkEntry {
              6) AS novelty
          FROM sh s JOIN dfreq d ON d.shingle = s.shingle
          GROUP BY s.doc_id ORDER BY s.doc_id""",
+    // fixed-point micro-nat terms (round 6 → ×1e6 → BIGINT) make the
+    // per-doc float sum an exact integer sum — same trick as q25's
+    // per-term rounding, so the gate is order-independent
+    "doc_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, w[i] AS token
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w))) AS t(i)
+           WHERE len(w[i]) > 0),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS nv FROM cnt),
+         terms AS (
+           SELECT tf.doc_id, tf.tf,
+             CAST(round(round(tf.tf * ln(tot.nv / (cnt.c + 1.0)), 6) * 1e6)
+               AS BIGINT) AS term_micro
+           FROM tf JOIN cnt USING (token) CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(term_micro) AS BIGINT) AS xent_micro,
+           round(exp(sum(term_micro) / (1e6 * sum(tf))), 3) AS ppl
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    // oracle keys the cross-doc flag on the shingle STRING; the engine
+    // keys on md5(shingle) — the gate re-checks the hash-for-string
+    // substitution, as for text_novelty
+    "dedup_substr" ->
+      """WITH pos AS (
+           SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+           WHERE len(w) >= 5),
+         crossdoc AS (
+           SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pos)
+           GROUP BY shingle HAVING count(*) >= 2),
+         tot AS (SELECT doc_id, count(*) AS total_positions
+                 FROM pos GROUP BY 1),
+         dup AS (SELECT doc_id, count(*) AS dup_positions FROM pos
+                 WHERE shingle IN (SELECT shingle FROM crossdoc)
+                 GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(t.total_positions AS BIGINT) AS total_positions,
+           CAST(coalesce(d.dup_positions, 0) AS BIGINT) AS dup_positions,
+           round(coalesce(d.dup_positions, 0) / (1.0 * t.total_positions),
+             6) AS dup_frac
+         FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
     // LSH output = the exact-Jaccard pair set at the same threshold
     // (candidates are re-verified exactly; banding miss probability at the
     // 0.9 threshold is < 1e-7) — so the exact SQL is a genuine oracle for

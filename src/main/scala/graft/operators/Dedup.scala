@@ -626,4 +626,49 @@ object Dedup {
 
   def dupStatsDocs(spark: SparkSession, dir: String): DataFrame =
     dupStats(Tables(spark, dir).documents)
+
+  // ------------------------------------- cross-doc substring duplication
+
+  /** Per-document duplicated-span fraction: of a doc's k-token shingle
+    * POSITIONS (every window, with multiplicity — not the distinct set),
+    * how many are covered by a shingle that also occurs in at least one
+    * OTHER document. This is the word-level form of the exact-substring
+    * dedup signal (find docs whose content is largely lifted from
+    * elsewhere in the corpus, even when no single pair passes a
+    * whole-doc Jaccard threshold): train-set curation drops or trims
+    * docs whose `dup_positions / total_positions` is high. Pure integers
+    * → engine-exact gate.
+    *
+    * Scale shape: positions are a narrow per-row explode (linear in
+    * corpus tokens); cross-doc document frequency comes from ONE
+    * groupBy over the per-doc DISTINCT shingle set (wordcount pattern,
+    * partial agg) — never a self-join; the flag rides back to positions
+    * on a semi-join keyed by the 128-bit md5 of the shingle, so both
+    * shuffles move 32-hex-char keys instead of arbitrary-length
+    * shingles (the identity standard every dedup path here uses).
+    * Multiply-occurring hot shingles fan out only as (positions ×
+    * match-or-not) — a semi-join keeps left multiplicity and never
+    * duplicates rows.
+    */
+  def substrDupStats(docs: DataFrame, k: Int = 5): DataFrame = {
+    val pos = rawShingles(docs, k)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+    val crossDoc = pos.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+    val flagged = pos.join(crossDoc, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_positions"))
+    pos.groupBy(col("doc_id")).agg(count(lit(1)).as("total_positions"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("dup_positions", coalesce(col("dup_positions"), lit(0L)))
+      .withColumn("dup_frac", round(
+        col("dup_positions").cast("double") / col("total_positions"), 6))
+      .select(col("doc_id"), col("total_positions"), col("dup_positions"),
+        col("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substrDupStatsDocs(spark: SparkSession, dir: String): DataFrame =
+    substrDupStats(Tables(spark, dir).documents)
 }

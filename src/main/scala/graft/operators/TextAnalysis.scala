@@ -465,4 +465,55 @@ object TextAnalysis {
 
   def noveltyDocs(spark: SparkSession, dir: String): DataFrame =
     novelty(Tables(spark, dir).documents)
+
+  // ------------------------------------------------ LM perplexity score
+
+  /** Per-document cross-entropy under an add-one-smoothed corpus unigram
+    * LM — the CCNet-style "how surprising is this doc to a model of the
+    * corpus" quality signal (low = boilerplate/common, high = noise/rare
+    * junk; curation keeps the middle). p(w) = (c_w + 1)/(N + V) with c_w
+    * the corpus count, N total tokens, V vocabulary size.
+    *
+    * Engine-exact gating for a float quantity: each doc×token term
+    * tf·ln((N+V)/(c_w+1)) is rounded to 6 decimals THEN scaled to an
+    * integer micro-nat count, and the per-doc rollup sums those BIGINTs —
+    * so the result hashes bit-identically on any engine regardless of
+    * float summation order (same fixed-point trick as the q25 per-term
+    * rounding, pushed through an integer sum). `xent_micro / (1e6 ·
+    * n_tokens)` is the cross-entropy in nats; `ppl` is its exp, derived
+    * from the exact integers in one deterministic expression.
+    *
+    * Scale shape: tf and the corpus counts are both wordcount-pattern
+    * aggregates (map-side partial agg before one shuffle each); the
+    * tf⋈counts join shuffles on the token — linear in distinct
+    * (doc,token) pairs, no fan-out; N and V ride in as a 1-row scalar
+    * subquery folded over the counts table (one corpus scan total, plan
+    * stays lazy); the final rollup is a groupBy(doc_id) on integer
+    * columns. No windows, no self-joins, nothing quadratic.
+    */
+  def docPerplexity(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totals = counts
+      .agg((sum(col("c")) + count(lit(1))).as("nv")) // N + V
+    val nv = totals.scalar()
+    tf.join(counts, Seq("token"))
+      .withColumn("term_micro",
+        round(round(col("tf") * log(nv / (col("c") + lit(1.0))), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("term_micro")).as("xent_micro"))
+      .withColumn("ppl",
+        round(exp(col("xent_micro") / (lit(1e6) * col("n_tokens"))), 3))
+      .orderBy(col("doc_id"))
+  }
+
+  def docPerplexityDocs(spark: SparkSession, dir: String): DataFrame =
+    docPerplexity(Tables(spark, dir).documents)
 }

@@ -199,4 +199,40 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     val kept = Dedup.simhash(docs).select("doc_id").as[Long].collect().toSeq
     assert(kept === Seq(0L))
   }
+
+  test("substrDupStats: positions covered by cross-doc 5-grams, with multiplicity") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 0 and 1 share their first five tokens (one 5-gram each)
+      (0L, "a b c d e x1 x2 x3"),           // 4 positions, 1 flagged
+      (1L, "a b c d e y1 y2 y3"),           // 4 positions, 1 flagged
+      // doc 2 repeats ITS OWN 5-gram twice but shares nothing → 0 flagged
+      (2L, "p q r s t p q r s t"),          // 6 positions, 0 flagged
+      (3L, "u v w")                          // too short → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.substrDupStats(docs).as[(Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      (0L, 4L, 1L, 0.25), (1L, 4L, 1L, 0.25), (2L, 6L, 0L, 0.0)))
+  }
+
+  test("substrDupStats matches a naive sliding-window reference on real docs") {
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val raw = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+      .filter(_._2.length >= 5)
+      .map { case (id, w) => id -> w.sliding(5).map(_.mkString(" ")).toVector }
+    val docsPerShingle = raw
+      .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val expected = raw.map { case (id, ss) =>
+      val dup = ss.count(docsPerShingle(_) >= 2).toLong
+      id -> ((ss.size.toLong, dup,
+        BigDecimal(dup.toDouble / ss.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = Dedup.substrDupStats(real).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+  }
 }

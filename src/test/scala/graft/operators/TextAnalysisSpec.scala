@@ -255,4 +255,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(gotReal === expected)
   }
+
+  test("docPerplexity matches an in-memory unigram-LM reference") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round3(x: Double): Double =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val docs = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    val corpus = docs.flatMap(_._2)
+    val cnt = corpus.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val nv = (corpus.length + cnt.size).toDouble
+    val expected = docs.map { case (id, ws) =>
+      val tf = ws.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      val micro = tf.map { case (t, f) =>
+        BigDecimal(round6(f * math.log(nv / (cnt(t) + 1.0))) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      id -> ((ws.length.toLong, micro,
+        round3(math.exp(micro / (1e6 * ws.length)))))
+    }.toMap
+    val got = TextAnalysis.docPerplexity(real).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+  }
+
+  test("docPerplexity: common-token docs score lower than hapax docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "the the the the the the the the"), // commonest token only
+      (2L, "the the the the qq ww ee rr"),     // half common, half hapax
+      (3L, "aa bb cc dd ff gg hh ii")          // hapaxes only
+    ).toDF("doc_id", "text")
+    val ppl = TextAnalysis.docPerplexity(crafted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppl(1L) < ppl(2L) && ppl(2L) < ppl(3L))
+  }
 }
