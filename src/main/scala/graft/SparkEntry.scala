@@ -85,6 +85,7 @@ object SparkEntry {
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
+    "semdedup"             -> (Clustering.semDedupDocs(_, _)),
     "pq_codes"             -> (Similarity.pqCodesDocs(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "text_normalize"       -> (TextAnalysis.normFingerprint(_, _)),
     "text_novelty"         -> (TextAnalysis.noveltyDocs(_, _)),
     "doc_perplexity"       -> (TextAnalysis.docPerplexityDocs(_, _)),
+    "bpe_pairs"            -> (TextAnalysis.bpePairCountsDocs(_, _)),
     "lang_balance"         -> ((s, d) =>
       operators.Sampling.langBalance(graft.Engine.Tables(s, d).documents)),
     "quality_ntile"        -> ((s, d) => {
@@ -811,6 +813,27 @@ object SparkEntry {
          SELECT rk, token, cnt,
            round(cum / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c), 6) AS cum_share
          FROM r WHERE rk <= ${TextAnalysis.VocabK} ORDER BY rk""",
+    // one BPE training iteration: adjacent char pairs weighted by word
+    // frequency; (cnt DESC, a, b) is a total order — all integers
+    "bpe_pairs" ->
+      s"""WITH words AS (
+           SELECT w[i] AS word, count(*) AS c
+           FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w))) AS t(i)
+           WHERE length(w[i]) >= 2
+           GROUP BY 1),
+         pairs AS (
+           SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+             CAST(sum(c) AS BIGINT) AS cnt
+           FROM words, UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT a, b, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rk
+           FROM pairs)
+         SELECT rk, a, b, cnt FROM ranked
+         WHERE rk <= ${TextAnalysis.BpePairK} ORDER BY rk""",
     "text_repetition" ->
       """WITH w AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -1384,6 +1407,39 @@ object SparkEntry {
            FROM scored)
          SELECT vec_id, c_id AS cluster, round(v2 + d, 4) AS dist2
          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    // SemDeDup: fixed-centroid assignment (same VALUES as kmeans_fixed),
+    // then within-cluster cosine pruning keeping the lowest vec_id; the
+    // τ compare is raw doubles — SemDedupTau sits in a measured 1.3e-4
+    // gap of the pairwise-cosine distribution, ulp-safe on both engines
+    "semdedup" ->
+      s"""WITH cents(c_id, c, c2) AS (VALUES
+           ${kmeansCentroidValues()}),
+         scored AS (
+           SELECT e.vec_id, c.c_id,
+             c.c2 - 2 * list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(e.embedding[d] AS DOUBLE) * c.c[d])) AS d
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, c_id AS cluster FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         base AS (
+           SELECT e.vec_id, a.cluster, e.embedding,
+             sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings e JOIN assign a USING (vec_id)),
+         dominated AS (
+           SELECT DISTINCT v.vec_id
+           FROM base u JOIN base v
+             ON u.cluster = v.cluster AND u.vec_id < v.vec_id
+           WHERE list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(u.embedding[d] AS DOUBLE)
+                 * CAST(v.embedding[d] AS DOUBLE)))
+             / (u.norm * v.norm) >= ${operators.Clustering.SemDedupTau})
+         SELECT b.vec_id, b.cluster FROM base b
+         WHERE b.vec_id NOT IN (SELECT vec_id FROM dominated)
+         ORDER BY b.vec_id""",
     // PQ: integer codes only — argmin of the same c²−2·v·c doubles the
     // kmeans_fixed gate proved bit-identical, ties broken by centroid id
     "pq_codes" ->

@@ -131,6 +131,57 @@ object Clustering {
     * 2·v·c) with every term computed in the identical left-to-right
     * double order the DuckDB oracle uses.
     */
+  /** Cosine threshold for [[semDedup]] — interpolated into the DuckDB
+    * oracle too. 0.4 sits in a measured gap of the sf0.01 pairwise-cosine
+    * distribution (nearest pair is 1.3e-4 away), so the cross-engine
+    * threshold compare has a margin ~10 orders of magnitude wider than
+    * any ulp drift between two left-to-right double dot products.
+    */
+  val SemDedupTau = 0.4
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space, then prune semantic duplicates WITHIN each cluster
+    * — a vector is dropped when another vector in its cluster with a
+    * smaller vec_id has cosine similarity ≥ τ to it (the deterministic
+    * keep-lowest-id form of the paper's keep-one-per-duplicate-group).
+    * Clustering is the [[fixedCentroids]] assignment so the whole
+    * operator is value-gated; a production run would swap in [[kmeans]]
+    * centroids — the pruning stage is centroid-agnostic.
+    *
+    * Scale shape — the entire point of SemDeDup: the within-cluster join
+    * is quadratic ONLY per cluster, and k grows with the corpus (the
+    * paper uses k ≈ N/5000), so each cluster's pair count stays bounded
+    * while the join itself is an equi-join on the cluster id — one
+    * co-partitioned shuffle, never an all-pairs cartesian (contrast
+    * [[Similarity.embedNearDup]]'s exact oracle path). Assignment is k
+    * codegen'd [[vecDot]] calls fused into the scan; norms are computed
+    * once per vector before the join.
+    */
+  def semDedup(vecs: DataFrame, k: Int = 16,
+      tau: Double = SemDedupTau): DataFrame = {
+    val cents = fixedCentroids(k)
+    val scores = cents.zipWithIndex.map { case (c, id) =>
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col("embedding"), lit(c))).as("d"),
+        lit(id).as("c_id"))
+    }
+    val assigned = vecs
+      .withColumn("cluster", least(scores: _*).getField("c_id"))
+      .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("cluster"), col("embedding"), col("norm"))
+    val dominated = assigned.as("u").join(assigned.as("v"),
+        col("u.cluster") === col("v.cluster") &&
+          col("u.vec_id") < col("v.vec_id"))
+      .filter(vecDot(col("u.embedding"), col("v.embedding")) /
+        (col("u.norm") * col("v.norm")) >= tau)
+      .select(col("v.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dominated, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  def semDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables(spark, dir).embeddings)
+
   def kmeansFixedAssign(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val cents = fixedCentroids(k)
     val scores = cents.zipWithIndex.map { case (c, id) =>

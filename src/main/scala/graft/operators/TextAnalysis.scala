@@ -516,4 +516,50 @@ object TextAnalysis {
 
   def docPerplexityDocs(spark: SparkSession, dir: String): DataFrame =
     docPerplexity(Tables(spark, dir).documents)
+
+  // ------------------------------------------- BPE merge-pair counting
+
+  /** Top pair count for [[bpePairCounts]] — interpolated into the oracle. */
+  val BpePairK = 100
+
+  /** Adjacent-symbol pair counts — the inner loop of BPE tokenizer
+    * training (Sennrich et al. 2016): for every adjacent character pair
+    * inside a word, the corpus-wide occurrence count, weighted by word
+    * frequency; the top pair is the next BPE merge. One iteration is
+    * gated (the full trainer loops this against a driver-side merge
+    * table); all-integer output → engine-exact.
+    *
+    * Scale shape — why this beats pair-counting the corpus directly: the
+    * corpus is touched ONCE by the word count (wordcount pattern,
+    * map-side partial agg); pair expansion then runs over the DISTINCT
+    * word table — vocabulary-sized, not corpus-sized — so the quadratic
+    * part of BPE training (re-scanning after every merge) touches only
+    * the vocab at every iteration, which is exactly how production BPE
+    * trainers are structured. The final agg keys on a character pair
+    * (≤ alphabet² groups) and the global top-K runs through
+    * [[Ranking.bucketedTopK]] — no single-task window.
+    */
+  def bpePairCounts(docs: DataFrame, topN: Int = BpePairK): DataFrame = {
+    val words = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val pairs = words
+      .select(col("c"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> struct(substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b))"""
+          .stripMargin)).as("p"))
+      .select(col("c"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cnt"))
+    Ranking.bucketedTopK(pairs,
+        groupCols = Seq.empty,
+        orderCols = Seq(col("cnt").desc, col("a"), col("b")),
+        k = topN,
+        bucketKeys = Seq(col("a"), col("b")))
+      .select(col("rk"), col("a"), col("b"), col("cnt"))
+      .orderBy(col("rk"))
+  }
+
+  def bpePairCountsDocs(spark: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Tables(spark, dir).documents)
 }

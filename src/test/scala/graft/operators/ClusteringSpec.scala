@@ -51,4 +51,54 @@ class ClusteringSpec extends AnyFunSuite with SparkTestSession {
     val k = out.select("cluster").distinct.count()
     assert(k >= 2 && k <= 16)
   }
+
+  test("semDedup prunes planted near-identical copies, keeps originals") {
+    import spark.implicits._
+    val orig = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select("vec_id", "embedding")
+    // scaled copy: cosine(v, 1.001·v) = 1 exactly in direction — every
+    // copy shares its original's cluster and is dominated by it
+    val copies = orig.select(
+      (col("vec_id") + lit(100000L)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val survivors = Clustering.semDedup(orig.unionByName(copies))
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.forall(_ < 100000L), "a planted copy survived")
+    val baseSurvivors = Clustering.semDedup(orig)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === baseSurvivors)
+  }
+
+  test("semDedup matches an in-memory assignment + pruning reference") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val cents = Clustering.fixedCentroids(16)
+    def dot(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, c.length)) { s += a(i).toDouble * c(i); i += 1 }
+      s
+    }
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val assigned = vecs.map { case (id, v) =>
+      val cl = cents.zipWithIndex.map { case (c, cid) =>
+        (c.map(x => x * x).sum - 2.0 * dot(v, c), cid)
+      }.min._2
+      (id, cl, v, math.sqrt(dotF(v, v)))
+    }
+    val dominated = (for {
+      u <- assigned; v <- assigned
+      if u._2 == v._2 && u._1 < v._1
+      if dotF(u._3, v._3) / (u._4 * v._4) >= Clustering.SemDedupTau
+    } yield v._1).toSet
+    val expected = assigned.filterNot(a => dominated(a._1))
+      .map(a => (a._1, a._2)).sortBy(_._1).toSeq
+    val got = Clustering.semDedup(
+        graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === expected)
+  }
 }

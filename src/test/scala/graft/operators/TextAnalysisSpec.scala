@@ -292,4 +292,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(ppl(1L) < ppl(2L) && ppl(2L) < ppl(3L))
   }
+
+  test("bpePairCounts: hand-computed pair weights") {
+    import spark.implicits._
+    // words: "ab" ×2, "abc" ×1 → (a,b) = 2+1 = 3, (b,c) = 1
+    val docs = Seq((0L, "ab abc"), (1L, "ab x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "b", 3L), (2, "b", "c", 1L)))
+  }
+
+  test("bpePairCounts matches an in-memory reference on real docs") {
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val words = real.select("text").collect().map(_.getString(0))
+      .flatMap(_.trim.split("\\s+")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val pairs = words.toSeq.flatMap { case (w, c) =>
+      w.sliding(2).map(p => (p.substring(0, 1), p.substring(1)) -> c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val expected = pairs.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }
+      .take(100).zipWithIndex
+      .map { case (((a, b), c), i) => (i + 1, a, b, c) }
+    val got = TextAnalysis.bpePairCounts(real).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
 }
