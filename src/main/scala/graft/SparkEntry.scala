@@ -140,6 +140,7 @@ object SparkEntry {
     }),
     "pack_shards"          -> ((s, d) => Packing.packShardsDocs(s, d, PackBudget)),
     "pack_sequences"       -> ((s, d) => Packing.packSequencesDocs(s, d, SeqLen)),
+    "mix_budget"           -> ((s, d) => Packing.mixBudgetDocs(s, d, MixBudget)),
     "bm25_topk"            -> (Retrieval.bm25Docs(_, _)),
     // --- training-data pipeline: multimodal binary columns
     "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
@@ -182,6 +183,12 @@ object SparkEntry {
 
   /** Sequence length for the gated `pack_sequences` query (both sides). */
   private val SeqLen = 256L
+
+  /** Per-language token budget for the gated `mix_budget` query (both
+    * sides) — a strict subset of every language at sf0.01 (totals run
+    * 3.5k–11.8k tokens/lang there).
+    */
+  private val MixBudget = 2000L
 
   /** BM25 oracle, generated from the SAME term list the Spark entry uses
     * so the two can never drift. Score arithmetic mirrors
@@ -1336,6 +1343,23 @@ object SparkEntry {
              - greatest(off, seq_id * $SeqLen) AS BIGINT) AS n_toks
          FROM spans
          ORDER BY seq_id, doc_id""",
+    // per-language greedy fill in the same md5-salted order; a doc is
+    // admitted when its first token falls inside the lang budget
+    "mix_budget" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, tok,
+             sum(tok) OVER (PARTITION BY lang ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS off
+           FROM d)
+         SELECT doc_id, lang, tok, CAST(off AS BIGINT) AS off
+         FROM c WHERE off < $MixBudget ORDER BY doc_id""",
     // BM25: constants written as the same arithmetic Spark evaluates
     // ((1.2 + 1), not 2.2) so both engines produce bit-identical doubles
     "bm25_topk" -> bm25OracleSql,

@@ -33,17 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** (doc_id, tok, off) for every document: `tok` its whitespace token
-    * count, `off` the EXCLUSIVE global prefix sum — the index of the
-    * doc's first token in the deterministic global token stream. The
-    * two-level prefix sum documented on the object; shared by
-    * [[packShards]] and [[packSequences]].
+  /** (doc_id, keys…, tok, off) for every document: `tok` its whitespace
+    * token count, `off` the EXCLUSIVE prefix sum — the index of the
+    * doc's first token in the deterministic token stream of its `keys`
+    * group (global stream when `keys` is empty). The two-level prefix
+    * sum documented on the object, run independently per key group (the
+    * 256 md5 buckets nest INSIDE each group, so a group's windows stay
+    * balanced no matter how skewed the groups are); shared by
+    * [[packShards]], [[packSequences]] and [[mixBudget]]. Key columns
+    * must be non-null (the offset join is a USING join).
     */
-  private def tokenOffsets(docs: DataFrame, salt: String): DataFrame = {
+  private def tokenOffsets(docs: DataFrame, salt: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
     val tok = size(split(trim(col("text")), "\\s+")).cast("long")
     val skey = md5(concat(lit(salt), col("doc_id").cast("string")))
     val base = docs
-      .select(col("doc_id"), tok.as("tok"), skey.as("skey"))
+      .select(keyCols :+ col("doc_id") :+ tok.as("tok") :+ skey.as("skey"): _*)
       .withColumn("pid", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
       // pid is never null in practice; filtering explicitly puts the
       // SAME isnotnull(pid) the inner join pushes into branch A into
@@ -52,22 +58,24 @@ object Packing {
       .filter(col("pid").isNotNull)
     val withLocal = base.withColumn("cum_local",
       sum(col("tok")).over(
-        Window.partitionBy(col("pid")).orderBy(col("skey"), col("doc_id"))))
+        Window.partitionBy(keyCols :+ col("pid"): _*)
+          .orderBy(col("skey"), col("doc_id"))))
     // bucket totals come from the WINDOWED frame (a bucket's total = its
     // max running sum), not from re-aggregating `base`: both branches
     // then share the scan→tokenize→md5→shuffle(pid) subtree, which Spark
     // reuses (ReusedExchange) instead of reading the corpus twice.
     val offsets = withLocal
-      .groupBy(col("pid")).agg(max(col("cum_local")).as("ptot"))
+      .groupBy(keyCols :+ col("pid"): _*).agg(max(col("cum_local")).as("ptot"))
       .withColumn("poff", coalesce(
         sum(col("ptot")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(keyCols: _*).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("pid"), col("poff"))
+      .select(keyCols :+ col("pid") :+ col("poff"): _*)
     withLocal
-      .join(broadcast(offsets), "pid")
-      .select(col("doc_id"), col("tok"),
-        (col("cum_local") + col("poff") - col("tok")).as("off"))
+      .join(broadcast(offsets), keys :+ "pid")
+      .select(keyCols :+ col("doc_id") :+ col("tok") :+
+        (col("cum_local") + col("poff") - col("tok")).as("off"): _*)
   }
 
   /** Per-shard packing summary: shard id, documents packed into it and
@@ -134,4 +142,37 @@ object Packing {
   def packSequencesDocs(spark: SparkSession, dir: String,
       seqLen: Long = 256L): DataFrame =
     packSequences(Tables(spark, dir).documents, seqLen)
+
+  /** Token-budget data mixture: admit documents per mixture key (here:
+    * language) in the deterministic shuffled order until the key's token
+    * budget is spent — the "X billion tokens of each language/domain"
+    * step that assembles a training mix from an over-supplied corpus. A
+    * document is admitted when its first token falls inside the budget
+    * (the open-at-offset rule [[packShards]] uses), so every key admits
+    * at least one document and the overshoot is bounded by one document.
+    * Determinism: same md5-salted order as all layout operators —
+    * re-running the mixture on the same corpus admits the same docs on
+    * any cluster, and raising the budget only ADDS documents (the
+    * admission order is budget-independent), which is what makes
+    * mixtures reproducible and monotonically extendable.
+    *
+    * Scale shape: the per-key running total is the keyed two-level
+    * prefix sum of [[tokenOffsets]] — 256 balanced sub-windows per key
+    * regardless of key skew (a 90%-English corpus still never puts a
+    * language in one task), offsets broadcast back, and the budget test
+    * is a pushed-down scalar filter. No global window, no collect.
+    */
+  def mixBudget(docs: DataFrame, budget: Long, key: String = "lang",
+      salt: String = "mix:"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    tokenOffsets(docs.select(col("doc_id"), col(key), col("text")),
+        salt, Seq(key))
+      .filter(col("off") < budget)
+      .select(col("doc_id"), col(key), col("tok"), col("off"))
+      .orderBy(col("doc_id"))
+  }
+
+  def mixBudgetDocs(spark: SparkSession, dir: String,
+      budget: Long): DataFrame =
+    mixBudget(Tables(spark, dir).documents, budget)
 }

@@ -100,4 +100,35 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
     // straddle carry-over: weak but partitioning-independent bound
     assert(boundaryCheck >= (rows.length - 1) * Budget - rows.length * 200)
   }
+
+  test("mixBudget equals the naive per-lang greedy-fill reference") {
+    val MixB = 2000L
+    val raw = graft.Engine.Tables(spark, dir).documents
+      .select("doc_id", "lang", "text").collect().map { r =>
+        val id = r.getLong(0)
+        (r.getString(1), md5hex("mix:" + id), id,
+          r.getString(2).trim.split("\\s+").length.toLong)
+      }
+    val expected = raw.groupBy(_._1).flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(t => (t._2, t._3)).toSeq.flatMap { case (_, _, id, tok) =>
+        val off = cum; cum += tok
+        if (off < MixB) Some((id, lang, tok, off)) else None
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Packing.mixBudgetDocs(spark, dir, MixB).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // the mixture is a strict subset of every language at this budget
+    val perLangAll = raw.groupBy(_._1).view.mapValues(_.length)
+    val perLangMix = got.groupBy(_._2).view.mapValues(_.length)
+    perLangAll.foreach { case (lang, n) =>
+      assert(perLangMix(lang) >= 1 && perLangMix(lang) < n,
+        s"$lang not a strict non-empty subset")
+    }
+    // monotone: raising the budget only adds documents
+    val bigger = Packing.mixBudgetDocs(spark, dir, MixB * 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet.subsetOf(bigger))
+  }
 }
