@@ -562,4 +562,58 @@ object TextAnalysis {
 
   def bpePairCountsDocs(spark: SparkSession, dir: String): DataFrame =
     bpePairCounts(Tables(spark, dir).documents)
+
+  /** Full BPE trainer (Sennrich et al. 2016): `nMerges` rounds of
+    * count-top-pair-then-merge, returning the learned merge list in
+    * order. Gating stays on the single-iteration [[bpePairCounts]] (an
+    * n-round trainer has no closed-form SQL oracle — same split as the
+    * k-means trainer vs [[Clustering.kmeansFixedAssign]]); the loop is
+    * ScalaTest-verified against a sequential in-memory reference.
+    *
+    * Scale shape: the corpus is scanned ONCE (word count); every merge
+    * round runs on the DISTINCT word table — vocabulary-sized, millions
+    * of rows where the corpus has trillions of tokens — and ships one
+    * (pair, count) row to the driver. The merge itself is a higher-order
+    * left fold over each word's symbol array (greedy leftmost,
+    * non-overlapping — "aaa" + (a,a) → [aa, a]); interpreted HOF cost is
+    * fine off the corpus path. Lineage is cut with localCheckpoint every
+    * few rounds so round N's plan doesn't embed N−1 fold expressions.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    var words = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .select(split(col("word"), "").as("syms"), col("c"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to nMerges if !exhausted) {
+      // guard: sequence(1, 0) DESCENDS in Spark, so fully-merged
+      // single-symbol words must be dropped before the pair explode
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a, b, cnt))
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        words = words.select(merged.as("syms"), col("c"))
+        if (round % 4 == 0) words = words.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
 }

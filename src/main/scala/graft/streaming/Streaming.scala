@@ -475,4 +475,53 @@ object Streaming {
       }
       .start()
   }
+
+  // ------------------------------------------ token-budget admission
+
+  case class AdmitDoc(doc_id: Long, lang: String, tok: Long)
+  case class AdmitState(spent: Long)
+  case class Admitted(doc_id: Long, lang: String, tok: Long, off: Long)
+
+  /** Streaming token-budget admission — the ingest-time twin of
+    * [[graft.operators.Packing.mixBudget]]: per language, admit
+    * documents until the budget is spent, then drop the rest of the
+    * stream. Batch picks WHICH docs via the deterministic md5 order;
+    * ingest has no second chance at ordering, so here admission order
+    * is arrival order (micro-batch, then doc_id within a batch — same
+    * tie rule as [[simhashQuarantineStream]]), and the admission test is
+    * the identical open-at-offset rule: a doc is admitted when the
+    * tokens already spent on its language are < budget. Emitted `off` is
+    * that spent-count — so the output stream IS the per-lang token
+    * layout, and replaying it reproduces the same mix.
+    *
+    * State per language is ONE long (tokens spent) — the smallest
+    * possible streaming state; no timeout because a quota outlives any
+    * watermark. Languages are independent keys, so a hot language never
+    * blocks others, and the stateful shuffle is keyed on lang — the
+    * only wide move in the plan.
+    */
+  def budgetAdmitStream(docs: DataFrame, budget: Long): Dataset[Admitted] = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      .as[AdmitDoc]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[AdmitState, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[AdmitDoc], state: GroupState[AdmitState]) =>
+          var spent = state.getOption.map(_.spent).getOrElse(0L)
+          val out = Vector.newBuilder[Admitted]
+          for (d <- it.toVector.sortBy(_.doc_id)) {
+            if (spent < budget) {
+              out += Admitted(d.doc_id, lang, d.tok, spent)
+              spent += d.tok
+            }
+          }
+          state.update(AdmitState(spent))
+          out.result().iterator
+      }
+  }
 }

@@ -317,4 +317,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got === expected)
   }
+
+  test("bpeTrain matches a sequential in-memory BPE trainer") {
+    def applyMerge(s: List[String], a: String, b: String): List[String] = {
+      val acc = scala.collection.mutable.ListBuffer.empty[String]
+      for (x <- s) {
+        if (acc.nonEmpty && acc.last == a && x == b) acc(acc.size - 1) = a + b
+        else acc += x
+      }
+      acc.toList
+    }
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    var words = real.select("text").collect().map(_.getString(0))
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).toSeq
+      .map { case (w, xs) => w.split("").toList -> xs.length.toLong }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) += c
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        expected += ((a, b, cnt))
+        words = words.map { case (syms, c) => applyMerge(syms, a, b) -> c }
+      }
+    }
+    val got = TextAnalysis.bpeTrain(real, nMerges = 8)
+    assert(got === expected.toSeq)
+    // first merge must be the top-1 of the gated single-iteration query
+    val top = TextAnalysis.bpePairCounts(real).head()
+    assert((top.getString(1), top.getString(2), top.getLong(3)) === got.head)
+  }
 }

@@ -443,4 +443,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(!viaStream.contains(2L))
     assert(viaStream.contains(3L) && viaStream.contains(4L))
   }
+
+  test("budgetAdmitStream: per-lang quota holds across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streaming.budgetAdmitStream(
+        input.toDF().toDF("doc_id", "lang", "text"), budget = 10L)
+      .writeStream.format("memory").queryName("admit")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "en", "a b c d"), (2L, "en", "e f g h"), (3L, "fr", "x y"))
+      q.processAllAvailable()
+      input.addData(
+        (4L, "en", "i j k"), (5L, "en", "l m"), (6L, "fr", "z"))
+      q.processAllAvailable()
+      val got = spark.table("admit").as[Streaming.Admitted]
+        .collect().sortBy(_.doc_id).toSeq
+      // en spends 4+4 in batch 1, doc 4 opens at 8 < 10 (admitted, spends
+      // to 11), doc 5 sees 11 >= 10 → dropped. fr never fills.
+      assert(got === Seq(
+        Streaming.Admitted(1L, "en", 4L, 0L),
+        Streaming.Admitted(2L, "en", 4L, 4L),
+        Streaming.Admitted(3L, "fr", 2L, 0L),
+        Streaming.Admitted(4L, "en", 3L, 8L),
+        Streaming.Admitted(6L, "fr", 1L, 2L)))
+      // parity: a sequential per-lang fold over arrival order agrees
+      val arrivals = Seq(
+        (1L, "en", 4L), (2L, "en", 4L), (3L, "fr", 2L),
+        (4L, "en", 3L), (5L, "en", 2L), (6L, "fr", 1L))
+      val spent = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val ref = arrivals.flatMap { case (id, lang, tok) =>
+        val off = spent(lang)
+        if (off < 10L) { spent(lang) = off + tok; Some((id, lang, tok, off)) }
+        else None
+      }
+      assert(got.map(a => (a.doc_id, a.lang, a.tok, a.off)) === ref)
+    } finally q.stop()
+  }
 }
