@@ -142,6 +142,7 @@ object SparkEntry {
     "pack_sequences"       -> ((s, d) => Packing.packSequencesDocs(s, d, SeqLen)),
     "mix_budget"           -> ((s, d) => Packing.mixBudgetDocs(s, d, MixBudget)),
     "bm25_topk"            -> (Retrieval.bm25Docs(_, _)),
+    "hybrid_topk"          -> (Retrieval.hybridDocs(_, _)),
     // --- training-data pipeline: multimodal binary columns
     "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
     "mm_decode"            -> (Multimodal.decodeDims(_, _)),
@@ -197,7 +198,11 @@ object SparkEntry {
     * integer-valued doubles, so only ln() is approximate and the emitted
     * score is rounded to 6 decimals.
     */
-  private def bm25OracleSql: String = {
+  /** BM25 CTE chain ending in `lexscored(doc_id, score, n_hits)` —
+    * shared by the bm25_topk oracle and the hybrid_topk oracle so the
+    * scoring definition cannot drift between them.
+    */
+  private def bm25OracleCtes: String = {
     val ts = Retrieval.DefaultTerms
     val tfDefs = ts.indices.map(i =>
       s"CAST(len(list_filter(toks, t -> t = '${ts(i)}')) AS DOUBLE) AS tf$i")
@@ -211,7 +216,7 @@ object SparkEntry {
       .mkString(" + ")
     val nHits = ts.indices.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH d AS (
+    s"""d AS (
          SELECT doc_id,
            list_filter(regexp_split_to_array(trim(text), '\\s+'),
              t -> len(t) > 0) AS toks
@@ -224,11 +229,58 @@ object SparkEntry {
          SELECT CAST(count(*) AS DOUBLE) AS n,
              sum(dl) / count(*) AS avgdl,
              $dfDefs
-         FROM b)
-       SELECT doc_id, round($score, 6) AS score, $nHits AS n_hits
-       FROM b, s
-       WHERE $score > 0
+         FROM b),
+       lexscored AS (
+         SELECT doc_id, round($score, 6) AS score, $nHits AS n_hits
+         FROM b, s
+         WHERE $score > 0)"""
+  }
+
+  private def bm25OracleSql: String =
+    s"""WITH $bm25OracleCtes
+       SELECT doc_id, score, n_hits FROM lexscored
        ORDER BY score DESC, doc_id LIMIT 100"""
+
+  /** RRF fusion of the BM25 candidates with cosine-vs-fixed-query-vector
+    * candidates (query vector inlined as exact dyadic decimals, its norm
+    * as the shortest-roundtrip double literal — both parse back
+    * bit-identical). Reciprocal terms are computed in double on both
+    * engines (explicit CASTs keep DuckDB out of DECIMAL arithmetic).
+    */
+  private def hybridOracleSql: String = {
+    val q = Retrieval.queryVector()
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    s"""WITH $bm25OracleCtes,
+       lex AS (
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS r_lex
+         FROM (SELECT doc_id, score FROM lexscored
+               ORDER BY score DESC, doc_id LIMIT 100)),
+       sem0 AS (
+         SELECT vec_id AS doc_id,
+           list_sum(list_transform(generate_series(1, 64),
+             d -> CAST(embedding[d] AS DOUBLE) * ([${q.mkString(", ")}])[d]))
+           / (sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * $qn) AS cos
+         FROM embeddings),
+       semtop AS (
+         SELECT doc_id, cos FROM sem0 ORDER BY cos DESC, doc_id LIMIT 100),
+       sem AS (
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+             AS r_sem
+         FROM semtop),
+       fused AS (
+         SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+           CAST(coalesce(l.r_lex, 0) AS INT) AS r_lex,
+           CAST(coalesce(m.r_sem, 0) AS INT) AS r_sem,
+           round(
+             coalesce(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0.0)
+             + coalesce(CAST(1 AS DOUBLE) / (60 + m.r_sem), 0.0), 6) AS rrf
+         FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id)
+       SELECT doc_id, r_lex, r_sem, rrf FROM fused
+       ORDER BY rrf DESC, doc_id LIMIT 50"""
   }
 
   /** Quality-score oracle body — shared by `text_quality` and
@@ -1363,6 +1415,7 @@ object SparkEntry {
     // BM25: constants written as the same arithmetic Spark evaluates
     // ((1.2 + 1), not 2.2) so both engines produce bit-identical doubles
     "bm25_topk" -> bm25OracleSql,
+    "hybrid_topk" -> hybridOracleSql,
     "sample_det" ->
       s"""SELECT doc_id FROM documents
          WHERE ${duckMd5_60("CAST(doc_id AS VARCHAR)")} % 1000000

@@ -72,4 +72,71 @@ object Retrieval {
 
   def bm25Docs(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(Tables(spark, dir).documents, DefaultTerms)
+
+  // ------------------------------------------------- hybrid retrieval
+
+  /** Deterministic, data-independent query embedding for the gated
+    * hybrid query — the same dyadic-grid keyed-hash scheme as
+    * [[Clustering.fixedCentroids]] (every coordinate k/1024 − 0.5, so
+    * the decimal literals interpolated into the oracle parse back
+    * bit-identical).
+    */
+  private[graft] def queryVector(dim: Int = 64): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(s"hq:$d")
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      Math.floorMod(h, 1024L).toDouble / 1024.0 - 0.5
+    }
+
+  /** Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    * (Cormack et al. 2009): BM25 candidates and cosine-vs-query-vector
+    * candidates are each ranked, then fused with
+    * rrf(d) = Σ_lists 1/(rrfK + rank_list(d)) over the lists containing
+    * d. RRF is THE standard way to combine rankings with incomparable
+    * scores — no score normalization to tune, and a doc ranked well by
+    * either view surfaces.
+    *
+    * Scale shape: each candidate list is a TakeOrdered top-`candK`
+    * (per-partition k, driver merge — never a global sort of the
+    * corpus), so the ranking windows and the full-outer fusion join run
+    * over ≤ 2·candK driver-bounded rows; the corpus-scale work is
+    * exactly the BM25 scan pair plus one fused cosine scan over the
+    * embeddings. Ranks are emitted (0 = absent from that list) so the
+    * fusion is auditable; rrf itself is a two-term sum of exact
+    * reciprocals, rounded at 6.
+    */
+  def hybridTopK(docs: DataFrame, vecs: DataFrame, terms: Seq[String],
+      rrfK: Int = 60, candK: Int = 100, topK: Int = 50): DataFrame = {
+    import graft.functions.VecDot.vecDot
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, terms, topK = candK)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val q = queryVector()
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val sem = vecs
+      .select(col("vec_id").as("doc_id"),
+        (vecDot(col("embedding"), lit(q)) /
+          (sqrt(vecDot(col("embedding"), col("embedding"))) * lit(qn)))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(candK)
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0)), 6))
+      .withColumn("r_lex", coalesce(col("r_lex"), lit(0)))
+      .withColumn("r_sem", coalesce(col("r_sem"), lit(0)))
+      .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(topK)
+  }
+
+  def hybridDocs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    hybridTopK(t.documents, t.embeddings, DefaultTerms)
+  }
 }

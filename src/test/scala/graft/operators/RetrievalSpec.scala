@@ -50,4 +50,36 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
     // saturation: tripling tf must NOT triple the score
     assert(r(3) < 3 * r(1))
   }
+
+  test("hybridTopK fuses lexical and semantic ranks by RRF") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Retrieval.hybridDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length <= 50)
+    // in-memory RRF over the two independently computed candidate lists
+    val lex = Retrieval.bm25Docs(spark, dir).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val t = graft.Engine.Tables(spark, dir)
+    val q = Retrieval.queryVector()
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val sem = t.embeddings.select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        var dot = 0.0; var n2 = 0.0
+        for (i <- v.indices) { dot += v(i).toDouble * q(i); n2 += v(i).toDouble * v(i).toDouble }
+        (r.getLong(0), dot / (math.sqrt(n2) * qn))
+      }.sortBy { case (id, c) => (-c, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, lex.getOrElse(id, 0), sem.getOrElse(id, 0),
+        BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(50)
+    assert(got.toSeq === expected)
+    // a doc present in both lists must outrank one present in neither list's top
+    val both = got.find(g => g._2 > 0 && g._3 > 0)
+    val single = got.reverse.find(g => g._2 == 0 || g._3 == 0)
+    for (b <- both; s <- single) assert(b._4 >= s._4)
+  }
 }
