@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Multimodal, Packing, Relational, Retrieval, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Monitoring, Multimodal, Packing, Relational, Retrieval, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +78,8 @@ object SparkEntry {
     "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
     "ingest_dedup"         -> (Dedup.ingestDedupDocs(_, _)),
     "dedup_substr"         -> (Dedup.substrDupStatsDocs(_, _)),
+    "snapshot_diff"        -> (Dedup.snapshotDiffDocs(_, _)),
+    "corpus_card"          -> (Monitoring.corpusCardDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
@@ -689,6 +691,36 @@ object SparkEntry {
            CAST(sum(term_micro) AS BIGINT) AS xent_micro,
            round(exp(sum(term_micro) / (1e6 * sum(tf))), 3) AS ppl
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    // synthetic re-crawl: old misses %10==7 (added), new drops %10==9
+    // (removed) and rewrites %10==3 (changed); unchanged not emitted
+    "snapshot_diff" ->
+      """WITH o AS (
+           SELECT doc_id, md5(text) AS old_fp FROM documents
+           WHERE doc_id % 10 != 7),
+         n AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+                      ELSE text END) AS new_fp
+           FROM documents WHERE doc_id % 10 != 9),
+         j AS (
+           SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.old_fp IS NULL THEN 'added'
+                  WHEN n.new_fp IS NULL THEN 'removed'
+                  WHEN o.old_fp != n.new_fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT doc_id, status FROM j
+         WHERE status != 'unchanged' ORDER BY doc_id""",
+    "corpus_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+         FROM documents""",
     // oracle keys the cross-doc flag on the shingle STRING; the engine
     // keys on md5(shingle) — the gate re-checks the hash-for-string
     // substitution, as for text_novelty

@@ -671,4 +671,48 @@ object Dedup {
 
   def substrDupStatsDocs(spark: SparkSession, dir: String): DataFrame =
     substrDupStats(Tables(spark, dir).documents)
+
+  // --------------------------------------------- snapshot (crawl) diff
+
+  /** Corpus snapshot diff — the "what changed between crawls" report a
+    * recurring ingest pipeline runs before deciding what to re-process:
+    * per document, `added` (new snapshot only), `removed` (old only) or
+    * `changed` (present in both, text digest differs). UNCHANGED docs —
+    * the overwhelming bulk of a 100 TB re-crawl — are NOT emitted: the
+    * output is delta-sized, which is the entire point at scale.
+    *
+    * Scale shape: each side is reduced to (doc_id, md5) IN the scan
+    * (the shuffle carries 32 hex chars per doc, never text — the
+    * repo's text-identity standard), then one full-outer join on
+    * doc_id; the status is a codegen'd case expression and the
+    * unchanged filter drops the bulk before the output exchange.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate entry: a synthetic re-crawl of the documents table — the old
+    * snapshot is missing the `% 10 == 7` docs (they get `added`), the
+    * new one drops `% 10 == 9` (`removed`) and rewrites the text of
+    * `% 10 == 3` (`changed`). Same construction in the DuckDB oracle.
+    */
+  def snapshotDiffDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    snapshotDiff(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 =!= 9)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))))
+  }
 }

@@ -33,4 +33,29 @@ object Monitoring {
     }
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
+
+  /** One-row corpus summary card — the header block of a dataset card
+    * (docs, token volume, language/source cardinality, exact-duplicate
+    * ratio), exact in one corpus pass. The three exact count-distincts
+    * share a single aggregate: Spark plans them with one Expand (3×
+    * row multiplication before the partial agg) — one scan, one
+    * shuffle, and the distinct-agg shuffle keys are the 32-hex md5 /
+    * short codes, never document text. For a quick-look card at scale
+    * swap in [[observed]]'s approx_count_distinct; this exact version
+    * is the auditable one the gate can hash.
+    */
+  def corpusCard(docs: DataFrame): DataFrame =
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      .withColumn("dup_ratio", round(
+        lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 6))
+
+  def corpusCardDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    corpusCard(graft.Engine.Tables(spark, dir).documents)
 }

@@ -216,6 +216,38 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       (0L, 4L, 1L, 0.25), (1L, 4L, 1L, 0.25), (2L, 6L, 0L, 0.0)))
   }
 
+  test("snapshotDiff: added/removed/changed classified, unchanged absent") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will vanish")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"), (2L, "changed now"), (4L, "brand new")
+    ).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, neu)
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("snapshotDiff gate entry: statuses follow the %10 construction") {
+    import spark.implicits._
+    val got = Dedup.snapshotDiffDocs(spark, "/root/testdata/sf0.001")
+      .as[(Long, String)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (id, st) =>
+      val expected = if (id % 10 == 7) "added"
+        else if (id % 10 == 9) "removed"
+        else if (id % 10 == 3) "changed"
+        else fail(s"doc $id (% 10 == ${id % 10}) should be unchanged, got $st")
+      assert(st === expected, s"doc $id")
+    }
+    // every %10∈{3,7,9} doc appears exactly once
+    val n = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 10 IN (3, 7, 9)"))
+      .count()
+    assert(got.length.toLong === n)
+  }
+
   test("substrDupStats matches a naive sliding-window reference on real docs") {
     val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
     val raw = real.select("doc_id", "text").collect()

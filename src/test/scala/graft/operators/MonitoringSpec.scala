@@ -30,4 +30,21 @@ class MonitoringSpec extends AnyFunSuite with SparkTestSession {
     assert(m("n_rows").asInstanceOf[Long] === docs.count())
     assert(m("doc_id_nulls") === 0L)
   }
+
+  test("corpusCard matches independently computed corpus facts") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val rows = docs.select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val card = Monitoring.corpusCard(docs).head()
+    assert(card.getLong(0) === rows.length.toLong)
+    assert(card.getLong(1) ===
+      rows.map(_._3.trim.split("\\s+").length.toLong).sum)
+    assert(card.getLong(2) === rows.map(_._1).distinct.length.toLong)
+    assert(card.getLong(3) === rows.map(_._2).distinct.length.toLong)
+    val uniq = rows.map(_._3).distinct.length.toLong
+    assert(card.getLong(4) === uniq)
+    assert(card.getDouble(5) ===
+      BigDecimal(1.0 - uniq.toDouble / rows.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
