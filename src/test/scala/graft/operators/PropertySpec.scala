@@ -136,4 +136,76 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       assert(got === Seq(naive(0.25), naive(0.5), naive(0.75)), s"seed=$seed")
     }
   }
+
+  test("substrDupStats invariants on arbitrary corpora (5 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 5) {
+      val r = rng(500 + seed)
+      val vocab = Seq("aa", "bb", "cc", "dd")
+      val docs = Seq.tabulate(10)(i =>
+        (i.toLong, Seq.fill(4 + r.nextInt(8))(vocab(r.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = Dedup.substrDupStats(docs, k = 3)
+        .as[(Long, Long, Long, Double)].collect()
+      got.foreach { case (id, total, dup, frac) =>
+        assert(dup >= 0 && dup <= total, s"seed=$seed doc=$id")
+        assert(math.abs(frac - dup.toDouble / total) < 1e-6, s"seed=$seed doc=$id")
+      }
+      // a doc unioned with an exact copy of itself must become 100% dup
+      val withCopy = docs.unionByName(
+        docs.filter($"doc_id" === 0L).select(($"doc_id" + 100L).as("doc_id"), $"text"))
+      val after = Dedup.substrDupStats(withCopy, k = 3)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(t => t._1 -> t._4).toMap
+      assert(after(0L) === 1.0 && after(100L) === 1.0, s"seed=$seed")
+    }
+  }
+
+  test("semDedup survivors: subset, nonempty per cluster, threshold-monotone (3 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 3) {
+      val r = rng(600 + seed)
+      val vecs = Seq.tabulate(40)(i =>
+        (i.toLong, Array.fill(64)(r.nextGaussian().toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+      val all = Clustering.semDedup(vecs, tau = 0.2)
+        .as[(Long, Int)].collect().toSeq
+      val ids = all.map(_._1).toSet
+      assert(ids.subsetOf((0L until 40L).toSet), s"seed=$seed")
+      // every cluster that has ANY member keeps its minimum member (it
+      // cannot be dominated by a smaller id in the same cluster)
+      val assignAll = Clustering.semDedup(vecs, tau = 2.0) // τ>1: nothing pruned
+        .as[(Long, Int)].collect().toSeq
+      assert(assignAll.map(_._1).toSet === (0L until 40L).toSet, s"seed=$seed")
+      assignAll.groupBy(_._2).foreach { case (cl, members) =>
+        assert(ids.contains(members.map(_._1).min),
+          s"seed=$seed cluster $cl lost its minimum member")
+      }
+      // raising τ can only ADD survivors
+      val stricter = Clustering.semDedup(vecs, tau = 0.5)
+        .as[(Long, Int)].collect().map(_._1).toSet
+      assert(ids.subsetOf(stricter), s"seed=$seed")
+    }
+  }
+
+  test("docPerplexity: single-doc corpora and token-count conservation (5 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 5) {
+      val r = rng(700 + seed)
+      val docs = Seq.tabulate(6)(i =>
+        (i.toLong, Seq.fill(1 + r.nextInt(10))(
+          r.alphanumeric.take(1 + r.nextInt(4)).mkString).mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.docPerplexity(docs)
+        .as[(Long, Long, Long, Double)].collect()
+      val truth = docs.as[(Long, String)].collect()
+        .map { case (id, t) => id -> t.trim.split("\\s+").count(_.nonEmpty).toLong }
+        .toMap
+      got.foreach { case (id, n, micro, ppl) =>
+        assert(n === truth(id), s"seed=$seed doc=$id token count")
+        assert(micro >= 0, s"seed=$seed doc=$id negative xent") // p <= 1 always
+        assert(ppl >= 1.0, s"seed=$seed doc=$id ppl < 1")
+      }
+    }
+  }
 }
