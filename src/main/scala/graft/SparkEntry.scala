@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_survivors"      -> (Dedup.dedupSurvivors(_, _)),
     "decon_survivors"      -> (Dedup.deconSurvivors(_, _)),
     "decon_bloom"          -> (Dedup.deconBloomSurvivors(_, _)),
+    "decon_report"         -> (Dedup.deconReportDocs(_, _)),
     "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
     "ingest_dedup"         -> (Dedup.ingestDedupDocs(_, _)),
     "dedup_substr"         -> (Dedup.substrDupStatsDocs(_, _)),
@@ -850,6 +851,33 @@ object SparkEntry {
     // 5-gram train/eval leakage: eval = doc_id % 20 == 0, drop train docs
     // sharing any 5-gram with eval, keep the rest
     "decon_survivors" -> deconOracleSql,
+    // report form of the same %20 split: engine joins on xxhash64(shingle),
+    // oracle on the shingle string — the gate re-checks the substitution
+    "decon_report" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+           WHERE len(w) >= 5),
+         e AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 = 0),
+         t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 != 0),
+         m AS (
+           SELECT e.doc_id AS eval_id, t.doc_id AS train_id, e.shingle
+           FROM e JOIN t ON e.shingle = t.shingle),
+         agg AS (
+           SELECT eval_id,
+             count(DISTINCT train_id) AS n_leaky_train_docs,
+             count(DISTINCT shingle) AS n_shared_shingles
+           FROM m GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(a.n_leaky_train_docs, 0) AS BIGINT)
+             AS n_leaky_train_docs,
+           CAST(coalesce(a.n_shared_shingles, 0) AS BIGINT)
+             AS n_shared_shingles
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+         LEFT JOIN agg a ON a.eval_id = d.doc_id
+         ORDER BY d.doc_id""",
     // bloom path: false positives are exact-verified away, so the result
     // is defined to equal the exact decontamination — ONE shared oracle
     // string, so the two entries can never drift apart

@@ -479,6 +479,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-eval-document contamination report — the quantified form of
+    * [[decontaminate]]: for every EVAL document, how many train
+    * documents share at least one word n-gram with it and how many
+    * distinct n-grams leak. Survivor lists say what to drop; this
+    * report is what a benchmark owner reads to decide whether an eval
+    * set is still trustworthy (an eval doc leaked into 5 000 train docs
+    * is burned; one sharing a single boilerplate n-gram is fine).
+    * All-integer output; eval docs with zero leaks are emitted too.
+    *
+    * Scale shape: same asymmetry as [[decontaminate]] — the eval
+    * shingle set (now carrying its eval doc_id) broadcasts, the
+    * 100 TB train side streams through the broadcast join on 8-byte
+    * hashes and is never shuffled; match fan-out is bounded by leak
+    * volume × eval-side shingle multiplicity, and the rollup keys on
+    * the eval doc_id (eval-sized aggregate).
+    */
+  def deconReport(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    val evalSh = broadcast(
+      rawShingles(evalDocs, n)
+        .select(col("doc_id").as("eval_id"), xxhash64(col("shingle")).as("h"))
+        .distinct())
+    val matches = rawShingles(train, n)
+      .select(col("doc_id").as("train_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+      .join(evalSh, Seq("h"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("train_id")).as("n_leaky_train_docs"),
+        countDistinct(col("h")).as("n_shared_shingles"))
+    evalDocs.select(col("doc_id"))
+      .join(matches.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("n_leaky_train_docs", coalesce(col("n_leaky_train_docs"), lit(0L)))
+      .withColumn("n_shared_shingles", coalesce(col("n_shared_shingles"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate entry: same %20 eval split as [[deconSurvivors]]. */
+  def deconReportDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    deconReport(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
   /** Gate entry: eval split = doc_id % 20 == 0 (a deterministic stand-in
     * for a real benchmark suite), train = the rest.
     */

@@ -216,6 +216,23 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       (0L, 4L, 1L, 0.25), (1L, 4L, 1L, 0.25), (2L, 6L, 0L, 0.0)))
   }
 
+  test("deconReport counts leaky train docs and shared shingles per eval doc") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "w1 w2 w3 w4 w5 unique eval tail one"),
+      (200L, "c1 c2 c3 c4 c5 other eval content here")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "w1 w2 w3 w4 w5 train junk after"),   // leaks eval 100's 5-gram
+      (2L, "pre w1 w2 w3 w4 w5 more stuff"),     // leaks the same 5-gram
+      (3L, "clean totally unrelated train words here today")
+    ).toDF("doc_id", "text")
+    val got = Dedup.deconReport(train, evalDocs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // eval 100: 2 leaky train docs, 1 shared shingle; eval 200: clean
+    assert(got === Seq((100L, 2L, 1L), (200L, 0L, 0L)))
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged absent") {
     import spark.implicits._
     val old = Seq(
