@@ -158,8 +158,32 @@ object Clustering {
     * once per vector before the join.
     */
   def semDedup(vecs: DataFrame, k: Int = 16,
+      tau: Double = SemDedupTau): DataFrame =
+    semDedupWith(vecs, fixedCentroids(k), tau)
+
+  def semDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables(spark, dir).embeddings)
+
+  /** Production SemDeDup: the same within-cluster prune, but clustered
+    * by [[kmeans]]-trained centroids instead of the fixed gate grid —
+    * data-adapted clusters make the per-cluster pair sets tighter (real
+    * near-dups co-cluster, unrelated vectors don't), which is the
+    * configuration the paper evaluates. Stays rows-only territory (the
+    * trainer's float centroid sums are partition-order-dependent, same
+    * declaration as `kmeans_assign`); the pruning stage itself is the
+    * gate-proven [[semDedup]] code path.
+    */
+  def semDedupTrained(vecs: DataFrame, k: Int = 16, iters: Int = 3,
       tau: Double = SemDedupTau): DataFrame = {
-    val cents = fixedCentroids(k)
+    val (_, cents) = kmeans(vecs, k = k, iters = iters)
+    semDedupWith(vecs, cents.toIndexedSeq, tau)
+  }
+
+  /** [[semDedup]] against caller-supplied centroids (shared by the fixed
+    * gate entry and [[semDedupTrained]]).
+    */
+  private def semDedupWith(vecs: DataFrame,
+      cents: IndexedSeq[Array[Double]], tau: Double): DataFrame = {
     val scores = cents.zipWithIndex.map { case (c, id) =>
       struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col("embedding"), lit(c))).as("d"),
         lit(id).as("c_id"))
@@ -178,9 +202,6 @@ object Clustering {
       .join(dominated, Seq("vec_id"), "left_anti")
       .orderBy(col("vec_id"))
   }
-
-  def semDedupDocs(spark: SparkSession, dir: String): DataFrame =
-    semDedup(Tables(spark, dir).embeddings)
 
   def kmeansFixedAssign(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val cents = fixedCentroids(k)
