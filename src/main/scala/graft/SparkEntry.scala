@@ -194,16 +194,14 @@ object SparkEntry {
     */
   private val MixBudget = 2000L
 
-  /** BM25 oracle, generated from the SAME term list the Spark entry uses
-    * so the two can never drift. Score arithmetic mirrors
+  /** BM25 CTE chain ending in `lexscored(doc_id, score, n_hits)`,
+    * generated from the SAME term list the Spark entry uses and shared
+    * by the bm25_topk and hybrid_topk oracles so the scoring definition
+    * cannot drift. Score arithmetic mirrors
     * [[graft.operators.Retrieval.bm25TopK]] operation-for-operation
     * (left-to-right term sum, same association) — all inputs are
     * integer-valued doubles, so only ln() is approximate and the emitted
     * score is rounded to 6 decimals.
-    */
-  /** BM25 CTE chain ending in `lexscored(doc_id, score, n_hits)` —
-    * shared by the bm25_topk oracle and the hybrid_topk oracle so the
-    * scoring definition cannot drift between them.
     */
   private def bm25OracleCtes: String = {
     val ts = Retrieval.DefaultTerms

@@ -31,6 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** The nearest-centroid argmin as ONE least()-struct expression:
+    * minimizes c² − 2·v·c (the ‖v‖² term is constant per row) with a
+    * lower-centroid-id tiebreak. `getField("c_id")` is the cluster,
+    * `getField("d")` is dist² − ‖v‖². The single definition shared by
+    * the trainer, the fixed-assignment gate and semdedup — bit-identity
+    * of the three against the DuckDB oracle is part of the contract, so
+    * the arithmetic must never fork.
+    */
+  private def bestCentroid(cents: Seq[Array[Double]],
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(cents.zipWithIndex.map { case (c, id) =>
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(emb, lit(c))).as("d"),
+        lit(id).as("c_id"))
+    }: _*)
+
   /** (assignments, centroids): assignments = (vec_id, cluster, dist2);
     * centroids = driver-side array indexed by cluster id.
     */
@@ -48,18 +63,9 @@ object Clustering {
     require(centroids.length == k, s"corpus has fewer than k=$k vectors")
     val dim = centroids.head.length
 
-    // assignment expression for the current centroids: argmin over
-    // ||v||² - 2·v·c + ||c||² (the ||v||² term is constant per row, so
-    // argmin only needs the last two); least() over (dist2, c_id)
-    // structs is a deterministic argmin with lower-id tiebreak.
-    def assigned: DataFrame = {
-      val scores = centroids.zipWithIndex.map { case (c, id) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * vecDot(col(embCol), lit(c))).as("d"),
-          lit(id).as("c_id"))
-      }
-      vecs.withColumn("cluster", least(scores: _*).getField("c_id"))
-    }
+    def assigned: DataFrame =
+      vecs.withColumn("cluster",
+        bestCentroid(centroids.toSeq, col(embCol)).getField("c_id"))
 
     for (_ <- 1 to iters) {
       // new centroid = per-dimension mean of assigned vectors: explode to
@@ -81,11 +87,7 @@ object Clustering {
 
     // dist2 = ||v||² + (||c||² - 2·v·c) — the second term is exactly the
     // struct field the argmin already minimized.
-    val scores = centroids.zipWithIndex.map { case (c, id) =>
-      struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col(embCol), lit(c))).as("d"),
-        lit(id).as("c_id"))
-    }
-    val best = least(scores: _*)
+    val best = bestCentroid(centroids.toSeq, col(embCol))
     val finalAssign = vecs
       .withColumn("cluster", best.getField("c_id"))
       .withColumn("dist2",
@@ -114,23 +116,9 @@ object Clustering {
     */
   private[graft] def fixedCentroids(k: Int, dim: Int = 64): IndexedSeq[Array[Double]] =
     IndexedSeq.tabulate(k) { p =>
-      Array.tabulate(dim) { d =>
-        val s = org.apache.spark.unsafe.types.UTF8String.fromString((p * dim + d).toString)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        Math.floorMod(h, 1024L).toDouble / 1024.0 - 0.5
-      }
+      Array.tabulate(dim)(d => HashGrid.point((p * dim + d).toString))
     }
 
-  /** Gated query: nearest-centroid assignment against the FIXED
-    * [[fixedCentroids]] — the deterministic half of k-means, split out so
-    * it can carry a full value-level oracle (the iterative trainer stays
-    * rows-only: its float centroid sums are partition-order-dependent).
-    * Same argmin expression shape as the trainer: k codegen'd [[vecDot]]
-    * calls fused into the scan, no join, no shuffle. dist² = v·v + (c² −
-    * 2·v·c) with every term computed in the identical left-to-right
-    * double order the DuckDB oracle uses.
-    */
   /** Cosine threshold for [[semDedup]] — interpolated into the DuckDB
     * oracle too. 0.4 sits in a measured gap of the sf0.01 pairwise-cosine
     * distribution (nearest pair is 1.3e-4 away), so the cross-engine
@@ -184,12 +172,9 @@ object Clustering {
     */
   private def semDedupWith(vecs: DataFrame,
       cents: IndexedSeq[Array[Double]], tau: Double): DataFrame = {
-    val scores = cents.zipWithIndex.map { case (c, id) =>
-      struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col("embedding"), lit(c))).as("d"),
-        lit(id).as("c_id"))
-    }
     val assigned = vecs
-      .withColumn("cluster", least(scores: _*).getField("c_id"))
+      .withColumn("cluster",
+        bestCentroid(cents, col("embedding")).getField("c_id"))
       .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("cluster"), col("embedding"), col("norm"))
     val dominated = assigned.as("u").join(assigned.as("v"),
@@ -203,13 +188,17 @@ object Clustering {
       .orderBy(col("vec_id"))
   }
 
+  /** Gated query: nearest-centroid assignment against the FIXED
+    * [[fixedCentroids]] — the deterministic half of k-means, split out so
+    * it can carry a full value-level oracle (the iterative trainer stays
+    * rows-only: its float centroid sums are partition-order-dependent).
+    * Same [[bestCentroid]] argmin as the trainer: k codegen'd [[vecDot]]
+    * calls fused into the scan, no join, no shuffle. dist² = v·v + (c² −
+    * 2·v·c) with every term computed in the identical left-to-right
+    * double order the DuckDB oracle uses.
+    */
   def kmeansFixedAssign(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    val cents = fixedCentroids(k)
-    val scores = cents.zipWithIndex.map { case (c, id) =>
-      struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col("embedding"), lit(c))).as("d"),
-        lit(id).as("c_id"))
-    }
-    val best = least(scores: _*)
+    val best = bestCentroid(fixedCentroids(k), col("embedding"))
     Tables(spark, dir).embeddings
       .withColumn("cluster", best.getField("c_id"))
       .withColumn("dist2",

@@ -686,25 +686,28 @@ object Dedup {
     * corpus tokens); cross-doc document frequency comes from ONE
     * groupBy over the per-doc DISTINCT shingle set (wordcount pattern,
     * partial agg) — never a self-join; the flag rides back to positions
-    * on a semi-join keyed by the 128-bit md5 of the shingle, so both
+    * on a left join keyed by the 128-bit md5 of the shingle, so both
     * shuffles move 32-hex-char keys instead of arbitrary-length
     * shingles (the identity standard every dedup path here uses).
     * Multiply-occurring hot shingles fan out only as (positions ×
-    * match-or-not) — a semi-join keeps left multiplicity and never
-    * duplicates rows.
+    * match-or-not) — the flag side is one row per hash by construction,
+    * so the join keeps left multiplicity and never duplicates rows.
     */
   def substrDupStats(docs: DataFrame, k: Int = 5): DataFrame = {
     val pos = rawShingles(docs, k)
       .select(col("doc_id"), md5(col("shingle")).as("h"))
+    // one row per df>=2 shingle hash (grouped, hence distinct) — joined
+    // LEFT so every position keeps its row and the flag marks coverage;
+    // both position counts then come from ONE doc-level aggregation
+    // (count(flag) counts non-nulls), no second rollup, no final join
     val crossDoc = pos.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select(col("h"))
-    val flagged = pos.join(crossDoc, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_positions"))
-    pos.groupBy(col("doc_id")).agg(count(lit(1)).as("total_positions"))
-      .join(flagged, Seq("doc_id"), "left")
-      .withColumn("dup_positions", coalesce(col("dup_positions"), lit(0L)))
+      .select(col("h"), lit(1).as("flag"))
+    pos.join(crossDoc, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_positions"),
+        count(col("flag")).as("dup_positions"))
       .withColumn("dup_frac", round(
         col("dup_positions").cast("double") / col("total_positions"), 6))
       .select(col("doc_id"), col("total_positions"), col("dup_positions"),

@@ -82,12 +82,7 @@ object Retrieval {
     * bit-identical).
     */
   private[graft] def queryVector(dim: Int = 64): Array[Double] =
-    Array.tabulate(dim) { d =>
-      val s = org.apache.spark.unsafe.types.UTF8String.fromString(s"hq:$d")
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      Math.floorMod(h, 1024L).toDouble / 1024.0 - 0.5
-    }
+    Array.tabulate(dim)(d => HashGrid.point(s"hq:$d"))
 
   /** Hybrid lexical+semantic retrieval via reciprocal-rank fusion
     * (Cormack et al. 2009): BM25 candidates and cosine-vs-query-vector

@@ -71,11 +71,8 @@ object Similarity {
     */
   private[graft] def planeWeights(bits: Int): IndexedSeq[Array[Double]] =
     IndexedSeq.tabulate(bits) { p =>
-      Array.tabulate(dim) { d =>
-        val s = UTF8String.fromString((p * dim + d).toString)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        Math.floorMod(h, 1000000L).toDouble / 1000000.0 - 0.5
-      }
+      Array.tabulate(dim)(d =>
+        HashGrid.point((p * dim + d).toString, mod = 1000000L))
     }
 
   /** Approximate top-k via random-hyperplane LSH with 1-bit multi-probe.
@@ -295,11 +292,8 @@ object Similarity {
       subDim: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
     IndexedSeq.tabulate(m) { j =>
       IndexedSeq.tabulate(k) { p =>
-        Array.tabulate(subDim) { d =>
-          val s = UTF8String.fromString("pq:" + ((j * k + p) * subDim + d))
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-          Math.floorMod(h, 1024L).toDouble / 1024.0 - 0.5
-        }
+        Array.tabulate(subDim)(d =>
+          HashGrid.point("pq:" + ((j * k + p) * subDim + d)))
       }
     }
 

@@ -77,9 +77,9 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
         BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(50)
     assert(got.toSeq === expected)
-    // a doc present in both lists must outrank one present in neither list's top
-    val both = got.find(g => g._2 > 0 && g._3 > 0)
-    val single = got.reverse.find(g => g._2 == 0 || g._3 == 0)
-    for (b <- both; s <- single) assert(b._4 >= s._4)
+    // sanity: every emitted doc appears in at least one candidate list
+    got.foreach { case (id, rl, rs, _) =>
+      assert(rl > 0 || rs > 0, s"doc $id in neither candidate list")
+    }
   }
 }
