@@ -115,6 +115,16 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"), col("rank"), col("bin"))
         .orderBy(col("doc_id"))
     }),
+    // quality-proportional soft filter: decile bin b keeps ~b/10 of its
+    // docs, decided by the same md5 bucket gate as sample_det
+    "weighted_sample"      -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val scored = operators.Ranking.distributedNtile(
+        TextAnalysis.qualityScore(s, d), "quality", "doc_id", 10)
+      operators.Sampling.weightedSample(
+          scored.withColumn("w", col("bin") / 10.0), "doc_id", "w")
+        .select(col("doc_id"), col("bin")).orderBy(col("doc_id"))
+    }),
     // --- training-data pipeline: deterministic corpus shuffle
     "shuffle_train"        -> ((s, d) =>
       operators.Sampling.trainOrderShuffle(
@@ -1358,6 +1368,22 @@ object SparkEntry {
            row_number() OVER (ORDER BY quality, doc_id) AS rank,
            ntile(10) OVER (ORDER BY quality, doc_id) AS bin
          FROM q ORDER BY doc_id""",
+    // bin/10 keep-fraction over the 1e6 md5 buckets. Thresholds are
+    // interpolated from the SAME double arithmetic Spark runs
+    // (1e6 * (bin/10.0) truncated) — naive bin*100000 would be off by
+    // one for bins where bin/10.0 rounds down in binary (e.g. 7 →
+    // 699999), the strat_sample interpolation precedent
+    "weighted_sample" ->
+      s"""WITH q AS ($qualityOracleBody),
+         nt AS (
+           SELECT doc_id, ntile(10) OVER (ORDER BY quality, doc_id) AS bin
+           FROM q)
+         SELECT doc_id, bin FROM nt
+         WHERE ${duckMd5_60("'qw:' || CAST(doc_id AS VARCHAR)")} % 1000000
+               < CASE bin ${(1 to 10).map(b =>
+                   s"WHEN $b THEN ${(1000000L * (b / 10.0)).toLong}")
+                 .mkString(" ")} END
+         ORDER BY doc_id""",
     "filter_cascade" ->
       s"""WITH r AS (
            SELECT doc_id, len(w) AS n_tok,

@@ -37,6 +37,20 @@ object Sampling {
     df.filter(gate(col(keyCol), lit(fraction), salt))
   }
 
+  /** Weight-gated ("soft") sampling: each row carries its OWN keep
+    * probability in `weightCol` (∈ [0,1]) and survives when its hash
+    * bucket falls under it — the quality-proportional downsampling move
+    * (keep everything great, a sliver of junk) that modern curation
+    * pipelines use instead of a hard quality cutoff. Same md5 bucket
+    * machinery as [[deterministicSample]], so the decision is
+    * per-row deterministic, partitioning-invariant, and monotone in the
+    * weight (raising a row's weight can only keep it). A pushed-down
+    * scalar filter — zero shuffles beyond whatever produced the weights.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      salt: String = "qw:"): DataFrame =
+    df.filter(gate(col(keyCol), col(weightCol), salt))
+
   /** Partition the corpus into provably disjoint, jointly exhaustive
     * splits with the given weights (e.g. Seq(0.9, 0.05, 0.05) →
     * train/val/test): split i keeps the bucket range

@@ -115,4 +115,28 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     val en = kept.filter(_._2.contains("en"))
     assert(en.nonEmpty && en.length < 10)
   }
+
+  test("weightedSample matches the per-row md5 gate and is weight-monotone") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("qw:" + id).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    val df = (0L until 400L).map(i => (i, (i % 10 + 1) / 10.0))
+      .toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(df, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    // same double arithmetic as the gate: 1e6*(w) truncated, NOT the
+    // exact w*1e6 integer (0.7*1e6 truncates to 699999)
+    val expected = (0L until 400L)
+      .filter(i => bucket(i) < (1000000L * ((i % 10 + 1) / 10.0)).toLong).toSet
+    assert(kept === expected)
+    // weight 1.0 rows always survive; raising every weight only adds rows
+    assert((0L until 400L).filter(_ % 10 == 9).forall(kept))
+    val boosted = Sampling.weightedSample(
+        df.withColumn("w", least(lit(1.0), col("w") + 0.3)), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(boosted))
+  }
 }
