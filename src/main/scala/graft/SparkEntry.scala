@@ -79,6 +79,7 @@ object SparkEntry {
     "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
     "ingest_dedup"         -> (Dedup.ingestDedupDocs(_, _)),
     "dedup_substr"         -> (Dedup.substrDupStatsDocs(_, _)),
+    "dedup_norm"           -> (Dedup.normDedupDocs(_, _)),
     "snapshot_diff"        -> (Dedup.snapshotDiffDocs(_, _)),
     "corpus_card"          -> (Monitoring.corpusCardDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
@@ -117,6 +118,13 @@ object SparkEntry {
     }),
     // quality-proportional soft filter: decile bin b keeps ~b/10 of its
     // docs, decided by the same md5 bucket gate as sample_det
+    "split_assign"         -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      operators.Sampling.splitAssign(
+          graft.Engine.Tables(s, d).documents.select("doc_id"),
+          "doc_id", SplitWeights, SplitNames)
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
     "weighted_sample"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val scored = operators.Ranking.distributedNtile(
@@ -203,6 +211,28 @@ object SparkEntry {
     * 3.5k–11.8k tokens/lang there).
     */
   private val MixBudget = 2000L
+
+  /** Weights/names for the gated `split_assign` query; the oracle's CASE
+    * thresholds are derived from the SAME scanLeft + (1e6·cum).toLong
+    * arithmetic Sampling.splitAssign runs, so binary rounding of the
+    * cumulative weights can never skew the compare.
+    */
+  private val SplitWeights = Seq(0.8, 0.1, 0.1)
+  private val SplitNames = Seq("train", "val", "test")
+
+  private def splitAssignOracleSql: String = {
+    val cuts = SplitWeights.scanLeft(0.0)(_ + _).map(c => (1000000L * c).toLong)
+    val cases = SplitNames.init.zip(cuts.tail.init)
+      .map { case (n, hi) => s"WHEN m < $hi THEN '$n'" }
+      .mkString(" ")
+    s"""SELECT doc_id,
+         CASE $cases ELSE '${SplitNames.last}' END AS split
+       FROM (SELECT doc_id,
+               ${duckMd5_60("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                 AS m
+             FROM documents)
+       ORDER BY doc_id"""
+  }
 
   /** BM25 CTE chain ending in `lexscored(doc_id, score, n_hits)`,
     * generated from the SAME term list the Spark entry uses and shared
@@ -700,6 +730,20 @@ object SparkEntry {
            CAST(sum(term_micro) AS BIGINT) AS xent_micro,
            round(exp(sum(term_micro) / (1e6 * sum(tf))), 3) AS ppl
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "split_assign" -> splitAssignOracleSql,
+    // exact dedup over the SAME normalization chain text_normalize
+    // gates (NFC + casefold + whitespace collapse); oracle groups by
+    // the normalized string, engine by its full md5 — the gate
+    // re-checks the hash-for-string substitution
+    "dedup_norm" ->
+      """WITH n AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+               AS norm
+           FROM documents)
+         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           count(*) AS n_variants
+         FROM n GROUP BY norm ORDER BY doc_id""",
     // synthetic re-crawl: old misses %10==7 (added), new drops %10==9
     // (removed) and rewrites %10==3 (changed); unchanged not emitted
     "snapshot_diff" ->

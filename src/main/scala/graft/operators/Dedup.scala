@@ -718,6 +718,30 @@ object Dedup {
   def substrDupStatsDocs(spark: SparkSession, dir: String): DataFrame =
     substrDupStats(Tables(spark, dir).documents)
 
+  // ------------------------------------- canonicalized-text exact dedup
+
+  /** Exact dedup over CANONICALIZED text (NFC + casefold + whitespace
+    * collapse via the [[graft.functions.NormText]] codegen expression):
+    * one row per normalized-content group — the surviving (minimum)
+    * doc_id and how many raw variants collapsed into it. Catches the
+    * casing/encoding/whitespace near-misses byte-exact dedup cannot see
+    * while staying a single wordcount-shaped aggregate (contrast the
+    * shingle machinery near-dup needs). The groupBy keys on the full
+    * 128-bit md5 of the normalized text — the identity standard — so
+    * the shuffle moves 32 hex chars per doc, never documents.
+    */
+  def normDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(graft.functions.NormText.normText(col("text"))).as("nfp"))
+      .groupBy(col("nfp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("n_variants"))
+      .orderBy(col("doc_id"))
+
+  def normDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    normDedup(Tables(spark, dir).documents)
+
   // --------------------------------------------- snapshot (crawl) diff
 
   /** Corpus snapshot diff — the "what changed between crawls" report a

@@ -71,6 +71,29 @@ object Sampling {
     }
   }
 
+  /** Single-frame labeled form of [[disjointSplits]]: every row gets its
+    * split NAME (e.g. train/val/test) from the same shared-hash bucket
+    * ranges, so the assignment is provably disjoint and exhaustive and
+    * can be carried as a column through the rest of the pipeline (write
+    * once partitioned by split, instead of three filtered scans). A
+    * pushed-down scalar expression — zero shuffles.
+    */
+  def splitAssign(df: DataFrame, keyCol: String, weights: Seq[Double],
+      names: Seq[String], salt: String = "split:"): DataFrame = {
+    require(names.length == weights.length && names.nonEmpty,
+      s"need one name per weight, got $names / $weights")
+    require(math.abs(weights.sum - 1.0) < 1e-9, s"weights must sum to 1, got ${weights.sum}")
+    val cuts = weights.scanLeft(0.0)(_ + _).map(c => (Buckets * c).toLong)
+    val b = bucket(col(keyCol), salt)
+    // the final split is the otherwise-branch, so rounding in the last
+    // cut can never drop a row (same rule as disjointSplits)
+    val split = names.init.zip(cuts.tail.init)
+      .foldRight(lit(names.last): Column) { case ((n, hi), rest) =>
+        when(b < hi, lit(n)).otherwise(rest)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Per-stratum fractions (e.g. language-balanced corpus sampling):
     * strata absent from the map are dropped, matching
     * `DataFrameStatFunctions.sampleBy` semantics but deterministic in the

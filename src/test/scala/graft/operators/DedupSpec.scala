@@ -216,6 +216,18 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       (0L, 4L, 1L, 0.25), (1L, 4L, 1L, 0.25), (2L, 6L, 0L, 0.0)))
   }
 
+  test("normDedup collapses casing/whitespace variants, keeps min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello  World"),
+      (1L, "hello world"),        // case + double-space variant of 0
+      (2L, "\thello   WORLD \n"), // whitespace-flavored variant of 0
+      (3L, "different entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.normDedup(docs).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 3L), (3L, 1L)))
+  }
+
   test("deconReport counts leaky train docs and shared shingles per eval doc") {
     import spark.implicits._
     val evalDocs = Seq(

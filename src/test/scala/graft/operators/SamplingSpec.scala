@@ -116,6 +116,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(en.nonEmpty && en.length < 10)
   }
 
+  test("splitAssign labels agree with disjointSplits membership exactly") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("doc_id")
+    val weights = Seq(0.8, 0.1, 0.1)
+    val names = Seq("train", "val", "test")
+    val labeled = Sampling.splitAssign(df, "doc_id", weights, names)
+      .as[(Long, String)].collect().toMap
+    // exhaustive: every row labeled with a known name
+    assert(labeled.size === 500)
+    assert(labeled.values.toSet.subsetOf(names.toSet))
+    // agrees row-for-row with the three-frame form on the same salt
+    val frames = Sampling.disjointSplits(df, "doc_id", weights, salt = "split:")
+    names.zip(frames).foreach { case (n, f) =>
+      f.as[Long].collect().foreach(id =>
+        assert(labeled(id) === n, s"doc $id labeled ${labeled(id)}, frame says $n"))
+    }
+    // roughly the requested proportions
+    val counts = labeled.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts("train") > 350 && counts("val") > 20 && counts("test") > 20)
+  }
+
   test("weightedSample matches the per-row md5 gate and is weight-monotone") {
     import spark.implicits._
     def bucket(id: Long): Long = {
