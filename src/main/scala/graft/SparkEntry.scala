@@ -79,6 +79,7 @@ object SparkEntry {
     "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
     "ingest_dedup"         -> (Dedup.ingestDedupDocs(_, _)),
     "dedup_substr"         -> (Dedup.substrDupStatsDocs(_, _)),
+    "dedup_span_rm"        -> (Dedup.spanRemoveDocs(_, _)),
     "dedup_norm"           -> (Dedup.normDedupDocs(_, _)),
     "snapshot_diff"        -> (Dedup.snapshotDiffDocs(_, _)),
     "corpus_card"          -> (Monitoring.corpusCardDocs(_, _)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
     "semdedup"             -> (Clustering.semDedupDocs(_, _)),
     "pq_codes"             -> (Similarity.pqCodesDocs(_, _)),
+    "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
@@ -124,6 +126,16 @@ object SparkEntry {
           graft.Engine.Tables(s, d).documents.select("doc_id"),
           "doc_id", SplitWeights, SplitNames)
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+    // leakage-safe GROUPED split: keyed on source, so every doc of a
+    // source (where near-dups concentrate) lands in the same split
+    "group_split"          -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      operators.Sampling.splitAssign(
+          graft.Engine.Tables(s, d).documents.select("doc_id", "source"),
+          "source", SplitWeights, SplitNames, salt = "gsplit:")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
     }),
     "weighted_sample"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -230,6 +242,23 @@ object SparkEntry {
        FROM (SELECT doc_id,
                ${duckMd5_60("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000
                  AS m
+             FROM documents)
+       ORDER BY doc_id"""
+  }
+
+  /** The grouped (leakage-safe) split oracle: identical CASE thresholds,
+    * but the bucket hashes the SOURCE — every doc of a source follows its
+    * group, which is the whole point of the operator.
+    */
+  private def groupSplitOracleSql: String = {
+    val cuts = SplitWeights.scanLeft(0.0)(_ + _).map(c => (1000000L * c).toLong)
+    val cases = SplitNames.init.zip(cuts.tail.init)
+      .map { case (n, hi) => s"WHEN m < $hi THEN '$n'" }
+      .mkString(" ")
+    s"""SELECT doc_id, source,
+         CASE $cases ELSE '${SplitNames.last}' END AS split
+       FROM (SELECT doc_id, source,
+               ${duckMd5_60("'gsplit:' || source")} % 1000000 AS m
              FROM documents)
        ORDER BY doc_id"""
   }
@@ -731,6 +760,7 @@ object SparkEntry {
            round(exp(sum(term_micro) / (1e6 * sum(tf))), 3) AS ppl
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "split_assign" -> splitAssignOracleSql,
+    "group_split" -> groupSplitOracleSql,
     // exact dedup over the SAME normalization chain text_normalize
     // gates (NFC + casefold + whitespace collapse); oracle groups by
     // the normalized string, engine by its full md5 — the gate
@@ -799,6 +829,44 @@ object SparkEntry {
              6) AS dup_frac
          FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
          ORDER BY t.doc_id""",
+    // span REMOVAL: tokens covered by any df>=2 5-gram are cut and the
+    // doc is reassembled; oracle keys flagging on the shingle STRING,
+    // engine on md5(shingle) — the same hash-for-string substitution the
+    // dedup_substr gate re-checks. The compare is on the rebuilt
+    // clean_text itself, so the cut-and-stitch logic is value-gated.
+    "dedup_span_rm" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         pos AS (
+           SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+           WHERE len(w) >= 5),
+         crossdoc AS (
+           SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM pos)
+           GROUP BY shingle HAVING count(*) >= 2),
+         cov AS (
+           SELECT DISTINCT p.doc_id, j
+           FROM (SELECT doc_id, i FROM pos
+                 WHERE shingle IN (SELECT shingle FROM crossdoc)) p,
+                UNNEST(generate_series(p.i, p.i + 4)) AS t(j)),
+         toks AS (
+           SELECT doc_id, j, w[j] AS tok
+           FROM w, UNNEST(generate_series(1, len(w))) AS t(j)),
+         kept AS (
+           SELECT tk.doc_id, tk.j, tk.tok
+           FROM toks tk LEFT JOIN cov c
+             ON tk.doc_id = c.doc_id AND tk.j = c.j
+           WHERE c.j IS NULL),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY j) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_total,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+         ORDER BY w.doc_id""",
     // LSH output = the exact-Jaccard pair set at the same threshold
     // (candidates are re-verified exactly; banding miss probability at the
     // 0.9 threshold is < 1e-7) — so the exact SQL is a genuine oracle for
@@ -841,6 +909,36 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rk, neighbor_id, cos FROM ranked
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    // kNN majority vote: queries (vec_id < 10) against the labeled pool
+    // (vec_id >= 10); same rounded-cosine ranking as ann_topk, majority
+    // label with smaller-label tiebreak
+    "knn_classify" ->
+      """WITH base AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id, c.label,
+             round(list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(c.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
+               / (c.norm * q.norm), 4) AS cos
+           FROM base q JOIN base c ON q.vec_id < 10 AND c.vec_id >= 10),
+         ranked AS (
+           SELECT q_id, label,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM scored),
+         votes AS (
+           SELECT q_id, label, count(*) AS n_votes
+           FROM ranked WHERE rk <= 10 GROUP BY q_id, label),
+         best AS (
+           SELECT q_id, label, n_votes,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY n_votes DESC, label) AS vr
+           FROM votes)
+         SELECT q_id, label AS pred_label, n_votes
+         FROM best WHERE vr = 1 ORDER BY q_id""",
     // clusters = transitive closure over the exact near-dup pairs (the
     // LSH pair set equals the exact set — see dedup_minhash_lsh above)
     "dedup_clusters" ->

@@ -718,6 +718,61 @@ object Dedup {
   def substrDupStatsDocs(spark: SparkSession, dir: String): DataFrame =
     substrDupStats(Tables(spark, dir).documents)
 
+  // ------------------------------ cross-doc duplicated-span REMOVAL
+
+  /** Exact-substring dedup with document REASSEMBLY (the Lee et al. 2022
+    * "Deduplicating Training Data" ExactSubstr treatment): every token
+    * covered by a k-gram that also occurs in ≥`minDf` documents is cut,
+    * and the surviving tokens are stitched back into a cleaned document.
+    * Where [[substrDupStats]] *measures* cross-doc duplication, this
+    * *applies* the cut — the output is the cleaned corpus itself, the
+    * artifact a training run actually consumes. Short docs (< k tokens)
+    * carry no shingles and pass through whole; a fully-duplicated doc
+    * survives as an empty string with `n_kept = 0` (dropping empties is
+    * the caller's policy decision, not this operator's).
+    *
+    * Scale shape: flagging is the [[substrDupStats]] wordcount pattern
+    * (one groupBy over per-doc-distinct shingle md5s, then a semi-join
+    * back to positions — both shuffles carry 32-hex keys, never text).
+    * The REASSEMBLY adds no token-level shuffle: covered token indices
+    * aggregate into one per-doc array (bounded by doc length), join back
+    * to the docs at doc granularity, and the surviving text is rebuilt
+    * in-row by an indexed higher-order `filter` over the token array —
+    * the cleaned corpus is written straight out of the scan-side
+    * projection. Duplicated-span volume, not corpus volume, is what
+    * crosses the wire.
+    */
+  def spanRemove(docs: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    // (doc_id, i, h): 0-based start position i of each k-gram, keyed by
+    // its md5 (positions matter here, unlike rawShingles' occurrences)
+    val pos = base
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> md5(concat_ws(' ', slice(w, i + 1, $k))))")))
+      .toDF("doc_id", "i", "h")
+    val crossDoc = pos.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    val covered = pos.join(crossDoc, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("j"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("j")).as("cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_total"),
+        (size(col("w")) - coalesce(size(col("cov")), lit(0))).cast("long").as("n_kept"),
+        when(col("cov").isNull, concat_ws(" ", col("w")))
+          .otherwise(concat_ws(" ",
+            expr("filter(w, (t, i) -> NOT array_contains(cov, i))")))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanRemoveDocs(spark: SparkSession, dir: String): DataFrame =
+    spanRemove(Tables(spark, dir).documents)
+
   // ------------------------------------- canonicalized-text exact dedup
 
   /** Exact dedup over CANONICALIZED text (NFC + casefold + whitespace

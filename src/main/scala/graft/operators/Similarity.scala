@@ -384,4 +384,51 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("vec_id"), col("adist"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  // ------------------------------------------------- kNN classification
+
+  /** k-nearest-neighbor majority-vote classification — the standard
+    * embedding-space auto-labeler (quality/domain/topic tagging of an
+    * unlabeled crawl against a labeled seed set). Query vectors
+    * (vec_id < `numQueries`, standing in for the unlabeled batch) are
+    * scored against the labeled pool (every other vector), the top `k`
+    * by cosine vote with their `label`, and the majority label wins
+    * (ties broken toward the smaller label id — deterministic in both
+    * engines).
+    *
+    * Scale shape: same as [[bruteForceTopK]] — the query batch is
+    * broadcast, scoring is one [[vecDot]]-codegen'd pass over the
+    * labeled corpus with a per-query top-k window on the (rows ×
+    * queries) scored set, and the vote is a queries×labels-sized
+    * aggregate. The corpus is never shuffled; for query batches past
+    * broadcast size the LSH/IVF probe paths substitute for the scan
+    * exactly as in [[lshTopK]]/[[ivfTopK]].
+    */
+  def knnClassify(vecs: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val base = withNorm(vecs)
+    val queries = broadcast(base
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm")))
+    val pool = base.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
+    val scored = pool.crossJoin(queries)
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+    val nn = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val votes = scored
+      .withColumn("rk", row_number().over(nn))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val majority = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("vr", row_number().over(majority))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy(col("q_id"))
+  }
+
+  def knnClassifyDocs(spark: SparkSession, dir: String): DataFrame =
+    knnClassify(Tables(spark, dir).embeddings)
 }

@@ -296,4 +296,51 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(got === expected)
   }
+
+  test("spanRemove cuts cross-doc 5-gram spans and reassembles the doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h"),        // shares "a b c d e" with doc 1
+      (1L, "x y a b c d e z w"),
+      (2L, "p q r"),                  // < k tokens: passes through whole
+      (3L, "m n o p1 q1 r1"),         // identical to doc 4: fully covered
+      (4L, "m n o p1 q1 r1"),
+      (5L, "solo words nobody else repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanRemove(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(0L) === ((8L, 3L, "f g h")))
+    assert(got(1L) === ((9L, 4L, "x y z w")))
+    assert(got(2L) === ((3L, 3L, "p q r")))
+    assert(got(3L) === ((6L, 0L, "")))
+    assert(got(4L) === ((6L, 0L, "")))
+    assert(got(5L) === ((8L, 8L, "solo words nobody else repeats anywhere at all")))
+  }
+
+  test("spanRemove is consistent with substrDupStats position flags") {
+    // the removal op and the measurement op share the flagging rule, so
+    // n_total - n_kept must be >= dup_positions-covered tokens and a doc
+    // with zero dup positions must come back verbatim (modulo whitespace
+    // collapse)
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val stats = Dedup.substrDupStats(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val removed = Dedup.spanRemove(real).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val texts = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    removed.foreach { case (id, (total, kept)) =>
+      val dupPos = stats.getOrElse(id, 0L)
+      if (dupPos == 0L) assert(kept === total, s"doc $id lost tokens with no dup spans")
+      else assert(kept < total, s"doc $id has flagged spans but kept everything")
+    }
+    // every clean doc with no cuts equals the whitespace-collapsed original
+    val cleanTexts = Dedup.spanRemove(real).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    cleanTexts.foreach { case (id, clean) =>
+      if (stats.getOrElse(id, 0L) == 0L)
+        assert(clean === texts(id).trim.split("\\s+").mkString(" "))
+    }
+  }
 }

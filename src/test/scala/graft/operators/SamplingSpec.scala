@@ -160,4 +160,24 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.subsetOf(boosted))
   }
+
+  test("grouped split keyed on source is leakage-safe: sources are atomic") {
+    import spark.implicits._
+    val df = (0L until 600L).map(i => (i, s"src${i % 40}"))
+      .toDF("doc_id", "source")
+    val labeled = Sampling.splitAssign(df, "source",
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"), salt = "gsplit:")
+    // every source lands in exactly ONE split — the leakage-safety
+    // contract: near-dups concentrated within a source can never
+    // straddle the train/eval boundary
+    val perSource = labeled.select("source", "split").distinct()
+      .groupBy("source").count().select("count").as[Long].collect()
+    assert(perSource.nonEmpty && perSource.forall(_ === 1L))
+    // all docs labeled, none dropped or duplicated
+    assert(labeled.count() === 600L)
+    // docs of the same source agree with the source-level assignment
+    val bySource = labeled.select("source", "split").as[(String, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(bySource.values.forall(_.size == 1))
+  }
 }

@@ -198,4 +198,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(native === declarative)
   }
+
+  test("knnClassify predicts the majority label of the true neighbors") {
+    import spark.implicits._
+    // two well-separated directions in the 64-dim space; the pool
+    // clusters around them with distinct labels
+    def vec(axis: Int, wobble: Float): Seq[Float] =
+      Seq.tabulate(64)(d =>
+        if (d == axis) 1f else if (d == axis + 2) wobble else 0f)
+    val rows = Seq(
+      (0L, vec(0, 0f), -1),    // query near axis-0 cluster
+      (1L, vec(10, 0f), -1),   // query near axis-10 cluster
+      (2L, vec(0, 0.10f), 7), (3L, vec(0, 0.15f), 7), (4L, vec(0, 0.20f), 7),
+      (5L, vec(10, 0.10f), 9), (6L, vec(10, 0.15f), 9), (7L, vec(10, 0.20f), 9))
+    val vecs = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(vecs, numQueries = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got === Array((0L, 7, 3L), (1L, 9, 3L)))
+  }
+
+  test("knnClassify vote ties break toward the smaller label id") {
+    import spark.implicits._
+    def vec(axis: Int, wobble: Float): Seq[Float] =
+      Seq.tabulate(64)(d =>
+        if (d == axis) 1f else if (d == axis + 1) wobble else 0f)
+    // k=2 neighbors carry one vote each for labels 8 and 3 → tie → 3
+    val rows = Seq(
+      (0L, vec(0, 0f), -1),
+      (1L, vec(0, 0.10f), 8),   // nearest
+      (2L, vec(0, 0.20f), 3),   // second
+      (3L, vec(30, 0f), 5))     // far: must not be consulted at k=2
+    val got = Similarity.knnClassify(rows.toDF("vec_id", "embedding", "label"),
+        numQueries = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got === Array((0L, 3, 1L)))
+  }
 }
