@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Monitoring, Multimodal, Packing, Relational, Retrieval, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Monitoring, Multimodal, Packing, QualityModel, Relational, Retrieval, Similarity, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -137,6 +137,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    // DSIR importance weights: target LM = the src0 slice, raw LM = the
+    // full corpus; micro-nat integer sums → engine-exact
+    "dsir_weights"         -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      operators.Sampling.dsirWeights(
+        graft.Engine.Tables(s, d).documents, col("source") === "src0")
+    }),
+    "quality_logit"        -> (QualityModel.logitScoreDocs(_, _)),
     "weighted_sample"      -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val scored = operators.Ranking.distributedNtile(
@@ -244,6 +252,30 @@ object SparkEntry {
                  AS m
              FROM documents)
        ORDER BY doc_id"""
+  }
+
+  /** Logistic-quality-scorer oracle, generated from the SAME
+    * [[graft.operators.QualityModel.GateWeights]] the Spark entry scores
+    * with (Double.toString round-trips exactly, so the literals parse
+    * back to identical doubles in DuckDB).
+    */
+  private def qualityLogitOracleSql: String = {
+    val w = operators.QualityModel.GateWeights
+    s"""WITH f AS (
+         SELECT doc_id,
+           ln(1.0 + len(w)) AS f1,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS f2,
+           CAST(len(list_filter(w, t -> len(t) >= 3)) AS DOUBLE) / len(w)
+             AS f3
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents)),
+       s AS (SELECT doc_id,
+               ${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3 AS z
+             FROM f)
+       SELECT doc_id, round(z, 6) AS z,
+         round(1.0 / (1.0 + exp(-z)), 4) AS prob,
+         CASE WHEN z > 0 THEN 1 ELSE 0 END AS keep
+       FROM s ORDER BY doc_id"""
   }
 
   /** The grouped (leakage-safe) split oracle: identical CASE thresholds,
@@ -759,6 +791,34 @@ object SparkEntry {
            CAST(sum(term_micro) AS BIGINT) AS xent_micro,
            round(exp(sum(term_micro) / (1e6 * sum(tf))), 3) AS ppl
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    // DSIR: same token/micro-nat machinery as doc_perplexity; the target
+    // LM is the src0 slice (conditional sum in the same groupBy), the
+    // smoothing normalizer is one scalar subselect
+    "dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, source = 'src0' AS is_t, w[i] AS token
+           FROM (SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w))) AS t(i)
+           WHERE len(w[i]) > 0),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         cnt AS (SELECT token, count(*) AS cr,
+                   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+                 FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(cr) + count(*) AS DOUBLE)
+                      / CAST(sum(ct) + count(*) AS DOUBLE) AS s FROM cnt),
+         terms AS (
+           SELECT tf.doc_id, tf.tf,
+             CAST(round(round(tf.tf * ln(((cnt.ct + 1.0) / (cnt.cr + 1.0))
+                 * tot.s), 6) * 1e6) AS BIGINT) AS term_micro
+           FROM tf JOIN cnt USING (token) CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(term_micro) AS BIGINT) AS lr_micro,
+           round(sum(term_micro) / (1e6 * sum(tf)), 6) AS avg_lr
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "quality_logit" -> qualityLogitOracleSql,
     "split_assign" -> splitAssignOracleSql,
     "group_split" -> groupSplitOracleSql,
     // exact dedup over the SAME normalization chain text_normalize

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Engine.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trainable document-quality filter — the learned counterpart of the
+  * heuristic [[TextAnalysis.qualityScore]]: a logistic model over cheap
+  * per-doc text features, the CCNet/fastText-style "quality classifier"
+  * every large-scale pretraining pipeline runs between crawl ingest and
+  * sampling (the reference has nothing of the kind; pipeline extension in
+  * the SURVEY §7.2-M6 family).
+  *
+  * Two halves, mirroring the k-means split ([[Clustering]]):
+  *
+  *  - [[logitScore]] — the INFERENCE path, gated: score every doc with a
+  *    fixed weight vector. Features and the linear score are scan-fused
+  *    scalar expressions (zero shuffles, the filter-cascade shape); the
+  *    gate compares the 6-decimal score, the 4-decimal probability and
+  *    the keep decision against DuckDB computing the same arithmetic.
+  *  - [[logitTrain]] — the TRAINER, spec-verified: distributed batch
+  *    gradient descent. Each iteration is ONE aggregate over the feature
+  *    table (4 partial-agg sums crossing the wire per partition); the
+  *    weight vector (4 doubles) lives driver-side by construction, like
+  *    the k×dim k-means centroids. Gradient float-sum order is
+  *    partition-dependent, so the trainer is deliberately not oracle-
+  *    gated (the same declared reason `kmeans_assign` is rows-only);
+  *    QualityModelSpec pins convergence and accuracy on planted
+  *    separable data instead.
+  *
+  * 100 TB shape: inference is embarrassingly parallel (no shuffle at
+  * all); training cost is iterations × one corpus scan of 3 doubles per
+  * row — and the feature table it scans is the materialized-once output
+  * of [[features]], not the raw text.
+  */
+object QualityModel {
+
+  /** Fixed weights (bias, w_logTokens, w_distinctRatio, w_longRatio) for
+    * the gated scorer; the bias centers the decision boundary inside the
+    * fixture's score distribution so `keep` genuinely splits the corpus
+    * (median unbiased score ≈ 3.147 at sf0.01).
+    */
+  val GateWeights: Array[Double] = Array(-3.15, 0.45, 1.2, 0.8)
+
+  /** Per-doc features, all derived from integer token statistics so both
+    * engines compute bit-identical inputs (the only transcendental is the
+    * final ln): f1 = ln(1 + #tokens), f2 = distinct-token ratio,
+    * f3 = ratio of tokens ≥ 3 chars (the [[TextAnalysis.qualityScore]]
+    * long-token signal).
+    */
+  def features(docs: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    val nTok = size(w).cast("double")
+    docs.select(col("doc_id"),
+      log(lit(1.0) + nTok).as("f1"),
+      (size(array_distinct(w)).cast("double") / nTok).as("f2"),
+      (size(filter(w, t => length(t) >= 3)).cast("double") / nTok).as("f3"))
+  }
+
+  private def linear(weights: Array[Double]): Column =
+    lit(weights(0)) + lit(weights(1)) * col("f1") +
+      lit(weights(2)) * col("f2") + lit(weights(3)) * col("f3")
+
+  /** Score + keep decision under a fixed weight vector. `keep` is decided
+    * on the UNROUNDED score (both engines), `z`/`prob` are rounded for
+    * the value compare.
+    */
+  def logitScore(docs: DataFrame,
+      weights: Array[Double] = GateWeights): DataFrame = {
+    val z = linear(weights)
+    features(docs)
+      .select(col("doc_id"),
+        round(z, 6).as("z"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("prob"),
+        when(z > 0, lit(1)).otherwise(lit(0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def logitScoreDocs(spark: SparkSession, dir: String): DataFrame =
+    logitScore(Tables(spark, dir).documents)
+
+  /** Batch gradient descent on the logistic loss. `feats` must carry
+    * f1/f2/f3 and a 0/1 `labelCol`. Returns the learned
+    * (bias, w1, w2, w3). One aggregate job per iteration; nothing but
+    * the 4-double gradient ever reaches the driver.
+    */
+  def logitTrain(feats: DataFrame, labelCol: String, iters: Int = 50,
+      lr: Double = 1.0): Array[Double] = {
+    val n = feats.count().toDouble
+    var w = Array.fill(4)(0.0)
+    val cached = feats.select(col("f1"), col("f2"), col("f3"),
+      col(labelCol).cast("double").as("y")).cache()
+    try {
+      for (_ <- 0 until iters) {
+        val err = (lit(1.0) / (lit(1.0) + exp(-linear(w)))) - col("y")
+        val g = cached.agg(
+          sum(err).as("g0"), sum(err * col("f1")).as("g1"),
+          sum(err * col("f2")).as("g2"), sum(err * col("f3")).as("g3"))
+          .head()
+        w = Array.tabulate(4)(i => w(i) - lr * g.getDouble(i) / n)
+      }
+      w
+    } finally cached.unpersist()
+  }
+}

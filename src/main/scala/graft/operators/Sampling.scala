@@ -174,4 +174,55 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------- DSIR-style importance weights (Xie et al.)
+
+  /** Per-document importance weights for Data Selection via Importance
+    * Resampling (Xie et al. 2023): the log-likelihood ratio of the doc
+    * under an add-one-smoothed unigram LM of a TARGET slice (the
+    * curated domain the recipe wants more of) vs the LM of the full raw
+    * corpus. Docs that "sound like" the target get positive weights;
+    * selection then composes with [[weightedSample]]/top-k — the weight
+    * is the product every DSIR deployment actually materializes.
+    *
+    * lr(doc) = Σ_tokens tf·ln[ ((c_target + 1) / (c_raw + 1)) ·
+    * (N_raw + V)/(N_target + V) ] — accumulated in the same per-term
+    * 6-decimal micro-nat BIGINTs as [[TextAnalysis.docPerplexity]], so
+    * the sum is engine-exact under any partitioning.
+    *
+    * Scale shape (mirrors docPerplexity): both LMs come from ONE token
+    * aggregate over one corpus scan (the target side is a conditional
+    * sum inside the same groupBy, not a second pass); the smoothing
+    * normalizer rides in as a 1-row scalar subquery; tf⋈counts shuffles
+    * on the token, linear in distinct (doc, token) pairs; final rollup
+    * is an integer groupBy(doc_id).
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), targetPred.as("is_t"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("ct"))
+    // (N_raw + V) / (N_target + V) as ONE scalar subquery
+    val scale = counts
+      .agg(((sum(col("cr")) + count(lit(1))).cast("double") /
+            (sum(col("ct")) + count(lit(1))).cast("double")).as("s"))
+      .scalar()
+    tf.join(counts, Seq("token"))
+      .withColumn("term_micro",
+        round(round(col("tf") *
+          log(((col("ct") + lit(1.0)) / (col("cr") + lit(1.0))) * scale), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("term_micro")).as("lr_micro"))
+      .withColumn("avg_lr",
+        round(col("lr_micro") / (lit(1e6) * col("n_tokens")), 6))
+      .select(col("doc_id"), col("n_tokens"), col("lr_micro"), col("avg_lr"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class QualityModelSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Independent feature + score computation (plain Scala). */
+  private def refScore(text: String, w: Array[Double]): (Double, Double, Int) = {
+    val toks = text.trim.split("\\s+")
+    val f1 = math.log(1.0 + toks.length)
+    val f2 = toks.distinct.length.toDouble / toks.length
+    val f3 = toks.count(_.length >= 3).toDouble / toks.length
+    val z = w(0) + w(1) * f1 + w(2) * f2 + w(3) * f3
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (r(z, 6), r(1.0 / (1.0 + math.exp(-z)), 4), if (z > 0) 1 else 0)
+  }
+
+  test("logitScore matches an independent implementation, keep splits") {
+    import spark.implicits._
+    val longDoc = (1 to 30).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (0L, longDoc),
+      (1L, "a a a a a a a a a a a a"),
+      (2L, "mixed bag of a b c repeated repeated repeated words words")
+    ).toDF("doc_id", "text")
+    val got = QualityModel.logitScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    Seq(0L -> longDoc,
+        1L -> "a a a a a a a a a a a a",
+        2L -> "mixed bag of a b c repeated repeated repeated words words")
+      .foreach { case (id, text) =>
+        val (z, p, k) = refScore(text, QualityModel.GateWeights)
+        assert(math.abs(got(id)._1 - z) < 1e-9, s"z mismatch doc $id")
+        assert(math.abs(got(id)._2 - p) < 1e-9, s"prob mismatch doc $id")
+        assert(got(id)._3 === k, s"keep mismatch doc $id")
+      }
+    // the all-short-token spam doc is rejected, the clean doc kept
+    assert(got(0L)._3 === 1 && got(1L)._3 === 0)
+  }
+
+  test("logitTrain converges on separable planted data") {
+    import spark.implicits._
+    // label = 1 iff f2 is high: linearly separable in the feature space
+    val rows = (0 until 400).map { i =>
+      val f2 = if (i % 2 == 0) 0.9 + (i % 10) * 0.01 else 0.1 + (i % 10) * 0.01
+      (3.0 + (i % 7) * 0.1, f2, 0.5, if (i % 2 == 0) 1 else 0)
+    }
+    val feats = rows.toDF("f1", "f2", "f3", "label")
+    val w = QualityModel.logitTrain(feats, "label", iters = 80, lr = 2.0)
+    // the separating direction must load positively on f2
+    assert(w(2) > 0, s"learned f2 weight not positive: ${w.mkString(",")}")
+    val correct = rows.count { case (f1, f2, f3, y) =>
+      val z = w(0) + w(1) * f1 + w(2) * f2 + w(3) * f3
+      (if (z > 0) 1 else 0) == y
+    }
+    assert(correct >= 380, s"train accuracy ${correct / 400.0} below 0.95")
+  }
+
+  test("gated scorer splits the real corpus non-trivially") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val kept = QualityModel.logitScore(docs)
+      .agg(sum(col("keep")), count(lit(1))).head()
+    val (k, n) = (kept.getLong(0), kept.getLong(1))
+    assert(k > 0 && k < n, s"keep decision is degenerate: $k of $n")
+  }
+}

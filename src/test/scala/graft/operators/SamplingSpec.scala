@@ -161,6 +161,45 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.subsetOf(boosted))
   }
 
+  test("dsirWeights: exact micro-nat sums vs an independent implementation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma", true),   // target-flavored
+      (1L, "alpha beta beta beta", true),
+      (2L, "delta epsilon delta zeta", false),
+      (3L, "alpha delta epsilon zeta", false))
+      .toDF("doc_id", "text", "is_target")
+    val got = Sampling.dsirWeights(docs, col("is_target"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent reference with the same smoothing + rounding
+    val all = Seq(
+      0L -> "alpha beta alpha gamma", 1L -> "alpha beta beta beta",
+      2L -> "delta epsilon delta zeta", 3L -> "alpha delta epsilon zeta")
+    val targetIds = Set(0L, 1L)
+    val allToks = all.flatMap { case (id, t) => t.split("\\s+").map(id -> _) }
+    val cr = allToks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = allToks.filter(p => targetIds(p._1)).groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val v = cr.size.toLong
+    val s = (cr.values.sum + v).toDouble / (ct.values.sum + v).toDouble
+    def microSum(text: String): (Long, Long) = {
+      val tfs = text.split("\\s+").groupBy(identity).view.mapValues(_.length).toMap
+      val micro = tfs.map { case (tok, tf) =>
+        val term = tf * math.log(((ct(tok) + 1.0) / (cr(tok) + 1.0)) * s)
+        val r6 = BigDecimal(term).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        BigDecimal((r6 * 1e6).toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (tfs.values.sum.toLong, micro)
+    }
+    all.foreach { case (id, text) =>
+      assert(got(id) === microSum(text), s"doc $id mismatch")
+    }
+    // target-flavored docs outrank off-target docs
+    assert(got(0L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
+    assert(got(0L)._2 > 0 && got(2L)._2 < 0)
+  }
+
   test("grouped split keyed on source is leakage-safe: sources are atomic") {
     import spark.implicits._
     val df = (0L until 600L).map(i => (i, s"src${i % 40}"))
