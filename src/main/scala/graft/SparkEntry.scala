@@ -137,6 +137,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    // curriculum order: quality-decile phases descending, hash-shuffled
+    // within each phase, exact global rank with no corpus-wide window
+    "curriculum_order"     -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val binned = operators.Ranking.distributedNtile(
+        TextAnalysis.qualityScore(s, d), "quality", "doc_id", 10)
+        .select(col("doc_id"), col("bin"))
+      operators.Ranking.curriculumOrder(binned, "bin", "doc_id")
+        .select(col("doc_id"), col("bin"), col("train_rank"))
+        .orderBy(col("doc_id"))
+    }),
     // DSIR importance weights: target LM = the src0 slice, raw LM = the
     // full corpus; micro-nat integer sums → engine-exact
     "dsir_weights"         -> ((s, d) => {
@@ -1570,6 +1581,18 @@ object SparkEntry {
            row_number() OVER (ORDER BY quality, doc_id) AS rank,
            ntile(10) OVER (ORDER BY quality, doc_id) AS bin
          FROM q ORDER BY doc_id""",
+    // same ntile bins as quality_ntile, then the curriculum rank: bins
+    // descending, md5-shuffled inside each bin
+    "curriculum_order" ->
+      s"""WITH q AS ($qualityOracleBody),
+         b AS (SELECT doc_id,
+                 ntile(10) OVER (ORDER BY quality, doc_id) AS bin
+               FROM q)
+         SELECT doc_id, bin,
+           row_number() OVER (ORDER BY bin DESC,
+             md5('curr42:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS train_rank
+         FROM b ORDER BY doc_id""",
     // bin/10 keep-fraction over the 1e6 md5 buckets. Thresholds are
     // interpolated from the SAME double arithmetic Spark runs
     // (1e6 * (bin/10.0) truncated) — naive bin*100000 would be off by

@@ -94,4 +94,47 @@ object Ranking {
             END AS INT)"""))
       .drop("__nt_before", "__nt_n")
   }
+
+  /** Curriculum training order: every row gets an exact global
+    * `train_rank` ordering the corpus by `binCol` DESCENDING (easy/
+    * high-quality phases first) with a deterministic hash-shuffled order
+    * WITHIN each bin — coarse curriculum phases, shuffled inside each
+    * phase, which is how length/quality curricula are actually fed to
+    * trainers (strict quality order inside a phase would correlate
+    * adjacent batches).
+    *
+    * Same two-level rank decomposition as [[distributedNtile]]/shard
+    * packing, so there is NO single-task global window over the corpus:
+    * a row's rank = its row_number inside (bin, pid) — pid the first
+    * md5 byte, so ~256 balanced sub-windows per bin — plus the
+    * broadcast prefix count of all (bin, pid) groups ahead of it in
+    * curriculum order. The only unpartitioned window runs over the
+    * bins×256-row offsets table. The order is a pure function of the
+    * data (md5 of salt ++ key), reproducible on any engine/partitioning
+    * — the [[Sampling.trainOrderShuffle]] guarantee, with phases.
+    */
+  def curriculumOrder(df: DataFrame, binCol: String, keyCol: String,
+      salt: String = "curr42:"): DataFrame = {
+    val base = df
+      .withColumn("skey", md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .withColumn("pid", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+      .filter(col("pid").isNotNull)
+    val local = base.withColumn("__cu_lrk", row_number().over(
+      Window.partitionBy(col(binCol), col("pid"))
+        .orderBy(col("skey"), col(keyCol))))
+    val offs = local.groupBy(col(binCol), col("pid"))
+      .agg(max(col("__cu_lrk")).as("__cu_cnt"))
+      .withColumn("__cu_off", coalesce(
+        sum(col("__cu_cnt")).over(
+          Window.orderBy(col(binCol).desc, col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(binCol).as("__cu_b"), col("pid").as("__cu_p"),
+        col("__cu_off"))
+    local
+      .join(broadcast(offs),
+        col(binCol) === col("__cu_b") && col("pid") === col("__cu_p"))
+      .withColumn("train_rank", col("__cu_off") + col("__cu_lrk"))
+      .drop("__cu_b", "__cu_p", "__cu_off", "__cu_lrk", "pid", "skey")
+  }
 }

@@ -50,4 +50,35 @@ class RankingSpec extends AnyFunSuite with SparkTestSession {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(bins === Map(1 -> 3L, 2 -> 2L, 3 -> 2L))
   }
+
+  test("curriculumOrder equals a single-window reference, repartition-stable") {
+    import spark.implicits._
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val rows = (0L until 500L).map(i => (i, (i % 7 + 1).toInt))
+    val expected = rows
+      .sortBy { case (id, bin) => (-bin, md5("curr42:" + id), id) }
+      .zipWithIndex.map { case ((id, bin), i) => (id, bin, i + 1L) }.toSet
+    Seq(1, 7, 32).foreach { parts =>
+      val df = rows.toDF("doc_id", "bin").repartition(parts)
+      val got = Ranking.curriculumOrder(df, "bin", "doc_id")
+        .select("doc_id", "bin", "train_rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === expected, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("curriculumOrder: ranks are a 1..N permutation, phases contiguous") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, (i % 3 + 1).toInt)).toDF("doc_id", "bin")
+    val got = Ranking.curriculumOrder(df, "bin", "doc_id")
+      .select("bin", "train_rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq === (1L to 300L))
+    // every higher bin fully precedes every lower bin
+    val maxByBin = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(maxByBin(3).max < maxByBin(2).min)
+    assert(maxByBin(2).max < maxByBin(1).min)
+  }
 }
