@@ -66,14 +66,19 @@ object QualityModel {
     * the value compare.
     */
   def logitScore(docs: DataFrame,
-      weights: Array[Double] = GateWeights): DataFrame = {
+      weights: Array[Double] = GateWeights): DataFrame =
+    logitScoreOn(docs, weights).orderBy(col("doc_id"))
+
+  /** [[logitScore]] without the output sort — the form streaming can
+    * run (a global sort is illegal on an unbounded stream).
+    */
+  def logitScoreOn(docs: DataFrame, weights: Array[Double]): DataFrame = {
     val z = linear(weights)
     features(docs)
       .select(col("doc_id"),
         round(z, 6).as("z"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("prob"),
         when(z > 0, lit(1)).otherwise(lit(0)).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   def logitScoreDocs(spark: SparkSession, dir: String): DataFrame =

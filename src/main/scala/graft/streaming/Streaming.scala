@@ -170,6 +170,20 @@ object Streaming {
       graft.operators.TextAnalysis.md5_60(col("text")).as("fp"),
       size(graft.functions.WinnowFps.winnowFps(col("text"), 5, 4)).as("n_winnow_fps"))
 
+  /** Streaming quality-filter admission: score each incoming doc with
+    * the SAME fixed-weight logistic model the batch gate runs
+    * ([[graft.operators.QualityModel.logitScore]]) and keep only docs
+    * the model accepts — the ingest-time quality cut every crawl
+    * pipeline applies before anything touches disk. Stateless scalar
+    * expressions (the whole model is one scan-fused projection), so the
+    * streaming plan IS the batch plan per micro-batch; batch parity is
+    * asserted in StreamingSpec, not just implied.
+    */
+  def qualityFilterStream(docs: DataFrame,
+      weights: Array[Double] = graft.operators.QualityModel.GateWeights): DataFrame =
+    graft.operators.QualityModel.logitScoreOn(docs, weights)
+      .filter(col("keep") === 1)
+
   /** Streaming decontamination: drop from an incoming document stream
     * every doc sharing a word n-gram with a held-out eval set — the
     * ingest-time counterpart of the batch `Dedup.decontaminate`, so

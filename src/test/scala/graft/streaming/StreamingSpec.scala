@@ -482,4 +482,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(got.map(a => (a.doc_id, a.lang, a.tok, a.off)) === ref)
     } finally q.stop()
   }
+
+  test("qualityFilterStream admits exactly the batch keep set, same scores") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.qualityFilterStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qfs").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("qfs").select("doc_id", "z", "prob")
+        .as[(Long, Double, Double)].collect().toMap2
+      val batch = graft.operators.QualityModel
+        .logitScore(docs.toDF("doc_id", "text"))
+        .filter(col("keep") === 1)
+        .select("doc_id", "z", "prob").as[(Long, Double, Double)]
+        .collect().toMap2
+      assert(got === batch)
+      assert(batch.nonEmpty && batch.size < docs.length) // a genuine cut
+    } finally q.stop()
+  }
+
+  private implicit class TripleOps(s: Array[(Long, Double, Double)]) {
+    def toMap2: Map[Long, (Double, Double)] =
+      s.map { case (id, z, p) => id -> ((z, p)) }.toMap
+  }
 }
