@@ -109,6 +109,7 @@ object SparkEntry {
     "text_novelty"         -> (TextAnalysis.noveltyDocs(_, _)),
     "doc_perplexity"       -> (TextAnalysis.docPerplexityDocs(_, _)),
     "bpe_pairs"            -> (TextAnalysis.bpePairCountsDocs(_, _)),
+    "fim_transform"        -> (TextAnalysis.fimTransformDocs(_, _)),
     "lang_balance"         -> ((s, d) =>
       operators.Sampling.langBalance(graft.Engine.Tables(s, d).documents)),
     "quality_ntile"        -> ((s, d) => {
@@ -830,6 +831,31 @@ object SparkEntry {
            round(sum(term_micro) / (1e6 * sum(tf)), 6) AS avg_lr
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "quality_logit" -> qualityLogitOracleSql,
+    // FIM: selection gate and both character cut points all md5-derived,
+    // so the oracle replays the transform character for character
+    "fim_transform" ->
+      s"""WITH h AS (
+           SELECT doc_id, text, length(text) AS n,
+             ${duckMd5_60("'fim1:' || CAST(doc_id AS VARCHAR)")}
+               % greatest(length(text), 1) AS h1,
+             ${duckMd5_60("'fim2:' || CAST(doc_id AS VARCHAR)")}
+               % greatest(length(text), 1) AS h2,
+             ${duckMd5_60("'fim:' || CAST(doc_id AS VARCHAR)")}
+               % 1000000 AS g
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, n, g,
+             CAST(least(h1, h2) + 1 AS INT) AS c1,
+             CAST(greatest(h1, h2) + 1 AS INT) AS c2
+           FROM h)
+         SELECT doc_id,
+           CASE WHEN g < 500000 THEN 1 ELSE 0 END AS transformed,
+           CASE WHEN g < 500000
+             THEN '<PRE>' || substr(text, 1, c1 - 1)
+               || '<SUF>' || substr(text, c2, n - c2 + 1)
+               || '<MID>' || substr(text, c1, c2 - c1)
+             ELSE text END AS fim_text
+         FROM c ORDER BY doc_id""",
     "split_assign" -> splitAssignOracleSql,
     "group_split" -> groupSplitOracleSql,
     // exact dedup over the SAME normalization chain text_normalize

@@ -616,4 +616,46 @@ object TextAnalysis {
     }
     merges.toSeq
   }
+
+  // --------------------------------------- fill-in-middle transformation
+
+  /** FIM (fill-in-middle) transformation (Bavarian et al. 2022) — the
+    * data-prep transform behind infilling-capable code/LLM training:
+    * a deterministic `rate` fraction of docs is rewritten from
+    * `prefix middle suffix` to `<PRE>prefix<SUF>suffix<MID>middle`, so
+    * the model learns to generate the middle conditioned on both sides;
+    * the rest pass through untouched (the paper's 50/50 joint recipe).
+    *
+    * Everything is derived from md5 of the doc key — the selection gate
+    * and both character cut points — so the transform is a pure function
+    * of the data (the [[Sampling]] determinism standard): reproducible
+    * on any partitioning and replayable by the DuckDB oracle character
+    * for character. Cut points are uniform over the character length;
+    * `c1 <= c2` by least/greatest. Pure scalar expressions — zero
+    * shuffles, the scan-fused shape, streaming-legal like every other
+    * per-row transform here.
+    */
+  def fimTransform(docs: DataFrame, rate: Double = 0.5): DataFrame = {
+    def h60(salt: String) =
+      conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+    val n = length(col("text")).cast("long")
+    val h1 = pmod(h60("fim1:"), greatest(n, lit(1L)))
+    val h2 = pmod(h60("fim2:"), greatest(n, lit(1L)))
+    val c1 = (least(h1, h2) + 1).cast("int")
+    val c2 = (greatest(h1, h2) + 1).cast("int")
+    val selected = pmod(h60("fim:"), lit(1000000L)) < lit((1000000L * rate).toLong)
+    val prefix = col("text").substr(lit(1), c1 - 1)
+    val middle = col("text").substr(c1, c2 - c1)
+    val suffix = col("text").substr(c2, (n.cast("int") - c2) + 1)
+    docs.select(col("doc_id"),
+      when(selected, lit(1)).otherwise(lit(0)).as("transformed"),
+      when(selected,
+        concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix, lit("<MID>"), middle))
+        .otherwise(col("text")).as("fim_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fimTransformDocs(spark: SparkSession, dir: String): DataFrame =
+    fimTransform(Tables(spark, dir).documents)
 }

@@ -354,4 +354,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     val top = TextAnalysis.bpePairCounts(real).head()
     assert((top.getString(1), top.getString(2), top.getLong(3)) === got.head)
   }
+
+  test("fimTransform: transformed docs reassemble to the original text") {
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val texts = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.fimTransform(real).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val Fim = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    var transformed = 0
+    got.foreach { case (id, t, fim) =>
+      if (t == 1) {
+        transformed += 1
+        fim match {
+          case Fim(pre, suf, mid) =>
+            assert(pre + mid + suf === texts(id), s"doc $id does not reassemble")
+          case _ => fail(s"doc $id flagged transformed but has no FIM markers")
+        }
+      } else assert(fim === texts(id), s"untouched doc $id was altered")
+    }
+    // the md5 gate really splits the corpus near the configured 50% rate
+    assert(transformed > got.length / 3 && transformed < 2 * got.length / 3)
+  }
+
+  test("fimTransform is a pure function of the data across partitionings") {
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val a = TextAnalysis.fimTransform(real).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.fimTransform(real.repartition(13)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
