@@ -827,8 +827,7 @@ object SparkEntry {
                  * tot.s), 6) * 1e6) AS BIGINT) AS term_micro
            FROM tf JOIN cnt USING (token) CROSS JOIN tot)
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-           CAST(sum(term_micro) AS BIGINT) AS lr_micro,
-           round(sum(term_micro) / (1e6 * sum(tf)), 6) AS avg_lr
+           CAST(sum(term_micro) AS BIGINT) AS lr_micro
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "quality_logit" -> qualityLogitOracleSql,
     // FIM: selection gate and both character cut points all md5-derived,

@@ -220,9 +220,12 @@ object Sampling {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("term_micro")).as("lr_micro"))
-      .withColumn("avg_lr",
-        round(col("lr_micro") / (lit(1e6) * col("n_tokens")), 6))
-      .select(col("doc_id"), col("n_tokens"), col("lr_micro"), col("avg_lr"))
+      // deliberately NO rounded avg column: lr_micro/(1e6·n_tokens) can
+      // land exactly on a 6th-decimal half (e.g. -39450/20), where
+      // Spark's shortest-decimal HALF_UP and DuckDB's binary-value
+      // rounding disagree — callers derive the mean from the two exact
+      // integers instead
+      .select(col("doc_id"), col("n_tokens"), col("lr_micro"))
       .orderBy(col("doc_id"))
   }
 }
