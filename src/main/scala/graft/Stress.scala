@@ -58,6 +58,20 @@ object Stress {
     save("embeddings", shifted(t.embeddings, factor)((d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * maxVec))))
 
+    // Warm-run discipline, same as Bench (methodology note there): one
+    // untimed pass first, then the timed pass. Cold first-execution cost
+    // (Janino codegen + JIT tiering of the fresh generated classes) is
+    // nondeterministic at this plan size — measured 18-26 s warm vs
+    // 70-98 s cold for dedup_jaccard on the 10× corpus, same plan, same
+    // rows — and the scaling ratios STRESS.md reports compare against
+    // the warm-run bench, so the stress pass must be warm too.
+    System.err.println("[stress] methodology: warm-run (untimed full pass, then timed)")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, out).count() catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[stress] WARM-UP FAILURE $name: ${e.getMessage}")
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, out).count() catch {
