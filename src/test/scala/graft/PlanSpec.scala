@@ -163,4 +163,46 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val partials = "partial".r.findAllIn(plan.toLowerCase).length
     assert(partials >= 2, s"expected partial aggs at both levels:\n${plan.take(2000)}")
   }
+
+  test("scan-fused round-7 transforms: no shuffle beyond the output sort") {
+    // fim_transform, group_split and quality_logit are scalar-projection
+    // plans; any hash exchange appearing here means a join/agg crept in
+    Seq("fim_transform", "group_split", "quality_logit").foreach { q =>
+      val plan = planOf(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx === 0, s"$q grew a hash exchange:\n${plan.take(2000)}")
+      assert(!plan.contains("Join"), s"$q grew a join:\n${plan.take(2000)}")
+    }
+  }
+
+  test("knn_classify: per-query top-k cut happens before the shuffle") {
+    val plan = planOf("knn_classify")
+    // the group-limit must appear on the map side (before the rank
+    // window's exchange), so the shuffle carries k rows per task/query,
+    // never the scored corpus
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"),
+      s"expected a partial (pre-shuffle) AND final group limit:\n${plan.take(3000)}")
+    // the query batch broadcasts; the corpus side must not SMJ
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("dedup_span_rm: reassembly is an in-row filter after a doc-keyed join") {
+    val plan = planOf("dedup_span_rm")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // covered indices collapse to one per-doc array (collect_set), and
+    // the cleaned text is rebuilt by the indexed higher-order filter —
+    // no token-level shuffle of text
+    assert(plan.contains("collect_set"), plan.take(3000))
+    assert(plan.contains("array_contains"), plan.take(3000))
+  }
+
+  test("dsir_weights: both LMs from one token aggregate, partial-agg'd") {
+    val plan = planOf("dsir_weights")
+    // the raw and target counts ride one groupBy (conditional sum), so
+    // exactly one counts aggregate with map-side partials must exist
+    val partials = "partial".r.findAllIn(plan.toLowerCase).length
+    assert(partials >= 2, s"partial aggs missing:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
