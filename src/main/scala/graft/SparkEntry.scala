@@ -110,6 +110,7 @@ object SparkEntry {
     "doc_perplexity"       -> (TextAnalysis.docPerplexityDocs(_, _)),
     "bpe_pairs"            -> (TextAnalysis.bpePairCountsDocs(_, _)),
     "fim_transform"        -> (TextAnalysis.fimTransformDocs(_, _)),
+    "t5_spans"             -> (TextAnalysis.t5SpansDocs(_, _)),
     "lang_balance"         -> ((s, d) =>
       operators.Sampling.langBalance(graft.Engine.Tables(s, d).documents)),
     "quality_ntile"        -> ((s, d) => {
@@ -855,6 +856,53 @@ object SparkEntry {
                || '<MID>' || substr(text, c1, c2 - c1)
              ELSE text END AS fim_text
          FROM c ORDER BY doc_id""",
+    // T5 span corruption: the oracle's gaps-and-islands windows are a
+    // structurally different spelling of the engine's in-row fold — the
+    // gate cross-checks two independent formulations of the policy
+    "t5_spans" ->
+      s"""WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+         t AS (
+           SELECT doc_id, i, w[i] AS tok,
+             ${duckMd5_60("'t5:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+               % 1000000 < 150000 AS noisy
+           FROM w, UNNEST(generate_series(1, len(w))) AS s(i)),
+         r AS (
+           SELECT *, CASE WHEN noisy AND NOT coalesce(
+               lag(noisy) OVER (PARTITION BY doc_id ORDER BY i), false)
+             THEN 1 ELSE 0 END AS span_start
+           FROM t),
+         s AS (
+           SELECT *, sum(span_start) OVER (PARTITION BY doc_id ORDER BY i)
+             AS span_id
+           FROM r),
+         inp AS (
+           SELECT doc_id, string_agg(
+               CASE WHEN NOT noisy THEN tok
+                    ELSE '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+               END, ' ' ORDER BY i) AS input_text
+           FROM s WHERE NOT noisy OR span_start = 1 GROUP BY doc_id),
+         tgt AS (
+           SELECT doc_id, string_agg(
+               CASE WHEN span_start = 1
+                 THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '> ' || tok
+                 ELSE tok END, ' ' ORDER BY i) AS tgt_body
+           FROM s WHERE noisy GROUP BY doc_id),
+         ns AS (
+           SELECT doc_id, CAST(coalesce(max(span_id), 0) AS INT) AS n_spans
+           FROM s GROUP BY doc_id)
+         SELECT w.doc_id, ns.n_spans,
+           coalesce(i.input_text, '') AS input_text,
+           CASE WHEN t.tgt_body IS NULL
+             THEN '<extra_id_' || CAST(ns.n_spans AS VARCHAR) || '>'
+             ELSE t.tgt_body || ' <extra_id_'
+               || CAST(ns.n_spans AS VARCHAR) || '>' END AS target_text
+         FROM w
+         JOIN ns ON ns.doc_id = w.doc_id
+         LEFT JOIN inp i ON i.doc_id = w.doc_id
+         LEFT JOIN tgt t ON t.doc_id = w.doc_id
+         ORDER BY w.doc_id""",
     "split_assign" -> splitAssignOracleSql,
     "group_split" -> groupSplitOracleSql,
     // exact dedup over the SAME normalization chain text_normalize

@@ -658,4 +658,70 @@ object TextAnalysis {
 
   def fimTransformDocs(spark: SparkSession, dir: String): DataFrame =
     fimTransform(Tables(spark, dir).documents)
+
+  // ---------------------------------------- T5-style span corruption
+
+  /** T5 span-corruption transform (Raffel et al. 2020 §3.1.4) — the
+    * denoising objective's data prep: ~`rate` of tokens are marked noisy
+    * by a per-(doc, position) md5 gate, contiguous noisy runs become
+    * spans, each span is replaced in the input by a numbered sentinel
+    * and moved to the target (sentinel + tokens), and the target closes
+    * with one final sentinel. Deterministic twin of the paper's random
+    * corruption — a pure function of the data, like [[fimTransform]].
+    *
+    * Scale shape: the whole transform is ONE in-row `aggregate` fold
+    * over the token array (accumulator = input tokens, target tokens,
+    * span count, in-run flag) — scan-fused, zero shuffles, no
+    * token-level explode. The DuckDB oracle deliberately uses a
+    * structurally DIFFERENT formulation (positions + lag/running-sum
+    * gaps-and-islands windows), so the gate cross-checks two
+    * independent spellings of the policy.
+    */
+  def t5Spans(docs: DataFrame, rate: Double = 0.15): DataFrame = {
+    val gate = (1000000L * rate).toLong
+    val folded = expr(
+      s"""aggregate(
+         |  sequence(1, size(w)),
+         |  named_struct(
+         |    'inp', cast(array() as array<string>),
+         |    'tgt', cast(array() as array<string>),
+         |    'k', 0, 'prev', false),
+         |  (acc, i) -> CASE
+         |    WHEN conv(substr(md5(concat('t5:', CAST(doc_id AS STRING), ':',
+         |           CAST(i AS STRING))), 1, 15), 16, 10) % 1000000 < $gate
+         |    THEN CASE WHEN acc.prev
+         |      THEN named_struct(
+         |        'inp', acc.inp,
+         |        'tgt', concat(acc.tgt, array(element_at(w, i))),
+         |        'k', acc.k, 'prev', true)
+         |      ELSE named_struct(
+         |        'inp', concat(acc.inp,
+         |          array(concat('<extra_id_', CAST(acc.k AS STRING), '>'))),
+         |        'tgt', concat(acc.tgt,
+         |          array(concat('<extra_id_', CAST(acc.k AS STRING), '>'),
+         |            element_at(w, i))),
+         |        'k', acc.k + 1, 'prev', true)
+         |      END
+         |    ELSE named_struct(
+         |      'inp', concat(acc.inp, array(element_at(w, i))),
+         |      'tgt', acc.tgt,
+         |      'k', acc.k, 'prev', false)
+         |    END,
+         |  acc -> named_struct(
+         |    'inp', acc.inp,
+         |    'tgt', concat(acc.tgt,
+         |      array(concat('<extra_id_', CAST(acc.k AS STRING), '>'))),
+         |    'k', acc.k, 'prev', acc.prev))""".stripMargin)
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("r", folded)
+      .select(col("doc_id"),
+        col("r.k").as("n_spans"),
+        concat_ws(" ", col("r.inp")).as("input_text"),
+        concat_ws(" ", col("r.tgt")).as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t5SpansDocs(spark: SparkSession, dir: String): DataFrame =
+    t5Spans(Tables(spark, dir).documents)
 }

@@ -383,4 +383,60 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     val b = TextAnalysis.fimTransform(real.repartition(13)).collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("t5Spans matches an independent reference; splicing reconstructs") {
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    def md5_60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def ref(docId: Long, text: String): (Int, String, String) = {
+      val w = text.trim.split("\\s+")
+      val inp = collection.mutable.ArrayBuffer.empty[String]
+      val tgt = collection.mutable.ArrayBuffer.empty[String]
+      var k = 0; var prev = false
+      for (i <- 1 to w.length) {
+        val noisy = md5_60(s"t5:$docId:$i") % 1000000L < 150000L
+        if (noisy && prev) tgt += w(i - 1)
+        else if (noisy) {
+          inp += s"<extra_id_$k>"; tgt += s"<extra_id_$k>"; tgt += w(i - 1)
+          k += 1
+        } else inp += w(i - 1)
+        prev = noisy
+      }
+      tgt += s"<extra_id_$k>"
+      (k, inp.mkString(" "), tgt.mkString(" "))
+    }
+    val texts = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.t5Spans(real).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getString(3))))
+      .toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) === ref(id, text), s"doc $id mismatch")
+    }
+    // some docs genuinely corrupted at the 15% rate
+    assert(got.values.count(_._1 > 0) > got.size / 2)
+    // splice invariant: substituting each input sentinel with its target
+    // span reproduces the whitespace-collapsed original
+    val Sentinel = "<extra_id_(\\d+)>".r
+    got.foreach { case (id, (k, inp, tgt)) =>
+      // parse target into span_id -> tokens
+      val spans = collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      tgt.split(" ").foreach {
+        case Sentinel(n) => cur = n.toInt; spans(cur) = Vector.empty
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.keySet === (0 to k).toSet)
+      assert(spans(k).isEmpty, "closing sentinel must end the target")
+      val rebuilt = inp.split(" ").filter(_.nonEmpty).flatMap {
+        case Sentinel(n) => spans(n.toInt)
+        case tok => Vector(tok)
+      }
+      assert(rebuilt.toSeq === texts(id).trim.split("\\s+").toSeq,
+        s"doc $id does not splice back")
+    }
+  }
 }
