@@ -167,7 +167,7 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
   test("scan-fused round-7 transforms: no shuffle beyond the output sort") {
     // fim_transform, group_split and quality_logit are scalar-projection
     // plans; any hash exchange appearing here means a join/agg crept in
-    Seq("fim_transform", "group_split", "quality_logit").foreach { q =>
+    Seq("fim_transform", "group_split", "quality_logit", "t5_spans").foreach { q =>
       val plan = planOf(q)
       val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
       assert(hashEx === 0, s"$q grew a hash exchange:\n${plan.take(2000)}")
