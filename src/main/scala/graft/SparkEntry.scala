@@ -93,6 +93,7 @@ object SparkEntry {
     "semdedup"             -> (Clustering.semDedupDocs(_, _)),
     "pq_codes"             -> (Similarity.pqCodesDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
+    "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
@@ -1083,6 +1084,24 @@ object SparkEntry {
            FROM votes)
          SELECT q_id, label AS pred_label, n_votes
          FROM best WHERE vr = 1 ORDER BY q_id""",
+    // class centroids: floor-quantized micro sums (binary floor — never
+    // round(), whose decimal half-up can diverge across engines); the
+    // 64-long sum vector gates as an md5 digest of its comma-join
+    "label_centroids" ->
+      """WITH e AS (
+           SELECT label, d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * 1e6) AS BIGINT)
+               AS micro
+           FROM embeddings,
+                UNNEST(generate_series(1, len(embedding))) AS t(d)),
+         g AS (SELECT label, d, CAST(sum(micro) AS BIGINT) AS s,
+                 count(*) AS n
+               FROM e GROUP BY 1, 2)
+         SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+           CAST(min(CASE WHEN d = 1 THEN s END) AS BIGINT) AS s0_micro,
+           md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY d))
+             AS centroid_digest
+         FROM g GROUP BY label ORDER BY label""",
     // clusters = transitive closure over the exact near-dup pairs (the
     // LSH pair set equals the exact set — see dedup_minhash_lsh above)
     "dedup_clusters" ->

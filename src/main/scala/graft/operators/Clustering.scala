@@ -206,4 +206,49 @@ object Clustering {
       .select(col("vec_id"), col("cluster"), col("dist2"))
       .orderBy(col("vec_id"))
   }
+
+  // ------------------------------------------- per-label class centroids
+
+  /** Per-label class prototypes — the nearest-class-mean / drift-monitor
+    * primitive (and the statistic SemDeDup-style pruning pivots on):
+    * for each label, the element-wise centroid of its embeddings.
+    *
+    * Engine-exactness: distributed float-mean sums are partition-order
+    * dependent (why `kmeans_assign` is rows-only), so the gated surface
+    * carries floor-quantized integer sums instead — each element is
+    * floor(x·10⁶) (a BINARY floor of an IEEE product, identical in any
+    * engine — deliberately NOT round(x, 6), whose decimal-string
+    * half-up rounding Spark applies can disagree with a binary-value
+    * engine at representation boundaries), and the per-dimension Long
+    * sums are exact under any partitioning and reduction order. The
+    * centroid mean is client-side `sum_micro / (1e6·n_vecs)`. The
+    * 64-long vector is emitted as an md5 digest of its comma-join (the
+    * repo's array-gating technique) plus dimension 0 in the clear.
+    *
+    * Scale shape: one posexplode (rows × dim, narrow longs), one
+    * (label, d) groupBy with map-side partials, one label-sized rollup
+    * collecting exactly dim values per label. Nothing quadratic; the
+    * shuffle carries (label, d, long).
+    */
+  def labelCentroids(vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x").cast("double") * lit(1e6)).cast("long").as("micro"))
+    e.groupBy(col("label"), col("d"))
+      .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(d, s))), p -> p.s)")
+          .as("sums"))
+      .select(col("label"),
+        col("n_vecs"),
+        element_at(col("sums"), 1).as("s0_micro"),
+        md5(concat_ws(",", expr("transform(sums, s -> CAST(s AS STRING))")))
+          .as("centroid_digest"))
+      .orderBy(col("label"))
+  }
+
+  def labelCentroidsDocs(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(Tables(spark, dir).embeddings)
 }

@@ -116,4 +116,27 @@ class ClusteringSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(got === expected)
   }
+
+  test("labelCentroids: exact micro sums vs in-memory reference, partition-stable") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val raw = vecs.collect().map(r =>
+      (r.getInt(r.fieldIndex("label")), r.getSeq[Float](r.fieldIndex("embedding"))))
+    val byLabel = raw.groupBy(_._1)
+    val expected = byLabel.map { case (label, rows) =>
+      val dim = rows.head._2.length
+      val sums = Array.tabulate(dim)(d =>
+        rows.map(r => math.floor(r._2(d).toDouble * 1e6).toLong).sum)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sums.mkString(",").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      label -> ((rows.length.toLong, sums(0), digest))
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Clustering.labelCentroids(df).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+    val got = run(vecs)
+    assert(got === expected)
+    assert(run(vecs.repartition(17)) === got) // Long sums: order-free
+  }
 }
