@@ -194,6 +194,54 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** kNN classification through the IVF probe path — the scale
+    * substitution [[knnClassify]]'s scaladoc promises: instead of
+    * scoring the whole labeled pool per query, each query probes only
+    * its `nProbe` best inverted-file cells, and the majority vote runs
+    * over the probed top-k. Same cell structure, assignment expression
+    * and probe machinery as [[ivfTopK]]; same vote and tiebreak as
+    * [[knnClassify]]. Approximate (cell recall bounds neighbor recall);
+    * SimilaritySpec measures label agreement against the exact path —
+    * not oracle-gated, the exact path carries the value-level gate.
+    */
+  def knnClassifyIvf(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
+      cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = withNorm(vecs)
+    val cents = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("c_id"), col("embedding"), col("norm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+    require(cents.length >= 2, s"need at least 2 centroids, got ${cents.length}")
+    val scores = cents.map { case (id, w, n) =>
+      struct((vecDot(col("embedding"), lit(w)) / (col("norm") * lit(n))).as("cos"),
+        lit(id).as("c_id"))
+    }
+    val assigned = base.withColumn("cell", greatest(scores: _*).getField("c_id"))
+    val probes = transform(
+      slice(reverse(array_sort(array(scores: _*))), 1, nProbe),
+      s => s.getField("c_id"))
+    val queries = broadcast(assigned
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), probes.as("q_probes")))
+    val nn = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val votes = assigned
+      .filter(col("vec_id") >= numQueries)
+      .join(queries, array_contains(col("q_probes"), col("cell")))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+      .withColumn("rk", row_number().over(nn))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val majority = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("vr", row_number().over(majority))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy(col("q_id"))
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables(spark, dir).embeddings)
 

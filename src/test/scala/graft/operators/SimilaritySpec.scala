@@ -217,6 +217,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got === Array((0L, 7, 3L), (1L, 9, 3L)))
   }
 
+  test("knnClassifyIvf agrees with exact kNN labels on the real corpus") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val exact = Similarity.knnClassify(vecs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = Similarity.knnClassifyIvf(vecs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ivf.keySet === exact.keySet, "every query must get a label")
+    // probe recall bounds label agreement; on near-uniform testdata the
+    // majority vote is robust to the cell approximation
+    val agree = exact.count { case (q, l) => ivf(q) == l }
+    assert(agree >= exact.size * 8 / 10,
+      s"IVF labels agree on only $agree/${exact.size}")
+  }
+
   test("knnClassify vote ties break toward the smaller label id") {
     import spark.implicits._
     def vec(axis: Int, wobble: Float): Seq[Float] =
