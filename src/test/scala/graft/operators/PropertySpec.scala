@@ -208,4 +208,80 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("fimTransform reassembles arbitrary unicode text exactly (8 seeds)") {
+    import spark.implicits._
+    val Fim = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    for (seed <- 0 until 8) {
+      val r = rng(700 + seed)
+      // hostile inputs: unicode letters, CJK, combining marks, empty-ish
+      val alphabet = "abcé漢字ǘß λ"
+      val docs = (0L until 30L).map { id =>
+        (id + seed * 100L,
+          Seq.fill(r.nextInt(40))(alphabet(r.nextInt(alphabet.length))).mkString)
+      }
+      val got = TextAnalysis.fimTransform(docs.toDF("doc_id", "text")).collect()
+        .map(row => (row.getLong(0), row.getInt(1), row.getString(2)))
+      val texts = docs.toMap
+      got.foreach { case (id, t, fim) =>
+        if (t == 1) fim match {
+          case Fim(pre, suf, mid) =>
+            assert(pre + mid + suf === texts(id),
+              s"seed=$seed doc=$id FIM does not reassemble")
+          case _ => fail(s"seed=$seed doc=$id transformed without markers")
+        } else assert(fim === texts(id), s"seed=$seed doc=$id altered")
+      }
+    }
+  }
+
+  test("spanRemove: kept tokens are an order-preserving subset (8 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 8) {
+      val r = rng(800 + seed)
+      // small vocab → dense cross-doc 5-gram collisions
+      val docs = (0L until 25L).map(id =>
+        id -> Seq.fill(6 + r.nextInt(20))(s"w${r.nextInt(4)}").mkString(" "))
+      val got = Dedup.spanRemove(docs.toDF("doc_id", "text")).collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getString(3)))
+      val texts = docs.toMap
+      got.foreach { case (id, total, kept, clean) =>
+        val orig = texts(id).split(" ")
+        assert(total === orig.length.toLong, s"seed=$seed doc=$id total")
+        val cleanToks = if (clean.isEmpty) Array.empty[String] else clean.split(" ")
+        assert(cleanToks.length === kept, s"seed=$seed doc=$id kept count")
+        // order-preserving subsequence of the original tokens
+        var i = 0
+        cleanToks.foreach { t =>
+          while (i < orig.length && orig(i) != t) i += 1
+          assert(i < orig.length, s"seed=$seed doc=$id '$t' not a subsequence")
+          i += 1
+        }
+      }
+      // conservation: every doc with a twin (identical text) is fully cut
+      val byText = docs.groupBy(_._2).filter(_._2.size >= 2).flatMap(_._2.map(_._1)).toSet
+      got.foreach { case (id, total, kept, _) =>
+        if (byText(id) && total >= 5)
+          assert(kept === 0L, s"seed=$seed doc=$id identical twin not fully cut")
+      }
+    }
+  }
+
+  test("curriculumOrder: permutation rank, phase-contiguous (6 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 6) {
+      val r = rng(900 + seed)
+      val n = 100 + r.nextInt(200)
+      val rows = (0L until n.toLong).map(i => (i, 1 + r.nextInt(5)))
+      val got = Ranking.curriculumOrder(rows.toDF("doc_id", "bin"), "bin", "doc_id")
+        .select("bin", "train_rank").collect()
+        .map(row => (row.getInt(0), row.getLong(1)))
+      assert(got.map(_._2).sorted.toSeq === (1L to n.toLong), s"seed=$seed not a permutation")
+      val spans = got.groupBy(_._1).view.mapValues(v => (v.map(_._2).min, v.map(_._2).max))
+      spans.toSeq.sortBy(-_._1).sliding(2).foreach {
+        case Seq((hi, (_, hiMax)), (lo, (loMin, _))) =>
+          assert(hiMax < loMin, s"seed=$seed bins $hi/$lo overlap")
+        case _ =>
+      }
+    }
+  }
 }
