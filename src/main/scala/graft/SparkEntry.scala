@@ -254,19 +254,26 @@ object SparkEntry {
   private val SplitWeights = Seq(0.8, 0.1, 0.1)
   private val SplitNames = Seq("train", "val", "test")
 
-  private def splitAssignOracleSql: String = {
+  /** One CASE-threshold chain for both split oracles — cuts derive from
+    * the SAME scanLeft + (1e6·cum).toLong arithmetic Sampling.splitAssign
+    * runs, built once so the row split and the grouped split can never
+    * drift on the threshold rule.
+    */
+  private def splitCaseSql: String = {
     val cuts = SplitWeights.scanLeft(0.0)(_ + _).map(c => (1000000L * c).toLong)
     val cases = SplitNames.init.zip(cuts.tail.init)
       .map { case (n, hi) => s"WHEN m < $hi THEN '$n'" }
       .mkString(" ")
-    s"""SELECT doc_id,
-         CASE $cases ELSE '${SplitNames.last}' END AS split
+    s"CASE $cases ELSE '${SplitNames.last}' END"
+  }
+
+  private def splitAssignOracleSql: String =
+    s"""SELECT doc_id, $splitCaseSql AS split
        FROM (SELECT doc_id,
                ${duckMd5_60("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000
                  AS m
              FROM documents)
        ORDER BY doc_id"""
-  }
 
   /** Logistic-quality-scorer oracle, generated from the SAME
     * [[graft.operators.QualityModel.GateWeights]] the Spark entry scores
@@ -296,18 +303,12 @@ object SparkEntry {
     * but the bucket hashes the SOURCE — every doc of a source follows its
     * group, which is the whole point of the operator.
     */
-  private def groupSplitOracleSql: String = {
-    val cuts = SplitWeights.scanLeft(0.0)(_ + _).map(c => (1000000L * c).toLong)
-    val cases = SplitNames.init.zip(cuts.tail.init)
-      .map { case (n, hi) => s"WHEN m < $hi THEN '$n'" }
-      .mkString(" ")
-    s"""SELECT doc_id, source,
-         CASE $cases ELSE '${SplitNames.last}' END AS split
+  private def groupSplitOracleSql: String =
+    s"""SELECT doc_id, source, $splitCaseSql AS split
        FROM (SELECT doc_id, source,
                ${duckMd5_60("'gsplit:' || source")} % 1000000 AS m
              FROM documents)
        ORDER BY doc_id"""
-  }
 
   /** BM25 CTE chain ending in `lexscored(doc_id, score, n_hits)`,
     * generated from the SAME term list the Spark entry uses and shared

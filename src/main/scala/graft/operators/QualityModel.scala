@@ -91,10 +91,12 @@ object QualityModel {
     */
   def logitTrain(feats: DataFrame, labelCol: String, iters: Int = 50,
       lr: Double = 1.0): Array[Double] = {
-    val n = feats.count().toDouble
     var w = Array.fill(4)(0.0)
     val cached = feats.select(col("f1"), col("f2"), col("f3"),
       col(labelCol).cast("double").as("y")).cache()
+    // counting the CACHED projection materializes the cache and sizes n
+    // in the same single pass — no separate uncached scan
+    val n = cached.count().toDouble
     try {
       for (_ <- 0 until iters) {
         val err = (lit(1.0) / (lit(1.0) + exp(-linear(w)))) - col("y")

@@ -131,14 +131,20 @@ object Similarity {
     * shuffle `cells`× the data). greatest() over (cos, c_id) structs
     * gives a deterministic argmax.
     */
-  def ivfTopK(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
-      cells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val base = withNorm(vecs)
-    val cents = base.filter(col("vec_id") < cells)
+  /** First-`cells` seed centroids as (id, weights, norm) — driver-sized
+    * by construction (cells × dim doubles).
+    */
+  private def seedCentroids(base: DataFrame,
+      cells: Int): Array[(Int, Array[Double], Double)] =
+    base.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("c_id"), col("embedding"), col("norm"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
-    ivfWithCentroids(base, cents, numQueries, k, nProbe)
+
+  def ivfTopK(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
+      cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = withNorm(vecs)
+    ivfWithCentroids(base, seedCentroids(base, cells), numQueries, k, nProbe)
   }
 
   /** IVF with TRAINED centroids: spherical k-means ([[Clustering.kmeans]]
@@ -163,9 +169,13 @@ object Similarity {
     ivfWithCentroids(withNorm(vecs), cents, numQueries, k, nProbe)
   }
 
-  private def ivfWithCentroids(base: DataFrame,
+  /** Cell assignment + broadcast probe-list queries, shared by the IVF
+    * top-k and IVF-kNN paths: returns (assigned corpus with `cell`,
+    * broadcast query batch with `q_probes`).
+    */
+  private def ivfAssignments(base: DataFrame,
       cents: Array[(Int, Array[Double], Double)],
-      numQueries: Int, k: Int, nProbe: Int): DataFrame = {
+      numQueries: Int, nProbe: Int): (DataFrame, DataFrame) = {
     // >= 2: greatest() over the per-centroid structs needs two arguments
     require(cents.length >= 2, s"need at least 2 centroids, got ${cents.length}")
     val scores = cents.map { case (id, w, n) =>
@@ -182,6 +192,13 @@ object Similarity {
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), probes.as("q_probes")))
+    (assigned, queries)
+  }
+
+  private def ivfWithCentroids(base: DataFrame,
+      cents: Array[(Int, Array[Double], Double)],
+      numQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val (assigned, queries) = ivfAssignments(base, cents, numQueries, nProbe)
     val candidates = assigned
       .join(queries,
         array_contains(col("q_probes"), col("cell")) && col("vec_id") =!= col("q_id"))
@@ -207,39 +224,13 @@ object Similarity {
   def knnClassifyIvf(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
       cells: Int = 16, nProbe: Int = 4): DataFrame = {
     val base = withNorm(vecs)
-    val cents = base.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("c_id"), col("embedding"), col("norm"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
-    require(cents.length >= 2, s"need at least 2 centroids, got ${cents.length}")
-    val scores = cents.map { case (id, w, n) =>
-      struct((vecDot(col("embedding"), lit(w)) / (col("norm") * lit(n))).as("cos"),
-        lit(id).as("c_id"))
-    }
-    val assigned = base.withColumn("cell", greatest(scores: _*).getField("c_id"))
-    val probes = transform(
-      slice(reverse(array_sort(array(scores: _*))), 1, nProbe),
-      s => s.getField("c_id"))
-    val queries = broadcast(assigned
-      .filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), probes.as("q_probes")))
-    val nn = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val votes = assigned
+    val (assigned, queries) =
+      ivfAssignments(base, seedCentroids(base, cells), numQueries, nProbe)
+    val scored = assigned
       .filter(col("vec_id") >= numQueries)
       .join(queries, array_contains(col("q_probes"), col("cell")))
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
-      .withColumn("rk", row_number().over(nn))
-      .filter(col("rk") <= k)
-      .groupBy(col("q_id"), col("label"))
-      .agg(count(lit(1)).as("n_votes"))
-    val majority = Window.partitionBy(col("q_id"))
-      .orderBy(col("n_votes").desc, col("label"))
-    votes
-      .withColumn("vr", row_number().over(majority))
-      .filter(col("vr") === 1)
-      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
-      .orderBy(col("q_id"))
+    majorityVote(scored, k)
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
@@ -452,16 +443,12 @@ object Similarity {
     * broadcast size the LSH/IVF probe paths substitute for the scan
     * exactly as in [[lshTopK]]/[[ivfTopK]].
     */
-  def knnClassify(vecs: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
-    val base = withNorm(vecs)
-    val queries = broadcast(base
-      .filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm")))
-    val pool = base.filter(col("vec_id") >= numQueries)
-      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
-    val scored = pool.crossJoin(queries)
-      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+  /** Shared kNN vote: per query, rank `scored` (q_id, vec_id, label,
+    * cos) by cosine with vec_id tiebreak, keep the top `k`, and elect
+    * the majority label (ties toward the smaller label id). Both windows
+    * partition on q_id — never a global window.
+    */
+  private def majorityVote(scored: DataFrame, k: Int): DataFrame = {
     val nn = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     val votes = scored
       .withColumn("rk", row_number().over(nn))
@@ -475,6 +462,19 @@ object Similarity {
       .filter(col("vr") === 1)
       .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
       .orderBy(col("q_id"))
+  }
+
+  def knnClassify(vecs: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val base = withNorm(vecs)
+    val queries = broadcast(base
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm")))
+    val pool = base.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
+    val scored = pool.crossJoin(queries)
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+    majorityVote(scored, k)
   }
 
   def knnClassifyDocs(spark: SparkSession, dir: String): DataFrame =

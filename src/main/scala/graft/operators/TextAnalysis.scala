@@ -632,10 +632,16 @@ object TextAnalysis {
     * on any partitioning and replayable by the DuckDB oracle character
     * for character. Cut points are uniform over the character length;
     * `c1 <= c2` by least/greatest. Pure scalar expressions — zero
-    * shuffles, the scan-fused shape, streaming-legal like every other
-    * per-row transform here.
+    * shuffles, the scan-fused shape; [[fimTransformOn]] is the
+    * sort-free form a stream can run.
     */
-  def fimTransform(docs: DataFrame, rate: Double = 0.5): DataFrame = {
+  def fimTransform(docs: DataFrame, rate: Double = 0.5): DataFrame =
+    fimTransformOn(docs, rate).orderBy(col("doc_id"))
+
+  /** [[fimTransform]] without the output sort — the form streaming can
+    * run (a global sort is illegal on an unbounded stream).
+    */
+  def fimTransformOn(docs: DataFrame, rate: Double = 0.5): DataFrame = {
     def h60(salt: String) =
       conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 15), 16, 10)
         .cast("long")
@@ -653,7 +659,6 @@ object TextAnalysis {
       when(selected,
         concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix, lit("<MID>"), middle))
         .otherwise(col("text")).as("fim_text"))
-      .orderBy(col("doc_id"))
   }
 
   def fimTransformDocs(spark: SparkSession, dir: String): DataFrame =
@@ -687,8 +692,8 @@ object TextAnalysis {
          |    'tgt', cast(array() as array<string>),
          |    'k', 0, 'prev', false),
          |  (acc, i) -> CASE
-         |    WHEN conv(substr(md5(concat('t5:', CAST(doc_id AS STRING), ':',
-         |           CAST(i AS STRING))), 1, 15), 16, 10) % 1000000 < $gate
+         |    WHEN CAST(conv(substr(md5(concat('t5:', CAST(doc_id AS STRING), ':',
+         |           CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000 < $gate
          |    THEN CASE WHEN acc.prev
          |      THEN named_struct(
          |        'inp', acc.inp,
