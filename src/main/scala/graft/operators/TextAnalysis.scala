@@ -579,6 +579,19 @@ object TextAnalysis {
     * fine off the corpus path. Lineage is cut with localCheckpoint every
     * few rounds so round N's plan doesn't embed N−1 fold expressions.
     */
+  /** One BPE merge applied to a symbol array: every left-to-right
+    * adjacent (a, b) pair collapses to the merged symbol — a single
+    * in-row fold, shared by the trainer loop and [[bpeEncode]] so the
+    * two can never disagree on merge semantics.
+    */
+  private def applyMergeExpr(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
   def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
     var words = docs
@@ -604,17 +617,44 @@ object TextAnalysis {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((a, b, cnt))
-        val merged = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, s) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(s))))
-        words = words.select(merged.as("syms"), col("c"))
+        words = words.select(applyMergeExpr(col("syms"), a, b).as("syms"), col("c"))
         if (round % 4 == 0) words = words.localCheckpoint()
       }
     }
     merges.toSeq
+  }
+
+  /** BPE ENCODE — the tokenizer's apply half: segment every word with a
+    * trained merge list (e.g. [[bpeTrain]]'s output) and report per-doc
+    * BPE token counts. The i-th merge is applied after all earlier ones,
+    * exactly as in training — the shared [[applyMergeExpr]] fold
+    * guarantees the same left-to-right collapse semantics.
+    *
+    * Scale shape — the production tokenizer-application layout: merges
+    * chain as expressions over the DISTINCT word table (vocabulary-
+    * sized, one plan, no per-merge actions), and the corpus is touched
+    * once by a token explode that joins the broadcast segmented vocab.
+    * Spec-verified against an in-memory encoder (no SQL oracle — N
+    * sequential merges are not expressible in one DuckDB query; the
+    * corpus-side arithmetic is plain integer sums).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge")
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val vocab0 = toks.select(col("word")).distinct()
+      .select(col("word"), split(col("word"), "").as("syms"))
+    val segmented = merges.foldLeft(vocab0) { case (df, (a, b)) =>
+      df.select(col("word"), applyMergeExpr(col("syms"), a, b).as("syms"))
+    }
+    val sizes = segmented.select(col("word"),
+      size(col("syms")).cast("long").as("n_bpe"))
+    toks.join(broadcast(sizes), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   // --------------------------------------- fill-in-middle transformation

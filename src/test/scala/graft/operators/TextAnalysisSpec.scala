@@ -355,6 +355,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert((top.getString(1), top.getString(2), top.getLong(3)) === got.head)
   }
 
+  test("bpeEncode: trained merges segment docs like an in-memory encoder") {
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val merges = TextAnalysis.bpeTrain(real, nMerges = 6).map(m => (m._1, m._2))
+    assert(merges.nonEmpty)
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    def encodeWord(w: String): Int =
+      merges.foldLeft(w.split("").toVector) {
+        case (syms, (a, b)) => applyMerge(syms, a, b)
+      }.length
+    val texts = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = texts.map { case (id, text) =>
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      id -> ((words.length.toLong, words.map(encodeWord(_).toLong).sum))
+    }
+    val got = TextAnalysis.bpeEncode(real, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // merges genuinely compress: strictly fewer symbols than characters
+    val chars = texts.map { case (id, t) =>
+      id -> t.trim.split("\\s+").map(_.length.toLong).sum }
+    assert(got.exists { case (id, (_, bpe)) => bpe < chars(id) })
+    // and never below one token per word
+    got.foreach { case (id, (nw, bpe)) => assert(bpe >= nw, s"doc $id") }
+  }
+
   test("fimTransform: transformed docs reassemble to the original text") {
     val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
     val texts = real.select("doc_id", "text").collect()
