@@ -28,10 +28,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) formatting: full-precision doubles made the
+    // 108-query line ~6 KB and the driver's bounded tail capture truncated
+    // it mid-JSON (BENCH_r07 was unparseable standalone); ms resolution is
+    // below run-to-run noise anyway and keeps the line well under the cap
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // sbt decorates stdout with [info]; drop a clean machine-readable copy
     // so nothing has to strip prefixes. Anchor the path explicitly

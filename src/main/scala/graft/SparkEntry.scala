@@ -806,8 +806,10 @@ object SparkEntry {
            CAST(sum(term_micro) AS BIGINT) AS xent_micro,
            round(exp(sum(term_micro) / (1e6 * sum(tf))), 3) AS ppl
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
-    // DSIR: same token/micro-nat machinery as doc_perplexity; the target
-    // LM is the src0 slice (conditional sum in the same groupBy), the
+    // DSIR: same token/micro-nat machinery as doc_perplexity but with
+    // floor-quantized terms (floor(x*1e6) is a binary floor — identical
+    // in both engines even at exact decimal halves); the target LM is
+    // the src0 slice (conditional sum in the same groupBy), the
     // smoothing normalizer is one scalar subselect
     "dsir_weights" ->
       """WITH toks AS (
@@ -826,8 +828,8 @@ object SparkEntry {
                       / CAST(sum(ct) + count(*) AS DOUBLE) AS s FROM cnt),
          terms AS (
            SELECT tf.doc_id, tf.tf,
-             CAST(round(round(tf.tf * ln(((cnt.ct + 1.0) / (cnt.cr + 1.0))
-                 * tot.s), 6) * 1e6) AS BIGINT) AS term_micro
+             CAST(floor(tf.tf * ln(((cnt.ct + 1.0) / (cnt.cr + 1.0))
+                 * tot.s) * 1e6) AS BIGINT) AS term_micro
            FROM tf JOIN cnt USING (token) CROSS JOIN tot)
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            CAST(sum(term_micro) AS BIGINT) AS lr_micro

@@ -48,18 +48,29 @@ object QualityModel {
     * f3 = ratio of tokens ≥ 3 chars (the [[TextAnalysis.qualityScore]]
     * long-token signal).
     */
-  def features(docs: DataFrame): DataFrame = {
+  /** The three feature expressions, shared by every entry point so the
+    * projected ([[features]]) and in-place ([[logitScoreWide]]) paths
+    * compute bit-identical scores.
+    */
+  private def featureExprs: Seq[Column] = {
     val w = split(trim(col("text")), "\\s+")
     val nTok = size(w).cast("double")
-    docs.select(col("doc_id"),
-      log(lit(1.0) + nTok).as("f1"),
-      (size(array_distinct(w)).cast("double") / nTok).as("f2"),
-      (size(filter(w, t => length(t) >= 3)).cast("double") / nTok).as("f3"))
+    Seq(log(lit(1.0) + nTok),
+      size(array_distinct(w)).cast("double") / nTok,
+      size(filter(w, t => length(t) >= 3)).cast("double") / nTok)
   }
 
+  def features(docs: DataFrame): DataFrame = {
+    val Seq(f1, f2, f3) = featureExprs
+    docs.select(col("doc_id"), f1.as("f1"), f2.as("f2"), f3.as("f3"))
+  }
+
+  private def linearOf(weights: Array[Double], fs: Seq[Column]): Column =
+    lit(weights(0)) + lit(weights(1)) * fs(0) +
+      lit(weights(2)) * fs(1) + lit(weights(3)) * fs(2)
+
   private def linear(weights: Array[Double]): Column =
-    lit(weights(0)) + lit(weights(1)) * col("f1") +
-      lit(weights(2)) * col("f2") + lit(weights(3)) * col("f3")
+    linearOf(weights, Seq(col("f1"), col("f2"), col("f3")))
 
   /** Score + keep decision under a fixed weight vector. `keep` is decided
     * on the UNROUNDED score (both engines), `z`/`prob` are rounded for
@@ -79,6 +90,24 @@ object QualityModel {
         round(z, 6).as("z"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("prob"),
         when(z > 0, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
+  /** [[logitScoreOn]] with the ORIGINAL columns carried through —
+    * `z`/`prob`/`keep` are appended to `docs`' schema instead of
+    * projecting it down to scores. This is the ingest-admission shape: a
+    * stream (or batch pass) that persists admitted documents needs the
+    * text and metadata to still be there after the cut, and a stream
+    * cannot re-join them back on (stream-stream joins need watermarks).
+    * Same scan-fused scalar expressions, identical score arithmetic to
+    * [[logitScoreOn]] by construction ([[featureExprs]] is shared).
+    */
+  def logitScoreWide(docs: DataFrame,
+      weights: Array[Double] = GateWeights): DataFrame = {
+    val z = linearOf(weights, featureExprs)
+    docs
+      .withColumn("z", round(z, 6))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-z)), 4))
+      .withColumn("keep", when(z > 0, lit(1)).otherwise(lit(0)))
   }
 
   def logitScoreDocs(spark: SparkSession, dir: String): DataFrame =

@@ -63,18 +63,36 @@ object Ranking {
     * `keyCol` must be unique within each value group (so that
     * (valueCol, keyCol) is a total order) — duplicate keys would make
     * rank/bin nondeterministic across runs.
+    *
+    * The bounded-domain precondition is ENFORCED, not assumed: more than
+    * `maxDistinctValues` distinct values raises a clear error instead of
+    * silently degrading into a corpus-sized single-task window plus a
+    * corpus-sized broadcast (the failure mode for a raw double column —
+    * quantize such columns first, e.g. `round(value, 4)` as the quality
+    * gates do). The guard rides the SAME full-frame window that computes
+    * N — zero extra passes — and is folded into a live column so the
+    * optimizer can't prune it.
     */
   def distributedNtile(df: DataFrame, valueCol: String, keyCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxDistinctValues: Long = 1000000L): DataFrame = {
     require(k > 0, s"ntile k must be positive, got $k")
+    require(maxDistinctValues > 0,
+      s"maxDistinctValues must be positive, got $maxDistinctValues")
     val cw = Window.orderBy(col(valueCol).asc_nulls_last)
+    val full = cw.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val guard = when(count(lit(1)).over(full) > maxDistinctValues,
+      raise_error(lit(
+        s"distributedNtile: > $maxDistinctValues distinct values of " +
+          s"'$valueCol' — quantize the value column (or raise " +
+          "maxDistinctValues) so the distinct-value table stays bounded")))
+      .otherwise(lit(0L))
     val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__nt_cnt"))
       .withColumn("__nt_before", coalesce(
         sum(col("__nt_cnt")).over(
           cw.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__nt_n", sum(col("__nt_cnt")).over(
-        cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        lit(0L)) + guard)
+      .withColumn("__nt_n", sum(col("__nt_cnt")).over(full))
       .select(col(valueCol).as("__nt_v"), col("__nt_before"), col("__nt_n"))
     val r = col("__nt_before") +
       row_number().over(Window.partitionBy(col(valueCol)).orderBy(col(keyCol)))
@@ -115,10 +133,16 @@ object Ranking {
     */
   def curriculumOrder(df: DataFrame, binCol: String, keyCol: String,
       salt: String = "curr42:"): DataFrame = {
+    // a NULL key would hash to a NULL skey/pid and silently drop the row
+    // from the training order (train_rank no longer a 1..N permutation);
+    // keys are identities, so that's a data bug — fail loud, in-row, at
+    // scan time, instead of losing documents
     val base = df
-      .withColumn("skey", md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .withColumn("skey", md5(concat(lit(salt),
+        when(col(keyCol).isNull, raise_error(lit(
+          s"curriculumOrder: NULL $keyCol — rank keys must be non-null")))
+          .otherwise(col(keyCol).cast("string")))))
       .withColumn("pid", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
-      .filter(col("pid").isNotNull)
     val local = base.withColumn("__cu_lrk", row_number().over(
       Window.partitionBy(col(binCol), col("pid"))
         .orderBy(col("skey"), col(keyCol))))

@@ -186,9 +186,11 @@ object Sampling {
     * is the product every DSIR deployment actually materializes.
     *
     * lr(doc) = Σ_tokens tf·ln[ ((c_target + 1) / (c_raw + 1)) ·
-    * (N_raw + V)/(N_target + V) ] — accumulated in the same per-term
-    * 6-decimal micro-nat BIGINTs as [[TextAnalysis.docPerplexity]], so
-    * the sum is engine-exact under any partitioning.
+    * (N_raw + V)/(N_target + V) ] — accumulated as per-term micro-nat
+    * BIGINTs (floor(term·1e6), the [[Clustering]] label-centroid
+    * quantization) so the sum is engine-exact under any partitioning
+    * and immune to cross-engine round() disagreement at representation
+    * boundaries.
     *
     * Scale shape (mirrors docPerplexity): both LMs come from ONE token
     * aggregate over one corpus scan (the target side is a conditional
@@ -213,9 +215,14 @@ object Sampling {
             (sum(col("ct")) + count(lit(1))).cast("double")).as("s"))
       .scalar()
     tf.join(counts, Seq("token"))
+      // floor-quantize (binary floor of the IEEE product — the
+      // label_centroids discipline): round(x, 6) would reintroduce the
+      // Spark shortest-decimal-HALF_UP vs DuckDB binary-value hazard on
+      // an exact 6th-decimal half; floor of the same double is
+      // bit-identical in any engine
       .withColumn("term_micro",
-        round(round(col("tf") *
-          log(((col("ct") + lit(1.0)) / (col("cr") + lit(1.0))) * scale), 6) * 1e6)
+        floor(col("tf") *
+          log(((col("ct") + lit(1.0)) / (col("cr") + lit(1.0))) * scale) * lit(1e6))
           .cast("long"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),

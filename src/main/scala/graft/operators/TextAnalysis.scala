@@ -650,7 +650,14 @@ object TextAnalysis {
     }
     val sizes = segmented.select(col("word"),
       size(col("syms")).cast("long").as("n_bpe"))
-    toks.join(broadcast(sizes), Seq("word"))
+    // NO forced broadcast: distinct whitespace tokens follow Heaps' law —
+    // at 100 TB the vocab (URLs, typos, numerals) runs to billions and
+    // would OOM a hinted broadcast. The join key IS the word, so the
+    // shuffle join is the natural fallback; AQE converts it to a
+    // broadcast join at runtime whenever the segmented vocab lands under
+    // spark.sql.autoBroadcastJoinThreshold — size-thresholded broadcast
+    // without hardcoding the threshold here.
+    toks.join(sizes, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(col("n_bpe")).as("n_bpe_tokens"))

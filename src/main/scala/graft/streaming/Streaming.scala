@@ -174,14 +174,19 @@ object Streaming {
     * the SAME fixed-weight logistic model the batch gate runs
     * ([[graft.operators.QualityModel.logitScore]]) and keep only docs
     * the model accepts — the ingest-time quality cut every crawl
-    * pipeline applies before anything touches disk. Stateless scalar
-    * expressions (the whole model is one scan-fused projection), so the
+    * pipeline applies before anything touches disk. The ORIGINAL columns
+    * (text, metadata) ride through with the scores appended
+    * ([[graft.operators.QualityModel.logitScoreWide]]): an admission
+    * stream that dropped the text could never actually persist the
+    * admitted corpus, and a stream can't re-join the source without
+    * watermarked stream-stream machinery. Stateless scalar expressions
+    * (the whole model is one scan-fused set of withColumns), so the
     * streaming plan IS the batch plan per micro-batch; batch parity is
     * asserted in StreamingSpec, not just implied.
     */
   def qualityFilterStream(docs: DataFrame,
       weights: Array[Double] = graft.operators.QualityModel.GateWeights): DataFrame =
-    graft.operators.QualityModel.logitScoreOn(docs, weights)
+    graft.operators.QualityModel.logitScoreWide(docs, weights)
       .filter(col("keep") === 1)
 
   /** Streaming decontamination: drop from an incoming document stream

@@ -51,6 +51,39 @@ class RankingSpec extends AnyFunSuite with SparkTestSession {
     assert(bins === Map(1 -> 3L, 2 -> 2L, 3 -> 2L))
   }
 
+  test("distributedNtile fails fast past the distinct-value bound") {
+    import spark.implicits._
+    // 1000 distinct raw doubles against a bound of 100: must raise the
+    // documented error, not degrade into an unbounded window + broadcast
+    val wide = (0L until 1000L).map(i => (i, i / 997.0)).toDF("id", "v")
+    // consume `rank` — a bare count() prunes the rank computation (and
+    // with it the hazardous window + broadcast), which is exactly when
+    // the guard doesn't need to fire
+    val ex = intercept[Exception] {
+      Ranking.distributedNtile(wide, "v", "id", 10, maxDistinctValues = 100L)
+        .agg(max("rank")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("distributedNtile")), ex.toString)
+    // the same data passes under the default bound
+    val ok = Ranking.distributedNtile(wide, "v", "id", 10)
+      .agg(max("rank")).collect()
+    assert(ok.head.getLong(0) === 1000L)
+  }
+
+  test("curriculumOrder: NULL key fails loud instead of dropping rows") {
+    import spark.implicits._
+    val df = Seq((Option(1L), 1), (Option.empty[Long], 2), (Option(3L), 1))
+      .toDF("doc_id", "bin")
+    val ex = intercept[Exception] {
+      Ranking.curriculumOrder(df, "bin", "doc_id").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("curriculumOrder")), ex.toString)
+  }
+
   test("curriculumOrder equals a single-window reference, repartition-stable") {
     import spark.implicits._
     def md5(s: String): String = java.security.MessageDigest

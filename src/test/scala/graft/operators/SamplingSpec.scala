@@ -186,9 +186,7 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
       val tfs = text.split("\\s+").groupBy(identity).view.mapValues(_.length).toMap
       val micro = tfs.map { case (tok, tf) =>
         val term = tf * math.log(((ct(tok) + 1.0) / (cr(tok) + 1.0)) * s)
-        val r6 = BigDecimal(term).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        BigDecimal((r6 * 1e6).toDouble)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        math.floor(term * 1e6).toLong
       }.sum
       (tfs.values.sum.toLong, micro)
     }

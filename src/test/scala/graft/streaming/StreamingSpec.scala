@@ -504,6 +504,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
         .collect().toMap2
       assert(got === batch)
       assert(batch.nonEmpty && batch.size < docs.length) // a genuine cut
+      // admission means persistable: the ORIGINAL text must ride through
+      assert(spark.table("qfs").columns.toSet ===
+        Set("doc_id", "text", "z", "prob", "keep"))
+      val admittedText = spark.table("qfs").select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      val srcText = docs.toMap
+      assert(admittedText.forall { case (id, t) => srcText(id) == t })
     } finally q.stop()
   }
 
