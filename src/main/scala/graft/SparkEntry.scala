@@ -92,6 +92,7 @@ object SparkEntry {
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
     "semdedup"             -> (Clustering.semDedupDocs(_, _)),
     "pq_codes"             -> (Similarity.pqCodesDocs(_, _)),
+    "pq_adc_topk"          -> (Similarity.pqAdcTopKDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
     // --- training-data pipeline: text analysis
@@ -110,6 +111,7 @@ object SparkEntry {
     "text_novelty"         -> (TextAnalysis.noveltyDocs(_, _)),
     "doc_perplexity"       -> (TextAnalysis.docPerplexityDocs(_, _)),
     "bpe_pairs"            -> (TextAnalysis.bpePairCountsDocs(_, _)),
+    "bpe_encode"           -> (TextAnalysis.bpeEncodeDocs(_, _)),
     "fim_transform"        -> (TextAnalysis.fimTransformDocs(_, _)),
     "t5_spans"             -> (TextAnalysis.t5SpansDocs(_, _)),
     "lang_balance"         -> ((s, d) =>
@@ -398,6 +400,46 @@ object SparkEntry {
          FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id)
        SELECT doc_id, r_lex, r_sem, rrf FROM fused
        ORDER BY rrf DESC, doc_id LIMIT 50"""
+  }
+
+  /** BPE-encode oracle: the greedy leftmost non-overlapping merge fold,
+    * restated as a chain of [[operators.TextAnalysis.PinnedBpeMerges]]
+    * `replace`s over a delimiter-wrapped symbol string. Each symbol is
+    * wrapped as ␟sym␟ (chr(31), absent from the corpus alphabet), so
+    * word "ab" becomes "␟a␟␟b␟"; merge (a,b) is
+    * replace("␟a␟␟b␟" → "␟ab␟"). SQL `replace` scans left to right and
+    * resumes AFTER each replacement — exactly the fold's semantics: a
+    * just-merged symbol can't re-merge within the same round (it would
+    * need a = a+b), and each symbol's own delimiters keep adjacent
+    * matches from stealing a shared boundary. Validated against an
+    * independent fold implementation over the full fixture vocabulary.
+    * n_bpe = symbol count of the final wrapped string; the corpus side
+    * is the same word-explode + integer sums as wc_wordcount.
+    */
+  private def bpeEncodeOracleSql: String = {
+    val d = "chr(31)"
+    val dd = s"$d || $d"
+    val wrapped = s"$d || array_to_string(string_split(word, ''), $dd) || $d"
+    val chain = operators.TextAnalysis.PinnedBpeMerges.foldLeft(wrapped) {
+      case (acc, (a, b)) =>
+        s"replace($acc, $d || '$a' || $dd || '$b' || $d, $d || '$a$b' || $d)"
+    }
+    s"""WITH words AS (
+         SELECT doc_id, word
+         FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+               FROM documents)
+         WHERE length(word) > 0),
+       vocab AS (SELECT DISTINCT word FROM words),
+       seg AS (SELECT word, $chain AS s FROM vocab),
+       sizes AS (
+         SELECT word,
+           CAST(len(string_split(trim(s, $d), $dd)) AS BIGINT) AS n_bpe
+         FROM seg)
+       SELECT doc_id, count(*) AS n_words,
+         CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+       FROM words JOIN sizes USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Quality-score oracle body — shared by `text_quality` and
@@ -834,6 +876,7 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            CAST(sum(term_micro) AS BIGINT) AS lr_micro
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "bpe_encode" -> bpeEncodeOracleSql,
     "quality_logit" -> qualityLogitOracleSql,
     // FIM: selection gate and both character cut points all md5-derived,
     // so the oracle replays the transform character for character
@@ -1943,6 +1986,48 @@ object SparkEntry {
            CAST(max(CASE WHEN sub = 2 THEN c_id END) AS INTEGER) AS code2,
            CAST(max(CASE WHEN sub = 3 THEN c_id END) AS INTEGER) AS code3
          FROM ranked WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""",
+    // ADC probe over the PQ codes: same codebook VALUES + argmin CTE as
+    // pq_codes; per-(query, subspace, centroid) table entries are the
+    // same fixed-order doubles floor-quantized to micro BIGINTs, so the
+    // GROUP BY distance sum is an exact integer sum in any order
+    "pq_adc_topk" ->
+      s"""WITH cents(sub, c_id, c, c2) AS (VALUES
+           ${pqCentroidValues()}),
+         scored AS (
+           SELECT e.vec_id, c.sub, c.c_id,
+             c.c2 - 2 * list_sum(list_transform(generate_series(1, 16),
+                 d -> CAST(e.embedding[c.sub * 16 + d] AS DOUBLE) * c.c[d]))
+               AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         codes AS (
+           SELECT vec_id, sub, c_id FROM (
+             SELECT vec_id, sub, c_id,
+               row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY dist, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 10),
+         tbl AS (
+           SELECT q.q_id, c.sub, c.c_id,
+             CAST(floor((c.c2 - 2 * list_sum(list_transform(
+                 generate_series(1, 16),
+                 d -> CAST(q.qe[c.sub * 16 + d] AS DOUBLE) * c.c[d])))
+               * 1e6) AS BIGINT) AS t_micro
+           FROM q CROSS JOIN cents c),
+         adist AS (
+           SELECT t.q_id, co.vec_id,
+             CAST(sum(t.t_micro) AS BIGINT) AS adist_micro
+           FROM codes co
+           JOIN tbl t ON t.sub = co.sub AND t.c_id = co.c_id
+           WHERE t.q_id != co.vec_id
+           GROUP BY t.q_id, co.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, adist_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adist_micro, vec_id) AS rk
+           FROM adist)
+         SELECT q_id, rk, vec_id, adist_micro FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk""",
     // q18_sketches (HLL++/t-digest are approximate by design),
     // mm_features (float-normalized stub pixels) and kmeans_assign
     // (centroid means are float sums whose value depends on partition

@@ -382,11 +382,22 @@ object Similarity {
     * squared distance is the sum of m table lookups (query-subvector ↔
     * chosen centroid), precomputed once per query. This is the probe
     * path of IVF-PQ: the scan touches 4 bytes per vector instead of 256
-    * and does m array-index adds instead of a 64-dim dot product.
-    * Spec-verified for recall against the exact brute-force path
-    * (planted structure makes top-1 recovery checkable); not oracle-
-    * gated — it exists to prove the codes support querying, the codes
-    * themselves carry the value-level gate.
+    * and does m O(1) array-index adds instead of a 64-dim dot product.
+    *
+    * Oracle-gated (`pq_adc_topk`): each table entry c² − 2·q_j·c is the
+    * same fixed-order double arithmetic the `pq_codes` gate proved
+    * bit-identical, then floor-quantized to micro units
+    * (floor(t·1e6) → BIGINT) so the m-entry distance sum is an exact
+    * INTEGER sum — order/partition-invariant, reproducible by DuckDB's
+    * GROUP BY regardless of its accumulation order. Ranking ties break
+    * on vec_id in both engines.
+    *
+    * Scale shape: the per-query lookup tables (m·k longs per query)
+    * broadcast with the query batch; the corpus side contributes its m
+    * byte-sized codes to a scan-fused `element_at` sum — no join keyed
+    * on the corpus, no shuffle of embeddings, only the (rows × queries)
+    * scored pairs move into the per-query top-k window, exactly like
+    * [[bruteForceTopK]].
     */
   def pqAdcTopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
       m: Int = 4, k: Int = 16, dim: Int = 64): DataFrame = {
@@ -395,34 +406,35 @@ object Similarity {
     val coded = pqEncode(vecs, m, k, dim)
     val queries = vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q"))
-    // dist table per (query, subspace, centroid): ‖q_j − c_jp‖² =
-    // q_j·q_j − 2 q_j·c_jp + c²; the q_j·q_j term is constant per
-    // (query, subspace) and drops out of the ranking
-    val tableCols = (0 until m).flatMap { j =>
+    // dist table per (query, subspace): ‖q_j − c_jp‖² = q_j·q_j −
+    // 2 q_j·c_jp + c²; the q_j·q_j term is constant per (query,
+    // subspace) and drops out of the ranking. One ARRAY column per
+    // subspace so the per-row lookup is O(1) element_at, not a k-deep
+    // conditional chain.
+    val tableCols = (0 until m).map { j =>
       val qSub = slice(col("q"), j * subDim + 1, subDim)
-      books(j).zipWithIndex.map { case (c, p) =>
-        (lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(qSub, lit(c)))
-          .as(s"t_${j}_$p")
-      }
+      array(books(j).map { c =>
+        floor((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(qSub, lit(c)))
+          * lit(1e6)).cast("long")
+      }: _*).as(s"tbl$j")
     }
-    val tables = queries.select(col("q_id") +: col("q") +: tableCols: _*)
-    val approx = (0 until m).map { j =>
-      // code_j selects which of the k table entries contributes
-      val entries = (0 until k).map(p => col(s"t_${j}_$p"))
-      (0 until k).foldLeft(lit(0.0)) { (acc, p) =>
-        when(col(s"code$j") === p, entries(p)).otherwise(acc)
-      }
-    }.reduceLeft(_ + _)
+    val tables = queries.select(col("q_id") +: tableCols: _*)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"tbl$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("vec_id").asc)
+      .orderBy(col("adist_micro").asc, col("vec_id").asc)
     coded.crossJoin(broadcast(tables))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("adist", approx)
+      .withColumn("adist_micro", approx)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("adist"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_micro"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  def pqAdcTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(Tables(spark, dir).embeddings)
 
   // ------------------------------------------------- kNN classification
 

@@ -633,10 +633,11 @@ object TextAnalysis {
     * Scale shape — the production tokenizer-application layout: merges
     * chain as expressions over the DISTINCT word table (vocabulary-
     * sized, one plan, no per-merge actions), and the corpus is touched
-    * once by a token explode that joins the broadcast segmented vocab.
-    * Spec-verified against an in-memory encoder (no SQL oracle — N
-    * sequential merges are not expressible in one DuckDB query; the
-    * corpus-side arithmetic is plain integer sums).
+    * once by a token explode that joins the segmented vocab (AQE picks
+    * broadcast vs shuffle by measured size — see the join comment).
+    * Oracle-gated under the pinned [[PinnedBpeMerges]] list
+    * (`bpe_encode`); spec-verified against an in-memory encoder for
+    * arbitrary trained merge lists.
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "need at least one merge")
@@ -682,6 +683,27 @@ object TextAnalysis {
     * shuffles, the scan-fused shape; [[fimTransformOn]] is the
     * sort-free form a stream can run.
     */
+  /** Pinned merge list for the gated `bpe_encode` entry: the 16 merges a
+    * committed [[bpeTrain]](documents, 16) run learns at sf0.01, frozen
+    * as literals — the pin-the-nondeterminism move that gated
+    * `kmeans_fixed_assign` and `ann_lsh`. Training is iterative argmax
+    * (no closed-form SQL oracle); ENCODING under a fixed merge list is a
+    * deterministic per-word rewrite, and this is exactly the
+    * tokenizer-apply step a user runs, so it carries hash-level
+    * evidence. The DuckDB oracle restates the greedy leftmost
+    * non-overlapping collapse as a chain of 16 `replace`s over a
+    * delimiter-wrapped symbol string (see the oracle comment in
+    * [[graft.SparkEntry]]).
+    */
+  val PinnedBpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow")
+
+  def bpeEncodeDocs(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables(spark, dir).documents, PinnedBpeMerges)
+
   def fimTransform(docs: DataFrame, rate: Double = 0.5): DataFrame =
     fimTransformOn(docs, rate).orderBy(col("doc_id"))
 

@@ -205,4 +205,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(partials >= 2, s"partial aggs missing:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("pq_adc_topk: lookup fused in the scan, no join keyed on the corpus") {
+    val plan = planOf("pq_adc_topk")
+    // the per-query tables arrive via broadcast nested loop (10 rows);
+    // a hash/sort-merge join here would mean the corpus got shuffled on
+    // a key, and the ADC sum must be an element_at lookup, not a
+    // conditional chain
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+    assert(plan.contains("element_at"), plan.take(3000))
+    // pre-shuffle group limit: the window's exchange carries ≤ topK rows
+    // per task/query, not the scored corpus
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
 }

@@ -385,6 +385,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     got.foreach { case (id, (nw, bpe)) => assert(bpe >= nw, s"doc $id") }
   }
 
+  test("PinnedBpeMerges is exactly what bpeTrain learns at sf0.01") {
+    // provenance pin for the gated bpe_encode entry: the frozen literals
+    // must stay the committed trainer output, or the gate is testing a
+    // tokenizer nobody trained
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
+    val trained = TextAnalysis.bpeTrain(docs, nMerges = 16).map(m => (m._1, m._2))
+    assert(trained === TextAnalysis.PinnedBpeMerges)
+  }
+
   test("fimTransform: transformed docs reassemble to the original text") {
     val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
     val texts = real.select("doc_id", "text").collect()
