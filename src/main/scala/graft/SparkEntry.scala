@@ -777,9 +777,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
-    // Mirrors the DF-capped scale path (Dedup.JaccardMaxDf): candidate
-    // pairs must share at least one shingle seen in <= cap docs, then the
-    // reported value is the exact Jaccard over ALL shingles.
+    // Mirrors the DF-capped scale path with the CORPUS-DERIVED cap
+    // (Dedup.quantileDfCap): the cap is the smallest df covering 99.9%
+    // of distinct shingles (floored at 2) — all-integer arithmetic over
+    // the df histogram, so both engines derive the identical cap from
+    // the identical stats. Candidate pairs must share at least one
+    // under-cap shingle; the reported value is the exact Jaccard over
+    // ALL shingles.
     "dedup_jaccard" ->
       s"""WITH sh AS (
            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -787,8 +791,16 @@ object SparkEntry {
                  FROM documents),
                 UNNEST(generate_series(1, len(w) - 2)) AS t(i)
            WHERE len(w) >= 3),
-         rare AS (SELECT shingle FROM sh GROUP BY shingle
-                  HAVING count(*) <= ${graft.operators.Dedup.JaccardMaxDf}),
+         dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         hist AS (SELECT df, count(*) AS ns FROM dfr GROUP BY df),
+         capq AS (
+           SELECT greatest(coalesce(min(df), 1), 2) AS cap FROM (
+             SELECT df, sum(ns) OVER (ORDER BY df) AS cum,
+                    (SELECT sum(ns) FROM hist) AS tot
+             FROM hist)
+           WHERE cum * 1000 >= 999 * tot),
+         rare AS (SELECT shingle FROM dfr
+                  WHERE df <= (SELECT cap FROM capq)),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM sh a

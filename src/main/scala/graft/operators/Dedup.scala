@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Engine.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication suite over the `documents` table — the
@@ -130,29 +131,77 @@ object Dedup {
     * like LSH recall) but every reported value is the true Jaccard.
     * Jaccard is a ratio of exact ints → bit-identical in any engine.
     */
+  /** Capped candidate generation: ONE groupBy(h) produces each shingle's
+    * (bounded) posting list and the ordered pairs expand IN the array —
+    * replaces the df-aggregate + rare-join + self-join spelling, which
+    * cost three extra corpus scans and shuffled the posting rows twice
+    * more. The cap bounds the expansion at cap·(cap−1)/2 pairs per
+    * shingle; hotter shingles are skipped (recall-only — survivors are
+    * re-verified over ALL shingles). `cap` is a Column so a fixed
+    * literal and the corpus-derived scalar subquery share one plan shape.
+    */
+  private def cappedCandidates(sh: DataFrame, cap: Column): DataFrame = sh
+    .groupBy(col("h"))
+    .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+    .filter(size(col("ds")) >= 2 && size(col("ds")).cast("long") <= cap)
+    .select(explode(expr(
+      """flatten(transform(ds, (a, i) ->
+        |  transform(slice(ds, i + 2, size(ds) - i - 1),
+        |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+    .select(col("p.doc_a"), col("p.doc_b"))
+    .distinct()
+
+  /** Corpus-relative df cap: the smallest df covering ≥ `permille`/1000
+    * of DISTINCT shingles (floored at 2) — so candidate generation skips
+    * exactly the hottest (1 − permille/1000) slice of the shingle
+    * vocabulary, the quadratic outliers (boilerplate headers, license
+    * blocks), wherever the corpus puts them. This is the executable form
+    * of "the df cap scales with the corpus": on a rare-shingle corpus it
+    * admits everything (exact recall); on a dup-heavy corpus the bulk of
+    * the df mass — where true near-dup families live — stays under the
+    * cap while df outliers thousands deep are excluded before they can
+    * expand df²/2 candidate pairs each.
+    *
+    * Cost: one aggregate over the (already-needed) shingle table into a
+    * df HISTOGRAM — rows = distinct df LEVELS, ≤ max document frequency
+    * and in practice a log-scale handful, so the unpartitioned running-
+    * sum window is bounded regardless of corpus size. All-integer
+    * arithmetic (cum·1000 ≥ permille·total) → the DuckDB oracle derives
+    * the identical cap from the identical stats.
+    */
+  private[graft] def quantileDfCap(sh: DataFrame, permille: Int = 999): Column = {
+    require(permille >= 1 && permille <= 1000, s"bad permille $permille")
+    val w = Window.orderBy(col("df"))
+    sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("ns"))
+      .withColumn("cum", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cum") * 1000 >= col("tot") * permille)
+      .agg(greatest(coalesce(min(col("df")), lit(1L)), lit(2L)).as("cap"))
+      .scalar()
+  }
+
+  /** [[jaccardPairs]] with the df cap DERIVED from the corpus's own
+    * shingle-df histogram ([[quantileDfCap]]) instead of a fixed
+    * constant — the production spelling the gated `dedup_jaccard` entry
+    * runs. On the driver fixtures the derived cap admits every true pair
+    * (pinned equal to the uncapped pair set in DedupSpec).
+    */
+  def jaccardPairsAdaptive(docs: DataFrame, threshold: Double, n: Int = 3,
+      permille: Int = 999): DataFrame = {
+    val sh = shingleHashes(docs, n)
+    verifiedPairs(cappedCandidates(sh, quantileDfCap(sh, permille)), sh, threshold)
+  }
+
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       maxDf: Option[Int] = None): DataFrame = {
     // every shuffle (distinct, self-join, sizes) runs on 8-byte hashes
     val sh = shingleHashes(docs, n)
     maxDf match {
       case Some(cap) =>
-        // ONE groupBy(h) produces each shingle's (bounded) posting list
-        // and the ordered pairs expand IN the array — replaces the
-        // df-aggregate + rare-join + self-join spelling, which cost three
-        // extra corpus scans and shuffled the posting rows twice more.
-        // The cap bounds the expansion at cap·(cap−1)/2 pairs per
-        // shingle; hotter shingles are skipped (recall-only, as before).
-        val candidates = sh
-          .groupBy(col("h"))
-          .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")).between(2, cap))
-          .select(explode(expr(
-            """flatten(transform(ds, (a, i) ->
-              |  transform(slice(ds, i + 2, size(ds) - i - 1),
-              |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
-          .distinct()
-        verifiedPairs(candidates, sh, threshold)
+        verifiedPairs(cappedCandidates(sh, lit(cap.toLong)), sh, threshold)
       case None =>
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val a = sh.select(col("doc_id").as("doc_a"), col("h"))
@@ -173,18 +222,8 @@ object Dedup {
     }
   }
 
-  /** DF cap used by the gated entry: shingles present in more than this
-    * many docs are skipped during candidate generation (they are the
-    * self-join's quadratic hot keys); survivors are re-verified over ALL
-    * shingles. Planted near-dups share plenty of rare shingles, so the
-    * capped pair set equals the uncapped one on the fixtures (pinned in
-    * DedupSpec) — but the capped plan is the one that survives 100×.
-    */
-  val JaccardMaxDf = 100
-
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables(spark, dir).documents, threshold = 0.8,
-      maxDf = Some(JaccardMaxDf))
+    jaccardPairsAdaptive(Tables(spark, dir).documents, threshold = 0.8)
 
   /** MinHash signature + banded LSH near-dup pairs (the 100 TB path).
     *

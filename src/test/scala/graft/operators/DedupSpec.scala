@@ -33,17 +33,47 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(got.head._3 - expect) < 1e-6)
   }
 
-  test("DF-capped jaccard equals the uncapped pair set on testdata") {
-    // the gated entry runs with maxDf = JaccardMaxDf; planted near-dups
-    // share rare shingles, so capping candidate generation must not cost
-    // a single pair here — while removing the quadratic hot-shingle keys
+  test("adaptive DF-capped jaccard equals the uncapped pair set on testdata") {
+    // the gated entry derives its df cap from the corpus's own shingle-df
+    // histogram (quantileDfCap); planted near-dups share rare shingles,
+    // so capping candidate generation must not cost a single pair here —
+    // while removing the quadratic hot-shingle keys. A tight explicit cap
+    // still works through the same code path.
     val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
-    def pairs(maxDf: Option[Int]) =
-      Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = maxDf)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val uncapped = pairs(None)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = norm(Dedup.jaccardPairs(docs, threshold = 0.8))
     assert(uncapped.nonEmpty, "fixture should contain planted near-dups")
-    assert(pairs(Some(Dedup.JaccardMaxDf)) === uncapped)
+    assert(norm(Dedup.jaccardPairsAdaptive(docs, threshold = 0.8)) === uncapped)
+    assert(norm(Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = Some(100)))
+      === uncapped)
+  }
+
+  test("quantileDfCap: derived caps follow the df histogram") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // synthetic histogram: 990 shingles at df=2, 9 at df=5, 1 at df=50 —
+    // the 99.9% quantile cap must admit df 5 and exclude the df-50 outlier
+    val rows =
+      (0 until 990).flatMap(s => (0 until 2).map(d => (s"r$s", 2000L + d))) ++
+      (0 until 9).flatMap(s => (0 until 5).map(d => (s"m$s", 3000L + d))) ++
+      (0 until 50).map(d => ("hot", 4000L + d))
+    val sh = rows.toDF("shingle", "doc_id")
+      .select(org.apache.spark.sql.functions.xxhash64(col("shingle")).as("h"),
+        col("doc_id"))
+    val cap = sh.sparkSession.range(1)
+      .select(Dedup.quantileDfCap(sh).as("cap")).head().getLong(0)
+    assert(cap === 5L, s"got cap $cap")
+    // permille=1000 admits everything, tiny corpora floor at 2
+    val capAll = sh.sparkSession.range(1)
+      .select(Dedup.quantileDfCap(sh, 1000).as("cap")).head().getLong(0)
+    assert(capAll === 50L)
+    val one = Seq(("x", 1L)).toDF("shingle", "doc_id")
+      .select(org.apache.spark.sql.functions.xxhash64(col("shingle")).as("h"),
+        col("doc_id"))
+    val capOne = one.sparkSession.range(1)
+      .select(Dedup.quantileDfCap(one).as("cap")).head().getLong(0)
+    assert(capOne === 2L)
   }
 
   test("minhash LSH finds exactly the exact-jaccard pairs on testdata") {
