@@ -114,6 +114,10 @@ object SparkEntry {
     "bpe_encode"           -> (TextAnalysis.bpeEncodeDocs(_, _)),
     "fim_transform"        -> (TextAnalysis.fimTransformDocs(_, _)),
     "t5_spans"             -> (TextAnalysis.t5SpansDocs(_, _)),
+    // --- sentence-aware family (synthesized punctuation, see Sentences)
+    "sent_segment"         -> (operators.Sentences.segmentDocs(_, _)),
+    "sent_dedup"           -> (operators.Sentences.dedupDocs(_, _)),
+    "sent_chunks"          -> (operators.Sentences.chunksDocs(_, _)),
     "lang_balance"         -> ((s, d) =>
       operators.Sampling.langBalance(graft.Engine.Tables(s, d).documents)),
     "quality_ntile"        -> ((s, d) => {
@@ -401,6 +405,38 @@ object SparkEntry {
        SELECT doc_id, r_lex, r_sem, rrf FROM fused
        ORDER BY rrf DESC, doc_id LIMIT 50"""
   }
+
+  /** Shared CTE chain for the sentence family: synthesize the punctuated
+    * corpus exactly as [[operators.Sentences.sentenced]] does (md5-60
+    * boundary gate on (token, position), terminal token always ends a
+    * sentence), then segment it with the same `[^.!?]+[.!?]?` extraction
+    * the Spark operator runs. Ends in
+    * `sents(doc_id, sent_id, sentence, n_tokens)`.
+    */
+  private def sentenceCtes: String =
+    s"""toks AS (
+         SELECT doc_id, i, w[i] AS t, len(w) AS n
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents),
+              UNNEST(generate_series(1, len(w))) AS s(i)),
+       pt AS (
+         SELECT doc_id, i,
+           t || CASE WHEN ${duckMd5_60(
+             "'sent:' || t || ':' || CAST(i AS VARCHAR)")}
+                 % ${operators.Sentences.SentenceEvery} = 0
+               OR i = n THEN '.' ELSE '' END AS t2
+         FROM toks),
+       sdoc AS (
+         SELECT doc_id, string_agg(t2, ' ' ORDER BY i) AS text
+         FROM pt GROUP BY doc_id),
+       sents AS (
+         SELECT doc_id, i AS sent_id, trim(arr[i]) AS sentence,
+           CAST(len(regexp_split_to_array(trim(arr[i]), '\\s+')) AS BIGINT)
+             AS n_tokens
+         FROM (SELECT doc_id,
+                 regexp_extract_all(text, '[^.!?]+[.!?]?') AS arr
+               FROM sdoc),
+              UNNEST(generate_series(1, len(arr))) AS s2(i))"""
 
   /** BPE-encode oracle: the greedy leftmost non-overlapping merge fold,
     * restated as a chain of [[operators.TextAnalysis.PinnedBpeMerges]]
@@ -889,6 +925,40 @@ object SparkEntry {
            CAST(sum(term_micro) AS BIGINT) AS lr_micro
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "bpe_encode" -> bpeEncodeOracleSql,
+    "sent_segment" ->
+      s"""WITH $sentenceCtes
+         SELECT doc_id, sent_id, sentence, n_tokens FROM sents
+         ORDER BY doc_id, sent_id""",
+    // first occurrence keeps; the oracle's window spelling cross-checks
+    // the engine's aggregate-then-join spelling of the same policy
+    "sent_dedup" ->
+      s"""WITH $sentenceCtes,
+         normed AS (
+           SELECT doc_id, sent_id, n_tokens,
+             lower(regexp_replace(sentence, '[.!?]+$$', '')) AS norm
+           FROM sents)
+         SELECT doc_id, sent_id, n_tokens,
+           CASE WHEN row_number() OVER (PARTITION BY norm
+               ORDER BY doc_id, sent_id) = 1 THEN 1 ELSE 0 END AS keep
+         FROM normed ORDER BY doc_id, sent_id""",
+    // start-offset bucketing: chunk = tokens-before div budget, so the
+    // chunk rule is one running sum in both engines; digest rebuilt from
+    // sent_id-ordered sentences
+    "sent_chunks" ->
+      s"""WITH $sentenceCtes,
+         cum AS (
+           SELECT doc_id, sent_id, sentence, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY doc_id
+               ORDER BY sent_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM sents)
+         SELECT doc_id,
+           CAST(cb // ${operators.Sentences.ChunkBudget} AS BIGINT)
+             AS chunk_id,
+           count(*) AS n_sents, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           ${duckMd5_60("string_agg(sentence, ' ' ORDER BY sent_id)")}
+             AS chunk_md5_60
+         FROM cum GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""",
     "quality_logit" -> qualityLogitOracleSql,
     // FIM: selection gate and both character cut points all md5-derived,
     // so the oracle replays the transform character for character

@@ -206,6 +206,26 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("sent_segment: synthesis + segmentation fused in the scan") {
+    val plan = planOf("sent_segment")
+    // punctuation synthesis and the sentence explode are scalar/generator
+    // expressions — the only exchange allowed is the presentation sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 0, s"sentence segmentation grew a hash exchange:\n${plan.take(2500)}")
+    assert(!plan.contains("Join"), plan.take(2500))
+  }
+
+  test("sent_dedup: decision is an aggregate + digest join, not a sentence window") {
+    val plan = planOf("sent_dedup")
+    // partial_min before the shuffle: boilerplate sentences combine
+    // map-side instead of hot-spotting one window task
+    assert(plan.contains("partial_min") || plan.contains("Partial"),
+      s"map-side partial missing:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // no window partitioned by the sentence digest anywhere in the plan
+    assert(!plan.toLowerCase.contains("window"), plan.take(2500))
+  }
+
   test("pq_adc_topk: lookup fused in the scan, no join keyed on the corpus") {
     val plan = planOf("pq_adc_topk")
     // the per-query tables arrive via broadcast nested loop (10 rows);
