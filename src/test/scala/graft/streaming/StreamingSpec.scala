@@ -514,6 +514,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("StreamGate parquet: dedupContentStream equals the batch exact dedup") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // real corpus streamed in doc_id order, then a full RE-CRAWL wave
+    // (same texts, new ids, later ts) — the stream must admit exactly
+    // one copy per distinct text, which is precisely what the
+    // oracle-gated batch dedup_exact computes on the doubled input
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val base = 1_700_000_000_000L
+    def wave(rows: Seq[(Long, String)], tsOff: Long) =
+      rows.map { case (id, t) =>
+        (id, t, new java.sql.Timestamp(base + tsOff + id)) }
+    val recrawl = docs.map { case (id, t) => (id + 100000L, t) }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sgate").toString
+    val sunk = graft.streaming.StreamGate.runToParquet(spark,
+      Streaming.dedupContentStream(
+        input.toDF().toDF("doc_id", "text", "event_ts")), outDir)(
+      () => input.addData(wave(docs, 0): _*),
+      () => input.addData(wave(recrawl, 600_000): _*))
+    val streamIds = sunk.select("doc_id").as[Long].collect().sorted.toSeq
+    val batchTwin = (docs.toSeq ++ recrawl.toSeq).toDF("doc_id", "text")
+    val batchIds = graft.operators.Dedup.exactDedupDocs(batchTwin)
+      .select("keep_id").as[Long].collect().sorted.toSeq
+    assert(streamIds === batchIds)
+    assert(streamIds.size === docs.size, "one survivor per distinct text")
+    // and the sunk rows carry the full document, not just ids
+    assert(sunk.columns.contains("text"))
+  }
+
+  test("StreamGate parquet: qualityFilterStream equals the gated batch scorer") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sgate").toString
+    val (a, b) = docs.splitAt(docs.length / 2)
+    val sunk = graft.streaming.StreamGate.runToParquet(spark,
+      Streaming.qualityFilterStream(input.toDF().toDF("doc_id", "text")),
+      outDir)(
+      () => input.addData(a: _*),
+      () => input.addData(b: _*))
+    val got = sunk.select("doc_id", "z", "prob")
+      .as[(Long, Double, Double)].collect().toMap2
+    val batch = graft.operators.QualityModel
+      .logitScore(docs.toDF("doc_id", "text"))
+      .filter(col("keep") === 1)
+      .select("doc_id", "z", "prob").as[(Long, Double, Double)]
+      .collect().toMap2
+    assert(got === batch)
+    assert(batch.nonEmpty && batch.size < docs.size)
+  }
+
   private implicit class TripleOps(s: Array[(Long, Double, Double)]) {
     def toMap2: Map[Long, (Double, Double)] =
       s.map { case (id, z, p) => id -> ((z, p)) }.toMap
