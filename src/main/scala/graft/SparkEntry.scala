@@ -93,6 +93,8 @@ object SparkEntry {
     "semdedup"             -> (Clustering.semDedupDocs(_, _)),
     "pq_codes"             -> (Similarity.pqCodesDocs(_, _)),
     "pq_adc_topk"          -> (Similarity.pqAdcTopKDocs(_, _)),
+    "ivf_pq_topk"          -> (Similarity.ivfPqTopKDocs(_, _)),
+    "hard_negatives"       -> (Similarity.hardNegativesDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
     // --- training-data pipeline: text analysis
@@ -2110,6 +2112,89 @@ object SparkEntry {
            FROM adist)
          SELECT q_id, rk, vec_id, adist_micro FROM ranked
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    // IVF-PQ: coarse cells from the kmeans_fixed centroid VALUES, probe
+    // lists from the same distance ranking, ADC via the pq codebook
+    // VALUES — every ranking input integer or fixed-order double
+    "ivf_pq_topk" ->
+      s"""WITH kc(c_id, c, c2) AS (VALUES
+           ${kmeansCentroidValues()}),
+         pc(sub, p_id, pcv, pc2) AS (VALUES
+           ${pqCentroidValues()}),
+         cellscore AS (
+           SELECT e.vec_id, k.c_id,
+             k.c2 - 2 * list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(e.embedding[d] AS DOUBLE) * k.c[d])) AS d
+           FROM embeddings e CROSS JOIN kc k),
+         cells AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rk
+             FROM cellscore) WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS q_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rk
+             FROM cellscore WHERE vec_id < 10) WHERE rk <= 4),
+         pscored AS (
+           SELECT e.vec_id, p.sub, p.p_id,
+             p.pc2 - 2 * list_sum(list_transform(generate_series(1, 16),
+               d -> CAST(e.embedding[p.sub * 16 + d] AS DOUBLE) * p.pcv[d]))
+               AS dist
+           FROM embeddings e CROSS JOIN pc p),
+         codes AS (
+           SELECT vec_id, sub, p_id FROM (
+             SELECT vec_id, sub, p_id,
+               row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY dist, p_id) AS rk
+             FROM pscored) WHERE rk = 1),
+         tbl AS (
+           SELECT q.vec_id AS q_id, p.sub, p.p_id,
+             CAST(floor((p.pc2 - 2 * list_sum(list_transform(
+                 generate_series(1, 16),
+                 d -> CAST(q.embedding[p.sub * 16 + d] AS DOUBLE) * p.pcv[d])))
+               * 1e6) AS BIGINT) AS t_micro
+           FROM embeddings q CROSS JOIN pc p WHERE q.vec_id < 10),
+         adist AS (
+           SELECT t.q_id, co.vec_id,
+             CAST(sum(t.t_micro) AS BIGINT) AS adist_micro
+           FROM codes co
+           JOIN cells ce ON ce.vec_id = co.vec_id
+           JOIN probes pr ON pr.cell = ce.cell
+           JOIN tbl t ON t.q_id = pr.q_id AND t.sub = co.sub
+             AND t.p_id = co.p_id
+           WHERE t.q_id != co.vec_id
+           GROUP BY t.q_id, co.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, adist_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adist_micro, vec_id) AS rk
+           FROM adist)
+         SELECT q_id, rk, vec_id, adist_micro FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk""",
+    // hard negatives: ann_topk's rounded-cosine ranking with the
+    // different-label predicate in the join
+    "hard_negatives" ->
+      """WITH base AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, q.label AS q_label,
+             c.vec_id, c.label,
+             round(list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(c.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
+               / (c.norm * q.norm), 4) AS cos
+           FROM base q JOIN base c
+             ON q.vec_id < 10 AND c.vec_id >= 10 AND c.label != q.label),
+         ranked AS (
+           SELECT q_id, q_label, vec_id, label, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM scored)
+         SELECT q_id, q_label, rk, vec_id AS neg_id, label AS neg_label,
+           cos
+         FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
     // q18_sketches (HLL++/t-digest are approximate by design),
     // mm_features (float-normalized stub pixels) and kmeans_assign
     // (centroid means are float sums whose value depends on partition

@@ -353,12 +353,15 @@ object Similarity {
     * identical left-to-right order the DuckDB oracle evaluates, ties on
     * equal distance broken by centroid id in both engines.
     */
-  private def pqEncode(vecs: DataFrame, m: Int, k: Int,
-      dim: Int): DataFrame = {
+  /** The m per-subspace PQ code columns (argmin over k codebook
+    * centroids) — shared by [[pqEncode]] and the IVF-PQ index builder so
+    * the two can never disagree on code assignment.
+    */
+  private def pqCodeCols(m: Int, k: Int, dim: Int): Seq[Column] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val books = pqCodebooks(m, k, subDim)
-    val codeCols = (0 until m).map { j =>
+    (0 until m).map { j =>
       val sub = slice(col("embedding"), j * subDim + 1, subDim)
       val scores = books(j).zipWithIndex.map { case (c, p) =>
         struct(
@@ -367,8 +370,11 @@ object Similarity {
       }
       least(scores: _*).getField("c_id").as(s"code$j")
     }
-    vecs.select(col("vec_id") +: codeCols: _*)
   }
+
+  private def pqEncode(vecs: DataFrame, m: Int, k: Int,
+      dim: Int): DataFrame =
+    vecs.select(col("vec_id") +: pqCodeCols(m, k, dim): _*)
 
   def pqCodes(vecs: DataFrame, m: Int = 4, k: Int = 16,
       dim: Int = 64): DataFrame =
@@ -406,19 +412,8 @@ object Similarity {
     val coded = pqEncode(vecs, m, k, dim)
     val queries = vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q"))
-    // dist table per (query, subspace): ‖q_j − c_jp‖² = q_j·q_j −
-    // 2 q_j·c_jp + c²; the q_j·q_j term is constant per (query,
-    // subspace) and drops out of the ranking. One ARRAY column per
-    // subspace so the per-row lookup is O(1) element_at, not a k-deep
-    // conditional chain.
-    val tableCols = (0 until m).map { j =>
-      val qSub = slice(col("q"), j * subDim + 1, subDim)
-      array(books(j).map { c =>
-        floor((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(qSub, lit(c)))
-          * lit(1e6)).cast("long")
-      }: _*).as(s"tbl$j")
-    }
-    val tables = queries.select(col("q_id") +: tableCols: _*)
+    val tables = queries.select(
+      col("q_id") +: adcTableCols(books, m, subDim, col("q")): _*)
     val approx = (0 until m)
       .map(j => element_at(col(s"tbl$j"), col(s"code$j") + 1))
       .reduceLeft(_ + _)
@@ -435,6 +430,83 @@ object Similarity {
 
   def pqAdcTopKDocs(spark: SparkSession, dir: String): DataFrame =
     pqAdcTopK(Tables(spark, dir).embeddings)
+
+  /** Per-(query, subspace) ADC lookup tables: ‖q_j − c_jp‖² = q_j·q_j −
+    * 2 q_j·c_jp + c²; the q_j·q_j term is constant per (query, subspace)
+    * and drops out of the ranking. One ARRAY column per subspace so the
+    * per-row lookup is O(1) element_at, not a k-deep conditional chain;
+    * each entry floor-quantized to micro units so the m-term distance
+    * sum is an exact integer in any engine and any order.
+    */
+  private def adcTableCols(books: IndexedSeq[IndexedSeq[Array[Double]]],
+      m: Int, subDim: Int, q: Column): Seq[Column] =
+    (0 until m).map { j =>
+      val qSub = slice(q, j * subDim + 1, subDim)
+      array(books(j).map { c =>
+        floor((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(qSub, lit(c)))
+          * lit(1e6)).cast("long")
+      }: _*).as(s"tbl$j")
+    }
+
+  /** IVF-PQ top-k — the combined index layout production ANN serves at
+    * 10⁹–10¹¹ vectors: an IVF coarse quantizer restricts each query to
+    * its `nProbe` nearest cells, and within those cells distance is the
+    * PQ ADC lookup over m one-byte codes ([[pqAdcTopK]]). The index a
+    * corpus vector contributes is (cell, code0..3) — 5 small ints from
+    * ONE scan over the embeddings, no shuffle; at query time the scan
+    * touches only probed-cell rows and does m `element_at` adds.
+    *
+    * Gate discipline (oracle `ivf_pq_topk`): the coarse quantizer is the
+    * fixed dyadic-grid centroid set the `kmeans_fixed_assign` gate
+    * proved bit-identical (argmin of c² − 2·v·c fixed-order doubles,
+    * ties to the smaller cell id); the probe list is the `nProbe`
+    * smallest (dist, cell) pairs of the same scores; ADC table entries
+    * are floor-quantized micro ints. Every ranking input is therefore
+    * engine-exact; ties break on vec_id.
+    *
+    * Approximation is two-layer (cell recall × code distortion) — the
+    * recall/accuracy trade the IVF-PQ design buys its 64× memory
+    * compression with; SimilaritySpec pins planted-duplicate recovery
+    * through both layers.
+    */
+  def ivfPqTopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
+      cells: Int = 16, nProbe: Int = 4, m: Int = 4, k: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val books = pqCodebooks(m, k, subDim)
+    val cents = Clustering.fixedCentroids(cells)
+    val cellScores = cents.zipWithIndex.map { case (c, id) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col("embedding"), lit(c))).as("d"),
+        lit(id).as("c_id"))
+    }
+    val coded = vecs.select(
+      col("vec_id") +: least(cellScores: _*).getField("c_id").as("cell") +:
+        pqCodeCols(m, k, dim): _*)
+    // per-query probe list: the nProbe smallest (dist, cell) — ascending
+    // array_sort on the same structs the corpus argmin uses
+    val probes = transform(slice(array_sort(array(cellScores: _*)), 1, nProbe),
+      s => s.getField("c_id"))
+    val queries = vecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id") +: probes.as("q_probes") +:
+        adcTableCols(books, m, subDim, col("embedding")): _*)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"tbl$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist_micro").asc, col("vec_id").asc)
+    coded.join(broadcast(queries),
+        array_contains(col("q_probes"), col("cell")) &&
+          col("vec_id") =!= col("q_id"))
+      .withColumn("adist_micro", approx)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_micro"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def ivfPqTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(Tables(spark, dir).embeddings)
 
   // ------------------------------------------------- kNN classification
 
@@ -491,4 +563,43 @@ object Similarity {
 
   def knnClassifyDocs(spark: SparkSession, dir: String): DataFrame =
     knnClassify(Tables(spark, dir).embeddings)
+
+  // ------------------------------------------------ hard-negative mining
+
+  /** Hard-negative mining — the contrastive-training data prep every
+    * embedding-model pipeline runs: for each query (anchor) vector, the
+    * `k` MOST similar pool vectors carrying a DIFFERENT label. Those
+    * near-boundary negatives are what make contrastive losses learn
+    * (random negatives are trivially separable); this is also
+    * label-constrained filtered ANN — the metadata predicate composes
+    * into the scan before any scoring work.
+    *
+    * Scale shape = [[bruteForceTopK]] with the label filter fused into
+    * the join condition: the query batch (id, label, vector) broadcasts,
+    * the pool is scanned once with same-label rows dropped BEFORE the
+    * cosine evaluates, and the per-query top-k window sees only scored
+    * survivors. For query batches past broadcast size the IVF/LSH probe
+    * paths substitute exactly as in [[knnClassify]].
+    */
+  def hardNegatives(vecs: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = withNorm(vecs)
+    val queries = broadcast(base
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm")))
+    val scored = base
+      .filter(col("vec_id") >= numQueries)
+      .join(queries, col("label") =!= col("q_label"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("q_label"), col("rk"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def hardNegativesDocs(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables(spark, dir).embeddings)
 }
