@@ -816,12 +816,13 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     // Mirrors the DF-capped scale path with the CORPUS-DERIVED cap
-    // (Dedup.quantileDfCap): the cap is the smallest df covering 99.9%
-    // of distinct shingles (floored at 2) — all-integer arithmetic over
-    // the df histogram, so both engines derive the identical cap from
-    // the identical stats. Candidate pairs must share at least one
-    // under-cap shingle; the reported value is the exact Jaccard over
-    // ALL shingles.
+    // (Dedup.derivedDfCap): min of the 99.9%-of-distinct-shingles
+    // quantile bound and the 1000-pairs-per-doc candidate-volume budget
+    // bound, floored at 2 — all-integer arithmetic over the df
+    // histogram, so both engines derive the identical cap from the
+    // identical stats. Candidate pairs must share at least one under-cap
+    // shingle; the reported value is the exact Jaccard over ALL
+    // shingles.
     "dedup_jaccard" ->
       s"""WITH sh AS (
            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -832,11 +833,20 @@ object SparkEntry {
          dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
          hist AS (SELECT df, count(*) AS ns FROM dfr GROUP BY df),
          capq AS (
-           SELECT greatest(coalesce(min(df), 1), 2) AS cap FROM (
-             SELECT df, sum(ns) OVER (ORDER BY df) AS cum,
-                    (SELECT sum(ns) FROM hist) AS tot
-             FROM hist)
-           WHERE cum * 1000 >= 999 * tot),
+           SELECT greatest(least(
+               coalesce(min(CASE WHEN cum_ns * 1000 >= 999 * tot_ns
+                 THEN df END), 1),
+               coalesce(max(CASE WHEN cum_pairs <=
+                   (SELECT count(*) FROM documents)
+                     * ${graft.operators.Dedup.JaccardPairsPerDoc}
+                 THEN df END), 1)),
+             2) AS cap
+           FROM (SELECT df,
+                   sum(ns) OVER (ORDER BY df) AS cum_ns,
+                   (SELECT sum(ns) FROM hist) AS tot_ns,
+                   sum(ns * (df * (df - 1) // 2)) OVER (ORDER BY df)
+                     AS cum_pairs
+                 FROM hist)),
          rare AS (SELECT shingle FROM dfr
                   WHERE df <= (SELECT cap FROM capq)),
          cand AS (

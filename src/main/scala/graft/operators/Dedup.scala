@@ -151,48 +151,77 @@ object Dedup {
     .select(col("p.doc_a"), col("p.doc_b"))
     .distinct()
 
-  /** Corpus-relative df cap: the smallest df covering ≥ `permille`/1000
-    * of DISTINCT shingles (floored at 2) — so candidate generation skips
-    * exactly the hottest (1 − permille/1000) slice of the shingle
-    * vocabulary, the quadratic outliers (boilerplate headers, license
-    * blocks), wherever the corpus puts them. This is the executable form
-    * of "the df cap scales with the corpus": on a rare-shingle corpus it
-    * admits everything (exact recall); on a dup-heavy corpus the bulk of
-    * the df mass — where true near-dup families live — stays under the
-    * cap while df outliers thousands deep are excluded before they can
-    * expand df²/2 candidate pairs each.
+  /** Corpus-relative df cap, the MINIMUM of two corpus-derived bounds
+    * (floored at 2):
+    *
+    *  - the QUANTILE bound — the smallest df covering ≥ `permille`/1000
+    *    of DISTINCT shingles: candidate generation skips exactly the
+    *    hottest (1 − permille/1000) slice of the shingle vocabulary, the
+    *    quadratic outliers (boilerplate headers, license blocks),
+    *    wherever the corpus puts them. On a natural corpus this is the
+    *    binding bound and it admits essentially every true pair.
+    *  - the BUDGET bound — the largest df keeping the cumulative
+    *    candidate expansion Σ ns(df)·df(df−1)/2 within `pairsPerDoc` ×
+    *    #docs: on an adversarial dup-saturated corpus (every doc in a
+    *    large near-dup family — the 10× stress shape) the df BULK shifts
+    *    up and a pure quantile would admit it all; the budget bound
+    *    caps total candidate volume LINEAR in corpus size regardless of
+    *    the histogram's shape, trading recall exactly as a df cap always
+    *    does (survivors re-verified over ALL shingles; the scale path
+    *    for dup-saturated corpora remains [[minhashLsh]]).
     *
     * Cost: one aggregate over the (already-needed) shingle table into a
     * df HISTOGRAM — rows = distinct df LEVELS, ≤ max document frequency
     * and in practice a log-scale handful, so the unpartitioned running-
-    * sum window is bounded regardless of corpus size. All-integer
-    * arithmetic (cum·1000 ≥ permille·total) → the DuckDB oracle derives
-    * the identical cap from the identical stats.
+    * sum window is bounded regardless of corpus size — plus one count
+    * over the (narrow) documents table for the budget. All-integer
+    * arithmetic throughout → the DuckDB oracle derives the identical cap
+    * from the identical stats.
     */
-  private[graft] def quantileDfCap(sh: DataFrame, permille: Int = 999): Column = {
+  private[graft] def derivedDfCap(sh: DataFrame, docs: DataFrame,
+      permille: Int = 999,
+      pairsPerDoc: Long = JaccardPairsPerDoc): Column = {
     require(permille >= 1 && permille <= 1000, s"bad permille $permille")
+    require(pairsPerDoc > 0, s"bad pairsPerDoc $pairsPerDoc")
     val w = Window.orderBy(col("df"))
+    val budget = docs.select(
+      (count(lit(1)) * pairsPerDoc).as("b")).scalar()
     sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .groupBy(col("df")).agg(count(lit(1)).as("ns"))
-      .withColumn("cum", sum(col("ns")).over(
+      .withColumn("cum_ns", sum(col("ns")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("ns")).over(
+      .withColumn("tot_ns", sum(col("ns")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("cum") * 1000 >= col("tot") * permille)
-      .agg(greatest(coalesce(min(col("df")), lit(1L)), lit(2L)).as("cap"))
+      .withColumn("cum_pairs", sum(expr("ns * (df * (df - 1) div 2)")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(greatest(least(
+          coalesce(min(when(col("cum_ns") * 1000 >= col("tot_ns") * permille,
+            col("df"))), lit(1L)),
+          coalesce(max(when(col("cum_pairs") <= budget, col("df"))), lit(1L))),
+        lit(2L)).as("cap"))
       .scalar()
   }
 
+  /** Candidate-expansion budget per document for the derived df cap —
+    * sized so the budget bound stays NON-binding on natural corpora
+    * (where the quantile bound governs) and binds only when duplication
+    * saturates the corpus.
+    */
+  val JaccardPairsPerDoc = 1000L
+
   /** [[jaccardPairs]] with the df cap DERIVED from the corpus's own
-    * shingle-df histogram ([[quantileDfCap]]) instead of a fixed
+    * shingle-df histogram ([[derivedDfCap]]) instead of a fixed
     * constant — the production spelling the gated `dedup_jaccard` entry
     * runs. On the driver fixtures the derived cap admits every true pair
     * (pinned equal to the uncapped pair set in DedupSpec).
     */
   def jaccardPairsAdaptive(docs: DataFrame, threshold: Double, n: Int = 3,
-      permille: Int = 999): DataFrame = {
+      permille: Int = 999,
+      pairsPerDoc: Long = JaccardPairsPerDoc): DataFrame = {
     val sh = shingleHashes(docs, n)
-    verifiedPairs(cappedCandidates(sh, quantileDfCap(sh, permille)), sh, threshold)
+    verifiedPairs(
+      cappedCandidates(sh, derivedDfCap(sh, docs, permille, pairsPerDoc)),
+      sh, threshold)
   }
 
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,

@@ -49,31 +49,40 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       === uncapped)
   }
 
-  test("quantileDfCap: derived caps follow the df histogram") {
+  test("derivedDfCap: quantile and budget bounds follow the histogram") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
+    def shOf(rows: Seq[(String, Long)]) = rows.toDF("shingle", "doc_id")
+      .select(org.apache.spark.sql.functions.xxhash64(col("shingle")).as("h"),
+        col("doc_id"))
+    def capOf(sh: org.apache.spark.sql.DataFrame, permille: Int = 999,
+        pairsPerDoc: Long = Dedup.JaccardPairsPerDoc): Long = {
+      val docs = sh.select(col("doc_id")).distinct()
+      sh.sparkSession.range(1)
+        .select(Dedup.derivedDfCap(sh, docs, permille, pairsPerDoc).as("cap"))
+        .head().getLong(0)
+    }
     // synthetic histogram: 990 shingles at df=2, 9 at df=5, 1 at df=50 —
-    // the 99.9% quantile cap must admit df 5 and exclude the df-50 outlier
+    // the 99.9% quantile bound must admit df 5, exclude the df-50
+    // outlier; the default budget (1000/doc, ~2050 docs here) is slack
     val rows =
       (0 until 990).flatMap(s => (0 until 2).map(d => (s"r$s", 2000L + d))) ++
       (0 until 9).flatMap(s => (0 until 5).map(d => (s"m$s", 3000L + d))) ++
       (0 until 50).map(d => ("hot", 4000L + d))
-    val sh = rows.toDF("shingle", "doc_id")
-      .select(org.apache.spark.sql.functions.xxhash64(col("shingle")).as("h"),
-        col("doc_id"))
-    val cap = sh.sparkSession.range(1)
-      .select(Dedup.quantileDfCap(sh).as("cap")).head().getLong(0)
-    assert(cap === 5L, s"got cap $cap")
-    // permille=1000 admits everything, tiny corpora floor at 2
-    val capAll = sh.sparkSession.range(1)
-      .select(Dedup.quantileDfCap(sh, 1000).as("cap")).head().getLong(0)
-    assert(capAll === 50L)
-    val one = Seq(("x", 1L)).toDF("shingle", "doc_id")
-      .select(org.apache.spark.sql.functions.xxhash64(col("shingle")).as("h"),
-        col("doc_id"))
-    val capOne = one.sparkSession.range(1)
-      .select(Dedup.quantileDfCap(one).as("cap")).head().getLong(0)
-    assert(capOne === 2L)
+    assert(capOf(shOf(rows)) === 5L)
+    // permille=1000 admits everything (budget still slack here)
+    assert(capOf(shOf(rows), permille = 1000) === 50L)
+    // a dup-saturated histogram: 100 shingles ALL at df=40 over 40 docs
+    // (the replica-family shape). Quantile alone would admit df=40
+    // (78k expansions); a 100-pairs-per-doc budget (4000) must refuse —
+    // cum_pairs at df=40 is 100·780 = 78000 > 4000 → floor at 2
+    val fam = (0 until 100).flatMap(s =>
+      (0 until 40).map(d => (s"f$s", 5000L + d)))
+    assert(capOf(shOf(fam), pairsPerDoc = 100L) === 2L)
+    // a 2000-pairs-per-doc budget (80k ≥ 78k expansions) admits df=40
+    assert(capOf(shOf(fam), pairsPerDoc = 2000L) === 40L)
+    // tiny corpora floor at 2
+    assert(capOf(shOf(Seq(("x", 1L)))) === 2L)
   }
 
   test("minhash LSH finds exactly the exact-jaccard pairs on testdata") {
