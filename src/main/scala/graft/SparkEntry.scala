@@ -219,6 +219,17 @@ object SparkEntry {
           round(graft.functions.VecDot.vecDot(col("embedding"), col("embedding")), 4).as("sq_norm"))
         .orderBy(col("doc_id"))
     }),
+    // --- streaming surface, driven through the gate: each entry runs a
+    // REAL Structured Streaming query (file source → transform →
+    // idempotent parquet sink) to completion and returns the landed
+    // output, so the DuckDB oracle checks genuine streaming results —
+    // stateless admission, dropDuplicatesWithinWatermark, stateful
+    // mapGroups funnel, watermarked append windows, budget admission.
+    "stream_quality"       -> (streaming.StreamQueries.qualityDocs(_, _)),
+    "stream_dedup"         -> (streaming.StreamQueries.dedupDocs(_, _)),
+    "stream_funnel"        -> (streaming.StreamQueries.funnelEvents(_, _)),
+    "stream_hourly"        -> (streaming.StreamQueries.hourlyEvents(_, _)),
+    "stream_admit"         -> (streaming.StreamQueries.admitDocs(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -306,6 +317,57 @@ object SparkEntry {
          CASE WHEN z > 0 THEN 1 ELSE 0 END AS keep
        FROM s ORDER BY doc_id"""
   }
+
+  /** Wide variant of [[qualityLogitOracleSql]] for the gated STREAMING
+    * admission (`stream_quality`): same model and rounding, but the
+    * original columns ride through and only admitted rows (z > 0 on the
+    * unrounded score) land — matching
+    * [[operators.QualityModel.logitScoreWide]] + keep filter.
+    */
+  private def streamQualityOracleSql: String = {
+    val w = operators.QualityModel.GateWeights
+    s"""WITH f AS (
+         SELECT doc_id, text, lang, source, n_chars,
+           ln(1.0 + len(w)) AS f1,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS f2,
+           CAST(len(list_filter(w, t -> len(t) >= 3)) AS DOUBLE) / len(w)
+             AS f3
+         FROM (SELECT doc_id, text, lang, source, n_chars,
+                 regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents)),
+       s AS (SELECT doc_id, text, lang, source, n_chars,
+               ${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3 AS z
+             FROM f)
+       SELECT doc_id, text, lang, source, n_chars, round(z, 6) AS z,
+         round(1.0 / (1.0 + exp(-z)), 4) AS prob, 1 AS keep
+       FROM s WHERE z > 0 ORDER BY doc_id"""
+  }
+
+  /** Ordered-funnel oracle — shared verbatim by the batch
+    * (`funnel_stages`) and streaming (`stream_funnel`) gates: the
+    * mapGroupsWithState state machine must land the same per-user
+    * frontier the batch min-chain computes.
+    */
+  private val funnelOracleSql: String =
+    """WITH ev AS (
+         SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+       v AS (SELECT user_id, min(us) AS v_us FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT ev.user_id, min(us) AS c_us FROM ev
+             JOIN v ON ev.user_id = v.user_id
+             WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+       p AS (SELECT ev.user_id, min(us) AS p_us FROM ev
+             JOIN c ON ev.user_id = c.user_id
+             WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+       SELECT u.user_id,
+         CASE WHEN p_us IS NOT NULL THEN 3 WHEN c_us IS NOT NULL THEN 2
+              WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
+         coalesce(v_us, -1) AS v_us, coalesce(c_us, -1) AS c_us,
+         coalesce(p_us, -1) AS p_us
+       FROM (SELECT DISTINCT user_id FROM ev) u
+       LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+       ORDER BY u.user_id"""
 
   /** The grouped (leakage-safe) split oracle: identical CASE thresholds,
     * but the bucket hashes the SOURCE — every doc of a source follows its
@@ -1772,26 +1834,44 @@ object SparkEntry {
          SELECT cohort_day, day - cohort_day AS day_offset,
            count(DISTINCT user_id) AS n_users
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
-    "funnel_stages" ->
-      """WITH ev AS (
-           SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
-         v AS (SELECT user_id, min(us) AS v_us FROM ev
-               WHERE event_type = 'view' GROUP BY 1),
-         c AS (SELECT ev.user_id, min(us) AS c_us FROM ev
-               JOIN v ON ev.user_id = v.user_id
-               WHERE event_type = 'click' AND us > v_us GROUP BY 1),
-         p AS (SELECT ev.user_id, min(us) AS p_us FROM ev
-               JOIN c ON ev.user_id = c.user_id
-               WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
-         SELECT u.user_id,
-           CASE WHEN p_us IS NOT NULL THEN 3 WHEN c_us IS NOT NULL THEN 2
-                WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
-           coalesce(v_us, -1) AS v_us, coalesce(c_us, -1) AS c_us,
-           coalesce(p_us, -1) AS p_us
-         FROM (SELECT DISTINCT user_id FROM ev) u
-         LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
-         LEFT JOIN p USING (user_id)
-         ORDER BY u.user_id""",
+    "funnel_stages" -> funnelOracleSql,
+    // the streaming funnel must land the SAME frontier table
+    "stream_funnel" -> funnelOracleSql,
+    "stream_quality" -> streamQualityOracleSql,
+    // deterministic projection of the streaming content dedup: exactly
+    // one survivor per content class
+    "stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+    // append-mode watermark cutoff applied oracle-side: windows whose
+    // end is <= max(event time) - 1h delay are exactly the finalized
+    // (emitted) set. Watermark is tracked in WHOLE MILLISECONDS by the
+    // engine (EventTimeStats), so the oracle floors to ms before
+    // subtracting the delay — an hour-boundary max-event edge case
+    // would otherwise disagree in the sub-ms remainder.
+    "stream_hourly" ->
+      """WITH wm AS (
+           SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events)
+         SELECT * FROM (
+           SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+           FROM events GROUP BY 1, 2)
+         WHERE hour_us + 3600000000 <= (SELECT wm_us FROM wm)
+         ORDER BY hour_us, event_type""",
+    // per-language admission prefix sum, arrival order = doc_id
+    "stream_admit" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok
+           FROM documents),
+         s AS (SELECT doc_id, lang, tok,
+                 CAST(coalesce(sum(tok) OVER (PARTITION BY lang
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                   PRECEDING), 0) AS BIGINT) AS "off"
+               FROM t)
+         SELECT doc_id, lang, tok, "off" FROM s
+         WHERE "off" < ${streaming.StreamQueries.AdmitBudget}
+         ORDER BY doc_id""",
     "doc_chunks" ->
       s"""WITH t AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w

@@ -25,10 +25,11 @@ object StreamGate {
     * DataFrame. The sink's `batch_id` partition column is dropped on
     * read-back: it records delivery, not data.
     */
-  def runToParquet(spark: SparkSession, out: DataFrame, outDir: String)
+  def runToParquet(spark: SparkSession, out: DataFrame, outDir: String,
+      outputMode: String = "append")
       (feeds: (() => Unit)*): DataFrame = {
     val q = Streaming.idempotentParquetSink(out, s"$outDir/data",
-      s"$outDir/_checkpoint")
+      s"$outDir/_checkpoint", outputMode)
     try {
       if (feeds.isEmpty) q.processAllAvailable()
       else feeds.foreach { f => f(); q.processAllAvailable() }

@@ -25,7 +25,10 @@ object Streaming {
     */
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // The {} glob makes the path glob-resolved, so the source accepts a
+    // single-FILE fixture too (a literal path must be a directory —
+    // FileStreamSource derives basePath from it).
+    spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}")
   }
 
   /** Hourly tumbling-window counts per event type, 1-hour watermark:
@@ -475,7 +478,8 @@ object Streaming {
   }
 
   def idempotentParquetSink(df: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String, outputMode: String = "append")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val outPath = new org.apache.hadoop.fs.Path(path)
     val ckptPath = new org.apache.hadoop.fs.Path(checkpoint)
@@ -488,6 +492,7 @@ object Streaming {
         "restart batch ids at 0 and corrupt the directory; wipe the output " +
         "when resetting the checkpoint")
     df.writeStream
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         writeBatchIdempotent(batch.toDF(), id, path)
