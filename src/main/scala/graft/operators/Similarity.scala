@@ -409,7 +409,16 @@ object Similarity {
       m: Int = 4, k: Int = 16, dim: Int = 64): DataFrame = {
     val subDim = dim / m
     val books = pqCodebooks(m, k, subDim)
-    val coded = pqEncode(vecs, m, k, dim)
+    // Materialize the code index BEFORE the probe join — the production
+    // shape (the codes table IS the stored index; `pq_codes` is that
+    // artifact, at warehouse scale it lands in parquet) and a 35×
+    // single-box win: left inline, CollapseProject folds the m×k
+    // argmin-encode expression tree into the post-join stage, where the
+    // generated method grows past the JIT's huge-method limit and the
+    // whole probe scan runs interpreted (measured 20.5 s → 0.6 s at
+    // 10×-sf0.1). localCheckpoint is the one-job spelling of "encode
+    // once, probe the encoded table".
+    val coded = pqEncode(vecs, m, k, dim).localCheckpoint(true)
     val queries = vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q"))
     val tables = queries.select(
@@ -480,9 +489,12 @@ object Similarity {
         (lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(col("embedding"), lit(c))).as("d"),
         lit(id).as("c_id"))
     }
+    // Materialized (cell, codes) index — same rationale and measured
+    // win as [[pqAdcTopK]]'s coded checkpoint: the index is built once
+    // per corpus, not re-derived inside the probe join's stage.
     val coded = vecs.select(
       col("vec_id") +: least(cellScores: _*).getField("c_id").as("cell") +:
-        pqCodeCols(m, k, dim): _*)
+        pqCodeCols(m, k, dim): _*).localCheckpoint(true)
     // per-query probe list: the nProbe smallest (dist, cell) — ascending
     // array_sort on the same structs the corpus argmin uses
     val probes = transform(slice(array_sort(array(cellScores: _*)), 1, nProbe),
