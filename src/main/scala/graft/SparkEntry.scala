@@ -95,6 +95,9 @@ object SparkEntry {
     "pq_adc_topk"          -> (Similarity.pqAdcTopKDocs(_, _)),
     "ivf_pq_topk"          -> (Similarity.ivfPqTopKDocs(_, _)),
     "hard_negatives"       -> (Similarity.hardNegativesDocs(_, _)),
+    "embed_quantize_i8"    -> (Similarity.quantizeI8Docs(_, _)),
+    "ann_i8_topk"          -> (Similarity.i8TopKDocs(_, _)),
+    "matryoshka_topk"      -> (Similarity.matryoshkaTopKDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
     // --- training-data pipeline: text analysis
@@ -2285,6 +2288,59 @@ object SparkEntry {
          SELECT q_id, q_label, rk, vec_id AS neg_id, label AS neg_label,
            cos
          FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+    // int8 scalar quantization: the oracle derives the SAME per-dim
+    // scales from the parquet (max|x|/127) and replays the identical
+    // clamp(floor(x/s + 0.5)) — float→double widening, the division
+    // and floor are all engine-exact, so codes compare raw
+    "embed_quantize_i8" ->
+      s"""$i8Ctes
+         SELECT vec_id, i AS dim, q8 FROM q ORDER BY vec_id, dim""",
+    // int8 serving path: integer dot products (exact in any order),
+    // ties on vec_id
+    "ann_i8_topk" ->
+      s"""$i8Ctes,
+         pairs AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             CAST(sum(a.q8 * b.q8) AS BIGINT) AS dot
+           FROM q a JOIN q b ON a.i = b.i
+             AND a.vec_id < 10 AND b.vec_id != a.vec_id
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, vec_id, dot, row_number() OVER (PARTITION BY q_id
+             ORDER BY dot DESC, vec_id) AS rk
+           FROM pairs)
+         SELECT q_id, rk, vec_id, dot FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk""",
+    // matryoshka funnel: prefix-dim shortlist then full-dim rerank,
+    // both scores floor-micro-quantized so both rankings are
+    // integer-exact; the oracle replays the same two-stage cut
+    "matryoshka_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+         s1 AS (
+           SELECT q_id, c.vec_id, c.embedding AS cv,
+             CAST(floor(list_sum(list_transform(generate_series(1, 16),
+               d -> CAST(c.embedding[d] AS DOUBLE) * CAST(qv[d] AS DOUBLE)))
+               * 1e6) AS BIGINT) AS d16
+           FROM embeddings c JOIN q ON c.vec_id != q_id),
+         r1 AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY d16 DESC, vec_id) AS rk1
+           FROM s1),
+         s2 AS (
+           SELECT r1.q_id, r1.vec_id,
+             CAST(floor(list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(cv[d] AS DOUBLE) * CAST(qv[d] AS DOUBLE)))
+               * 1e6) AS BIGINT) AS d64
+           FROM r1 JOIN q ON r1.q_id = q.q_id
+           WHERE rk1 <= 50),
+         r2 AS (
+           SELECT q_id, vec_id, d64, row_number() OVER (PARTITION BY q_id
+             ORDER BY d64 DESC, vec_id) AS rk
+           FROM s2)
+         SELECT q_id, rk, vec_id, d64 FROM r2
+         WHERE rk <= 10 ORDER BY q_id, rk""",
     // q18_sketches (HLL++/t-digest are approximate by design),
     // mm_features (float-normalized stub pixels) and kmeans_assign
     // (centroid means are float sums whose value depends on partition
@@ -2300,6 +2356,26 @@ object SparkEntry {
     graft.operators.Clustering.fixedCentroids(16).zipWithIndex.map { case (c, id) =>
       s"($id, [${c.mkString(", ")}], ${c.map(x => x * x).sum})"
     }.mkString(",\n           ")
+
+  /** Shared CTE chain for the int8 gates (`embed_quantize_i8`,
+    * `ann_i8_topk`): per-dimension scales derived from the corpus
+    * max-abs, then one (vec_id, i, q8) row per code — the same
+    * clamp(floor(x/s + 0.5)) arithmetic
+    * [[operators.Similarity.quantizeI8]] fuses into its scan.
+    */
+  private def i8Ctes: String =
+    """WITH dims AS (
+         SELECT i, CAST(max(abs(embedding[i])) AS DOUBLE) / 127 AS s
+         FROM embeddings, UNNEST(generate_series(1, 64)) t(i)
+         GROUP BY i),
+       q AS (
+         SELECT vec_id, i,
+           CASE WHEN s = 0 THEN 0 ELSE
+             CAST(greatest(-127.0, least(127.0,
+               floor(CAST(embedding[i] AS DOUBLE) / s + 0.5))) AS INT)
+           END AS q8
+         FROM embeddings, UNNEST(generate_series(1, 64)) t(i)
+         JOIN dims USING (i))"""
 
   /** (sub, c_id, [centroid], c²) VALUES rows for the pq_codes oracle —
     * the same codebooks the Spark entry compiles into its argmin.

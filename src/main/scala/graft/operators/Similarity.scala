@@ -614,4 +614,121 @@ object Similarity {
 
   def hardNegativesDocs(spark: SparkSession, dir: String): DataFrame =
     hardNegatives(Tables(spark, dir).embeddings)
+
+  // ------------------------------------------- int8 scalar quantization
+
+  /** Per-dimension symmetric int8 scalar quantization — the 4× memory
+    * compression serving stacks apply before PQ is worth its codebooks:
+    * `scale_d = max|x_d| / 127` over the corpus, `code = clamp(floor(
+    * x/scale + 0.5), ±127)`.
+    *
+    * Two passes, both scan-shaped: pass 1 computes the per-dimension
+    * max-abs as ONE partial aggregate (dim max() columns — no shuffle
+    * of vectors, a dim-wide row per partition merges on the driver);
+    * pass 2 fuses the quantize into the scan as a single `transform`
+    * with the scales as a plan-literal array. Nothing wider than
+    * (vec_id, dim ints) is ever produced.
+    *
+    * Engine-exact by construction: float→double widening is exact, the
+    * scale division and `floor(x/s + 0.5)` (round-half-up, well-defined
+    * for every double — no banker's-rounding hazard) evaluate
+    * identically in any engine, so the gate compares raw code values.
+    * An all-zero dimension would make scale 0 (x/0 → NaN); it
+    * quantizes to 0 explicitly.
+    */
+  def quantizeI8(vecs: DataFrame, dim: Int = 64): DataFrame = {
+    val aggs = (1 to dim).map(i =>
+      max(abs(element_at(col("embedding"), i))).as(s"m$i"))
+    val row = vecs.agg(aggs.head, aggs.tail: _*).head()
+    val scales = (0 until dim).map(i => row.getFloat(i).toDouble / 127.0)
+    val sArr = array(scales.map(lit): _*)
+    val q8 = transform(col("embedding"), (x, i) => {
+      val s = element_at(sArr, i + 1)
+      when(s === 0.0, lit(0.0))
+        .otherwise(greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") / s + lit(0.5)))))
+        .cast("int")
+    })
+    vecs.select(col("vec_id"), q8.as("q8"))
+  }
+
+  /** Gate projection of [[quantizeI8]]: one (vec_id, dim, q8) row per
+    * code — arrays explode for the value compare; the packed array
+    * column is the production layout.
+    */
+  def quantizeI8Docs(spark: SparkSession, dir: String): DataFrame =
+    quantizeI8(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), posexplode(col("q8")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").as("q8"))
+      .orderBy(col("vec_id"), col("dim"))
+
+  /** Brute-force top-k over the int8-quantized corpus — the serving
+    * path that makes [[quantizeI8]] worth gating: both sides quantized,
+    * similarity = integer dot product (exact in any order and any
+    * engine; products bound by 127²·dim ≪ 2⁵³), ties on vec_id.
+    * The quantized corpus is materialized once (the stored index —
+    * same [[pqAdcTopK]] lesson) and scanned with the query batch
+    * broadcast; only scored pairs reach the per-query top-k window.
+    */
+  def i8TopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val codes = quantizeI8(vecs, dim)
+      .select(col("vec_id"), col("q8").cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val queries = broadcast(codes
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    codes.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("dot", vecDot(col("v"), col("qv")).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("dot"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def i8TopKDocs(spark: SparkSession, dir: String): DataFrame =
+    i8TopK(Tables(spark, dir).embeddings)
+
+  // ------------------------------------------------- matryoshka funnel
+
+  /** Matryoshka (MRL) two-stage retrieval: score every candidate on the
+    * PREFIX `prefixDim` dimensions only, keep a per-query shortlist,
+    * rerank the shortlist on the full vector — the retrieve-then-rerank
+    * funnel matryoshka-trained embeddings exist for (the prefix is a
+    * valid low-d embedding, so stage 1 pays dim/4 of the flops and
+    * stage 2's exact cost is shortlist-bounded).
+    *
+    * Both stage scores are floor-micro-quantized dot products
+    * (floor(d·1e6) — the round-8 exact-ranking discipline), so both
+    * rankings are integer-exact in any engine; ties on vec_id. The
+    * full-dim dot is only evaluated AFTER the shortlist cut (the
+    * projection sits behind the rk1 filter), so stage 2 touches
+    * shortlist·queries rows, not corpus·queries. Both windows partition
+    * on q_id — one exchange, the second window just re-sorts.
+    */
+  def matryoshkaTopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
+      prefixDim: Int = 16, shortlist: Int = 50, dim: Int = 64): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("embedding"))
+    val queries = broadcast(base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val d16 = floor(vecDot(slice(col("embedding"), 1, prefixDim),
+      slice(col("qv"), 1, prefixDim)) * lit(1e6)).cast("long")
+    val d64 = floor(vecDot(col("embedding"), col("qv")) * lit(1e6)).cast("long")
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("d16").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("d64").desc, col("vec_id"))
+    base.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("d16", d16)
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= shortlist)
+      .withColumn("d64", d64)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("d64"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def matryoshkaTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaTopK(Tables(spark, dir).embeddings)
 }

@@ -317,4 +317,86 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got === Array((0L, 3, 1L)))
   }
+
+  test("quantizeI8: codes in range, reconstruction within half a scale step") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val maxAggs = (1 to 64).map(i => max(abs(element_at(col("embedding"), i))))
+    val scales = vecs.agg(maxAggs.head, maxAggs.tail: _*)
+      .head().toSeq.map(_.asInstanceOf[Float].toDouble / 127.0)
+    val rows = Similarity.quantizeI8(vecs)
+      .join(vecs, "vec_id")
+      .select(col("q8"), col("embedding"))
+      .collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Int](0)
+      val x = r.getSeq[Float](1)
+      q.indices.foreach { d =>
+        assert(q(d) >= -127 && q(d) <= 127)
+        // |x - q·s| ≤ s/2 everywhere: max|x| maps to exactly 127 (no
+        // clamp loss), so round-half-up is within half a step
+        assert(math.abs(x(d) - q(d) * scales(d)) <= scales(d) / 2 + 1e-12,
+          s"dim $d: x=${x(d)} q=${q(d)} s=${scales(d)}")
+      }
+    }
+  }
+
+  test("i8TopK: planted duplicate quantizes identically and ranks first") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+      .select("vec_id", "embedding")
+    // vec 10000 = exact copy of query 0: identical codes → maximal dot
+    val planted = base.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val got = Similarity.i8TopK(base.unionByName(planted), numQueries = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.head === ((1, 10000L)))
+  }
+
+  test("i8TopK keeps high recall against the exact ranking") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val exact = Similarity.bruteForceTopK(vecs, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val i8 = Similarity.i8TopK(vecs, numQueries = 10, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & i8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall@10 = $recall")
+  }
+
+  test("matryoshka: exact full-dim scores on survivors; recall bounded by shortlist") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    // shortlist = corpus ⇒ the funnel degenerates to exact full-dim
+    // ranking: must equal brute force on ids (scores are micro-ints)
+    val exact = Similarity.bruteForceTopK(vecs, numQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val full = Similarity.matryoshkaTopK(vecs, numQueries = 5, topK = 10,
+        shortlist = 10000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(full === exact)
+    // the real funnel on the RANDOM fixture: i.i.d. dims mean the
+    // 16-dim prefix carries only 1/4 of the signal — the worst case
+    // for MRL (trained matryoshka embeddings concentrate information
+    // in the prefix). A 10%-of-corpus shortlist still has to beat the
+    // ~2% random-subset baseline by an order of magnitude.
+    val funnel = Similarity.matryoshkaTopK(vecs, numQueries = 5, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact.map(t => (t._1, t._3)).toSet & funnel).size.toDouble / exact.size
+    assert(recall >= 0.3, s"matryoshka recall@10 = $recall")
+    // a prefix-dominant corpus (MRL-like energy profile: tail dims
+    // scaled to 1%) must funnel with near-perfect recall. The exact
+    // reference is the funnel's own corpus-wide shortlist (dot
+    // ranking — bruteForce's cosine only coincides with dot on the
+    // unit-norm fixture, which the rescale breaks).
+    val mrl = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i < 16, x).otherwise(x * lit(0.01f))).as("embedding"))
+    val mrlExact = Similarity.matryoshkaTopK(mrl, numQueries = 5, topK = 10,
+        shortlist = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mrlFunnel = Similarity.matryoshkaTopK(mrl, numQueries = 5, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mrlRecall = (mrlExact & mrlFunnel).size.toDouble / mrlExact.size
+    assert(mrlRecall >= 0.9, s"MRL-profile recall@10 = $mrlRecall")
+  }
 }
