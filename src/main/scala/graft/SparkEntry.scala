@@ -204,6 +204,8 @@ object SparkEntry {
         "source", "doc_id", 15)
         .orderBy(col("doc_id"))
     }),
+    "mix_temperature"      -> ((s, d) => operators.Sampling.mixTemperature(
+      graft.Engine.Tables(s, d).documents, MixTempBudget)),
     "pack_shards"          -> ((s, d) => Packing.packShardsDocs(s, d, PackBudget)),
     "pack_sequences"       -> ((s, d) => Packing.packSequencesDocs(s, d, SeqLen)),
     "mix_budget"           -> ((s, d) => Packing.mixBudgetDocs(s, d, MixBudget)),
@@ -267,6 +269,12 @@ object SparkEntry {
     * 3.5k–11.8k tokens/lang there).
     */
   private val MixBudget = 2000L
+
+  /** Total token budget for the gated `mix_temperature` query — below
+    * every fixture's corpus total (24k–270k tokens), so all sources get
+    * a fractional admission rate and the gate exercises the cut.
+    */
+  private val MixTempBudget = 10000L
 
   /** Weights/names for the gated `split_assign` query; the oracle's CASE
     * thresholds are derived from the SAME scanLeft + (1e6·cum).toLong
@@ -1975,6 +1983,33 @@ object SparkEntry {
                ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents)
          SELECT doc_id, source, rk FROM r WHERE rk <= 15 ORDER BY doc_id""",
+    // temperature mixture: sqrt-share weights floor-quantized to micro
+    // ints, target tokens and admission thresholds in pure BIGINT
+    // division — a double quotient + floor could cross an integer where
+    // true integer division doesn't
+    "mix_temperature" ->
+      s"""WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok
+           FROM documents),
+         s AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_s
+               FROM d GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM s),
+         wts AS (SELECT source, n_s,
+             CAST(floor(sqrt(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+               AS BIGINT) AS w
+           FROM s, tot),
+         wt AS (SELECT CAST(sum(w) AS BIGINT) AS ws FROM wts),
+         rates AS (SELECT source,
+             least(1000000, (1000000 * (($MixTempBudget * w) // ws)) // n_s)
+               AS rate_micro
+           FROM wts, wt)
+         SELECT doc_id, source, tok, rate_micro
+         FROM d JOIN rates USING (source)
+         WHERE ${duckMd5_60("'mixt:' || CAST(doc_id AS VARCHAR)")} % 1000000
+               < rate_micro
+         ORDER BY doc_id""",
     "pack_shards" ->
       s"""WITH d AS (
            SELECT doc_id,

@@ -235,4 +235,43 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("lr_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** Temperature-based source mixture (UniMax / multilingual-LM
+    * sampling): per-source admission rates proportional to
+    * `share^α` (α = 1/2 here — square-root temperature), renormalized,
+    * scaled to a token `budget` — big sources are damped, small ones
+    * upweighted, the standard fix for head-language dominance applied
+    * at the SOURCE level. Admission itself is the usual salted-md5 gate
+    * (deterministic, partitioning-invariant, monotone in the rate).
+    *
+    * Engine-exactness discipline: every data-derived rate is carried in
+    * INTEGER micro-units. `w = floor(sqrt(n_s/N)·1e6)` (sqrt is
+    * correctly rounded in IEEE — identical bits in any engine), target
+    * tokens `t_s = (budget·w) div Σw` and the admission threshold
+    * `min(1e6, (1e6·t_s) div n_s)` are pure BIGINT division — a double
+    * quotient + floor could disagree with true integer division when
+    * rounding crosses an integer, so `div` it is. The per-source table
+    * is source-cardinality-sized; the corpus side is one scan + one
+    * broadcast join, no shuffle.
+    */
+  def mixTemperature(docs: DataFrame, budget: Long,
+      salt: String = "mixt:"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+    val full = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = d.groupBy(col("source")).agg(sum(col("tok")).as("n_s"))
+      .withColumn("w", floor(sqrt(col("n_s").cast("double") /
+        sum(col("n_s")).over(full).cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("t_s", expr(s"($budget * w) div sum(w) over ()"))
+      .withColumn("rate_micro",
+        least(lit(1000000L), expr("(1000000 * t_s) div n_s")))
+      .select(col("source").as("__mt_source"), col("rate_micro"))
+    d.join(broadcast(rates), d("source") === col("__mt_source"))
+      .filter(bucket(col("doc_id"), salt) < col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("tok"), col("rate_micro"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -217,4 +217,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     assert(bySource.values.forall(_.size == 1))
   }
+
+  test("mixTemperature damps head sources and boosts tail sources") {
+    import spark.implicits._
+    // skewed corpus: 'big' carries 16× the tokens of 'small'
+    val docs = ((0 until 320).map(i => (i.toLong, "w " * 10, "big")) ++
+      (320 until 340).map(i => (i.toLong, "w " * 10, "small")))
+      .toDF("doc_id", "text", "source")
+    val rates = Sampling.mixTemperature(docs, budget = 800)
+      .select("source", "rate_micro").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // proportional sampling would admit both at 800/3400 ≈ 23.5%; sqrt
+    // temperature shifts mass to the tail: sqrt-share weights are 4:1
+    // (vs 16:1 token share), so 'small' samples at 4× the rate 'big'
+    // does (budget low enough that neither side clamps at 100%)
+    assert(rates("small").toDouble / rates("big") > 3.5,
+      s"rates: $rates")
+    assert(rates("big") < 235294L)   // head damped below proportional
+    assert(rates("small") > 235294L) // tail boosted above proportional
+    // determinism: the admitted id set is identical across runs
+    val a = Sampling.mixTemperature(docs, 800).select("doc_id").collect().toSeq
+    val b = Sampling.mixTemperature(docs, 800).select("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
