@@ -235,6 +235,7 @@ object SparkEntry {
     "stream_funnel"        -> (streaming.StreamQueries.funnelEvents(_, _)),
     "stream_hourly"        -> (streaming.StreamQueries.hourlyEvents(_, _)),
     "stream_admit"         -> (streaming.StreamQueries.admitDocs(_, _)),
+    "stream_quarantine"    -> (streaming.StreamQueries.quarantineDocs(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -589,7 +590,12 @@ object SparkEntry {
     * generated once here so the constants (60 bits) can never drift from
     * [[operators.Dedup.SimhashBits]].
     */
-  private def simhashOracle: String = {
+  /** The shared SimHash CTE chain (`tok`/`bits`/`sh(doc_id, simhash)`) —
+    * one SQL spelling of the fingerprint for both the batch pair gate
+    * and the streaming quarantine gate, so the two can never drift on
+    * tokenization or bit assembly.
+    */
+  private def simhashShCtes: String = {
     val bits = operators.Dedup.SimhashBits
     val bitSums = (0 until bits)
       .map(i => s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
@@ -606,13 +612,41 @@ object SparkEntry {
            SELECT doc_id,
              $bitSums
            FROM tok GROUP BY doc_id),
-         sh AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)
+         sh AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)"""
+  }
+
+  private def simhashOracle: String =
+    s"""$simhashShCtes
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY doc_a, doc_b"""
-  }
+
+  /** Streaming SimHash quarantine oracle: same `sh` fingerprints cut
+    * into four 15-bit bands; a hit is (doc, band) where some EARLIER
+    * doc shares the band bucket within hamming ≤ 3, and the matched doc
+    * is the LARGEST such earlier id — the stream's per-bucket state is
+    * a newest-first list probed with find, so the most recent earlier
+    * arrival wins. arg_max carries that candidate's hamming out.
+    */
+  private def streamQuarantineOracle: String =
+    s"""$simhashShCtes,
+         banded AS (
+           SELECT doc_id, simhash,
+             CAST(b.band AS INT) AS band,
+             (simhash >> (b.band * 15)) & 32767 AS bh
+           FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b),
+         hits AS (
+           SELECT d.doc_id, d.band, e.doc_id AS cand,
+             CAST(bit_count(xor(d.simhash, e.simhash)) AS INT) AS h
+           FROM banded d JOIN banded e
+             ON d.band = e.band AND d.bh = e.bh AND e.doc_id < d.doc_id
+           WHERE bit_count(xor(d.simhash, e.simhash)) <= 3)
+         SELECT doc_id, band, arg_max(cand, cand) AS matched_doc,
+           arg_max(h, cand) AS hamming
+         FROM hits GROUP BY doc_id, band
+         ORDER BY doc_id, band"""
 
   /** Random-hyperplane LSH replicated in SQL. The hyperplane weights are
     * deterministic driver-side constants ([[operators.Similarity
@@ -1849,6 +1883,7 @@ object SparkEntry {
     // the streaming funnel must land the SAME frontier table
     "stream_funnel" -> funnelOracleSql,
     "stream_quality" -> streamQualityOracleSql,
+    "stream_quarantine" -> streamQuarantineOracle,
     // deterministic projection of the streaming content dedup: exactly
     // one survivor per content class
     "stream_dedup" ->

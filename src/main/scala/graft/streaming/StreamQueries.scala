@@ -115,6 +115,26 @@ object StreamQueries {
       .orderBy("hour_us", "event_type")
   }
 
+  /** Gated [[Streaming.simhashQuarantineStream]]: the stateful
+    * banded-bucket near-dup quarantine. Deterministic under the gate's
+    * single-batch arrival: the group iterator sorts by doc_id, so
+    * "earlier" means smaller id, and the newest-first state probe makes
+    * the matched doc the LARGEST matching earlier id — which is exactly
+    * what the oracle's arg_max restates. The gate runs with the
+    * per-bucket FIFO cap effectively disabled: similar synthetic texts
+    * CLUSTER on band values (fixture buckets reach ~270 occupants, well
+    * past the production default of 64), and an evicted fingerprint is
+    * a silently lost match the SQL oracle would still find — the cap is
+    * a recall-for-state trade for production tuning, not part of the
+    * exact semantics under test.
+    */
+  def quarantineDocs(spark: SparkSession, dir: String): DataFrame =
+    StreamGate.runToParquet(spark,
+      Streaming.simhashQuarantineStream(streamDocs(spark, dir),
+        bucketCap = Int.MaxValue).toDF(),
+      gateDir("quarantine"))()
+      .orderBy("doc_id", "band")
+
   /** Gated [[Streaming.budgetAdmitStream]]: per-language token-budget
     * admission (flatMapGroupsWithState, append). Arrival order inside
     * the single micro-batch is the operator's own doc_id sort, so

@@ -421,6 +421,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("simhashQuarantineStream FIFO cap evicts oldest, keeps matching on the newest") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // three identical docs under bucketCap = 1: doc 2 matches doc 1,
+    // then doc 1 is evicted, so doc 3 matches the surviving doc 2 — the
+    // cap trades match ancestry depth for bounded state, newest-first
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.simhashQuarantineStream(
+        input.toDF().toDF("doc_id", "text"), bucketCap = 1)
+      .writeStream.format("memory").queryName("quarantine_fifo")
+      .outputMode("append").start()
+    try {
+      val t = "same text in every copy of this document ok"
+      input.addData((1L, t), (2L, t), (3L, t))
+      q.processAllAvailable()
+      val hits = spark.table("quarantine_fifo")
+        .select("doc_id", "matched_doc").as[(Long, Long)].collect().toSet
+      assert(hits === Set((2L, 1L), (3L, 2L)))
+    } finally q.stop()
+  }
+
   test("decontaminateStream: probe tokenization matches SQL on hostile text; null survives") {
     import spark.implicits._
     // leading tab / newline: SQL trim keeps them, so the SQL-side split
