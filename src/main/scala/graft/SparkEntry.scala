@@ -236,6 +236,7 @@ object SparkEntry {
     "stream_hourly"        -> (streaming.StreamQueries.hourlyEvents(_, _)),
     "stream_admit"         -> (streaming.StreamQueries.admitDocs(_, _)),
     "stream_quarantine"    -> (streaming.StreamQueries.quarantineDocs(_, _)),
+    "stream_sessions"      -> (streaming.StreamQueries.sessionsEvents(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -1884,6 +1885,37 @@ object SparkEntry {
     "stream_funnel" -> funnelOracleSql,
     "stream_quality" -> streamQualityOracleSql,
     "stream_quarantine" -> streamQuarantineOracle,
+    // gap sessionization with event-time-timeout eviction: emitted =
+    // gap-closed in batch (every non-last session of a user) plus last
+    // sessions whose armed timeout (end + gap) fell strictly below the
+    // final ms-floored watermark. value pre-quantized to micro-units so
+    // session sums are exact integers in any accumulation order.
+    "stream_sessions" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ms(ts) AS ms, floor(value * 1e6) AS v
+           FROM events),
+         lagd AS (
+           SELECT user_id, ms, v,
+             lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS pms
+           FROM ev),
+         isl AS (
+           SELECT user_id, ms, v,
+             sum(CASE WHEN pms IS NULL OR ms - pms > 1800000 THEN 1
+                      ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ms
+                     ROWS UNBOUNDED PRECEDING) AS sid
+           FROM lagd),
+         sess AS (
+           SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+             CAST(count(*) AS INT) AS n_events,
+             CAST(sum(v) AS DOUBLE) AS total_value,
+             sid < max(sid) OVER (PARTITION BY user_id) AS closed_in_batch
+           FROM isl GROUP BY 1, 2),
+         wm AS (SELECT max(epoch_ms(ts)) - 3600000 AS wm_ms FROM events)
+         SELECT user_id, start_ms, end_ms, n_events, total_value
+         FROM sess, wm
+         WHERE closed_in_batch OR end_ms + 1800000 < wm_ms
+         ORDER BY user_id, start_ms""",
     // deterministic projection of the streaming content dedup: exactly
     // one survivor per content class
     "stream_dedup" ->

@@ -135,6 +135,29 @@ object StreamQueries {
       gateDir("quarantine"))()
       .orderBy("doc_id", "band")
 
+  /** Gated [[Streaming.sessionize]]: gap-based sessionization in
+    * `flatMapGroupsWithState` with event-time timeout eviction — the
+    * most state-machinery a streaming operator here carries (append
+    * mode, per-key accumulator, watermark-armed timeouts). Determinism:
+    * `value` is pre-quantized to integer micro-units so session sums
+    * are exact in any accumulation order (same-ms event order within a
+    * group is arbitrary, but min/max/count/integer-sum don't care); the
+    * emitted set is (a) sessions closed in-batch by a later event of
+    * the same user, plus (b) sessions whose armed timeout
+    * (last + gap) fell strictly below the final watermark
+    * (max event-time − 1h, ms-floored) — the oracle restates exactly
+    * that via gaps-and-islands SQL, so timeout semantics are under
+    * test, not assumed.
+    */
+  def sessionsEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Streaming.streamEvents(spark, dir)
+      .withColumn("value", floor(col("value") * lit(1e6)))
+    StreamGate.runToParquet(spark,
+      Streaming.sessionize(Streaming.sessionInput(ev)).toDF(),
+      gateDir("sessions"))()
+      .orderBy("user_id", "start_ms")
+  }
+
   /** Gated [[Streaming.budgetAdmitStream]]: per-language token-budget
     * admission (flatMapGroupsWithState, append). Arrival order inside
     * the single micro-batch is the operator's own doc_id sort, so

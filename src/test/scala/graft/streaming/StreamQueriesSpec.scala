@@ -56,6 +56,36 @@ class StreamQueriesSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty)
   }
 
+  test("stream_sessions lands gaps-and-islands sessions under the timeout rule") {
+    import org.apache.spark.sql.expressions.Window
+    val got = StreamQueries.sessionsEvents(spark, dir).collect().toSet
+    val ev = graft.Engine.Tables(spark, dir).events
+      .select(col("user_id"), expr("ts div 1000000").as("ms"),
+        floor(col("value") * lit(1e6)).as("v"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val sess = ev
+      .withColumn("pms", lag(col("ms"), 1).over(wOrd))
+      .withColumn("fresh",
+        when(col("pms").isNull || col("ms") - col("pms") > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("fresh")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+    val wmMs = ev.agg(max(col("ms"))).head().getLong(0) - 3600000L
+    val maxSid = sess.groupBy(col("user_id"))
+      .agg(max(col("sid")).as("max_sid"))
+    val want = sess.join(maxSid, "user_id")
+      .filter(col("sid") < col("max_sid") ||
+        col("end_ms") + 1800000L < wmMs)
+      .select("user_id", "start_ms", "end_ms", "n_events", "total_value")
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("stream_admit lands the per-language doc_id-order prefix-sum admission") {
     import org.apache.spark.sql.expressions.Window
     val got = StreamQueries.admitDocs(spark, dir).collect().toSet
