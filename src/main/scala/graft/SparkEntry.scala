@@ -237,6 +237,9 @@ object SparkEntry {
     "stream_admit"         -> (streaming.StreamQueries.admitDocs(_, _)),
     "stream_quarantine"    -> (streaming.StreamQueries.quarantineDocs(_, _)),
     "stream_sessions"      -> (streaming.StreamQueries.sessionsEvents(_, _)),
+    // --- the composed curation pipeline (dedup → decon → quality →
+    // sample) as one plan, gated end to end
+    "pipeline_curate"      -> (operators.Pipeline.curateDocs(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -381,6 +384,53 @@ object SparkEntry {
        LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
        LEFT JOIN p USING (user_id)
        ORDER BY u.user_id"""
+
+  /** End-to-end curation pipeline oracle: all four stages restated in
+    * one CTE chain — min-doc_id-per-md5 dedup, string-equality shingle
+    * decontamination (the xxhash64 substitution the decon gates already
+    * re-check), the [[operators.QualityModel.GateWeights]] model, and
+    * the 50% `cur:` md5 gate.
+    */
+  private def pipelineCurateOracleSql: String = {
+    val w = operators.QualityModel.GateWeights
+    s"""WITH keep AS (
+         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       ded AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+       sh AS (
+         SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents),
+              UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+         WHERE len(w) >= 5),
+       contaminated AS (
+         SELECT DISTINCT t.doc_id
+         FROM sh t JOIN sh e ON t.shingle = e.shingle
+         WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0),
+       clean AS (
+         SELECT * FROM ded WHERE doc_id % 20 != 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       f AS (
+         SELECT doc_id, lang, source, text,
+           ln(1.0 + len(w)) AS f1,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS f2,
+           CAST(len(list_filter(w, t -> len(t) >= 3)) AS DOUBLE) / len(w)
+             AS f3
+         FROM (SELECT doc_id, lang, source, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM clean)),
+       s AS (SELECT doc_id, lang, source, text,
+               ${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3 AS z
+             FROM f)
+       SELECT doc_id, lang, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS tok,
+         round(z, 6) AS z
+       FROM s
+       WHERE z > 0
+         AND ${duckMd5_60("'cur:' || CAST(doc_id AS VARCHAR)")} % 1000000
+             < 500000
+       ORDER BY doc_id"""
+  }
 
   /** The grouped (leakage-safe) split oracle: identical CASE thresholds,
     * but the bucket hashes the SOURCE — every doc of a source follows its
@@ -1885,6 +1935,7 @@ object SparkEntry {
     "stream_funnel" -> funnelOracleSql,
     "stream_quality" -> streamQualityOracleSql,
     "stream_quarantine" -> streamQuarantineOracle,
+    "pipeline_curate" -> pipelineCurateOracleSql,
     // gap sessionization with event-time-timeout eviction: emitted =
     // gap-closed in batch (every non-last session of a user) plus last
     // sessions whose armed timeout (end + gap) fell strictly below the
