@@ -237,6 +237,10 @@ object SparkEntry {
     "stream_admit"         -> (streaming.StreamQueries.admitDocs(_, _)),
     "stream_quarantine"    -> (streaming.StreamQueries.quarantineDocs(_, _)),
     "stream_sessions"      -> (streaming.StreamQueries.sessionsEvents(_, _)),
+    "stream_join"          -> (streaming.StreamQueries.joinEvents(_, _)),
+    "stream_enrich"        -> (streaming.StreamQueries.enrichEvents(_, _)),
+    "stream_topk"          -> (streaming.StreamQueries.leaderboardEvents(_, _)),
+    "stream_fingerprint"   -> (streaming.StreamQueries.fingerprintDocs(_, _)),
     // --- the composed curation pipeline (dedup → decon → quality →
     // sample) as one plan, gated end to end
     "pipeline_curate"      -> (operators.Pipeline.curateDocs(_, _)),
@@ -1936,6 +1940,58 @@ object SparkEntry {
     "stream_quality" -> streamQualityOracleSql,
     "stream_quarantine" -> streamQuarantineOracle,
     "pipeline_curate" -> pipelineCurateOracleSql,
+    // watermarked stream-stream join: inner matches emit as found, so
+    // the landed set equals the batch interval join
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+           AND p.user_id = c.user_id
+           AND epoch_us(c.ts) <= epoch_us(p.ts)
+           AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+         ORDER BY purchase_id, click_us""",
+    // stream-static broadcast enrichment: modal event type per user
+    // with the same (count, type) lexicographic tie rule max_by applies
+    "stream_enrich" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY n DESC, event_type DESC) AS rk
+           FROM c),
+         dim AS (SELECT user_id, event_type AS home_type FROM r WHERE rk = 1)
+         SELECT e.event_id, e.user_id, e.event_type,
+           d.home_type IS NOT NULL AS is_known,
+           coalesce(d.home_type, 'unknown') AS home_type
+         FROM events e LEFT JOIN dim d USING (user_id)
+         ORDER BY e.event_id""",
+    // complete-mode leaderboard: the final emission equals the batch top-k
+    "stream_topk" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+         GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""",
+    // stateless fingerprint enrichment: md5-60 digest + per-doc distinct
+    // winnow-fp count (same rolling-hash chain as the text_winnow gate)
+    "stream_fingerprint" ->
+      s"""WITH cs AS (
+           SELECT doc_id, list_transform(generate_series(1, length(text)),
+             i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cs
+           FROM documents WHERE length(text) >= 8),
+         g AS (
+           SELECT doc_id, list_transform(generate_series(1, len(cs) - 4),
+             i -> (cs[i] * 4362470401 + cs[i+1] * 16974593 + cs[i+2] * 66049
+                   + cs[i+3] * 257 + cs[i+4]) % 1000000007) AS grams
+           FROM cs),
+         w AS (
+           SELECT DISTINCT doc_id, list_min(grams[j:j+3]) AS wfp
+           FROM g, UNNEST(generate_series(1, len(grams) - 3)) t(j)),
+         wc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_winnow_fps
+                FROM w GROUP BY 1)
+         SELECT d.doc_id, ${duckMd5_60("text")} AS fp,
+           coalesce(wc.n_winnow_fps, 0) AS n_winnow_fps
+         FROM documents d LEFT JOIN wc USING (doc_id)
+         ORDER BY doc_id""",
     // gap sessionization with event-time-timeout eviction: emitted =
     // gap-closed in batch (every non-last session of a user) plus last
     // sessions whose armed timeout (end + gap) fell strictly below the

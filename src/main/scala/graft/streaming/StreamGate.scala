@@ -23,10 +23,12 @@ object StreamGate {
     * each (so a caller can stage multi-batch arrival patterns with a
     * MemoryStream), and return the landed table read back as a batch
     * DataFrame. The sink's `batch_id` partition column is dropped on
-    * read-back: it records delivery, not data.
+    * read-back by default (it records delivery, not data); complete-
+    * mode callers pass `keepBatchId = true` to select the final
+    * emission themselves.
     */
   def runToParquet(spark: SparkSession, out: DataFrame, outDir: String,
-      outputMode: String = "append")
+      outputMode: String = "append", keepBatchId: Boolean = false)
       (feeds: (() => Unit)*): DataFrame = {
     val q = Streaming.idempotentParquetSink(out, s"$outDir/data",
       s"$outDir/_checkpoint", outputMode)
@@ -34,6 +36,7 @@ object StreamGate {
       if (feeds.isEmpty) q.processAllAvailable()
       else feeds.foreach { f => f(); q.processAllAvailable() }
     } finally q.stop()
-    spark.read.parquet(s"$outDir/data").drop("batch_id")
+    val landed = spark.read.parquet(s"$outDir/data")
+    if (keepBatchId) landed else landed.drop("batch_id")
   }
 }

@@ -158,6 +158,67 @@ object StreamQueries {
       .orderBy("user_id", "start_ms")
   }
 
+  /** Gated [[Streaming.purchasesWithRecentClicks]]: the WATERMARKED
+    * STREAM-STREAM JOIN — both sides buffer state, the event-time
+    * predicate bounds it, and inner-join matches emit as found (the
+    * watermark governs state cleanup, not emission, so a finite input
+    * emits every match). The result SET is therefore exactly the batch
+    * interval join, which is what the oracle states.
+    */
+  def joinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Streaming.streamEvents(spark, dir)
+    StreamGate.runToParquet(spark,
+      Streaming.purchasesWithRecentClicks(ev)
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          unix_micros(col("click_ts")).as("click_us")),
+      gateDir("join"))()
+      .orderBy("purchase_id", "click_us")
+  }
+
+  /** Gated [[Streaming.enrichWithDim]]: the stream-static broadcast
+    * join — the static side ([[Streaming.userDim]], each user's modal
+    * event type with deterministic ties) is re-planned per micro-batch
+    * and broadcast; rows are stateless, so the landed set equals the
+    * batch left join.
+    */
+  def enrichEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Streaming.streamEvents(spark, dir)
+    StreamGate.runToParquet(spark,
+      Streaming.enrichWithDim(ev, Streaming.userDim(spark, dir)),
+      gateDir("enrich"))()
+      .orderBy("event_id")
+  }
+
+  /** Gated [[Streaming.topKLeaderboard]]: COMPLETE output mode — the
+    * per-key counts are incrementally-maintained streaming state and
+    * every micro-batch re-emits the full re-ranked leaderboard into its
+    * own batch directory. The gate reads the final batch's table (the
+    * idempotent sink's layout makes "latest complete emission" a
+    * partition filter), which after draining equals the batch top-k.
+    */
+  def leaderboardEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Streaming.streamEvents(spark, dir)
+    val outDir = gateDir("topk")
+    val all = StreamGate.runToParquet(spark,
+      Streaming.topKLeaderboard(ev), outDir, outputMode = "complete",
+      keepBatchId = true)()
+    // partition discovery infers batch_id as int
+    val last = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    all.filter(col("batch_id") === last).drop("batch_id")
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  /** Gated [[Streaming.fingerprintStream]]: stateless codegen
+    * fingerprint enrichment — same expressions as the batch text
+    * operators, so the streaming plan IS the batch plan per batch.
+    */
+  def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
+    StreamGate.runToParquet(spark,
+      Streaming.fingerprintStream(streamDocs(spark, dir)),
+      gateDir("fingerprint"))()
+      .orderBy("doc_id")
+
   /** Gated [[Streaming.budgetAdmitStream]]: per-language token-budget
     * admission (flatMapGroupsWithState, append). Arrival order inside
     * the single micro-batch is the operator's own doc_id sort, so

@@ -86,6 +86,32 @@ class StreamQueriesSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty)
   }
 
+  test("stream_join lands the batch interval join") {
+    val got = StreamQueries.joinEvents(spark, dir).collect().toSet
+    // the transform is source-agnostic: run it on the batch frame
+    val want = Streaming.purchasesWithRecentClicks(
+        graft.Engine.Tables(spark, dir).events)
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("stream_topk / stream_enrich / stream_fingerprint land their batch twins") {
+    val ev = graft.Engine.Tables(spark, dir).events
+    assert(StreamQueries.leaderboardEvents(spark, dir).collect().toSeq ===
+      Streaming.topKLeaderboard(ev).collect().toSeq)
+    assert(StreamQueries.enrichEvents(spark, dir)
+        .orderBy("event_id").collect().toSeq ===
+      Streaming.enrichWithDim(ev, Streaming.userDim(spark, dir))
+        .orderBy("event_id").collect().toSeq)
+    val docs = graft.Engine.Tables(spark, dir).documents
+    assert(StreamQueries.fingerprintDocs(spark, dir).collect().toSet ===
+      Streaming.fingerprintStream(docs).collect().toSet)
+  }
+
   test("stream_admit lands the per-language doc_id-order prefix-sum admission") {
     import org.apache.spark.sql.expressions.Window
     val got = StreamQueries.admitDocs(spark, dir).collect().toSet
