@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{array, call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** `pq_argmin(vec, offset, subDim, centroids)` — nearest-centroid argmin
+  * over a plan-literal codebook for the `[offset, offset+subDim)` slice
+  * of a vector: the quantization kernel of PQ encoding, IVF cell
+  * assignment and k-means, as ONE native expression.
+  *
+  * Replaces the `least(struct(d, c_id), …)` formulation: that tree is
+  * k struct allocations + a k-deep comparator chain per evaluation, and
+  * at m·k = 64 codebook entries the collapsed generated method left
+  * whole-stage codegen JIT-hostile — the 10×-sf0.1 encode measured
+  * ~90 µs/row (1.8 s / 20 k rows) against ~1 µs of actual arithmetic.
+  * Here the codebook and its precomputed norms ride as reference
+  * objects and the evaluation is two tight primitive loops.
+  *
+  * Bit-parity with the struct path (which the `pq_codes` /
+  * `kmeans_fixed_assign` gates proved against DuckDB) is by
+  * construction: c² is the same left-to-right Scala sum computed at
+  * plan build; the dot accumulates left-to-right in double over the
+  * same slice with null elements contributing 0 (the `vec_dot`
+  * contract); the score is the same `c² − 2·dot`; ties keep the
+  * smallest centroid id (strict `<`), exactly the struct comparator's
+  * lexicographic (d, c_id) order.
+  */
+case class PqArgmin(child: Expression, centroids: Array[Array[Double]],
+    offset: Int, subDim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_argmin requires array<float|double>, got $t")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** c² per centroid — the SAME left-to-right Scala sum the struct
+    * formulation inlined as `lit(c.map(x => x*x).sum)`.
+    */
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def nullSafeEval(input: Any): Any =
+    PqArgmin.argmin(input.asInstanceOf[ArrayData], elemIsFloat,
+      centroids, norms, offset, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("pqNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqArgmin.argmin(" +
+        s"$a, $elemIsFloat, $cRef, $nRef, $offset, $subDim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqArgmin =
+    copy(child = newChild)
+}
+
+object PqArgmin {
+
+  /** Shared by interpreted eval and generated code. */
+  def argmin(a: ArrayData, isFloat: Boolean, cents: Array[Array[Double]],
+      norms: Array[Double], offset: Int, subDim: Int): Int = {
+    val lim = math.min(subDim, math.max(0, a.numElements() - offset))
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var p = 0
+    while (p < cents.length) {
+      val c = cents(p)
+      var dot = 0.0
+      var j = 0
+      while (j < lim) {
+        val idx = offset + j
+        if (!a.isNullAt(idx)) {
+          val x = if (isFloat) a.getFloat(idx).toDouble else a.getDouble(idx)
+          dot += x * c(j)
+        }
+        j += 1
+      }
+      val d = norms(p) - 2.0 * dot
+      if (d < bestD) { bestD = d; best = p }
+      p += 1
+    }
+    best
+  }
+
+  private def foldableInt(e: Expression, name: String): Int = {
+    require(e.foldable && e.dataType == IntegerType,
+      s"pq_argmin $name must be an int literal, got $e")
+    e.eval().asInstanceOf[Int]
+  }
+
+  private def foldableCentroids(e: Expression): Array[Array[Double]] = {
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    require(ok, s"pq_argmin centroids must be an array<array<double>> literal, got $e")
+    val outer = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements())(i =>
+      outer.getArray(i).toDoubleArray())
+  }
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("pq_argmin"),
+      new ExpressionInfo(classOf[PqArgmin].getName, "pq_argmin"),
+      (children: Seq[Expression]) => {
+        if (children.length != 4) throw new IllegalArgumentException(
+          s"pq_argmin requires exactly 4 arguments (vec, offset, subDim, centroids), got ${children.length}")
+        PqArgmin(children.head, foldableCentroids(children(3)),
+          foldableInt(children(1), "offset"), foldableInt(children(2), "subDim"))
+      })
+
+  def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(registration)
+
+  /** Column-level entry point (requires a [[register]]ed session). */
+  def pqArgmin(v: Column, cents: Seq[Array[Double]], offset: Int,
+      subDim: Int): Column =
+    call_function("pq_argmin", v, lit(offset), lit(subDim),
+      array(cents.map(c => lit(c)): _*))
+}

@@ -192,3 +192,43 @@ class SimHash60Spec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql("SELECT norm_text(CAST(NULL AS STRING))").collect().head.isNullAt(0))
   }
 }
+
+class PqArgminSpec extends AnyFunSuite with SparkTestSession {
+  import org.apache.spark.sql.functions._
+
+  test("bit-identical to the least(struct) argmin on real embeddings, every subspace") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val cents = graft.operators.Clustering.fixedCentroids(16)
+    // full-dim cell assignment and four 16-dim subspace codes, both paths
+    def structArgmin(offset: Int, subDim: Int) = least(
+      cents.zipWithIndex.map { case (c, id) =>
+        val sub = slice(col("embedding"), offset + 1, subDim)
+        val cc = c.take(subDim)
+        struct(
+          (lit(cc.map(x => x * x).sum) - lit(2.0) *
+            VecDot.vecDot(sub, lit(cc))).as("d"),
+          lit(id).as("c_id"))
+      }: _*).getField("c_id")
+    val cases = Seq((0, 64), (0, 16), (16, 16), (32, 16), (48, 16))
+    cases.foreach { case (off, sd) =>
+      val trimmed = cents.map(_.take(sd))
+      val rows = vecs.select(
+        PqArgmin.pqArgmin(col("embedding"), trimmed, off, sd).as("native"),
+        structArgmin(off, sd).as("struct")).collect()
+      assert(rows.forall(r => r.getInt(0) == r.getInt(1)),
+        s"mismatch at offset=$off subDim=$sd")
+    }
+  }
+
+  test("ties keep the smallest centroid id; null vector propagates") {
+    import spark.implicits._
+    // two identical centroids: argmin must return id 0
+    val cents = Seq(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 5.0))
+    val got = Seq(Tuple1(Array(1.0f, 0.0f)), Tuple1(null.asInstanceOf[Array[Float]]))
+      .toDF("v")
+      .select(PqArgmin.pqArgmin(col("v"), cents, 0, 2).as("c"))
+      .collect()
+    assert(got(0).getInt(0) === 0)
+    assert(got(1).isNullAt(0))
+  }
+}
