@@ -33,6 +33,7 @@ object Engine {
       .withExtensions(graft.functions.NgramAnyIn.register)
       .withExtensions(graft.functions.LshBandHashes.register)
       .withExtensions(graft.functions.PqArgmin.register)
+      .withExtensions(graft.functions.PqArgminDist.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       // BloomFilterAggregate silently clamps its size arguments to these
       // confs (Spark tunes them for its own runtime join filters); raise

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Un
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{array, call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** `pq_argmin(vec, offset, subDim, centroids)` — nearest-centroid argmin
   * over a plan-literal codebook for the `[offset, offset+subDim)` slice
@@ -95,13 +95,13 @@ object PqArgmin {
     best
   }
 
-  private def foldableInt(e: Expression, name: String): Int = {
+  private[functions] def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable && e.dataType == IntegerType,
       s"pq_argmin $name must be an int literal, got $e")
     e.eval().asInstanceOf[Int]
   }
 
-  private def foldableCentroids(e: Expression): Array[Array[Double]] = {
+  private[functions] def foldableCentroids(e: Expression): Array[Array[Double]] = {
     val ok = e.foldable && (e.dataType match {
       case ArrayType(ArrayType(DoubleType, _), _) => true
       case _ => false
@@ -130,4 +130,100 @@ object PqArgmin {
       subDim: Int): Column =
     call_function("pq_argmin", v, lit(offset), lit(subDim),
       array(cents.map(c => lit(c)): _*))
+
+  /** Column-level entry point for [[PqArgminDist]]. */
+  def pqArgminDist(v: Column, cents: Seq[Array[Double]], offset: Int,
+      subDim: Int): Column =
+    call_function("pq_argmin_dist", v, lit(offset), lit(subDim),
+      array(cents.map(c => lit(c)): _*))
+}
+
+/** `pq_argmin_dist(vec, offset, subDim, centroids)` — [[PqArgmin]]'s
+  * struct-returning sibling: `(d, c_id)` where `d = c² − 2·v·c` of the
+  * winning centroid, the exact shape `least(struct(d, c_id), …)`
+  * produced — so consumers that need the distance as well as the id
+  * (k-means assignment/means, SemDeDup's within-cluster pruning) get
+  * the same drop-in kernel. One GenericInternalRow per row instead of
+  * k struct allocations and a k-deep comparator chain.
+  */
+case class PqArgminDist(child: Expression, centroids: Array[Array[Double]],
+    offset: Int, subDim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("c_id", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_argmin_dist requires array<float|double>, got $t")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def nullSafeEval(input: Any): Any =
+    PqArgminDist.argminRow(input.asInstanceOf[ArrayData], elemIsFloat,
+      centroids, norms, offset, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("pqNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqArgminDist.argminRow(" +
+        s"$a, $elemIsFloat, $cRef, $nRef, $offset, $subDim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqArgminDist =
+    copy(child = newChild)
+}
+
+object PqArgminDist {
+
+  /** Shared by interpreted eval and generated code — same loop as
+    * [[PqArgmin.argmin]], carrying the winning distance out.
+    */
+  def argminRow(a: ArrayData, isFloat: Boolean, cents: Array[Array[Double]],
+      norms: Array[Double], offset: Int, subDim: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val lim = math.min(subDim, math.max(0, a.numElements() - offset))
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var p = 0
+    while (p < cents.length) {
+      val c = cents(p)
+      var dot = 0.0
+      var j = 0
+      while (j < lim) {
+        val idx = offset + j
+        if (!a.isNullAt(idx)) {
+          val x = if (isFloat) a.getFloat(idx).toDouble else a.getDouble(idx)
+          dot += x * c(j)
+        }
+        j += 1
+      }
+      val d = norms(p) - 2.0 * dot
+      if (d < bestD) { bestD = d; best = p }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, best))
+  }
+
+  val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("pq_argmin_dist"),
+      new ExpressionInfo(classOf[PqArgminDist].getName, "pq_argmin_dist"),
+      (children: Seq[Expression]) => {
+        if (children.length != 4) throw new IllegalArgumentException(
+          s"pq_argmin_dist requires exactly 4 arguments (vec, offset, subDim, centroids), got ${children.length}")
+        PqArgminDist(children.head, PqArgmin.foldableCentroids(children(3)),
+          PqArgmin.foldableInt(children(1), "offset"),
+          PqArgmin.foldableInt(children(2), "subDim"))
+      })
+
+  def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(registration)
 }

@@ -40,11 +40,15 @@ object Clustering {
     * the arithmetic must never fork.
     */
   private def bestCentroid(cents: Seq[Array[Double]],
-      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    least(cents.zipWithIndex.map { case (c, id) =>
-      struct((lit(c.map(x => x * x).sum) - lit(2.0) * vecDot(emb, lit(c))).as("d"),
-        lit(id).as("c_id"))
-    }: _*)
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // dim from the centroids themselves — the argmin is full-vector here
+    val dim = cents.head.length
+    // native kernel, bit-identical to the former least(struct) tree
+    // (same c² literals, left-to-right dot, c² − 2·dot, smallest-id
+    // ties) — see graft.functions.PqArgmin; ~50× the evaluation
+    // throughput at k = 16
+    graft.functions.PqArgmin.pqArgminDist(emb, cents.toIndexedSeq, 0, dim)
+  }
 
   /** (assignments, centroids): assignments = (vec_id, cluster, dist2);
     * centroids = driver-side array indexed by cluster id.
