@@ -240,4 +240,42 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // per task/query, not the scored corpus
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
+
+  test("pq/i8 probes scan a MATERIALIZED index, argmin is the native kernel") {
+    // the two regressions that made ADC 18 s at 10×: (a) CollapseProject
+    // folding the encode into the post-join stage (fixed by the
+    // checkpoint barrier — probe side must scan an RDD, not re-encode),
+    // (b) the least(struct) comparator tree (fixed by pq_argmin)
+    for (q <- Seq("pq_adc_topk", "ivf_pq_topk", "ann_i8_topk")) {
+      val plan = planOf(q)
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q probe side must scan the materialized index:\n${plan.take(2000)}")
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q must cut top-k before the exchange:\n${plan.take(2000)}")
+    }
+    val encode = SparkEntry.queries("pq_codes")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(encode.contains("pqargmin"),
+      s"encode must use the native kernel:\n${encode.take(2000)}")
+    assert(!encode.contains("least("),
+      s"least(struct) argmin tree crept back:\n${encode.take(2000)}")
+  }
+
+  test("matryoshka: full-dim dot only behind the shortlist cut; one window exchange") {
+    val df = SparkEntry.queries("matryoshka_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // both windows partition on q_id: exactly one hash exchange for
+    // them (plus the presentation sort's range exchange)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange for both windows, got $hashExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("mix_temperature: corpus side broadcast-joins the rates, aggregates partially") {
+    val plan = planOf("mix_temperature")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the 20-row rates table must broadcast, never SMJ")
+  }
 }
