@@ -206,6 +206,10 @@ object SparkEntry {
     }),
     "mix_temperature"      -> ((s, d) => operators.Sampling.mixTemperature(
       graft.Engine.Tables(s, d).documents, MixTempBudget)),
+    "mix_upsample"         -> ((s, d) => operators.Sampling.mixUpsample(
+      graft.Engine.Tables(s, d).documents, MixUpBudget)),
+    "length_batches"       -> ((s, d) =>
+      Packing.lengthBatchesDocs(s, d, LengthBatchBudget)),
     "pack_shards"          -> ((s, d) => Packing.packShardsDocs(s, d, PackBudget)),
     "pack_sequences"       -> ((s, d) => Packing.packSequencesDocs(s, d, SeqLen)),
     "mix_budget"           -> ((s, d) => Packing.mixBudgetDocs(s, d, MixBudget)),
@@ -284,6 +288,16 @@ object SparkEntry {
     * a fractional admission rate and the gate exercises the cut.
     */
   private val MixTempBudget = 10000L
+
+  /** Total token budget for the gated `mix_upsample` query — ABOVE the
+    * sf0.001/sf0.01 corpus totals (~24–27k tokens), so repeat factors
+    * exceed 1 and the epoch-upsampling path is exercised; at sf0.1 the
+    * same arithmetic degenerates to fractional sampling (copy = 1).
+    */
+  private val MixUpBudget = 60000L
+
+  /** Per-batch token budget for the gated `length_batches` query. */
+  private val LengthBatchBudget = 2048L
 
   /** Weights/names for the gated `split_assign` query; the oracle's CASE
     * thresholds are derived from the SAME scanLeft + (1e6·cum).toLong
@@ -2184,6 +2198,57 @@ object SparkEntry {
          WHERE ${duckMd5_60("'mixt:' || CAST(doc_id AS VARCHAR)")} % 1000000
                < rate_micro
          ORDER BY doc_id""",
+    // epoch upsampling: same rate chain as mix_temperature WITHOUT the
+    // clamp; full copies from integer division, the fractional copy
+    // from the md5 gate, expanded with generate_series
+    "mix_upsample" ->
+      s"""WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok
+           FROM documents),
+         s AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_s
+               FROM d GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM s),
+         wts AS (SELECT source, n_s,
+             CAST(floor(sqrt(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+               AS BIGINT) AS w
+           FROM s, tot),
+         wt AS (SELECT CAST(sum(w) AS BIGINT) AS ws FROM wts),
+         rates AS (SELECT source,
+             (1000000 * (($MixUpBudget * w) // ws)) // n_s AS f_micro
+           FROM wts, wt),
+         j AS (SELECT doc_id, d.source, tok,
+             f_micro // 1000000 +
+               CASE WHEN ${duckMd5_60("'ups:' || CAST(doc_id AS VARCHAR)")}
+                      % 1000000 < f_micro % 1000000
+                    THEN 1 ELSE 0 END AS n_copies
+           FROM d JOIN rates USING (source))
+         SELECT doc_id, source, CAST(c AS INT) AS copy, tok
+         FROM j, UNNEST(generate_series(1, n_copies)) t(c)
+         ORDER BY doc_id, copy""",
+    // length-bucketed batching: per-bucket md5-ordered token prefix sum
+    // (pid is a PREFIX of skey, so the two-level order == skey order —
+    // the equivalence the pack_shards gate already proves)
+    "length_batches" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok,
+             md5('lb:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         b AS (SELECT *,
+             CASE WHEN tok < 64 THEN 0 WHEN tok < 128 THEN 1
+                  WHEN tok < 256 THEN 2 ELSE 3 END AS bucket
+           FROM d),
+         o AS (SELECT doc_id, bucket, tok,
+             coalesce(sum(tok) OVER (PARTITION BY bucket
+               ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM b)
+         SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(off // $LengthBatchBudget AS BIGINT) AS batch_id, tok
+         FROM o ORDER BY doc_id""",
     "pack_shards" ->
       s"""WITH d AS (
            SELECT doc_id,

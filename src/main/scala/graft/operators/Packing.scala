@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Engine.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -97,6 +97,38 @@ object Packing {
   def packShardsDocs(spark: SparkSession, dir: String,
       budget: Long = 512L): DataFrame =
     packShards(Tables(spark, dir).documents, budget)
+
+  /** Length-bucketed batch packing — the padding-waste fix every
+    * training loader applies: docs are classed into length buckets
+    * (boundaries in tokens), then packed into `budget`-token batches
+    * WITHIN their bucket, so a batch never mixes a 10-token doc with a
+    * 300-token one and pad-to-longest stays cheap. Batch membership is
+    * the same deterministic md5-ordered prefix sum as [[packShards]],
+    * run per bucket through [[tokenOffsets]]'s keyed two-level
+    * machinery — the 256 hash buckets nest inside each length bucket,
+    * so the skewed-bucket case (most docs mid-length) never serializes
+    * into one window task.
+    */
+  def lengthBatches(docs: DataFrame, budget: Long,
+      bounds: Seq[Long] = Seq(64L, 128L, 256L),
+      salt: String = "lb:"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(bounds == bounds.sorted && bounds.distinct == bounds,
+      s"bucket bounds must be strictly increasing, got $bounds")
+    val tok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val bucket = bounds.zipWithIndex.foldRight(
+      lit(bounds.length).cast("int"): Column) { case ((b, i), acc) =>
+      when(tok < b, lit(i).cast("int")).otherwise(acc)
+    }
+    tokenOffsets(docs.withColumn("bucket", bucket), salt, Seq("bucket"))
+      .withColumn("batch_id", expr(s"off div $budget"))
+      .select(col("doc_id"), col("bucket"), col("batch_id"), col("tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  def lengthBatchesDocs(spark: SparkSession, dir: String,
+      budget: Long): DataFrame =
+    lengthBatches(Tables(spark, dir).documents, budget)
 
   /** GPT-style training-sequence packing: the global token stream is cut
     * into back-to-back sequences of EXACTLY `seqLen` tokens, documents

@@ -274,4 +274,42 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("tok"), col("rate_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[mixTemperature]] WITHOUT the 100% clamp — epoch upsampling: when
+    * the temperature-scaled token target of a small source EXCEEDS its
+    * size, the source is repeated (fractional epochs), the standard
+    * multilingual-LM treatment of tail languages. Each doc emits
+    * `f div 1e6` full copies plus one more when its salted-md5 bucket
+    * falls under `f mod 1e6` — deterministic, partitioning-invariant,
+    * and in expectation every source lands its target token mass. Same
+    * all-integer rate discipline as [[mixTemperature]] (shared sqrt-
+    * share weights, BIGINT division); the copy expansion is one in-row
+    * `sequence` explode, so output volume is the only cost.
+    */
+  def mixUpsample(docs: DataFrame, budget: Long,
+      salt: String = "ups:"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+    val full = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = d.groupBy(col("source")).agg(sum(col("tok")).as("n_s"))
+      .withColumn("w", floor(sqrt(col("n_s").cast("double") /
+        sum(col("n_s")).over(full).cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("t_s", expr(s"($budget * w) div sum(w) over ()"))
+      .withColumn("f_micro", expr("(1000000 * t_s) div n_s"))
+      .select(col("source").as("__us_source"), col("f_micro"))
+    d.join(broadcast(rates), d("source") === col("__us_source"))
+      .withColumn("n_copies",
+        expr("f_micro div 1000000") +
+          when(bucket(col("doc_id"), salt) < expr("f_micro % 1000000"), 1)
+            .otherwise(0))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("tok"),
+        explode(expr("sequence(1, n_copies)")).as("copy"))
+      .select(col("doc_id"), col("source"),
+        col("copy").cast("int").as("copy"), col("tok"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
 }

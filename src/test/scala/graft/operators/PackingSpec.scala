@@ -131,4 +131,36 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getLong(0)).toSet
     assert(got.map(_._1).toSet.subsetOf(bigger))
   }
+
+  test("lengthBatches: buckets honor bounds, batches stay within budget + one doc") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Engine.Tables(spark, dir).documents
+    val rows = Packing.lengthBatches(docs, Budget).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // every doc appears exactly once
+    assert(rows.map(_._1).distinct.length === docs.count())
+    // bucket classes match the token bounds
+    val bounds = Seq(64L, 128L, 256L)
+    rows.foreach { case (id, bucket, _, tok) =>
+      val want = bounds.indexWhere(tok < _) match {
+        case -1 => bounds.length
+        case i  => i
+      }
+      assert(bucket === want, s"doc $id tok=$tok bucket=$bucket")
+    }
+    // a batch holds ≤ budget tokens plus at most the doc that opened
+    // past the boundary (packShards first-token semantics)
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((b, batch), rs) =>
+      val total = rs.map(_._4).sum
+      val maxDoc = rs.map(_._4).max
+      assert(total <= Budget + maxDoc,
+        s"bucket $b batch $batch holds $total tokens")
+    }
+    // batch ids are contiguous from 0 within each bucket
+    rows.groupBy(_._2).foreach { case (b, rs) =>
+      val ids = rs.map(_._3).distinct.sorted
+      assert(ids === (0L until ids.length).toArray.toSeq.toArray,
+        s"bucket $b batches: ${ids.mkString(",")}")
+    }
+  }
 }

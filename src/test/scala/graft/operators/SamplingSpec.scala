@@ -240,4 +240,28 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     val b = Sampling.mixTemperature(docs, 800).select("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("mixUpsample repeats tail sources past one epoch and hits token targets") {
+    import spark.implicits._
+    val docs = ((0 until 320).map(i => (i.toLong, "w " * 10, "big")) ++
+      (320 until 340).map(i => (i.toLong, "w " * 10, "small")))
+      .toDF("doc_id", "text", "source")
+    // budget 2× the corpus: 'small' (sqrt-share weight 1/5 of the mass
+    // on 1/17 of the tokens) must exceed one epoch
+    val out = Sampling.mixUpsample(docs, budget = 6800).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    val smallCopies = bySrc("small").map(r => r.getLong(0) -> r.getInt(2))
+    assert(smallCopies.exists(_._2 >= 2), "tail source must repeat")
+    // every doc's copies are 1..n with no gaps
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.map(_.getInt(2)).sorted
+      assert(cs === (1 to cs.length).toArray)
+    }
+    // landed token mass per source ≈ its integer-arithmetic target
+    // (exact up to the fractional-copy hash gate's sampling error)
+    val smallTok = bySrc("small").map(_.getLong(3)).sum
+    val bigTok = bySrc("big").map(_.getLong(3)).sum
+    assert(smallTok >= 1000 && smallTok <= 2400, s"small landed $smallTok")
+    assert(bigTok >= 4400 && bigTok <= 6600, s"big landed $bigTok")
+  }
 }
