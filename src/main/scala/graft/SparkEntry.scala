@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_i8_topk"          -> (Similarity.i8TopKDocs(_, _)),
     "matryoshka_topk"      -> (Similarity.matryoshkaTopKDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
+    "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
@@ -1385,6 +1386,64 @@ object SparkEntry {
                  d -> CAST(c.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
                / (c.norm * q.norm), 4) AS cos
            FROM base q JOIN base c ON q.vec_id < 10 AND c.vec_id >= 10),
+         ranked AS (
+           SELECT q_id, label,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM scored),
+         votes AS (
+           SELECT q_id, label, count(*) AS n_votes
+           FROM ranked WHERE rk <= 10 GROUP BY q_id, label),
+         best AS (
+           SELECT q_id, label, n_votes,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY n_votes DESC, label) AS vr
+           FROM votes)
+         SELECT q_id, label AS pred_label, n_votes
+         FROM best WHERE vr = 1 ORDER BY q_id""",
+    // IVF-probed kNN labeling: the ann_ivf CTE chain (seed centroids =
+    // first 16 vectors, argmax-cosine cells with larger-id ties, top-4
+    // probe lists) restricted to the labeled pool, then the
+    // knn_classify vote over the probed candidates
+    "knn_classify_ivf" ->
+      """WITH base AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+           FROM base WHERE vec_id < 16),
+         scores AS (
+           SELECT b.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(b.embedding[d] AS DOUBLE) * CAST(c.c_emb[d] AS DOUBLE)))
+               / (b.norm * c.c_norm) AS ccos
+           FROM base b CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, c_id AS probe_cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn <= 4 AND vec_id < 10),
+         cand AS (
+           SELECT p.q_id, a.vec_id
+           FROM probes p JOIN assigned a ON a.cell = p.probe_cell
+           WHERE a.vec_id >= 10),
+         scored AS (
+           SELECT c.q_id, c.vec_id, bc.label,
+             round(list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(bc.embedding[d] AS DOUBLE) * CAST(bq.embedding[d] AS DOUBLE)))
+               / (bc.norm * bq.norm), 4) AS cos
+           FROM cand c
+           JOIN base bc ON bc.vec_id = c.vec_id
+           JOIN base bq ON bq.vec_id = c.q_id),
          ranked AS (
            SELECT q_id, label,
              row_number() OVER (PARTITION BY q_id

@@ -564,6 +564,9 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  def knnClassifyIvfDocs(spark: SparkSession, dir: String): DataFrame =
+    knnClassifyIvf(Tables(spark, dir).embeddings)
+
   def knnClassify(vecs: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
     val base = withNorm(vecs)
     val queries = broadcast(base
