@@ -470,7 +470,11 @@ object Streaming {
               out += QuarantineHit(p.doc_id, p.band, doc,
                 java.lang.Long.bitCount(fp ^ p.fp))
             }
-            fps = ((p.fp, p.doc_id) :: fps).take(bucketCap)
+            // take() COPIES the list — with the cap disabled (the gate's
+            // exact mode) that would be O(n²) on hot buckets; prepend is
+            // all that's needed when no eviction can occur
+            val grown = (p.fp, p.doc_id) :: fps
+            fps = if (bucketCap == Int.MaxValue) grown else grown.take(bucketCap)
           }
           state.update(BucketState(fps))
           out.result().iterator
