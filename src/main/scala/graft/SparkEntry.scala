@@ -246,6 +246,7 @@ object SparkEntry {
     "stream_enrich"        -> (streaming.StreamQueries.enrichEvents(_, _)),
     "stream_topk"          -> (streaming.StreamQueries.leaderboardEvents(_, _)),
     "stream_fingerprint"   -> (streaming.StreamQueries.fingerprintDocs(_, _)),
+    "stream_pipeline"      -> (streaming.StreamQueries.pipelineDocs(_, _)),
     // --- the composed curation pipeline (dedup → decon → quality →
     // sample) as one plan, gated end to end
     "pipeline_curate"      -> (operators.Pipeline.curateDocs(_, _)),
@@ -449,6 +450,44 @@ object SparkEntry {
          AND ${duckMd5_60("'cur:' || CAST(doc_id AS VARCHAR)")} % 1000000
              < 500000
        ORDER BY doc_id"""
+  }
+
+  /** Streaming curation pipeline oracle: dedup + quality + decon per
+    * distinct-TEXT class — all emitted columns are text functions, so
+    * the class projection (fp, z, prob) is the deterministic face of
+    * the arrival-order-dependent survivor choice. Contamination is
+    * unrestricted on the train side (an eval doc contaminates itself).
+    */
+  private def streamPipelineOracleSql: String = {
+    val w = operators.QualityModel.GateWeights
+    s"""WITH sh AS (
+         SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents),
+              UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+         WHERE len(w) >= 5),
+       contaminated AS (
+         SELECT DISTINCT t.doc_id
+         FROM sh t JOIN sh e ON t.shingle = e.shingle
+         WHERE e.doc_id % 20 = 0),
+       f AS (
+         SELECT doc_id, text,
+           ln(1.0 + len(w)) AS f1,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS f2,
+           CAST(len(list_filter(w, t -> len(t) >= 3)) AS DOUBLE) / len(w)
+             AS f3
+         FROM (SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS w
+               FROM documents)),
+       s AS (SELECT doc_id, text,
+               ${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3 AS z
+             FROM f)
+       SELECT DISTINCT md5(text) AS fp, round(z, 6) AS z,
+         round(1.0 / (1.0 + exp(-z)), 4) AS prob
+       FROM s
+       WHERE z > 0
+         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       ORDER BY fp"""
   }
 
   /** The grouped (leakage-safe) split oracle: identical CASE thresholds,
@@ -2013,6 +2052,7 @@ object SparkEntry {
     "stream_quality" -> streamQualityOracleSql,
     "stream_quarantine" -> streamQuarantineOracle,
     "pipeline_curate" -> pipelineCurateOracleSql,
+    "stream_pipeline" -> streamPipelineOracleSql,
     // watermarked stream-stream join: inner matches emit as found, so
     // the landed set equals the batch interval join
     "stream_join" ->

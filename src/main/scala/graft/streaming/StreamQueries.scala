@@ -219,6 +219,35 @@ object StreamQueries {
       gateDir("fingerprint"))()
       .orderBy("doc_id")
 
+  /** The streaming curation pipeline — [[graft.operators.Pipeline]]'s
+    * ingest-time twin, composed as ONE streaming query: content dedup
+    * (`dropDuplicatesWithinWatermark` on the full md5), the
+    * fixed-weight quality admission, and broadcast-set
+    * decontamination, in that order (the stateful stage first, then
+    * the stateless filters ride the same micro-batch plan). WHICH
+    * physical duplicate survives is arrival-order-dependent, but every
+    * column the gate emits is text-derived, so the projection
+    * (fp, z, prob) is deterministic per content class; the oracle
+    * restates all three stages over the distinct-text classes. Eval
+    * docs (doc_id % 20) need no separate exclusion: any eval doc long
+    * enough to shingle is contaminated BY ITSELF and drops at the
+    * decon stage, as do its duplicates.
+    */
+  def pipelineDocs(spark: SparkSession, dir: String): DataFrame = {
+    val evalHashes = Streaming.evalShingleHashSet(
+      graft.Engine.Tables(spark, dir).documents
+        .filter(col("doc_id") % 20 === 0))
+    val docs = streamDocs(spark, dir)
+      .withColumn("event_ts", timestamp_micros(col("doc_id") + lit(1000000L)))
+    val curated = Streaming.decontaminateStream(
+      Streaming.qualityFilterStream(Streaming.dedupContentStream(docs)),
+      evalHashes)
+    StreamGate.runToParquet(spark,
+      curated.select(col("fp"), col("z"), col("prob")),
+      gateDir("pipeline"))()
+      .orderBy("fp")
+  }
+
   /** Gated [[Streaming.budgetAdmitStream]]: per-language token-budget
     * admission (flatMapGroupsWithState, append). Arrival order inside
     * the single micro-batch is the operator's own doc_id sort, so

@@ -86,6 +86,20 @@ class StreamQueriesSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty)
   }
 
+  test("stream_pipeline lands the batch-curated content classes") {
+    val got = StreamQueries.pipelineDocs(spark, dir).collect().toSet
+    val docs = graft.Engine.Tables(spark, dir).documents
+    val cleanIds = graft.operators.Dedup.decontaminate(
+      docs, docs.filter(col("doc_id") % 20 === 0))
+    val want = graft.operators.QualityModel
+      .logitScoreWide(docs.join(cleanIds, "doc_id"))
+      .filter(col("keep") === 1)
+      .select(md5(col("text")).as("fp"), col("z"), col("prob"))
+      .distinct().collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("stream_join lands the batch interval join") {
     val got = StreamQueries.joinEvents(spark, dir).collect().toSet
     // the transform is source-agnostic: run it on the batch frame
