@@ -250,6 +250,9 @@ object SparkEntry {
     // --- the composed curation pipeline (dedup → decon → quality →
     // sample) as one plan, gated end to end
     "pipeline_curate"      -> (operators.Pipeline.curateDocs(_, _)),
+    // --- link-graph centrality (crawl prioritization): fixed-iteration
+    // integer-micro PageRank over the synthesized doc link graph
+    "graph_pagerank"       -> (operators.Graph.pageRankDocs(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -2714,12 +2717,46 @@ object SparkEntry {
            FROM s2)
          SELECT q_id, rk, vec_id, d64 FROM r2
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    "graph_pagerank" -> pageRankOracleSql,
     // q18_sketches (HLL++/t-digest are approximate by design),
     // mm_features (float-normalized stub pixels) and kmeans_assign
     // (centroid means are float sums whose value depends on partition
     // merge order — inherent to parallel k-means) stay rows-only; exact
     // semantics are covered by ScalaTest.
   )
+
+  /** PageRank oracle: re-derive [[operators.Graph.linkEdges]]'s synthetic
+    * multigraph (same md5-60 target hash onto the contiguous doc_id
+    * domain), then unroll [[operators.Graph.Iterations]] damped rounds of
+    * the SAME integer micro-unit arithmetic — `150000 +
+    * (85 · Σ floor(r/out_degree)) div 100` — as a CTE chain. Positive
+    * BIGINTs throughout, so DuckDB `//` and Spark `div` agree exactly.
+    */
+  private def pageRankOracleSql: String = {
+    val k = operators.Graph.OutDegree
+    val iters = operators.Graph.Iterations
+    val base = operators.Graph.BaseMicro
+    val steps = (1 to iters).map { i =>
+      s"""i$i AS (
+           SELECT e.dst AS id, sum(r.r // $k) AS s
+           FROM edges e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst),
+         r$i AS (
+           SELECT d.doc_id AS id,
+             CAST($base + (85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS r
+           FROM documents d LEFT JOIN i$i i ON d.doc_id = i.id)"""
+    }.mkString(",\n       ")
+    s"""WITH b AS (SELECT min(doc_id) AS lo, count(*) AS n FROM documents),
+         edges AS (
+           SELECT doc_id AS src,
+             lo + (${duckMd5_60(
+      "'edge:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+               % n) AS dst
+           FROM documents, b, UNNEST(generate_series(1, $k)) AS t(j)),
+         r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r
+                FROM documents),
+         $steps
+         SELECT id AS doc_id, r AS rank_micro FROM r$iters ORDER BY doc_id"""
+  }
 
   /** (c_id, [centroid], c²) VALUES rows for the kmeans_fixed_assign
     * oracle — the same driver-side constants the Spark entry compiles
