@@ -253,6 +253,9 @@ object SparkEntry {
     // --- link-graph centrality (crawl prioritization): fixed-iteration
     // integer-micro PageRank over the synthesized doc link graph
     "graph_pagerank"       -> (operators.Graph.pageRankDocs(_, _)),
+    // --- data-layout optimization: Z-order file assignment + the
+    // per-file min/max manifest data skipping prunes on
+    "zorder_layout"        -> (operators.Layout.zorderLineitem(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -2718,12 +2721,43 @@ object SparkEntry {
          SELECT q_id, rk, vec_id, d64 FROM r2
          WHERE rk <= 10 ORDER BY q_id, rk""",
     "graph_pagerank" -> pageRankOracleSql,
+    "zorder_layout" -> zorderOracleSql,
     // q18_sketches (HLL++/t-digest are approximate by design),
     // mm_features (float-normalized stub pixels) and kmeans_assign
     // (centroid means are float sums whose value depends on partition
     // merge order — inherent to parallel k-means) stay rows-only; exact
     // semantics are covered by ScalaTest.
   )
+
+  /** Z-order oracle: the same max-scaled quantization, the same flat
+    * shift/mask interleave sum [[operators.Layout.interleave]] generates,
+    * the same fixed-width file cells — all positive integer arithmetic,
+    * so `div`/`//` and the bit ops agree exactly across engines.
+    */
+  private def zorderOracleSql: String = {
+    val bits = operators.Layout.Bits
+    val scale = 1L << bits
+    val cellW = (1L << (2 * bits)) / operators.Layout.Files
+    val terms = (0 until bits).map(i =>
+      s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (
+           SELECT max(l_orderkey) + 1 AS mx, max(l_partkey) + 1 AS my
+           FROM lineitem),
+         z AS (
+           SELECT l_orderkey, l_partkey,
+             (l_orderkey * $scale) // mx AS zx,
+             (l_partkey * $scale) // my AS zy
+           FROM lineitem, b),
+         zz AS (
+           SELECT l_orderkey, l_partkey, $terms AS zval FROM z)
+         SELECT zval // $cellW AS file_id, count(*) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_x,
+           CAST(max(l_orderkey) AS BIGINT) AS max_x,
+           CAST(min(l_partkey) AS BIGINT) AS min_y,
+           CAST(max(l_partkey) AS BIGINT) AS max_y
+         FROM zz GROUP BY file_id ORDER BY file_id"""
+  }
 
   /** PageRank oracle: re-derive [[operators.Graph.linkEdges]]'s synthetic
     * multigraph (same md5-60 target hash onto the contiguous doc_id
