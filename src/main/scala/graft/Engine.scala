@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory + table catalog for the graft engine.
   *
@@ -70,8 +72,36 @@ object Engine {
     def part: DataFrame       = table("part")
     def orders: DataFrame     = table("orders")
     def lineitem: DataFrame   = table("lineitem")
-    def events: DataFrame     = table("events")
+    def events: DataFrame     = Engine.canonicalizeEventTs(table("events"))
     def documents: DataFrame  = table("documents")
     def embeddings: DataFrame = table("embeddings")
   }
+
+  /** Canonicalize `events.ts` to the engine's Long-nanoseconds convention,
+    * tolerant of fixture schema drift. The driver has shipped the column
+    * both ways: parquet TIMESTAMP(NANOS), which `nanosAsLong` surfaces as
+    * Long ns (the convention every events operator computes on), and
+    * parquet timestamp[us], which Spark reads as TIMESTAMP_NTZ. A real
+    * timestamp is converted to exact integer ns (`unix_micros * 1000` —
+    * no double rounding; µs-since-epoch × 1000 is far below Long overflow);
+    * an integral column passes through untouched. The cast NTZ→TIMESTAMP is
+    * deterministic under the session's pinned UTC zone. DuckDB oracles are
+    * unaffected either way: DuckDB sees a timestamp type for both fixture
+    * generations, so `epoch_us(ts)` spellings stay valid.
+    *
+    * Any other type is a loud failure — silently mis-reading time at
+    * 100 TB is how eleven queries broke in round 8 without a single test
+    * going red at commit time.
+    */
+  def canonicalizeEventTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType => events
+      case TimestampType | TimestampNTZType =>
+        events.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected Long ns or a timestamp; " +
+            "fixture schema drifted again, extend Engine.canonicalizeEventTs deliberately")
+    }
 }

@@ -27,8 +27,12 @@ object Streaming {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The {} glob makes the path glob-resolved, so the source accepts a
     // single-FILE fixture too (a literal path must be a directory —
-    // FileStreamSource derives basePath from it).
-    spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}")
+    // FileStreamSource derives basePath from it). The ts canonicalizer is
+    // the same one the batch path uses (Engine.canonicalizeEventTs) — both
+    // fixture generations (Long ns / timestamp[us]) surface as Long ns, so
+    // every downstream `ts div 1000` keeps its exact-integer semantics.
+    graft.Engine.canonicalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/{events.parquet}"))
   }
 
   /** Hourly tumbling-window counts per event type, 1-hour watermark:
