@@ -5,6 +5,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cpus, "graft-bench")
+    // Dev-only selective run, same contract as Verify: unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    val queries = SparkEntry.queries.filter(q => selected(q._1))
     // Warm-up pass: run every query once (same SF) before the timed pass —
     // the standard measure-the-second-run benchmark discipline, in effect
     // since round 3 (numbers before that are cold-run and not comparable).
@@ -12,40 +17,72 @@ object Bench {
     // whichever timed query touches a code path first, measured as
     // multi-second run-to-run-bimodal noise (the IVF/LSH queries compile
     // data-derived literal plans, so warming at a smaller SF misses them).
-    // A warm-up failure is loud (it predicts a -1 in the timed pass), just
-    // not fatal.
+    // A warm-up failure is loud (it predicts an err row in the timed pass),
+    // just not fatal.
     System.err.println(s"[bench] methodology: warm-run (untimed full pass at $sfDir, then timed)")
     try SparkEntry.entry(spark).count() catch {
       case t: Throwable => System.err.println(s"[bench] WARM-UP FAILURE entry: $t")
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch {
         case t: Throwable => System.err.println(s"[bench] WARM-UP FAILURE $name: $t")
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // 3-decimal (millisecond) formatting: full-precision doubles made the
-    // 108-query line ~6 KB and the driver's bounded tail capture truncated
-    // it mid-JSON (BENCH_r07 was unparseable standalone); ms resolution is
-    // below run-to-run noise anyway and keeps the line well under the cap
+    // Timed pass. A failed query is an ERROR row, never a phantom time —
+    // round 8 shipped 11 analysis-broken queries that this harness timed
+    // at ~0.07 s each (the cost of throwing), which read as improvements
+    // in the committed artifact. Failures must be loud in the artifact
+    // itself, not only on stderr.
+    val results: Seq[(String, Either[String, Double])] =
+      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); name -> Right((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] FAILURE $name: $t")
+          name -> Left(Option(t.getMessage).getOrElse(t.getClass.getName))
+        }
+      }
+    // 3-decimal (millisecond) formatting: ms resolution is below run-to-run
+    // noise and keeps lines short (the driver's tail capture is bounded).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // sbt decorates stdout with [info]; drop a clean machine-readable copy
-    // so nothing has to strip prefixes. Anchor the path explicitly
-    // (SPARK_GRAFT_BENCH_OUT) rather than trusting the process CWD —
-    // spark-submit/CI may run from elsewhere or from a read-only dir.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    // Error messages truncated to one line / 80 chars: the artifact needs
+    // the existence + root-cause head, the full trace is on stderr.
+    val errs = results.collect { case (k, Left(m)) =>
+      k -> m.linesIterator.next().take(80)
+    }
+    val emap = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_err":${errs.size},"errors":$emap,"sf":"$sfDir""""
+    // Two artifacts from one run:
+    //  - FULL file (tracked in-repo as BENCH_FULL.json unless overridden):
+    //    every per-query time — the audit trail.
+    //  - stdout line: the driver archives only the LAST 2000 chars of
+    //    stdout into BENCH_r{N}.json and parses JSON from that window; a
+    //    137-query map is ~3.4 KB and can never fit, which left rounds 7-8
+    //    unparseable ("parsed": null). The printed line therefore carries
+    //    the total, ALL error rows, and the headline q* relational suite
+    //    only (~1 KB, fits the window with room for sbt's epilogue), plus
+    //    a pointer to the full artifact.
+    val fullLine = s"""{"metric":"total",$common,"queries":${qmap(ok)}}"""
+    val headline = ok.filter { case (k, _) => k.startsWith("q") }
+    val stdoutLine =
+      s"""{"metric":"total",$common,"queries":${qmap(headline)},"queries_full":"BENCH_FULL.json"}"""
+    println(stdoutLine)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"[bench] could not write $outPath: $t") }
     spark.stop()
+    // A bench run with failures must fail the invoking process too.
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

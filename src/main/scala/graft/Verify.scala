@@ -16,11 +16,23 @@ object Verify {
       only.forall(_.exists(name.startsWith))
     val spark = Engine.session(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A failed query must leave a marker the driver can surface as an
+        // err row — round 8's catch-print-skip left the CORRECTNESS
+        // artifact silently OMITTING 11 broken queries, indistinguishable
+        // from "never declared". The _ERROR file sits inside the query's
+        // output dir (created if the write died before mkdir), so any
+        // consumer globbing the dir sees a non-parquet failure sentinel.
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val dir = new java.io.File(s"$outDir/$name")
+        dir.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+          Option(e.getMessage).getOrElse(e.getClass.getName) + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,5 +51,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Nonzero exit on any failure — the dump is incomplete and the round's
+    // correctness gate must see that, not a clean rc over missing rows.
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed quer(y/ies) FAILED — see _ERROR markers in $outDir")
+      sys.exit(1)
+    }
   }
 }

@@ -278,4 +278,51 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("SortMergeJoin"),
       "the 20-row rates table must broadcast, never SMJ")
   }
+
+  test("pagerank: K Pregel iterations over a MATERIALIZED edge list, no cartesian") {
+    val plan = planOf("graph_pagerank")
+    // the linkEdges synthesis cross-broadcast must NOT appear in the
+    // iterated plan — edges are localCheckpoint'd once and scanned as an
+    // ExistingRDD per iteration; without that, lineage re-derives the
+    // synthesis K times and grows exponentially with a left-join chain
+    assert(plan.contains("Scan ExistingRDD"),
+      s"edges not materialized:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "edge synthesis leaked into the iterated plan")
+    // per iteration: one edges⋈ranks join + one rank-sum agg shuffle +
+    // one left join back to nodes — exactly 2K joins, K agg exchanges
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins == 2 * operators.Graph.Iterations,
+      s"expected ${2 * operators.Graph.Iterations} joins (2 per iteration), got $joins")
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs == 2 * operators.Graph.Iterations,
+      s"expected partial+final agg per iteration, got $aggs HashAggregates")
+  }
+
+  test("zorder: quantize+interleave fused in the scan; one stats agg exchange") {
+    val plan = planOf("zorder_layout")
+    // the only wide op on the fact path is the per-file stats groupBy;
+    // the max-bounds aggregate rides a one-row broadcast. A global sort
+    // here would mean the layout needs sampled range boundaries — the
+    // design is fixed-width cells precisely to avoid that.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange (stats agg), got $hashExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("Cross"),
+      "one-row bounds must broadcast onto the scan")
+    assert(!plan.contains("Window"), "layout must not rank/sort globally")
+  }
+
+  test("pipeline_curate: one tree — dedup aggregates, decon probe broadcasts") {
+    val plan = planOf("pipeline_curate")
+    // exact-dedup survivors via hash aggregate (never a doc-count window);
+    // the eval 5-gram set rides a broadcast LeftSemi so the train corpus
+    // is never shuffled for decontamination
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"decon probe must broadcast the eval n-grams:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), "dedup survivor pick must stay an aggregate")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "no all-pairs stage anywhere")
+  }
 }

@@ -31,6 +31,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        err_marker = f"{out_dir}/{name}/_ERROR"
+        if os.path.exists(err_marker):
+            msg = open(err_marker).read().strip().splitlines()[:1]
+            print(f"FAIL {name}: spark error: {msg[0] if msg else '?'}")
+            failures += 1
+            continue
         if not files:
             print(f"FAIL {name}: no spark output")
             failures += 1
