@@ -89,10 +89,19 @@ object Sentences {
     * sentence-partitioned window would hot-spot.
     */
   def sentenceDedup(docs: DataFrame): DataFrame = {
+    // The digest table feeds BOTH sides of the decision (the first-
+    // occurrence aggregate and the probe join), and the two consumers
+    // shuffle on h at different plan depths, so Catalyst/AQE cannot reuse
+    // one exchange — without materialization the synthesis + segmentation
+    // subtree executes twice (measured as two full passes in the 10×
+    // stress). Materialize it once — the same stored-intermediate policy
+    // as the PQ code index and the PageRank edge list; a production
+    // pipeline would land this table in the lake as its own ETL stage.
     val sents = sentenceSegment(docs)
       .withColumn("norm",
         lower(regexp_replace(col("sentence"), "[.!?]+$", "")))
       .withColumn("h", md5(col("norm")))
+      .localCheckpoint()
     val firsts = sents.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("sent_id"))).as("first"))
     sents.join(firsts, Seq("h"))

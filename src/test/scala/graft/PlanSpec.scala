@@ -224,6 +224,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
     // no window partitioned by the sentence digest anywhere in the plan
     assert(!plan.toLowerCase.contains("window"), plan.take(2500))
+    // the segmented table is MATERIALIZED once — both the first-occurrence
+    // aggregate and the probe join must scan the checkpoint, not re-run
+    // the synthesis (which executes the documents scan twice)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"segmented table not materialized:\n${plan.take(2500)}")
+    assert(!plan.contains("Scan parquet"),
+      "a parquet scan in the dedup plan means the synthesis re-ran")
   }
 
   test("pq_adc_topk: lookup fused in the scan, no join keyed on the corpus") {
