@@ -86,6 +86,9 @@ object SparkEntry {
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
+    "ann_recall"           -> (Similarity.annRecall(_, _)),
+    "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
+    "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
     "ann_ivf"              -> (Similarity.annIvf(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
@@ -772,6 +775,29 @@ object SparkEntry {
     * signature bit — and hence bucket membership, candidates and the
     * final rerank — matches bit-for-bit.
     */
+  /** Exact brute-force cosine top-k — also the baseline CTE inside the
+    * ann_recall audit, so the two spellings can never drift.
+    */
+  private val annTopkOracle: String =
+    """WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(c.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
+               / (c.norm * q.norm), 4) AS cos
+           FROM base q JOIN base c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, neighbor_id, cos FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk"""
+
   private def annLshOracle: String = {
     val w = operators.Similarity.planeWeights(8)
     val rows = w.zipWithIndex
@@ -1311,6 +1337,62 @@ object SparkEntry {
            round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
          FROM documents""",
+    // oracle masks key on the shingle STRING; the engine keys on
+    // xxhash64(shingle) — the gate re-checks the substitution, as for
+    // text_novelty / dedup_substr
+    "source_overlap" ->
+      """WITH sh AS (
+           SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS sid,
+             array_to_string(w[i:i+7], ' ') AS shingle
+           FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+           WHERE len(w) >= 8),
+         masks AS (
+           SELECT shingle, bit_or(1::BIGINT << sid) AS mask
+           FROM sh GROUP BY shingle),
+         hist AS (SELECT mask, count(*) AS n FROM masks GROUP BY mask),
+         grid AS (
+           SELECT s1.a, s2.b
+           FROM generate_series(0, 19) s1(a), generate_series(0, 19) s2(b)
+           WHERE s1.a <= s2.b)
+         SELECT CAST(g.a AS INT) AS src_a, CAST(g.b AS INT) AS src_b,
+           CAST(sum(h.n) AS BIGINT) AS n_shared
+         FROM hist h JOIN grid g
+           ON ((h.mask >> g.a) & 1) = 1 AND ((h.mask >> g.b) & 1) = 1
+         GROUP BY g.a, g.b ORDER BY src_a, src_b""",
+    // prob_micro is the gate's own 4-decimal probability lifted to an
+    // exact integer, so binning and both rates are pure BIGINT arithmetic
+    "quality_calibration" ->
+      """WITH f AS (
+           SELECT ln(1.0 + len(w)) AS f1,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS f2,
+             CAST(len(list_filter(w, t -> len(t) >= 3)) AS DOUBLE) / len(w)
+               AS f3,
+             len(w) AS n_tok,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS ar,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr
+           FROM (SELECT text, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents)),
+         s AS (
+           SELECT CAST(round(round(1.0 / (1.0 + exp(
+               -(-3.15 + 0.45 * f1 + 1.2 * f2 + 0.8 * f3))), 4) * 10000)
+               AS BIGINT) AS prob_micro,
+             CASE WHEN n_tok < 12 OR ar < 0.78 OR dr < 0.35
+               THEN 0 ELSE 1 END AS ck
+           FROM f),
+         b AS (
+           SELECT least(prob_micro * 20 // 10000, 19) AS bin,
+             prob_micro, ck
+           FROM s)
+         SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+           CAST(sum(ck) AS BIGINT) AS n_cascade_keep,
+           (CAST(sum(ck) AS BIGINT) * 1000000) // count(*)
+             AS cascade_keep_micro,
+           (CAST(sum(prob_micro) AS BIGINT) * 100) // count(*)
+             AS mean_prob_micro
+         FROM b GROUP BY bin ORDER BY bin""",
     // oracle keys the cross-doc flag on the shingle STRING; the engine
     // keys on md5(shingle) — the gate re-checks the hash-for-string
     // substitution, as for text_novelty
@@ -1397,25 +1479,19 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9
          ORDER BY doc_a, doc_b""",
-    "ann_topk" ->
-      """WITH base AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-           FROM embeddings),
-         scored AS (
-           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-             round(list_sum(list_transform(generate_series(1, 64),
-                 d -> CAST(c.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
-               / (c.norm * q.norm), 4) AS cos
-           FROM base q JOIN base c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
-         ranked AS (
-           SELECT q_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY cos DESC, neighbor_id) AS rk
-           FROM scored)
-         SELECT q_id, rk, neighbor_id, cos FROM ranked
-         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "ann_topk" -> annTopkOracle,
+    // recall@10 audit: LEFT JOIN keeps zero-candidate queries as 0-recall
+    // rows; integer micro-rate, no float division (engine-exact)
+    "ann_recall" ->
+      s"""WITH brute AS ($annTopkOracle),
+         approx AS ($annLshOracle)
+         SELECT b.q_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.neighbor_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM brute b LEFT JOIN approx a
+           ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.q_id ORDER BY b.q_id""",
     // kNN majority vote: queries (vec_id < 10) against the labeled pool
     // (vec_id >= 10); same rounded-cosine ranking as ann_topk, majority
     // label with smaller-label tiebreak

@@ -58,4 +58,56 @@ object Monitoring {
   def corpusCardDocs(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     corpusCard(graft.Engine.Tables(spark, dir).documents)
+
+  /** Shingles for the overlap audit — word n-grams per (source, text)
+    * row; the [[Dedup.rawShingles]] synthesis with `source` carried
+    * instead of `doc_id`.
+    */
+  val OverlapShingle = 8
+
+  /** Cross-source shingle-overlap matrix — the corpus-composition audit
+    * behind every dataset card's "component overlap" table: for each
+    * source pair (a ≤ b), how many distinct word [[OverlapShingle]]-grams
+    * occur in BOTH components (the diagonal is each component's distinct
+    * shingle count). Redundant or contaminated components show up as hot
+    * off-diagonal cells before any training run pays for the overlap.
+    *
+    * 100 TB shape (the part that matters): ONE aggregate keyed on the
+    * 8-byte shingle hash builds a per-shingle source BITMASK
+    * (`bit_or(1 << source_id)` — idempotent, so no per-source distinct
+    * pass), then the mask HISTOGRAM (≤ 2^S rows for S sources, usually
+    * far fewer — bounded regardless of corpus size) expands into the
+    * S(S+1)/2 pair grid. The expensive stage is shingle-volume-linear
+    * with map-side partials; the quadratic-looking pair expansion runs
+    * on the tiny histogram, never on shingles. Same hash-for-string
+    * substitution as every dedup path (collision odds ~(#shingles)²/2⁶⁴);
+    * the oracle recomputes over the shingle strings themselves.
+    */
+  def sourceOverlap(docs: DataFrame, nSources: Int = 20): DataFrame = {
+    val n = OverlapShingle
+    val toks = split(trim(col("text")), "\\s+")
+    val sh = docs
+      .select(regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+        .as("sid"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("sid"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("shingle"))
+    val masks = sh
+      .groupBy(xxhash64(col("shingle")).as("h"))
+      .agg(expr("bit_or(shiftleft(1L, sid))").as("mask"))
+    val hist = masks.groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    val grid = (0 until nSources).flatMap(a => (a until nSources).map(b =>
+      struct(lit(a).as("a"), lit(b).as("b"))))
+    hist
+      .select(col("mask"), col("n"), explode(array(grid: _*)).as("p"))
+      .filter(expr("((mask >> p.a) & 1) = 1 AND ((mask >> p.b) & 1) = 1"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(sum(col("n")).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sourceOverlapDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    sourceOverlap(graft.Engine.Tables(spark, dir).documents)
 }

@@ -113,6 +113,57 @@ object QualityModel {
   def logitScoreDocs(spark: SparkSession, dir: String): DataFrame =
     logitScore(Tables(spark, dir).documents)
 
+  /** Probability-bucket count for the calibration table. */
+  val CalibrationBins = 20
+
+  /** Calibration/agreement table for the learned filter — the check every
+    * classifier swap-in runs before replacing an incumbent rule: bucket
+    * the model's predicted keep-probability into [[CalibrationBins]]
+    * equal-width bins and compare, per bin, against the heuristic
+    * cascade's verdict ([[TextAnalysis.filterCascade]] thresholds — the
+    * incumbent). A calibrated, agreeing model shows cascade keep-rates
+    * rising monotonically with predicted probability; a flat band is
+    * where the two filters disagree and human review samples from.
+    *
+    * Engine-exactness: the probability is the gate's own 4-decimal
+    * rounding lifted to an exact integer (`prob_micro` ∈ [0, 10000]), so
+    * bin assignment and both per-bin rates are pure BIGINT arithmetic —
+    * bit-identical under any partitioning and in any engine.
+    *
+    * 100 TB shape: model score AND cascade verdict are scan-fused scalar
+    * expressions over one documents pass (no join between the two
+    * filters); the only shuffle is the ≤[[CalibrationBins]]-key
+    * aggregate with map-side partials.
+    */
+  def calibrationTable(docs: DataFrame,
+      weights: Array[Double] = GateWeights): DataFrame = {
+    val z = linearOf(weights, featureExprs)
+    val prob4 = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    val toks = split(trim(col("text")), "\\s+")
+    val cascadeKeep = when(
+      size(toks) < TextAnalysis.CascadeMinTokens ||
+        TextAnalysis.alphaRatioExpr < TextAnalysis.CascadeMinAlpha ||
+        TextAnalysis.distinctRatioExpr < TextAnalysis.CascadeMinDistinct,
+      lit(0L)).otherwise(lit(1L))
+    docs
+      .select(round(prob4 * 10000).cast("long").as("prob_micro"),
+        cascadeKeep.as("ck"))
+      .withColumn("bin",
+        least(expr(s"prob_micro * $CalibrationBins div 10000"),
+          lit(CalibrationBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ck")).as("n_cascade_keep"),
+        sum(col("prob_micro")).as("__pm"))
+      .select(col("bin"), col("n"), col("n_cascade_keep"),
+        expr("n_cascade_keep * 1000000 div n").as("cascade_keep_micro"),
+        expr("__pm * 100 div n").as("mean_prob_micro"))
+      .orderBy(col("bin"))
+  }
+
+  def calibrationDocs(spark: SparkSession, dir: String): DataFrame =
+    calibrationTable(Tables(spark, dir).documents)
+
   /** Batch gradient descent on the logistic loss. `feats` must carry
     * f1/f2/f3 and a 0/1 `labelCol`. Returns the learned
     * (bias, w1, w2, w3). One aggregate job per iteration; nothing but

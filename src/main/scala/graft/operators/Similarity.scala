@@ -117,6 +117,30 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables(spark, dir).embeddings)
 
+  /** Recall@k audit of an approximate index against the exact baseline —
+    * the number every ANN deployment publishes before switching the
+    * serving path. Per query: how many of the true (brute-force) top-k
+    * the approximate result found, as an exact integer micro-rate
+    * (engine-portable — no float division). Both inputs are top-k tables
+    * (≤ queries×k rows — driver-scale by construction), so the audit
+    * join is trivially broadcast; its cost is dominated by the two index
+    * runs themselves, which at 100 TB is the point: the audit reuses the
+    * production plans unchanged rather than re-deriving its own scoring.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("q_id").as("a_q"), col("neighbor_id").as("a_n"))
+    exact.select(col("q_id"), col("neighbor_id"))
+      .join(a, col("q_id") === col("a_q") && col("neighbor_id") === col("a_n"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("a_n")).as("n_hit"))
+      .withColumn("recall_micro", expr(s"n_hit * 1000000 div $k"))
+      .orderBy(col("q_id"))
+  }
+
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    recallAtK(annBruteForce(spark, dir), annLsh(spark, dir), k = 10)
+
   /** IVF (inverted-file) ANN — the second scale path, complementary to
     * LSH: partition the corpus into `cells` by nearest centroid, probe
     * only the `nProbe` best cells per query, exact-rerank the survivors.

@@ -321,6 +321,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Window"), "layout must not rank/sort globally")
   }
 
+  test("source_overlap: pair expansion runs on the mask histogram, never on shingles") {
+    val plan = planOf("source_overlap")
+    // exactly two Generates: the shingle explode (feeding the hash agg)
+    // and the pair-grid explode (above BOTH aggregate levels — pairs are
+    // expanded from the bounded mask histogram, not from shingle rows)
+    val gens = "Generate".r.findAllIn(plan).length
+    assert(gens == 2, s"expected shingle + pair-grid Generates, got $gens")
+    assert(!plan.contains("Join"), "the matrix needs no join at all")
+    // shingle-volume stage combines map-side before its shuffle
+    assert(plan.contains("partial_bit_or") || plan.contains("Partial"),
+      s"mask agg missing map-side partials:\n${plan.take(2500)}")
+  }
+
+  test("quality_calibration: both filters fused into ONE scan, one agg shuffle") {
+    val plan = planOf("quality_calibration")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"model + cascade must share one documents scan, got $scans")
+    assert(!plan.contains("Join"), "no join between the two filters")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected only the bin aggregate exchange, got $hashEx")
+  }
+
   test("pipeline_curate: one tree — dedup aggregates, decon probe broadcasts") {
     val plan = planOf("pipeline_curate")
     // exact-dedup survivors via hash aggregate (never a doc-count window);

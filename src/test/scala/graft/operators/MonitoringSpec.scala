@@ -47,4 +47,35 @@ class MonitoringSpec extends AnyFunSuite with SparkTestSession {
       BigDecimal(1.0 - uniq.toDouble / rows.length)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("sourceOverlap: shared shingles land in the right cells, no phantom pairs") {
+    import spark.implicits._
+    val eightGram = "a b c d e f g h" // exactly one 8-gram shingle
+    val docs = Seq(
+      (1L, eightGram, "src0"),
+      (2L, eightGram, "src1"),          // same shingle → src0∩src1
+      (3L, "p q r s t u v w", "src2"),  // disjoint shingle
+      (4L, "x y", "src3")               // too short: no shingles at all
+    ).toDF("doc_id", "text", "source")
+    val m = Monitoring.sourceOverlap(docs, nSources = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m === Map((0, 0) -> 1L, (0, 1) -> 1L, (1, 1) -> 1L, (2, 2) -> 1L))
+  }
+
+  test("sourceOverlap diagonal equals per-source distinct shingle count on the fixture") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val m = Monitoring.sourceOverlapDocs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // independent in-memory recomputation of one diagonal cell
+    import org.apache.spark.sql.functions.col
+    val n = Monitoring.OverlapShingle
+    val src0 = docs.filter(col("source") === "src0")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).trim.split("\\s+").sliding(n)
+        .filter(_.length == n).map(_.mkString(" ")))
+      .toSet.size.toLong
+    assert(m((0, 0)) === src0)
+    // symmetry of construction: only a ≤ b cells exist
+    assert(m.keys.forall { case (a, b) => a <= b })
+  }
 }

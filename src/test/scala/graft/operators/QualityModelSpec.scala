@@ -67,4 +67,26 @@ class QualityModelSpec extends AnyFunSuite with SparkTestSession {
     val (k, n) = (kept.getLong(0), kept.getLong(1))
     assert(k > 0 && k < n, s"keep decision is degenerate: $k of $n")
   }
+
+  test("calibrationTable: bins partition the corpus; rates recompute exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Engine.Tables(spark, dir).documents
+    val total = docs.count()
+    val rows = QualityModel.calibrationDocs(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === total, "bins must partition the corpus")
+    rows.foreach { r =>
+      val (bin, n, nk, rate, meanPm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bin >= 0 && bin < QualityModel.CalibrationBins)
+      assert(rate === nk * 1000000L / n, "keep rate must be the exact integer ratio")
+      assert(meanPm >= 0 && meanPm <= 1000000L)
+      // bin b holds probabilities in [b/20, (b+1)/20): the mean must land inside
+      assert(meanPm >= bin * 50000L && meanPm <= (bin + 1) * 50000L,
+        s"mean prob $meanPm outside bin $bin bounds")
+    }
+    // NOTE deliberately no monotone-agreement assert: on this fixture the
+    // two filters genuinely anti-correlate (the cascade gates on alpha
+    // ratio, a signal the logit model does not use) — surfacing exactly
+    // that disagreement is what the calibration table is FOR.
+  }
 }

@@ -399,4 +399,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val mrlRecall = (mrlExact & mrlFunnel).size.toDouble / mrlExact.size
     assert(mrlRecall >= 0.9, s"MRL-profile recall@10 = $mrlRecall")
   }
+
+  test("recallAtK: counts intersections per query, zero-candidate queries stay") {
+    import spark.implicits._
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (7L, 4L), (7L, 5L), (7L, 6L))
+      .toDF("q_id", "neighbor_id")
+    val approx = Seq((0L, 1L), (0L, 3L), (0L, 99L)) // q 7: no candidates
+      .toDF("q_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 2L, 666666L), (7L, 0L, 0L)))
+  }
+
+  test("annRecall audit agrees with a direct set comparison on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.annBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val lsh = Similarity.annLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val expected = brute.map { case (q, bs) =>
+      val hits = bs.map(_._2).toSet &
+        lsh.getOrElse(q, Array.empty[(Long, Long)]).map(_._2).toSet
+      q -> hits.size.toLong
+    }
+    val got = Similarity.annRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    got.values.foreach(h => assert(h >= 0L && h <= 10L))
+  }
 }
