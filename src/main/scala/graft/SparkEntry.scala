@@ -89,6 +89,8 @@ object SparkEntry {
     "ann_recall"           -> (Similarity.annRecall(_, _)),
     "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
     "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
+    "kanon_audit"          -> (Monitoring.kanonDocs(_, _)),
+    "text_entropy"         -> (TextAnalysis.tokenEntropyDocs(_, _)),
     "ann_ivf"              -> (Similarity.annIvf(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
@@ -1361,6 +1363,33 @@ object SparkEntry {
          FROM hist h JOIN grid g
            ON ((h.mask >> g.a) & 1) = 1 AND ((h.mask >> g.b) & 1) = 1
          GROUP BY g.a, g.b ORDER BY src_a, src_b""",
+    "kanon_audit" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+           count(*) AS n
+         FROM documents
+         GROUP BY 1, 2, 3 HAVING count(*) < 5
+         ORDER BY lang, source, len_bucket""",
+    // oracle keys token counts on the token STRING; the engine keys on
+    // xxhash64(token) — the gate re-checks the substitution. Every
+    // per-token term floors to integer micro-nats BEFORE the sum, so
+    // float summation order cannot leak into the hash.
+    "text_entropy" ->
+      """WITH t AS (
+           SELECT doc_id, tok, count(*) AS k
+           FROM (SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+                 FROM documents)
+           WHERE len(tok) > 0 GROUP BY doc_id, tok),
+         d AS (
+           SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             CAST(sum(CAST(floor(k * ln(k) * 1000000) AS BIGINT))
+               AS BIGINT) AS sm
+           FROM t GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct,
+           greatest(0, CAST(floor(ln(n_tokens) * 1000000) AS BIGINT)
+             - sm // n_tokens) AS entropy_micro
+         FROM d ORDER BY doc_id""",
     // prob_micro is the gate's own 4-decimal probability lifted to an
     // exact integer, so binning and both rates are pure BIGINT arithmetic
     "quality_calibration" ->

@@ -110,4 +110,43 @@ object Monitoring {
   def sourceOverlapDocs(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     sourceOverlap(graft.Engine.Tables(spark, dir).documents)
+
+  /** Minimum group size for the k-anonymity release audit. */
+  val KAnonK = 5L
+
+  /** k-anonymity audit over a quasi-identifier combination — the release
+    * gate a corpus/metadata publication runs: any quasi-identifier
+    * equivalence class with fewer than k members re-identifies its rows,
+    * so the audit reports exactly those classes (and their sizes) for
+    * suppression or generalization before release. Output is
+    * violation-sized, not corpus-sized.
+    *
+    * 100 TB shape: ONE aggregate on the quasi-identifier tuple with
+    * map-side partials, then a filter on the count — the wordcount
+    * pattern; nothing quadratic, no distinct-expansion. Generalization
+    * (bucketing a numeric column) happens in the caller's projection,
+    * fused into the scan.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[String],
+      k: Long = KAnonK): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy(quasiIds.map(col): _*)
+  }
+
+  /** Gated entry: documents released with (lang, source, length-century)
+    * metadata — length generalized to 100-char buckets, the standard
+    * k-anonymity generalization step.
+    */
+  def kanonDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    kAnonymityAudit(
+      graft.Engine.Tables(spark, dir).documents
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket")),
+      Seq("lang", "source", "len_bucket"))
+  }
 }

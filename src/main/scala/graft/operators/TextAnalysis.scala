@@ -517,6 +517,49 @@ object TextAnalysis {
   def docPerplexityDocs(spark: SparkSession, dir: String): DataFrame =
     docPerplexity(Tables(spark, dir).documents)
 
+  /** Per-document token Shannon entropy — the information-theoretic
+    * summary of within-doc repetition (Gopher/RefinedWeb-family quality
+    * rules threshold on exactly this family of signals; a spam page of
+    * one token repeated has entropy 0, natural prose sits near its
+    * vocabulary's log). Uses the decomposition
+    * H = ln(N) − (Σ_w c_w·ln c_w)/N so every per-token term is computed
+    * independently (no p·ln p division per term), each term
+    * floor-quantized to integer micro-nats BEFORE the sum — the
+    * [[docPerplexity]] fixed-point discipline — making the result exact
+    * under any partitioning and identical in any engine; quantization
+    * error is < (distinct_tokens + 1)/1e6 nats, clamped at 0.
+    *
+    * Scale shape: the wordcount pattern twice — (doc, token-hash) counts
+    * with map-side partials (the shuffle carries an 8-byte hash, never
+    * the token; collisions merge counts with the usual ~(pairs)²/2⁶⁴
+    * odds, and the oracle recomputes over token strings), then a
+    * doc_id rollup of integers. No windows, no joins, nothing quadratic.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    toks
+      .groupBy(col("doc_id"), xxhash64(col("token")).as("h"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("term_micro",
+        floor(col("k").cast("double") * log(col("k").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("term_micro")).as("__sm"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        greatest(lit(0L),
+          floor(log(col("n_tokens").cast("double")) * 1e6).cast("long") -
+            expr("__sm div n_tokens")).as("entropy_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def tokenEntropyDocs(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables(spark, dir).documents)
+
   // ------------------------------------------- BPE merge-pair counting
 
   /** Top pair count for [[bpePairCounts]] — interpolated into the oracle. */

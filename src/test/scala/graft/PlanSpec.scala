@@ -343,6 +343,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(hashEx == 1, s"expected only the bin aggregate exchange, got $hashEx")
   }
 
+  test("text_entropy: the wordcount pattern twice, hash-keyed, no joins") {
+    val plan = planOf("text_entropy")
+    assert(!plan.contains("Join"), "entropy needs no join")
+    assert(!plan.toLowerCase.contains("window"), "no windows")
+    // (doc, token-hash) counts partial-agg before their shuffle
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"map-side combine missing:\n${plan.take(2500)}")
+    assert(plan.contains("xxhash64"),
+      "token shuffle must carry the 8-byte hash, never the token string")
+  }
+
+  test("kanon_audit: one aggregate, violation filter above it") {
+    val plan = planOf("kanon_audit")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected one quasi-id agg exchange, got $hashEx")
+    assert(!plan.contains("Join") && !plan.toLowerCase.contains("window"),
+      plan.take(2000))
+  }
+
   test("pipeline_curate: one tree — dedup aggregates, decon probe broadcasts") {
     val plan = planOf("pipeline_curate")
     // exact-dedup survivors via hash aggregate (never a doc-count window);

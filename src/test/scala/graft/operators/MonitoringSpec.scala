@@ -78,4 +78,32 @@ class MonitoringSpec extends AnyFunSuite with SparkTestSession {
     // symmetry of construction: only a ≤ b cells exist
     assert(m.keys.forall { case (a, b) => a <= b })
   }
+
+  test("kAnonymityAudit reports exactly the sub-k classes with their sizes") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(7)(("en", "web")) ++ Seq.fill(3)(("en", "books")) ++
+        Seq.fill(1)(("fr", "web"))
+    val df = rows.toDF("lang", "source")
+    val got = Monitoring.kAnonymityAudit(df, Seq("lang", "source"), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("en", "books", 3L), ("fr", "web", 1L)))
+  }
+
+  test("kanonDocs: every reported class is genuinely below k on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = Monitoring.kanonDocs(spark, dir).collect()
+    assert(audit.forall(_.getLong(3) < Monitoring.KAnonK))
+    // cross-check one class size independently
+    import org.apache.spark.sql.functions._
+    if (audit.nonEmpty) {
+      val r = audit.head
+      val n = graft.Engine.Tables(spark, dir).documents
+        .filter(col("lang") === r.getString(0) &&
+          col("source") === r.getString(1) &&
+          expr("n_chars div 100") === r.getLong(2))
+        .count()
+      assert(n === r.getLong(3))
+    }
+  }
 }

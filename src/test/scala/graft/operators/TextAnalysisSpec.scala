@@ -478,4 +478,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
         s"doc $id does not splice back")
     }
   }
+
+  test("tokenEntropy: degenerate and uniform docs hit the analytic values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),       // H = 0
+      (2L, "a b c d e f g h"),                     // H = ln 8, all distinct
+      (3L, "x x y y z z")                          // H = ln 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((6L, 1L, 0L)))
+    val (n2, d2, e2) = got(2L)
+    assert((n2, d2) === ((8L, 8L)))
+    assert(math.abs(e2 - math.log(8) * 1e6) <= 2,
+      s"uniform-doc entropy $e2 vs ${math.log(8) * 1e6}")
+    val (n3, d3, e3) = got(3L)
+    assert((n3, d3) === ((6L, 3L)))
+    assert(math.abs(e3 - math.log(3) * 1e6) <= 2,
+      s"ln3 entropy $e3 vs ${math.log(3) * 1e6}")
+  }
+
+  test("tokenEntropy matches an in-memory recompute with identical quantization") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Engine.Tables(spark, dir).documents
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val counts = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).values.map(_.length.toLong).toSeq
+      val n = counts.sum
+      val sm = counts.map(k => math.floor(k.toDouble * math.log(k.toDouble) * 1e6).toLong).sum
+      r.getLong(0) -> math.max(0L, math.floor(math.log(n.toDouble) * 1e6).toLong - sm / n)
+    }.toMap
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === expected)
+  }
 }
