@@ -49,6 +49,70 @@ object Streaming {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** The event-type domain the mix-drift monitor tracks (the fixture's
+    * full domain; an unseen type contributes to window totals but gets
+    * no share row — extend the list to track it).
+    */
+  val MixEventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Drift alarm threshold in micro-share units (50 000 µ = 5 points). */
+  val MixDriftThresholdMicro = 50000L
+
+  /** Reference event-type mix from a BATCH corpus snapshot, in exact
+    * integer micro-shares: the "yesterday's corpus" baseline the live
+    * monitor compares against. One aggregate; the collect is
+    * |event-type domain| rows — driver-sized by construction (same
+    * policy as the k-means centroids / eval hash set).
+    */
+  def eventTypeSharesMicro(events: DataFrame): Map[String, Long] = {
+    val total = events.count()
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1) * 1000000L / total)
+      .toMap
+  }
+
+  /** Streaming source-mix drift monitor: per finalized event-time hour,
+    * each event type's share of the window vs the broadcast batch
+    * reference mix, with a drift flag past
+    * [[MixDriftThresholdMicro]] — the live ingest-composition alarm
+    * every curation pipeline runs against its historical mix (a crawler
+    * gone wrong shows up as a share swing long before any quality gate
+    * trips). ONE stateful aggregate per window (per-type counts as
+    * conditional sums in the same agg — no chained stateful operators,
+    * which append mode would reject); shares, reference lookup and the
+    * flag are stateless row arithmetic after it, in exact integer
+    * micro-units. Emits every (window, tracked-type) row — zero-count
+    * types included, a 0-share row IS maximal drift — only for windows
+    * the watermark has finalized (append semantics, bounded state).
+    */
+  def mixDriftStream(events: DataFrame, refSharesMicro: Map[String, Long],
+      thresholdMicro: Long = MixDriftThresholdMicro): DataFrame = {
+    val counts = MixEventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"__n_$t"))
+    val refLookup = map(
+      MixEventTypes.flatMap(t =>
+        Seq(lit(t), lit(refSharesMicro.getOrElse(t, 0L)))): _*)
+    events
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_total"), counts: _*)
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("n_total"),
+        explode(array(MixEventTypes.map(t =>
+          struct(lit(t).as("event_type"), col(s"__n_$t").as("n"))): _*))
+          .as("e"))
+      .select(col("hour_us"), col("e.event_type").as("event_type"),
+        col("e.n").as("n"), col("n_total"),
+        expr("e.n * 1000000 div n_total").as("share_micro"),
+        element_at(refLookup, col("e.event_type")).as("ref_micro"))
+      .withColumn("drift",
+        (abs(col("share_micro") - col("ref_micro")) > thresholdMicro)
+          .cast("int"))
+  }
+
   /** Watermarked stream-stream join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks and the
     * join condition bounds event-time distance, so Spark can expire
