@@ -39,3 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 
 // forward stdin to forked runMain processes (graft.Cli REPL)
 run / connectInput := true
+
+// Pass the forked JVM's stdout/stderr through verbatim instead of
+// re-logging each line with an "[info] " prefix: graft.Bench prints a
+// machine-readable JSON line that downstream tooling parses from the
+// tail of captured output, and the logger prefix broke that parse in
+// every round so far. Also drop sbt's "[success] Total time" epilogue
+// so the JSON line stays the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false

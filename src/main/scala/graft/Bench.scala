@@ -73,15 +73,30 @@ object Bench {
     //    only (~1 KB, fits the window with room for sbt's epilogue), plus
     //    a pointer to the full artifact.
     val fullLine = s"""{"metric":"total",$common,"queries":${qmap(ok)}}"""
-    val headline = ok.filter { case (k, _) => k.startsWith("q") }
+    // digit-anchored: the headline is the q1..q34 relational suite only —
+    // a bare startsWith("q") also caught quality_*, inflating the
+    // size-bounded stdout window this filter exists to respect
+    val headline = ok.filter { case (k, _) => k.matches("^q\\d.*") }
     val stdoutLine =
       s"""{"metric":"total",$common,"queries":${qmap(headline)},"queries_full":"BENCH_FULL.json"}"""
-    println(stdoutLine)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // A SPARK_GRAFT_ONLY-filtered dev run must not silently replace the
+    // tracked full artifact with a partial one; it gets a suffixed file
+    // unless the caller named an output explicitly.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"[bench] could not write $outPath: $t") }
     spark.stop()
+    // The JSON line is the LAST stdout write, after spark.stop(), so no
+    // shutdown logging can land between it and process exit: the driver
+    // archives the final 2000 chars of output and parses the bench JSON
+    // from that window (with sbt's logger prefix on every line, no round
+    // before 10 ever parsed — build.sbt now passes forked-run stdout
+    // through unprefixed, and this line is printed last so it survives
+    // the window intact).
+    println(stdoutLine)
+    System.out.flush()
     // A bench run with failures must fail the invoking process too.
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -84,11 +84,22 @@ object Monitoring {
     * the oracle recomputes over the shingle strings themselves.
     */
   def sourceOverlap(docs: DataFrame, nSources: Int = 20): DataFrame = {
+    // the bitmask lives in one signed Long; sid ≥ 64 would WRAP (shiftleft
+    // is mod 64) and a digit-less source yields NULL sid — both would
+    // silently corrupt the matrix, so they fail loudly instead (the
+    // canonicalizeEventTs policy: never mis-read at 100 TB in silence)
+    require(nSources >= 1 && nSources <= 63,
+      s"sourceOverlap: nSources must be in [1, 63] (single-Long bitmask), got $nSources")
     val n = OverlapShingle
     val toks = split(trim(col("text")), "\\s+")
+    val sidRaw = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val sid = when(sidRaw.isNull || sidRaw < 0 || sidRaw >= nSources,
+        raise_error(concat(
+          lit(s"sourceOverlap: source id outside [0, $nSources) in source='"),
+          col("source"), lit("' — extend nSources or fix the source naming"))))
+      .otherwise(sidRaw)
     val sh = docs
-      .select(regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
-        .as("sid"), toks.as("w"))
+      .select(sid.as("sid"), toks.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("sid"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))

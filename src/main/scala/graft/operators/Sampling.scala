@@ -154,16 +154,22 @@ object Sampling {
     * (frac clamps to 1).
     */
   def langBalance(docs: DataFrame, salt: String = "bal:"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), col("lang"),
       size(split(trim(col("text")), "\\s+")).cast("double").as("tok"))
-    val w = Window.orderBy(col("lang"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // integer-valued doubles: all sums exact, so frac is bit-identical
-    // in any engine and under any partitioning
-    val lt = d.groupBy(col("lang")).agg(sum(col("tok")).as("lang_tok"))
+    // in any engine and under any partitioning. The corpus total and
+    // language count ride in as a broadcast 1-row scalar frame (the
+    // Retrieval.bm25 idiom) rather than a full-frame window over the
+    // per-language aggregate: same exact arithmetic, but the plan keeps
+    // partial aggregation and never routes the (tiny) domain table
+    // through a single-partition WindowExec — so a REAL unpartitioned
+    // window sneaking into some future plan stays visible in the logs.
+    val langTok = d.groupBy(col("lang")).agg(sum(col("tok")).as("lang_tok"))
+    val totals = langTok.agg(sum(col("lang_tok")).as("__tot_tok"),
+      count(lit(1)).as("__n_lang"))
+    val lt = langTok.crossJoin(broadcast(totals))
       .withColumn("frac", least(lit(1.0),
-        sum(col("lang_tok")).over(w) / count(lit(1)).over(w) / col("lang_tok")))
+        col("__tot_tok") / col("__n_lang") / col("lang_tok")))
       .select(col("lang").as("__lb_lang"), col("frac"))
     // NULL lang (lang-id below confidence) is a language slice like any
     // other: the null-safe join keeps those docs in their own sampled
@@ -254,18 +260,32 @@ object Sampling {
     * is source-cardinality-sized; the corpus side is one scan + one
     * broadcast join, no shuffle.
     */
+  /** Shared rate table for [[mixTemperature]]/[[mixUpsample]]: per
+    * source, its token count `n_s` and temperature-scaled token target
+    * `t_s = (budget·w) div Σw` with `w = floor(sqrt(n_s/N)·1e6)`. The
+    * two corpus-level scalars (Σn_s, then Σw) ride in as broadcast
+    * 1-row frames instead of full-frame windows over the per-source
+    * aggregate — identical integer arithmetic (long sums are exact in
+    * any order), but no single-partition WindowExec in the plan.
+    */
+  private def tempTargets(d: DataFrame, budget: Long): DataFrame = {
+    val perSource = d.groupBy(col("source")).agg(sum(col("tok")).as("n_s"))
+    val totN = perSource.agg(sum(col("n_s")).as("__tot_n"))
+    val weighted = perSource.crossJoin(broadcast(totN))
+      .withColumn("w", floor(sqrt(col("n_s").cast("double") /
+        col("__tot_n").cast("double")) * lit(1e6)).cast("long"))
+    val totW = weighted.agg(sum(col("w")).as("__tot_w"))
+    weighted.crossJoin(broadcast(totW))
+      .withColumn("t_s", expr(s"($budget * w) div __tot_w"))
+      .select(col("source"), col("n_s"), col("t_s"))
+  }
+
   def mixTemperature(docs: DataFrame, budget: Long,
       salt: String = "mixt:"): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
-    val full = Window.orderBy(col("source"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rates = d.groupBy(col("source")).agg(sum(col("tok")).as("n_s"))
-      .withColumn("w", floor(sqrt(col("n_s").cast("double") /
-        sum(col("n_s")).over(full).cast("double")) * lit(1e6)).cast("long"))
-      .withColumn("t_s", expr(s"($budget * w) div sum(w) over ()"))
+    val rates = tempTargets(d, budget)
       .withColumn("rate_micro",
         least(lit(1000000L), expr("(1000000 * t_s) div n_s")))
       .select(col("source").as("__mt_source"), col("rate_micro"))
@@ -289,15 +309,9 @@ object Sampling {
   def mixUpsample(docs: DataFrame, budget: Long,
       salt: String = "ups:"): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
-    val full = Window.orderBy(col("source"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rates = d.groupBy(col("source")).agg(sum(col("tok")).as("n_s"))
-      .withColumn("w", floor(sqrt(col("n_s").cast("double") /
-        sum(col("n_s")).over(full).cast("double")) * lit(1e6)).cast("long"))
-      .withColumn("t_s", expr(s"($budget * w) div sum(w) over ()"))
+    val rates = tempTargets(d, budget)
       .withColumn("f_micro", expr("(1000000 * t_s) div n_s"))
       .select(col("source").as("__us_source"), col("f_micro"))
     d.join(broadcast(rates), d("source") === col("__us_source"))

@@ -30,10 +30,19 @@ object StreamGate {
   def runToParquet(spark: SparkSession, out: DataFrame, outDir: String,
       outputMode: String = "append", keepBatchId: Boolean = false)
       (feeds: (() => Unit)*): DataFrame = {
+    // No staged feeds → the fixture is fully present at start, so run
+    // under Trigger.AvailableNow: the query drains the source, runs the
+    // extra batch stateful operators request after the watermark
+    // advances (emitting finalized windows / firing timeouts — same
+    // emitted set as the processAllAvailable loop, StreamingSpec pins
+    // batch parity), and terminates on its own instead of idling
+    // between polled micro-batches. Feed-staged callers keep the
+    // default trigger: AvailableNow snapshots the source at start and
+    // would never see rows a later feed() adds.
     val q = Streaming.idempotentParquetSink(out, s"$outDir/data",
-      s"$outDir/_checkpoint", outputMode)
+      s"$outDir/_checkpoint", outputMode, availableNow = feeds.isEmpty)
     try {
-      if (feeds.isEmpty) q.processAllAvailable()
+      if (feeds.isEmpty) q.awaitTermination()
       else feeds.foreach { f => f(); q.processAllAvailable() }
     } finally q.stop()
     val landed = spark.read.parquet(s"$outDir/data")

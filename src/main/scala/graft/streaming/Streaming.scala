@@ -67,9 +67,15 @@ object Streaming {
     */
   def eventTypeSharesMicro(events: DataFrame): Map[String, Long] = {
     val total = events.count()
+    require(total > 0,
+      "eventTypeSharesMicro: empty reference snapshot — a mix baseline " +
+        "needs at least one event (check the snapshot path/filter)")
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1) * 1000000L / total)
+      // NULL event_type is a mix slice like any other — keyed under the
+      // sentinel "(null)" rather than silently dropped or NPE'd
+      .map(r => (if (r.isNullAt(0)) "(null)" else r.getString(0)) ->
+        r.getLong(1) * 1000000L / total)
       .toMap
   }
 
@@ -550,7 +556,8 @@ object Streaming {
   }
 
   def idempotentParquetSink(df: DataFrame, path: String,
-      checkpoint: String, outputMode: String = "append")
+      checkpoint: String, outputMode: String = "append",
+      availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val outPath = new org.apache.hadoop.fs.Path(path)
@@ -563,12 +570,21 @@ object Streaming {
       s"fresh checkpoint $checkpoint over non-empty output $path would " +
         "restart batch ids at 0 and corrupt the directory; wipe the output " +
         "when resetting the checkpoint")
-    df.writeStream
+    val w = df.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         writeBatchIdempotent(batch.toDF(), id, path)
       }
+    // AvailableNow: drain everything currently in the source, run any
+    // follow-up batches stateful operators need (watermark-finalized
+    // emission), then terminate — the right trigger for a finite gated
+    // run (fewer idle micro-batch cycles than the default trigger +
+    // processAllAvailable polling). The default trigger stays for
+    // callers that stage multi-batch arrival (MemoryStream feeds).
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w)
       .start()
   }
 
