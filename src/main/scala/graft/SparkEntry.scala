@@ -225,15 +225,12 @@ object SparkEntry {
     "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
     "mm_decode"            -> (Multimodal.decodeDims(_, _)),
     "mm_frames"            -> (Multimodal.sampleFrames(_, _)),
-    "mm_features"          -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, round}
-      // gate on a scalar digest of the vector (parquet float arrays are
-      // awkward to hash-compare); full vector checked in ScalaTest
-      Multimodal.extractFeatures(s, d)
-        .select(col("doc_id"),
-          round(graft.functions.VecDot.vecDot(col("embedding"), col("embedding")), 4).as("sq_norm"))
-        .orderBy(col("doc_id"))
-    }),
+    // gate on the decode's EXACT integer histogram (square-sum + md5 of
+    // the 64 zero-filled counts) — engine-exact, so DuckDB hash-gates
+    // the full decode path; the Float normalization of the embedding is
+    // MultimodalSpec-pinned (no cross-engine promise on Float division)
+    "mm_features"          -> ((s, d) =>
+      Multimodal.extractFeaturesAudit(s, d).drop("embedding")),
     // --- streaming surface, driven through the gate: each entry runs a
     // REAL Structured Streaming query (file source → transform →
     // idempotent parquet sink) to completion and returns the landed
@@ -965,6 +962,28 @@ object SparkEntry {
          CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // q18: exact companions hashed; each sketch's error-bound verdict
+    // is asserted TRUE (the Spark side computes the sketch for real and
+    // compares in-plan — a sketch outside its contract flips a boolean
+    // and the hash goes red)
+    "q18_sketches" ->
+      """WITH u AS (
+           SELECT event_type, count(DISTINCT user_id) AS n_users,
+             count(*) AS n
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+           FROM events),
+         p AS (
+           SELECT r.event_type,
+             max(CASE WHEN rk = (n + 1) // 2 THEN value END) AS p50_value,
+             max(CASE WHEN rk = (99 * n + 99) // 100 THEN value END) AS p99_value
+           FROM r JOIN u USING (event_type) GROUP BY 1)
+         SELECT u.event_type, u.n_users, TRUE AS approx_users_ok,
+           p.p50_value, p.p99_value,
+           TRUE AS p50_approx_ok, TRUE AS p99_approx_ok
+         FROM u JOIN p USING (event_type) ORDER BY event_type""",
     "q19_pivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
          CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
@@ -2827,12 +2846,87 @@ object SparkEntry {
          WHERE rk <= 10 ORDER BY q_id, rk""",
     "graph_pagerank" -> pageRankOracleSql,
     "zorder_layout" -> zorderOracleSql,
-    // q18_sketches (HLL++/t-digest are approximate by design),
-    // mm_features (float-normalized stub pixels) and kmeans_assign
-    // (centroid means are float sums whose value depends on partition
-    // merge order — inherent to parallel k-means) stay rows-only; exact
-    // semantics are covered by ScalaTest.
+    "kmeans_assign" -> kmeansAssignOracleSql,
+    // mm_features: the stub decode's integer byte-bucket histogram,
+    // recomputed from the text characters (the fixture is pure ASCII,
+    // FixtureSchemaSpec enforces it — so ord(char) IS the UTF-8 byte),
+    // zero-filled over all 64 buckets to match the Spark array shape.
+    // The Float-normalized embedding stays out of the hash on purpose.
+    "mm_features" ->
+      """WITH chars AS (
+           SELECT doc_id, ord(text[i]) % 64 AS b
+           FROM documents, UNNEST(generate_series(1, length(text))) t(i)),
+         counts AS (
+           SELECT doc_id, b, count(*) AS c FROM chars GROUP BY 1, 2),
+         grid AS (
+           SELECT d.doc_id, g.b FROM (SELECT doc_id FROM documents) d,
+             UNNEST(generate_series(0, 63)) g(b)),
+         full_h AS (
+           SELECT grid.doc_id, grid.b, coalesce(counts.c, 0) AS c
+           FROM grid LEFT JOIN counts
+             ON grid.doc_id = counts.doc_id AND grid.b = counts.b)
+         SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS hist_sq,
+           md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY b)) AS hist_digest
+         FROM full_h GROUP BY doc_id ORDER BY doc_id""",
   )
+
+  /** Trained-k-means oracle: unroll [[operators.Clustering.kmeans]]'s
+    * 3 Lloyd iterations as a CTE chain (the [[pageRankOracleSql]]
+    * technique). Each stage is engine-exact by construction: init is
+    * the first k vectors by vec_id; every distance is the same
+    * left-to-right double `c² − 2·v·c` the kmeans_fixed gate proved
+    * bit-identical (list_sum ≡ the native kernel's sequential fold);
+    * the centroid update sums floor(x·1e6) BIGINTs (exact in any
+    * order) and divides `s/(1e6·n)` in double — so the trained
+    * centroids, and therefore every assignment, match Spark's
+    * bit-for-bit. Empty clusters keep their previous position (the
+    * LEFT JOIN's NULL branch), mirroring the trainer's clone.
+    */
+  private def kmeansAssignOracleSql: String = {
+    val k = 16; val iters = 3; val dim = 64
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+       SELECT vec_id, c_id AS cluster FROM (
+         SELECT e.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             c.c2 - 2 * list_sum(list_transform(generate_series(1, $dim),
+               dd -> e.v[dd] * c.c[dd])), c.c_id) AS rk
+         FROM e CROSS JOIN $cents c) WHERE rk = 1)"""
+    val head = s"""e AS (
+       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+     c0r AS (
+       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v AS c
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+     c0 AS (SELECT c_id, c,
+       list_sum(list_transform(c, x -> x * x)) AS c2 FROM c0r)"""
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        assignCte(s"a$i", s"c${i - 1}"),
+        s"""s$i AS (
+       SELECT a.cluster, g.d,
+         CAST(sum(CAST(floor(e.v[g.d + 1] * 1e6) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+       FROM a$i a JOIN e USING (vec_id)
+       CROSS JOIN UNNEST(generate_series(0, ${dim - 1})) g(d)
+       GROUP BY 1, 2)""",
+        s"""c${i}r AS (
+       SELECT p.c_id,
+         list(CASE WHEN s.n IS NULL THEN p.c[g.d + 1]
+              ELSE CAST(s.s AS DOUBLE) / (1e6 * s.n) END ORDER BY g.d) AS c
+       FROM c${i - 1} p
+       CROSS JOIN UNNEST(generate_series(0, ${dim - 1})) g(d)
+       LEFT JOIN s$i s ON s.cluster = p.c_id AND s.d = g.d
+       GROUP BY p.c_id)""",
+        s"""c$i AS (SELECT c_id, c,
+       list_sum(list_transform(c, x -> x * x)) AS c2 FROM c${i}r)""")
+    }
+    // CAST: Spark's cluster is the argmin kernel's INT c_id; DuckDB's
+    // row_number() would otherwise surface BIGINT and fail schema_match
+    ((head +: steps) :+ assignCte("afin", s"c$iters"))
+      .mkString("WITH ", ",\n     ",
+        "\n     SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM afin ORDER BY vec_id")
+  }
 
   /** Z-order oracle: the same max-scaled quantization, the same flat
     * shift/mask interleave sum [[operators.Layout.interleave]] generates,

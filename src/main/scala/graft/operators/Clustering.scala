@@ -23,11 +23,17 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: init is the first k vectors by vec_id (no RNG), argmin
   * breaks distance ties toward the lower cluster id, and every distance
-  * is the same left-to-right double sum on every engine. Float summation
-  * order in the centroid UPDATE does vary with partitioning — that is
-  * inherent to parallel k-means (it can flip a borderline assignment
-  * next round), so cross-engine gating uses row counts, with exact
-  * recovery asserted on separated data in ScalaTest.
+  * is the same left-to-right double sum on every engine. The centroid
+  * UPDATE accumulates floor-quantized integer micro-units (the
+  * [[labelCentroids]] discipline): each element contributes
+  * `floor(x·1e6)` as a Long, so the per-dimension sums are EXACT under
+  * any partitioning and reduction order, and the updated centroid
+  * `s_micro / (1e6·n)` is the same double on every engine — which makes
+  * the whole trainer partition-invariant and value-gateable (the DuckDB
+  * oracle replays the identical unrolled iterations). The ≤1e-6
+  * per-element quantization of the mean is far below any clustering
+  * signal; what it buys is reproducibility — the property a 100 TB
+  * curation run needs more than the 7th decimal of a centroid.
   */
 object Clustering {
 
@@ -73,17 +79,23 @@ object Clustering {
 
     for (_ <- 1 to iters) {
       // new centroid = per-dimension mean of assigned vectors: explode to
-      // (cluster, dim, x) and aggregate — k·dim result rows, map-side
-      // partial sums carry the corpus weight.
+      // (cluster, dim, micro) and aggregate — k·dim result rows, map-side
+      // partial sums carry the corpus weight. Elements enter as
+      // floor(x·1e6) Longs (binary floor of the IEEE product —
+      // deliberately NOT round(), see labelCentroids), so the sums are
+      // exact integers in any order and the mean below is bit-identical
+      // on every engine and under every partitioning.
       val sums = assigned
         .select(col("cluster"), posexplode(col(embCol)).as(Seq("d", "x")))
+        .select(col("cluster"), col("d"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("micro"))
         .groupBy(col("cluster"), col("d"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
         .collect()
       val next = Array.tabulate(k)(i => centroids(i).clone()) // empty clusters keep position
       sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
         val v = new Array[Double](dim)
-        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        rows.foreach(r => v(r.getInt(1)) = r.getLong(2) / (1e6 * r.getLong(3)))
         next(c) = v
       }
       centroids = next
@@ -100,10 +112,14 @@ object Clustering {
     (finalAssign, centroids)
   }
 
-  /** Gated query: final assignment per vector (rows = corpus size; exact
-    * recovery on separated data is ScalaTest-verified — float centroid
-    * sums are partition-order-dependent, so value-level cross-engine
-    * hashing would over-promise).
+  /** Gated query: final assignment per vector after 3 trained Lloyd
+    * iterations — fully value-gated since the micro-quantized centroid
+    * update made the trainer partition-invariant: the DuckDB oracle
+    * unrolls the identical iterations (init = first k vectors by
+    * vec_id, argmin of c²−2·v·c with lower-id ties, exact integer
+    * micro-sums, `s/(1e6·n)` means) and must land on the same cluster
+    * for every vector. Exact recovery on separated data additionally
+    * ScalaTest-verified.
     */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     val (assign, _) = kmeans(Tables(spark, dir).embeddings, k = 16, iters = 3)

@@ -77,17 +77,31 @@ object Multimodal {
         1 + ((h >> 16) % 30).toInt)
     }
 
-    /** "Decode" one frame to a fixed 8x8 grayscale patch (byte-histogram
-      * proxy) — stands in for pixel decode + resize.
+    /** Exact byte-bucket histogram of one "frame": 64 integer counts
+      * (each blob byte lands in bucket `byte % 64`, starting the walk at
+      * `frame`). The integer half of the pixel decode — engine-exact, so
+      * the driver gate can hash it (counts are what a DuckDB oracle
+      * reproduces from the text bytes; the float normalization below is
+      * Float-precision arithmetic no other engine replays bit-for-bit).
       */
-    def decodePixels(blob: Array[Byte], frame: Int): Array[Float] = {
-      val out = new Array[Float](64)
+    def decodeCounts(blob: Array[Byte], frame: Int): Array[Long] = {
+      val out = new Array[Long](64)
       var i = frame % math.max(blob.length, 1)
       var n = 0
       while (n < blob.length) {
-        out(java.lang.Byte.toUnsignedInt(blob(i % blob.length)) % 64) += 1f
+        out(java.lang.Byte.toUnsignedInt(blob(i % blob.length)) % 64) += 1L
         i += 1; n += 1
       }
+      out
+    }
+
+    /** "Decode" one frame to a fixed 8x8 grayscale patch (byte-histogram
+      * proxy) — stands in for pixel decode + resize: the
+      * [[decodeCounts]] histogram, unit-normalized in Float.
+      */
+    def decodePixels(blob: Array[Byte], frame: Int): Array[Float] = {
+      val counts = decodeCounts(blob, frame)
+      val out = counts.map(_.toFloat)
       val norm = math.sqrt(out.map(x => x * x.toDouble).sum).toFloat
       if (norm > 0) out.map(_ / norm) else out
     }
@@ -150,6 +164,42 @@ object Multimodal {
           Row(r.getLong(0), FakeCodec.decodePixels(r.getAs[Array[Byte]]("blob"), 0).toSeq)
         }
       }(enc)
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[extractFeatures]] with its value-level audit columns: the same
+    * per-blob [[FakeCodec]] decode also emits the EXACT integer
+    * histogram the embedding was normalized from, rolled up in-plan to
+    * `hist_sq = Σcᵢ²` (a BIGINT — the squared norm in count units) and
+    * an md5 digest of the comma-joined 64 counts (the repo's
+    * array-gating technique, [[Clustering.labelCentroids]]). Those two
+    * columns are engine-exact — a DuckDB oracle recomputes them from
+    * the text bytes — while the Float-normalized `embedding` itself is
+    * Float-division arithmetic no cross-engine gate should promise
+    * bit-equality on; its tie to the histogram (`embedding = counts /
+    * √hist_sq`, unit norm) is ScalaTest-pinned (MultimodalSpec). Same
+    * scale shape as extractFeatures: one scan-stage mapPartitions, no
+    * shuffle, blobs never leave the executor.
+    */
+  def extractFeaturesAudit(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("hist", ArrayType(LongType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(schema)
+    blobs(spark, dir).select("doc_id", "blob")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val blob = r.getAs[Array[Byte]]("blob")
+          Row(r.getLong(0), FakeCodec.decodePixels(blob, 0).toSeq,
+            FakeCodec.decodeCounts(blob, 0).toSeq)
+        }
+      }(enc)
+      .select(col("doc_id"), col("embedding"),
+        expr("aggregate(hist, CAST(0 AS BIGINT), (a, c) -> a + c * c)")
+          .as("hist_sq"),
+        md5(concat_ws(",", expr("transform(hist, c -> CAST(c AS STRING))")))
+          .as("hist_digest"))
       .orderBy(col("doc_id"))
   }
 }

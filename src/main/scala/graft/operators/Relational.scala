@@ -296,18 +296,62 @@ object Relational {
   /** Approximate sketch aggregates — the constant-memory path for
     * cardinality/quantiles at 100 TB where exact distinct would shuffle
     * every key: HyperLogLog++ (`approx_count_distinct`, mergeable partial
-    * sketches) and t-digest quantiles (`percentile_approx`). Error bounds
-    * vs the exact answers are asserted in ScalaTest; no DuckDB oracle
-    * (different sketch implementations legitimately differ).
+    * sketches) and t-digest quantiles (`percentile_approx`).
+    *
+    * Sketch values themselves can't be cross-engine-hashed (different
+    * implementations legitimately differ), so the gate carries each
+    * sketch's ERROR-BOUND VERDICT instead: the query computes the
+    * sketch AND its exact companion in the same plan and emits a
+    * boolean per bound — HLL within 10% + 10 absolute of the exact
+    * distinct (rsd 0.02 ⇒ 3σ ≈ 6%); each t-digest quantile placed at a
+    * rank within ±10 points of its target (accuracy 1000 ⇒ rank error
+    * ≤ n/1000, ties widen the ≤-count). The DuckDB oracle recomputes
+    * the exact columns and asserts every verdict TRUE — a sketch that
+    * drifts outside its contract turns the hash gate red. Exact
+    * quantiles use NEAREST-RANK (pure integer rank arithmetic + a raw
+    * data value, no interpolation arithmetic to disagree on).
+    * ScalaTest additionally bounds the sketch-vs-exact error tighter.
     */
   def q18Sketches(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.events
+    val ev = t.events.select(col("event_type"), col("user_id"), col("value"))
+    val byType = ev.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("n_users"),
+      approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+      count(lit(1)).as("n"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+      percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"))
+    // exact nearest-rank quantiles: the value at integer rank
+    // ceil(p·n) in the per-type sort — rank picked with integer div so
+    // both engines compute the identical rank
+    val ranked = ev.select(col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+    val ptiles = ranked
+      .join(broadcast(byType.select(col("event_type"), col("n"))), Seq("event_type"))
+      .filter(col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(99 * n + 99) div 100"))
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+        max(when(col("rk") === expr("(n + 1) div 2"), col("value"))).as("p50_value"),
+        max(when(col("rk") === expr("(99 * n + 99) div 100"), col("value"))).as("p99_value"))
+    // t-digest rank audit: where each approx quantile actually lands in
+    // the per-type value order (count of values ≤ it)
+    val ranks = ev
+      .join(broadcast(byType.select(col("event_type"), col("p50_approx"), col("p99_approx"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") <= col("p50_approx"), 1L).otherwise(0L)).as("c50"),
+        sum(when(col("value") <= col("p99_approx"), 1L).otherwise(0L)).as("c99"))
+    byType.join(ptiles, Seq("event_type")).join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")) <=
+          greatest(lit(10L), expr("(n_users * 10) div 100"))).as("approx_users_ok"),
+        col("p50_value"), col("p99_value"),
+        (col("c50") * 100 >= col("n") * 40 && col("c50") * 100 <= col("n") * 60)
+          .as("p50_approx_ok"),
+        (col("c99") * 100 >= col("n") * 95).as("p99_approx_ok"))
       .orderBy(col("event_type"))
   }
 

@@ -64,4 +64,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     // ids come from doc_ids)
     exactDups.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
+
+  test("audit histogram ties to the embedding: counts/√hist_sq in Float") {
+    val rows = Multimodal.extractFeaturesAudit(spark, dir).collect()
+    val texts = graft.Engine.Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val docId = r.getLong(0)
+      val emb = r.getSeq[Float](1)
+      val histSq = r.getLong(2)
+      // independent recompute of the histogram from the raw bytes
+      val counts = new Array[Long](64)
+      texts(docId).getBytes("UTF-8").foreach { b =>
+        counts(java.lang.Byte.toUnsignedInt(b) % 64) += 1L
+      }
+      assert(histSq === counts.map(c => c * c).sum)
+      assert(r.getString(3) ===
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(counts.mkString(",").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString)
+      // the embedding IS the Float normalization of exactly these counts
+      val norm = math.sqrt(counts.map(c => c.toDouble * c).sum).toFloat
+      counts.zip(emb).foreach { case (c, e) =>
+        assert(e === c.toFloat / norm)
+      }
+    }
+  }
 }
