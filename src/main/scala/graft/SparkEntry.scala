@@ -241,6 +241,7 @@ object SparkEntry {
     "stream_dedup"         -> (streaming.StreamQueries.dedupDocs(_, _)),
     "stream_funnel"        -> (streaming.StreamQueries.funnelEvents(_, _)),
     "stream_hourly"        -> (streaming.StreamQueries.hourlyEvents(_, _)),
+    "stream_mixdrift"      -> (streaming.StreamQueries.mixDriftEvents(_, _)),
     "stream_admit"         -> (streaming.StreamQueries.admitDocs(_, _)),
     "stream_quarantine"    -> (streaming.StreamQueries.quarantineDocs(_, _)),
     "stream_sessions"      -> (streaming.StreamQueries.sessionsEvents(_, _)),
@@ -2285,6 +2286,46 @@ object SparkEntry {
            FROM events GROUP BY 1, 2)
          WHERE hour_us + 3600000000 <= (SELECT wm_us FROM wm)
          ORDER BY hour_us, event_type""",
+    // mix-drift alarm: same watermark cutoff as stream_hourly; reference
+    // shares and window shares are exact integer micro-units (Long `div`
+    // ≡ `//` on non-negative BIGINTs), zero-count tracked types included
+    "stream_mixdrift" ->
+      s"""WITH wm AS (
+           SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wm_us FROM events),
+         tot AS (SELECT count(*) AS t FROM events),
+         ref AS (
+           SELECT event_type,
+             CAST(count(*) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+               AS ref_micro
+           FROM events GROUP BY 1),
+         h AS (
+           SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             count(*) AS n_total
+           FROM events GROUP BY 1),
+         tn AS (
+           SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT h.hour_us, t.event_type, h.n_total
+           FROM h CROSS JOIN (VALUES ${
+        streaming.Streaming.MixEventTypes.map(t => s"('$t')").mkString(", ")
+      }) t(event_type))
+         SELECT g.hour_us, g.event_type,
+           CAST(coalesce(tn.n, 0) AS BIGINT) AS n, g.n_total,
+           CAST(coalesce(tn.n, 0) * 1000000 // g.n_total AS BIGINT)
+             AS share_micro,
+           coalesce(r.ref_micro, 0) AS ref_micro,
+           CAST(abs(CAST(coalesce(tn.n, 0) * 1000000 // g.n_total AS BIGINT)
+             - coalesce(r.ref_micro, 0))
+             > ${streaming.Streaming.MixDriftThresholdMicro} AS INTEGER)
+             AS drift
+         FROM grid g
+         LEFT JOIN tn ON g.hour_us = tn.hour_us
+           AND g.event_type = tn.event_type
+         LEFT JOIN ref r ON g.event_type = r.event_type
+         WHERE g.hour_us + 3600000000 <= (SELECT wm_us FROM wm)
+         ORDER BY g.hour_us, g.event_type""",
     // per-language admission prefix sum, arrival order = doc_id
     "stream_admit" ->
       s"""WITH t AS (

@@ -115,6 +115,26 @@ object StreamQueries {
       .orderBy("hour_us", "event_type")
   }
 
+  /** Gated [[Streaming.mixDriftStream]]: the live ingest-composition
+    * alarm — per finalized event-time hour, each tracked event type's
+    * share of the window vs the broadcast batch reference mix (here:
+    * the same fixture corpus, so the oracle derives the identical
+    * reference shares), drift-flagged past the micro-share threshold.
+    * Append-mode watermark cutoff is the stream_hourly rule: the
+    * landed set is exactly the windows with `end ≤ max(event time) −
+    * 1h`, restated oracle-side; every share/ref/flag is exact integer
+    * micro-unit arithmetic, so the whole alarm surface — including
+    * which (window, type) cells fired — is hash-gated.
+    */
+  def mixDriftEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ref = Streaming.eventTypeSharesMicro(
+      graft.Engine.Tables(spark, dir).events)
+    StreamGate.runToParquet(spark,
+      Streaming.mixDriftStream(Streaming.streamEvents(spark, dir), ref),
+      gateDir("mixdrift"))()
+      .orderBy("hour_us", "event_type")
+  }
+
   /** Gated [[Streaming.simhashQuarantineStream]]: the stateful
     * banded-bucket near-dup quarantine. Deterministic under the gate's
     * single-batch arrival: the group iterator sorts by doc_id, so

@@ -594,4 +594,63 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     def toMap2: Map[Long, (Double, Double)] =
       s.map { case (id, z, p) => id -> ((z, p)) }.toMap
   }
+
+  test("mixDriftStream: shares, zero-count cells and drift flag are exact") {
+    import spark.implicits._
+    // hour 0 mirrors the reference mix exactly (no cell drifts);
+    // hour 1 is all-error (every share swings past the threshold
+    // except the two types at 0 share / 0 reference)
+    def mk(h: Long, t: String, n: Int) =
+      Seq.fill(n)((h * H + 1_000_000_000L, t))
+    val df = (mk(0, "click", 8) ++ mk(0, "view", 2) ++ mk(1, "error", 10))
+      .toDF("ts", "event_type")
+    val ref = Map("click" -> 800000L, "view" -> 200000L)
+    val got = Streaming.mixDriftStream(df, ref).collect()
+      .map(r => (r.getLong(0) / 3_600_000_000L, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)))
+      .toMap
+    // 2 windows × the full tracked domain, zero-count types included
+    assert(got.size === 2 * Streaming.MixEventTypes.size)
+    assert(got((0L, "click")) === ((8L, 10L, 800000L, 800000L, 0)))
+    assert(got((0L, "view")) === ((2L, 10L, 200000L, 200000L, 0)))
+    assert(got((0L, "error")) === ((0L, 10L, 0L, 0L, 0)))
+    assert(got((1L, "error")) === ((10L, 10L, 1000000L, 0L, 1)))
+    assert(got((1L, "click")) === ((0L, 10L, 0L, 800000L, 1)))
+    assert(got((1L, "view")) === ((0L, 10L, 0L, 200000L, 1)))
+    assert(got((1L, "purchase")) === ((0L, 10L, 0L, 0L, 0)))
+    assert(got((1L, "signup")) === ((0L, 10L, 0L, 0L, 0)))
+  }
+
+  test("mixDriftStream: streaming append emits only finalized windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val ref = Streaming.eventTypeSharesMicro(
+      Seq((0L, "click"), (1L, "view")).toDF("ts", "event_type"))
+    val q = Streaming.mixDriftStream(df, ref)
+      .writeStream.format("memory").queryName("mixdrift")
+      .outputMode("append").start()
+    try {
+      input.addData((10L * 1_000_000_000L, "click"), (H + 5, "view"))
+      q.processAllAvailable()
+      // nothing finalized yet: watermark = hour1+ε − 1h < end of hour 0
+      assert(spark.table("mixdrift").count() === 0)
+      // hour-3 event pushes the watermark past hour 0's end
+      input.addData((3 * H, "click"))
+      q.processAllAvailable()
+      input.addData((3 * H + 1, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("mixdrift")
+        .select("hour_us", "event_type", "n").as[(Long, String, Long)]
+        .collect().toSet
+      // the final watermark (3h − 1h) finalizes hours 0 and 1, not the
+      // hour-3 window still in state; every tracked type per window
+      val us = 3_600_000_000L
+      assert(rows.map(_._1) === Set(0L, us))
+      assert(rows.size === 2 * Streaming.MixEventTypes.size)
+      assert(rows(((0L, "click", 1L))))
+      assert(rows(((us, "view", 1L))))
+    } finally q.stop()
+  }
 }
