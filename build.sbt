@@ -48,3 +48,6 @@ run / connectInput := true
 // so the JSON line stays the last thing on stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// outputStrategy is consumed by the run task at execution time; sbt's
+// unused-setting lint can't see that — exclude it from the check
+Global / excludeLintKeys += run / outputStrategy

@@ -66,13 +66,18 @@ object Stress {
     // rows — and the scaling ratios STRESS.md reports compare against
     // the warm-run bench, so the stress pass must be warm too.
     System.err.println("[stress] methodology: warm-run (untimed full pass, then timed)")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Dev-only selective run, same contract as Verify/Bench: unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    val queries = SparkEntry.queries.filter(q => selected(q._1))
+    queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, out).count() catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[stress] WARM-UP FAILURE $name: ${e.getMessage}")
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, out).count() catch {
         case scala.util.control.NonFatal(e) =>

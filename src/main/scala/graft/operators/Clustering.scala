@@ -187,22 +187,101 @@ object Clustering {
     semDedupWith(vecs, cents.toIndexedSeq, tau)
   }
 
+  /** Salt-bucket fan-out for the within-cluster dominance scan: each
+    * cluster's candidate set splits across this many independent
+    * groups, so a duplicate-heavy cluster never serializes into one
+    * straggler task and the per-group working set is a bounded slice of
+    * the cluster. 8 buckets × 16 clusters = 128 work units — fills a
+    * local[32] box; at production scale k grows with the corpus
+    * (SemDeDup uses k ≈ N/5000) and the product stays ≫ cores.
+    */
+  val SemDedupSaltBuckets = 8
+
+  /** One row of the dominance-scan shuffle (bucket-replicated cluster
+    * member; `probe` marks the copy that is a DROP candidate in this
+    * bucket). Public only because Catalyst's generated deserializer
+    * must instantiate it — not part of the operator API.
+    */
+  final case class SemVec(vec_id: Long, cluster: Int, bucket: Int,
+      probe: Boolean, embedding: Array[Float], norm: Double)
+
   /** [[semDedup]] against caller-supplied centroids (shared by the fixed
     * gate entry and [[semDedupTrained]]).
+    *
+    * The within-cluster dominance test runs as a per-(cluster, bucket)
+    * `mapGroups` kernel rather than a self-join: the join formulation
+    * MATERIALIZES every candidate pair as a row (two 64-float arrays
+    * each) before the cosine filter sees it — measured 1.2-1.4M
+    * pairs/s on the 10× stress corpus (≈9 s for 12M pairs), with
+    * per-pair UnsafeRow copying dwarfing the 64-FLOP dot, and salting
+    * the join keys moved nothing (11.4 s salted vs 10.0 s not — the
+    * cost is per-pair materialization, not stragglers). The kernel
+    * loops primitive arrays in place (zero per-pair row traffic) and —
+    * impossible in the set-based join — EARLY-EXITS each candidate at
+    * its first dominator, which on duplicate-heavy corpora (the shape
+    * semdedup exists for) prunes most of the quadratic work: a replica
+    * typically meets a dominator within its first few comparisons.
+    * Same [[connectedComponents]]/[[graft.functions.PqArgmin]]
+    * precedent: drop below the declarative API exactly where a
+    * measured, documented constant-factor wall sits.
+    *
+    * Scale shape: shuffle volume is [[SemDedupSaltBuckets]] × corpus
+    * (bounded fan-out of ~300 B rows); per-group memory is one
+    * cluster's rows (k ≈ N/5000 keeps clusters ~5000 rows ≈ 1.5 MB —
+    * driver-independent, executor-bounded); the dominated SET is
+    * identical to the pair-join formulation, as the DuckDB oracle and
+    * ClusteringSpec's in-memory reference pin.
     */
   private def semDedupWith(vecs: DataFrame,
       cents: IndexedSeq[Array[Double]], tau: Double): DataFrame = {
+    val b = SemDedupSaltBuckets
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val assigned = vecs
       .withColumn("cluster",
         bestCentroid(cents, col("embedding")).getField("c_id"))
       .withColumn("norm", sqrt(vecDot(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("cluster"), col("embedding"), col("norm"))
-    val dominated = assigned.as("u").join(assigned.as("v"),
-        col("u.cluster") === col("v.cluster") &&
-          col("u.vec_id") < col("v.vec_id"))
-      .filter(vecDot(col("u.embedding"), col("v.embedding")) /
-        (col("u.norm") * col("v.norm")) >= tau)
-      .select(col("v.vec_id").as("vec_id")).distinct()
+    val dominated = assigned
+      .withColumn("vbucket", pmod(xxhash64(col("vec_id")), lit(b.toLong)).cast("int"))
+      .withColumn("bucket", explode(array((0 until b).map(lit): _*)))
+      .withColumn("probe", col("bucket") === col("vbucket"))
+      .select(col("vec_id"), col("cluster"), col("bucket"), col("probe"),
+        col("embedding"), col("norm"))
+      .as[SemVec]
+      .groupByKey(r => (r.cluster, r.bucket))
+      .flatMapGroups { (_, it) =>
+        // whole cluster slice in id order: for the probe at index j,
+        // every earlier member (indices < j, any bucket) is a potential
+        // dominator — identical pair set to the u<v self-join
+        val all = it.toArray.sortInPlaceBy(_.vec_id)
+        val out = Vector.newBuilder[Long]
+        var j = 0
+        while (j < all.length) {
+          val v = all(j)
+          if (v.probe) {
+            var i = 0
+            var hit = false
+            while (i < j && !hit) {
+              val u = all(i)
+              // the exact vecDot arithmetic: left-to-right double
+              // mult-add over float pairs, then the norms' product
+              var acc = 0.0
+              var d = 0
+              val ue = u.embedding; val ve = v.embedding
+              while (d < ue.length) {
+                acc += ue(d).toDouble * ve(d).toDouble; d += 1
+              }
+              hit = acc / (u.norm * v.norm) >= tau
+              i += 1
+            }
+            if (hit) out += v.vec_id
+          }
+          j += 1
+        }
+        out.result().iterator
+      }
+      .toDF("vec_id")
     assigned.select(col("vec_id"), col("cluster"))
       .join(dominated, Seq("vec_id"), "left_anti")
       .orderBy(col("vec_id"))

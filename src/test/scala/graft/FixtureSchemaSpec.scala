@@ -73,6 +73,62 @@ class FixtureSchemaSpec extends AnyFunSuite with SparkTestSession {
       "label" -> IntegerType))
   }
 
+  test("fixture value invariants the operator surface and oracles assume") {
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val t = Engine.Tables(spark, d)
+      // embeddings: fixed width 64 (kmeans/PQ/IVF oracles unroll dims),
+      // no null elements, unique ids, at least k=16 vectors for init
+      val emb = t.embeddings.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("vec_id")).as("n_ids"),
+        min(size(col("embedding"))).as("w_min"),
+        max(size(col("embedding"))).as("w_max"),
+        sum(when(exists(col("embedding"), _.isNull), 1L).otherwise(0L))
+          .as("null_elems")).head()
+      assert(emb.getLong(0) >= 16 && emb.getLong(0) === emb.getLong(1),
+        s"$d embeddings: dup/too-few vec_ids")
+      assert(emb.getInt(2) === 64 && emb.getInt(3) === 64,
+        s"$d embeddings: width drifted from 64 — dim-unrolled oracles break")
+      assert(emb.getLong(4) === 0L, s"$d embeddings: null elements")
+      // documents: non-null ASCII text (the mm_features oracle equates
+      // characters with UTF-8 bytes), unique non-negative doc_ids
+      val doc = t.documents.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"),
+        sum(when(col("text").rlike("[^\\x00-\\x7F]"), 1L).otherwise(0L))
+          .as("non_ascii"),
+        min(col("doc_id")).as("min_id")).head()
+      assert(doc.getLong(0) === doc.getLong(1), s"$d documents: dup doc_ids")
+      assert(doc.getLong(2) === 0L && doc.getLong(3) === 0L,
+        s"$d documents: null/empty text")
+      assert(doc.getLong(4) === 0L,
+        s"$d documents: non-ASCII text — mm_features oracle's char≡byte " +
+          "equivalence broke; rewrite that oracle before trusting the gate")
+      assert(doc.getLong(5) >= 0L, s"$d documents: negative doc_id")
+      // documents.source carries a numeric id < 20 (sourceOverlap's
+      // single-Long bitmask domain)
+      val badSrc = t.documents.filter(
+        regexp_extract(col("source"), "([0-9]+)", 1).cast("int").isNull ||
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("int") >= 20)
+        .count()
+      assert(badSrc === 0L, s"$d documents: source ids outside [0, 20)")
+      // events: canonical ts is plausible epoch ns (not µs/ms — a unit
+      // slip shifts every window), and the q18 rank oracle needs
+      // non-null value/user_id/event_type
+      val ev = t.events.agg(
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+        sum(when(col("value").isNull || col("user_id").isNull ||
+          col("event_type").isNull, 1L).otherwise(0L)).as("nulls")).head()
+      assert(ev.getLong(0) > 1_000_000_000_000_000_000L &&
+        ev.getLong(1) < 4_000_000_000_000_000_000L,
+        s"$d events: ts outside plausible epoch-ns range — unit drift")
+      assert(ev.getLong(2) === 0L, s"$d events: null value/user_id/event_type")
+    }
+  }
+
   test("raw events.ts is one of the two known fixture generations") {
     val raw = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     assert(raw == LongType || raw == TimestampType || raw == TimestampNTZType,
