@@ -172,28 +172,30 @@ object Dedup {
     *
     * Cost: one aggregate over the (already-needed) shingle table into a
     * df HISTOGRAM — rows = distinct df LEVELS, ≤ max document frequency
-    * and in practice a log-scale handful, so the unpartitioned running-
-    * sum window is bounded regardless of corpus size — plus one count
-    * over the (narrow) documents table for the budget. All-integer
-    * arithmetic throughout → the DuckDB oracle derives the identical cap
-    * from the identical stats.
+    * and in practice a log-scale handful; the running sums over it are
+    * a [[BoundedGlobal]] pass (loud bound, no unpartitioned window) —
+    * plus one count over the (narrow) documents table for the budget.
+    * All-integer arithmetic throughout → the DuckDB oracle derives the
+    * identical cap from the identical stats.
     */
   private[graft] def derivedDfCap(sh: DataFrame, docs: DataFrame,
       permille: Int = 999,
       pairsPerDoc: Long = JaccardPairsPerDoc): Column = {
     require(permille >= 1 && permille <= 1000, s"bad permille $permille")
     require(pairsPerDoc > 0, s"bad pairsPerDoc $pairsPerDoc")
-    val w = Window.orderBy(col("df"))
     val budget = docs.select(
       (count(lit(1)) * pairsPerDoc).as("b")).scalar()
-    sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val hist = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .groupBy(col("df")).agg(count(lit(1)).as("ns"))
-      .withColumn("cum_ns", sum(col("ns")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot_ns", sum(col("ns")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("cum_pairs", sum(expr("ns * (df * (df - 1) div 2)")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__pairs", expr("ns * (df * (df - 1) div 2)"))
+    val totNs = hist.agg(sum(col("ns")).as("tot_ns"))
+    val cum1 = BoundedGlobal.withPrefixSum(hist, Seq(col("df")), "ns",
+      "cum_ns", includeCurrent = true, maxRows = 100000000L,
+      "derivedDfCap df histogram")
+    BoundedGlobal.withPrefixSum(cum1, Seq(col("df")), "__pairs",
+        "cum_pairs", includeCurrent = true, maxRows = 100000000L,
+        "derivedDfCap pair budget")
+      .crossJoin(broadcast(totNs))
       .agg(greatest(least(
           coalesce(min(when(col("cum_ns") * 1000 >= col("tot_ns") * permille,
             col("df"))), lit(1L)),

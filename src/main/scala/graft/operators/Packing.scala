@@ -64,13 +64,20 @@ object Packing {
     // max running sum), not from re-aggregating `base`: both branches
     // then share the scan→tokenize→md5→shuffle(pid) subtree, which Spark
     // reuses (ReusedExchange) instead of reading the corpus twice.
-    val offsets = withLocal
+    val ptots = withLocal
       .groupBy(keyCols :+ col("pid"): _*).agg(max(col("cum_local")).as("ptot"))
-      .withColumn("poff", coalesce(
-        sum(col("ptot")).over(
-          Window.partitionBy(keyCols: _*).orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    // grouped → ordinary partitioned window; global (no keys) → the
+    // ≤ 256-row pid-bucket table goes through a BoundedGlobal pass
+    // (loud bound, no unpartitioned window)
+    val offsets = (if (keyCols.nonEmpty)
+        ptots.withColumn("poff", coalesce(
+          sum(col("ptot")).over(
+            Window.partitionBy(keyCols: _*).orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      else
+        BoundedGlobal.withPrefixSum(ptots, Seq(col("pid")), "ptot", "poff",
+          includeCurrent = false, maxRows = 256L, "tokenOffsets pid buckets"))
       .select(keyCols :+ col("pid") :+ col("poff"): _*)
     withLocal
       .join(broadcast(offsets), keys :+ "pid")

@@ -31,13 +31,22 @@ object Ranking {
     require(k > 0, s"top-k must be positive, got $k")
     require(buckets > 1, s"need > 1 bucket, got $buckets")
     val bkt = pmod(xxhash64(bucketKeys: _*), lit(buckets))
-    df.withColumn("__btk_lrk", row_number().over(
+    val pruned = df.withColumn("__btk_lrk", row_number().over(
         Window.partitionBy(groupCols :+ bkt: _*).orderBy(orderCols: _*)))
       .filter(col("__btk_lrk") <= k)
-      .drop("__btk_lrk")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)))
-      .filter(col("rk") <= k)
+      .drop("__btk_lrk", "rk")
+    // exact-rank stitch: grouped → ordinary partitioned window; global
+    // (no group columns) → the input is the bucket-pruned ≤ buckets·k
+    // rows, a BoundedGlobal pass (loud bound, no unpartitioned window)
+    val ranked =
+      if (groupCols.nonEmpty)
+        pruned.withColumn("rk", row_number().over(
+          Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)))
+      else
+        BoundedGlobal.withRowNumber(pruned, orderCols, "rk",
+            maxRows = buckets.toLong * k, "bucketedTopK global rank")
+          .withColumn("rk", col("rk").cast("int"))
+    ranked.filter(col("rk") <= k)
   }
 
   /** Exact global NTILE(k) over (`valueCol`, `keyCol`) ordering — WITHOUT
@@ -65,34 +74,24 @@ object Ranking {
     * rank/bin nondeterministic across runs.
     *
     * The bounded-domain precondition is ENFORCED, not assumed: more than
-    * `maxDistinctValues` distinct values raises a clear error instead of
-    * silently degrading into a corpus-sized single-task window plus a
-    * corpus-sized broadcast (the failure mode for a raw double column —
-    * quantize such columns first, e.g. `round(value, 4)` as the quality
-    * gates do). The guard rides the SAME full-frame window that computes
-    * N — zero extra passes — and is folded into a live column so the
-    * optimizer can't prune it.
+    * `maxDistinctValues` distinct values fails the BoundedGlobal pass
+    * with a clear error instead of silently degrading into a
+    * corpus-sized single-task window plus a corpus-sized broadcast (the
+    * failure mode for a raw double column — quantize such columns
+    * first, e.g. `round(value, 4)` as the quality gates do).
     */
   def distributedNtile(df: DataFrame, valueCol: String, keyCol: String,
       k: Int, maxDistinctValues: Long = 1000000L): DataFrame = {
     require(k > 0, s"ntile k must be positive, got $k")
     require(maxDistinctValues > 0,
       s"maxDistinctValues must be positive, got $maxDistinctValues")
-    val cw = Window.orderBy(col(valueCol).asc_nulls_last)
-    val full = cw.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val guard = when(count(lit(1)).over(full) > maxDistinctValues,
-      raise_error(lit(
-        s"distributedNtile: > $maxDistinctValues distinct values of " +
-          s"'$valueCol' — quantize the value column (or raise " +
-          "maxDistinctValues) so the distinct-value table stays bounded")))
-      .otherwise(lit(0L))
-    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__nt_cnt"))
-      .withColumn("__nt_before", coalesce(
-        sum(col("__nt_cnt")).over(
-          cw.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)) + guard)
-      .withColumn("__nt_n", sum(col("__nt_cnt")).over(full))
+    val counts0 = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__nt_cnt"))
+    val totals = counts0.agg(sum(col("__nt_cnt")).as("__nt_n"))
+    val counts = BoundedGlobal.withPrefixSum(counts0,
+        Seq(col(valueCol).asc_nulls_last), "__nt_cnt", "__nt_before",
+        includeCurrent = false, maxRows = maxDistinctValues,
+        s"distributedNtile($valueCol)")
+      .crossJoin(broadcast(totals))
       .select(col(valueCol).as("__nt_v"), col("__nt_before"), col("__nt_n"))
     val r = col("__nt_before") +
       row_number().over(Window.partitionBy(col(valueCol)).orderBy(col(keyCol)))
@@ -126,10 +125,11 @@ object Ranking {
     * a row's rank = its row_number inside (bin, pid) — pid the first
     * md5 byte, so ~256 balanced sub-windows per bin — plus the
     * broadcast prefix count of all (bin, pid) groups ahead of it in
-    * curriculum order. The only unpartitioned window runs over the
-    * bins×256-row offsets table. The order is a pure function of the
-    * data (md5 of salt ++ key), reproducible on any engine/partitioning
-    * — the [[Sampling.trainOrderShuffle]] guarantee, with phases.
+    * curriculum order — a [[BoundedGlobal]] pass over the bins×256-row
+    * offsets table (loud bound, no unpartitioned window). The order is
+    * a pure function of the data (md5 of salt ++ key), reproducible on
+    * any engine/partitioning — the [[Sampling.trainOrderShuffle]]
+    * guarantee, with phases.
     */
   def curriculumOrder(df: DataFrame, binCol: String, keyCol: String,
       salt: String = "curr42:"): DataFrame = {
@@ -146,13 +146,13 @@ object Ranking {
     val local = base.withColumn("__cu_lrk", row_number().over(
       Window.partitionBy(col(binCol), col("pid"))
         .orderBy(col("skey"), col(keyCol))))
-    val offs = local.groupBy(col(binCol), col("pid"))
-      .agg(max(col("__cu_lrk")).as("__cu_cnt"))
-      .withColumn("__cu_off", coalesce(
-        sum(col("__cu_cnt")).over(
-          Window.orderBy(col(binCol).desc, col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    val counts = local.groupBy(col(binCol), col("pid"))
+      .agg(max(col("__cu_lrk")).cast("long").as("__cu_cnt"))
+    // 256 pid buckets × a bounded bin domain (ntile bins / quantized
+    // scores) — 1M groups is far past any sane curriculum phase count
+    val offs = BoundedGlobal.withPrefixSum(counts,
+        Seq(col(binCol).desc, col("pid")), "__cu_cnt", "__cu_off",
+        includeCurrent = false, maxRows = 1000000L, "curriculumOrder offsets")
       .select(col(binCol).as("__cu_b"), col("pid").as("__cu_p"),
         col("__cu_off"))
     local

@@ -105,21 +105,25 @@ object Retrieval {
       rrfK: Int = 60, candK: Int = 100, topK: Int = 50): DataFrame = {
     import graft.functions.VecDot.vecDot
     import org.apache.spark.sql.expressions.Window
-    val lex = bm25TopK(docs, terms, topK = candK)
-      .withColumn("r_lex", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_lex"))
+    // both rank lists are ≤ candK rows by construction (top-k pruned /
+    // LIMITed) — BoundedGlobal ranks them without unpartitioned windows
+    val lex = BoundedGlobal.withRowNumber(
+        bm25TopK(docs, terms, topK = candK),
+        Seq(col("score").desc, col("doc_id")), "r_lex",
+        maxRows = candK, "hybridTopK lexical ranks")
+      .select(col("doc_id"), col("r_lex").cast("int").as("r_lex"))
     val q = queryVector()
     val qn = math.sqrt(q.map(x => x * x).sum)
-    val sem = vecs
-      .select(col("vec_id").as("doc_id"),
-        (vecDot(col("embedding"), lit(q)) /
-          (sqrt(vecDot(col("embedding"), col("embedding"))) * lit(qn)))
-          .as("cos"))
-      .orderBy(col("cos").desc, col("doc_id")).limit(candK)
-      .withColumn("r_sem", row_number().over(
-        Window.orderBy(col("cos").desc, col("doc_id"))))
-      .select(col("doc_id"), col("r_sem"))
+    val sem = BoundedGlobal.withRowNumber(
+        vecs
+          .select(col("vec_id").as("doc_id"),
+            (vecDot(col("embedding"), lit(q)) /
+              (sqrt(vecDot(col("embedding"), col("embedding"))) * lit(qn)))
+              .as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(candK),
+        Seq(col("cos").desc, col("doc_id")), "r_sem",
+        maxRows = candK, "hybridTopK semantic ranks")
+      .select(col("doc_id"), col("r_sem").cast("int").as("r_sem"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +

@@ -369,15 +369,17 @@ object TextAnalysis {
       .filter(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("t")).scalar()
-    Ranking.bucketedTopK(counts,
-        groupCols = Seq.empty,
-        orderCols = Seq(col("cnt").desc, col("token")),
-        k = k,
-        bucketKeys = Seq(col("token")))
-      .withColumn("cum_share", round(
-        sum(col("cnt")).over(Window.orderBy(col("rk"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double") / total.cast("double"), 6))
+    val topk = Ranking.bucketedTopK(counts,
+      groupCols = Seq.empty,
+      orderCols = Seq(col("cnt").desc, col("token")),
+      k = k,
+      bucketKeys = Seq(col("token")))
+    // running coverage over the ≤ k-row top table: a BoundedGlobal pass
+    // (loud bound, no unpartitioned window)
+    BoundedGlobal.withPrefixSum(topk, Seq(col("rk")), "cnt", "__vc_cum",
+        includeCurrent = true, maxRows = k, "vocabCoverage running share")
+      .withColumn("cum_share",
+        round(col("__vc_cum").cast("double") / total.cast("double"), 6))
       .select(col("rk"), col("token"), col("cnt"), col("cum_share"))
       .orderBy(col("rk"))
   }
