@@ -87,6 +87,7 @@ object SparkEntry {
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
     "ann_recall"           -> (Similarity.annRecall(_, _)),
+    "ann_recall_ivf"       -> (Similarity.annRecallIvf(_, _)),
     "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
     "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
     "kanon_audit"          -> (Monitoring.kanonDocs(_, _)),
@@ -790,6 +791,57 @@ object SparkEntry {
                  d -> CAST(c.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
                / (c.norm * q.norm), 4) AS cos
            FROM base q JOIN base c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, neighbor_id, cos FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk"""
+
+  /** IVF probe-path restatement (seed centroids = first 16 vectors,
+    * argmax-cosine cells with larger-id ties, top-4 probe lists) —
+    * shared by the `ann_ivf` gate and the `ann_recall_ivf` audit.
+    */
+  private val annIvfOracle: String =
+    """WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+           FROM base WHERE vec_id < 16),
+         scores AS (
+           SELECT b.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(b.embedding[d] AS DOUBLE) * CAST(c.c_emb[d] AS DOUBLE)))
+               / (b.norm * c.c_norm) AS ccos
+           FROM base b CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, c_id AS probe_cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn <= 4 AND vec_id < 10),
+         cand AS (
+           SELECT p.q_id, a.vec_id
+           FROM probes p JOIN assigned a ON a.cell = p.probe_cell
+           WHERE a.vec_id != p.q_id),
+         scored AS (
+           SELECT c.q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(bc.embedding[d] AS DOUBLE) * CAST(bq.embedding[d] AS DOUBLE)))
+               / (bc.norm * bq.norm), 4) AS cos
+           FROM cand c
+           JOIN base bc ON bc.vec_id = c.vec_id
+           JOIN base bq ON bq.vec_id = c.q_id),
          ranked AS (
            SELECT q_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY q_id
@@ -1922,52 +1974,19 @@ object SparkEntry {
          ORDER BY n_nationkey, acctbal DESC, c_custkey""",
     // the IVF index is fully relational (centroids ARE data vectors), so
     // the approximate path itself is oracle-checkable, probe-for-probe
-    "ann_ivf" ->
-      """WITH base AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-           FROM embeddings),
-         cents AS (
-           SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
-           FROM base WHERE vec_id < 16),
-         scores AS (
-           SELECT b.vec_id, c.c_id,
-             list_sum(list_transform(generate_series(1, 64),
-               d -> CAST(b.embedding[d] AS DOUBLE) * CAST(c.c_emb[d] AS DOUBLE)))
-               / (b.norm * c.c_norm) AS ccos
-           FROM base b CROSS JOIN cents c),
-         assigned AS (
-           SELECT vec_id, c_id AS cell FROM (
-             SELECT vec_id, c_id,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY ccos DESC, c_id DESC) AS rn
-             FROM scores) WHERE rn = 1),
-         probes AS (
-           SELECT vec_id AS q_id, c_id AS probe_cell FROM (
-             SELECT vec_id, c_id,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY ccos DESC, c_id DESC) AS rn
-             FROM scores) WHERE rn <= 4 AND vec_id < 10),
-         cand AS (
-           SELECT p.q_id, a.vec_id
-           FROM probes p JOIN assigned a ON a.cell = p.probe_cell
-           WHERE a.vec_id != p.q_id),
-         scored AS (
-           SELECT c.q_id, c.vec_id AS neighbor_id,
-             round(list_sum(list_transform(generate_series(1, 64),
-               d -> CAST(bc.embedding[d] AS DOUBLE) * CAST(bq.embedding[d] AS DOUBLE)))
-               / (bc.norm * bq.norm), 4) AS cos
-           FROM cand c
-           JOIN base bc ON bc.vec_id = c.vec_id
-           JOIN base bq ON bq.vec_id = c.q_id),
-         ranked AS (
-           SELECT q_id, neighbor_id, cos,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY cos DESC, neighbor_id) AS rk
-           FROM scored)
-         SELECT q_id, rk, neighbor_id, cos FROM ranked
-         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "ann_ivf" -> annIvfOracle,
+    // IVF recall@10 audit — the LSH path's ann_recall twin, same
+    // brute-force-vs-index LEFT JOIN and integer micro-rate
+    "ann_recall_ivf" ->
+      s"""WITH brute AS ($annTopkOracle),
+         approx AS ($annIvfOracle)
+         SELECT b.q_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.neighbor_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM brute b LEFT JOIN approx a
+           ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.q_id ORDER BY b.q_id""",
     // exact all-pairs restatement: the Spark side is LSH-bucketed with
     // exact verify, so its output is a (full-recall at these cosines)
     // subset of this — equality checked over the whole table

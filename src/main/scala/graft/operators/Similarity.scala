@@ -141,6 +141,13 @@ object Similarity {
   def annRecall(spark: SparkSession, dir: String): DataFrame =
     recallAtK(annBruteForce(spark, dir), annLsh(spark, dir), k = 10)
 
+  /** The IVF path's recall@10 audit — same brute-force-vs-index compare
+    * as [[annRecall]], so BOTH approximate index families carry a gated
+    * quality metric, not just a gated result set.
+    */
+  def annRecallIvf(spark: SparkSession, dir: String): DataFrame =
+    recallAtK(annBruteForce(spark, dir), annIvf(spark, dir), k = 10)
+
   /** IVF (inverted-file) ANN — the second scale path, complementary to
     * LSH: partition the corpus into `cells` by nearest centroid, probe
     * only the `nProbe` best cells per query, exact-rerank the survivors.
