@@ -88,6 +88,7 @@ object SparkEntry {
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
     "ann_recall"           -> (Similarity.annRecall(_, _)),
     "ann_recall_ivf"       -> (Similarity.annRecallIvf(_, _)),
+    "bitext_mine"          -> (Similarity.bitextMarginDocs(_, _)),
     "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
     "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
     "kanon_audit"          -> (Monitoring.kanonDocs(_, _)),
@@ -1581,6 +1582,54 @@ object SparkEntry {
          WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9
          ORDER BY doc_a, doc_b""",
     "ann_topk" -> annTopkOracle,
+    // margin-based bitext mining: floor-micro cosines, exact BIGINT
+    // neighborhood sums, positive-domain integer-division margin — the
+    // ratio-margin criterion restated over the parity split
+    "bitext_mine" ->
+      s"""WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         pos AS (
+           SELECT * FROM (
+             SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                   d -> CAST(x.embedding[d] AS DOUBLE)
+                     * CAST(y.embedding[d] AS DOUBLE)))
+                 / (x.norm * y.norm) * 1e6) AS BIGINT) AS cos_micro
+             FROM base x JOIN base y
+               ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1)
+           WHERE cos_micro > 0),
+         rx AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY x_id
+               ORDER BY cos_micro DESC, y_id) AS rk_x,
+             row_number() OVER (PARTITION BY y_id
+               ORDER BY cos_micro DESC, x_id) AS rk_y
+           FROM pos),
+         sx AS (
+           SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS sum_x
+           FROM rx WHERE rk_x <= ${operators.Similarity.BitextMarginK}
+           GROUP BY 1 HAVING count(*) = ${operators.Similarity.BitextMarginK}),
+         sy AS (
+           SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS sum_y
+           FROM rx WHERE rk_y <= ${operators.Similarity.BitextMarginK}
+           GROUP BY 1 HAVING count(*) = ${operators.Similarity.BitextMarginK}),
+         sc AS (
+           SELECT r.x_id, r.y_id, r.cos_micro,
+             (r.cos_micro * ${2L * operators.Similarity.BitextMarginK}
+               * 1000000) // (sx.sum_x + sy.sum_y) AS margin_micro
+           FROM rx r JOIN sx USING (x_id) JOIN sy USING (y_id)
+           WHERE r.rk_x <= ${operators.Similarity.BitextMarginK}),
+         best AS (
+           SELECT *, row_number() OVER (PARTITION BY x_id
+             ORDER BY margin_micro DESC, y_id) AS rk
+           FROM sc)
+         SELECT x_id, y_id, cos_micro, margin_micro FROM best
+         WHERE rk = 1
+           AND margin_micro >= ${operators.Similarity.BitextMarginThresholdMicro}
+         ORDER BY x_id""",
     // recall@10 audit: LEFT JOIN keeps zero-candidate queries as 0-recall
     // rows; integer micro-rate, no float division (engine-exact)
     "ann_recall" ->

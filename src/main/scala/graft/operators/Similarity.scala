@@ -769,4 +769,95 @@ object Similarity {
 
   def matryoshkaTopKDocs(spark: SparkSession, dir: String): DataFrame =
     matryoshkaTopK(Tables(spark, dir).embeddings)
+
+  // ------------------------------------------------- bitext mining
+
+  /** Margin threshold for [[bitextMargin]] in micro-units: a mined pair
+    * must score ≥ 1.05× the average of its two local cosine
+    * neighborhoods — the ratio-margin criterion of Artetxe & Schwenk
+    * (2019, "Margin-based Parallel Corpus Mining"), the filter CCMatrix/
+    * WikiMatrix-style pipelines apply because raw cosine alone
+    * over-mines hubs (vectors globally close to everything).
+    */
+  val BitextMarginThresholdMicro = 1050000L
+
+  /** Neighborhood size k for the margin denominators. */
+  val BitextMarginK = 4
+
+  /** Margin-based bitext mining over the embedding space — the parallel-
+    * corpus mining stage of a multilingual pretraining pipeline: the
+    * corpus splits into two "languages" (here deterministically by
+    * vec_id parity — a real deployment feeds two aligned encoders), and
+    * for each X-side vector the best Y-side candidate is kept when its
+    * RATIO MARGIN clears the threshold: margin(x,y) = cos(x,y) /
+    * ((avg_k cos(x, NN_k(x,Y)) + avg_k cos(y, NN_k(y,X))) / 2). The
+    * margin denominator is each vector's own neighborhood density, so a
+    * hub's uniformly-high cosines cancel out — the published fix for
+    * the hubness failure of raw-cosine mining.
+    *
+    * Engine-exactness discipline: every cosine is floor-quantized to
+    * micro-units (binary floor of the identical left-to-right double —
+    * the labelCentroids rule); neighborhood sums are exact BIGINT sums
+    * of those micros; the margin is pure positive-BIGINT division
+    * `(cos·2k·1e6) div (Σk_x + Σk_y)`, so `div` ≡ DuckDB `//` with no
+    * rounding hazard. Only positive-cosine pairs participate (a
+    * negative cosine is never a translation candidate, and keeping the
+    * domain positive keeps floor/div semantics engine-identical);
+    * vectors with fewer than k positive partners drop out of mining —
+    * their neighborhood statistic would be a different estimator.
+    *
+    * Scale shape: the X side rides as a broadcast batch (every ann gate's
+    * query-batch pattern); scoring is one pass over the Y side, and the
+    * k-NN sums are bounded per-key windows on (x) and (y) — no
+    * corpus×corpus shuffle. At 100 TB both directions bucket through the
+    * IVF cells ([[ivfTopK]]) before scoring; the margin arithmetic is
+    * unchanged.
+    */
+  def bitextMargin(vecs: DataFrame, k: Int = BitextMarginK,
+      thresholdMicro: Long = BitextMarginThresholdMicro): DataFrame = {
+    require(k >= 1, s"neighborhood k must be >= 1, got $k")
+    val base = withNorm(vecs)
+    val xs = broadcast(base.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"),
+        col("norm").as("x_norm")))
+    val pairs = base.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"),
+        col("norm").as("y_norm"))
+      .crossJoin(xs)
+      .withColumn("cos_micro",
+        floor(vecDot(col("x_emb"), col("y_emb")) /
+          (col("x_norm") * col("y_norm")) * lit(1e6)).cast("long"))
+      .filter(col("cos_micro") > 0)
+      .select(col("x_id"), col("y_id"), col("cos_micro"))
+    val wx = Window.partitionBy(col("x_id"))
+      .orderBy(col("cos_micro").desc, col("y_id"))
+    val wy = Window.partitionBy(col("y_id"))
+      .orderBy(col("cos_micro").desc, col("x_id"))
+    val ranked = pairs
+      .withColumn("rk_x", row_number().over(wx))
+      .withColumn("rk_y", row_number().over(wy))
+    val sumX = ranked.filter(col("rk_x") <= k)
+      .groupBy(col("x_id"))
+      .agg(sum(col("cos_micro")).as("sum_x"), count(lit(1)).as("n_x"))
+      .filter(col("n_x") === k)
+    val sumY = ranked.filter(col("rk_y") <= k)
+      .groupBy(col("y_id"))
+      .agg(sum(col("cos_micro")).as("sum_y"), count(lit(1)).as("n_y"))
+      .filter(col("n_y") === k)
+    val scored = ranked.filter(col("rk_x") <= k)
+      .join(sumX, Seq("x_id"))
+      .join(sumY, Seq("y_id"))
+      .withColumn("margin_micro",
+        expr(s"(cos_micro * ${2L * k} * 1000000) div (sum_x + sum_y)"))
+    val best = Window.partitionBy(col("x_id"))
+      .orderBy(col("margin_micro").desc, col("y_id"))
+    scored
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1 && col("margin_micro") >= thresholdMicro)
+      .select(col("x_id"), col("y_id"), col("cos_micro"), col("margin_micro"))
+      .orderBy(col("x_id"))
+  }
+
+  def bitextMarginDocs(spark: SparkSession, dir: String): DataFrame =
+    bitextMargin(Tables(spark, dir).embeddings)
 }

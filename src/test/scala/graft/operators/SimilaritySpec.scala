@@ -427,4 +427,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got === expected)
     got.values.foreach(h => assert(h >= 0L && h <= 10L))
   }
+
+  test("bitext mining: planted translations mined, hubs margin-rejected") {
+    import spark.implicits._
+    // 12 X-side (even id) base vectors, each dominated by its own axis
+    // plus deterministic hash noise (near-orthogonal set — distinct
+    // "sentences"); each planted translation y = its x with a tiny
+    // perturbation → near-1 cosine against its partner, near-0 elsewhere
+    val dim = 16
+    def gridVec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        ((if (d == seed % dim) 1.0 else 0.0) +
+          0.05 * HashGrid.point(s"bt:$seed:$d")).toFloat)
+    val xs = (0 until 12).map(i => (2L * i, gridVec(i).toSeq))
+    val ys = (0 until 12).map { i =>
+      val v = gridVec(i)
+      v(0) = v(0) + 0.01f
+      (2L * i + 1, v.toSeq)
+    }
+    val vecs = (xs ++ ys).toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMargin(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toList
+    // every planted pair (2i, 2i+1) is mined — and nothing else
+    assert(mined.map(m => (m._1, m._2)).toSet ===
+      (0 until 12).map(i => (2L * i, 2L * i + 1)).toSet)
+    // margins clear the threshold decisively (near-dup vs background)
+    mined.foreach { case (_, _, m) =>
+      assert(m >= Similarity.BitextMarginThresholdMicro) }
+    // hub rejection — the failure mode the ratio margin exists for: a
+    // vector with strong components on EVERY axis is cosine-close to
+    // every y (raw-cosine mining would happily match it), but its
+    // neighborhood is flat, so best/avg-of-top-k ≈ 1 < threshold
+    val hub = Array.tabulate(dim)(d =>
+      (1.0 + 0.02 * HashGrid.point(s"hub:$d")).toFloat)
+    val withHub = ((40L, hub.toSeq) +: (xs ++ ys)).toDF("vec_id", "embedding")
+    val mined2 = Similarity.bitextMargin(withHub).collect().map(_.getLong(0)).toSet
+    assert(!mined2.contains(40L),
+      "a hub (uniformly close to everything) must not clear the ratio margin")
+  }
 }
