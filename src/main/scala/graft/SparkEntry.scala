@@ -89,6 +89,7 @@ object SparkEntry {
     "ann_recall"           -> (Similarity.annRecall(_, _)),
     "ann_recall_ivf"       -> (Similarity.annRecallIvf(_, _)),
     "bitext_mine"          -> (Similarity.bitextMarginDocs(_, _)),
+    "bitext_mine_ivf"      -> (Similarity.bitextMarginIvfDocs(_, _)),
     "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
     "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
     "kanon_audit"          -> (Monitoring.kanonDocs(_, _)),
@@ -799,6 +800,52 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rk, neighbor_id, cos FROM ranked
          WHERE rk <= 10 ORDER BY q_id, rk"""
+
+  /** Ratio-margin selection chain shared by the `bitext_mine` /
+    * `bitext_mine_ivf` oracles: `candCtes` must define a `pos` CTE of
+    * positive (x_id, y_id, cos_micro) candidate rows (it may lean on
+    * the `base` CTE, which is prepended here); the chain restates
+    * [[operators.Similarity]]'s marginMine arithmetic exactly.
+    */
+  private def bitextOracle(candCtes: String): String = {
+    val k = operators.Similarity.BitextMarginK
+    s"""WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         $candCtes,
+         rx AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY x_id
+               ORDER BY cos_micro DESC, y_id) AS rk_x,
+             row_number() OVER (PARTITION BY y_id
+               ORDER BY cos_micro DESC, x_id) AS rk_y
+           FROM pos),
+         sx AS (
+           SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS sum_x,
+             count(*) AS n_x
+           FROM rx WHERE rk_x <= $k GROUP BY 1),
+         sy AS (
+           SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS sum_y,
+             count(*) AS n_y
+           FROM rx WHERE rk_y <= $k GROUP BY 1),
+         sc AS (
+           SELECT r.x_id, r.y_id, r.cos_micro,
+             (r.cos_micro * 2 * 1000000)
+               // ((sx.sum_x // sx.n_x) + (sy.sum_y // sy.n_y))
+               AS margin_micro
+           FROM rx r JOIN sx USING (x_id) JOIN sy USING (y_id)
+           WHERE r.rk_x <= $k),
+         best AS (
+           SELECT *, row_number() OVER (PARTITION BY x_id
+             ORDER BY margin_micro DESC, y_id) AS rk
+           FROM sc)
+         SELECT x_id, y_id, cos_micro, margin_micro FROM best
+         WHERE rk = 1
+           AND margin_micro >= ${operators.Similarity.BitextMarginThresholdMicro}
+         ORDER BY x_id"""
+  }
 
   /** IVF probe-path restatement (seed centroids = first 16 vectors,
     * argmax-cosine cells with larger-id ties, top-4 probe lists) —
@@ -1585,13 +1632,8 @@ object SparkEntry {
     // margin-based bitext mining: floor-micro cosines, exact BIGINT
     // neighborhood sums, positive-domain integer-division margin — the
     // ratio-margin criterion restated over the parity split
-    "bitext_mine" ->
-      s"""WITH base AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-           FROM embeddings),
-         pos AS (
+    "bitext_mine" -> bitextOracle(
+      """pos AS (
            SELECT * FROM (
              SELECT x.vec_id AS x_id, y.vec_id AS y_id,
                CAST(floor(list_sum(list_transform(generate_series(1, 64),
@@ -1600,36 +1642,43 @@ object SparkEntry {
                  / (x.norm * y.norm) * 1e6) AS BIGINT) AS cos_micro
              FROM base x JOIN base y
                ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1)
-           WHERE cos_micro > 0),
-         rx AS (
-           SELECT *,
-             row_number() OVER (PARTITION BY x_id
-               ORDER BY cos_micro DESC, y_id) AS rk_x,
-             row_number() OVER (PARTITION BY y_id
-               ORDER BY cos_micro DESC, x_id) AS rk_y
-           FROM pos),
-         sx AS (
-           SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS sum_x
-           FROM rx WHERE rk_x <= ${operators.Similarity.BitextMarginK}
-           GROUP BY 1 HAVING count(*) = ${operators.Similarity.BitextMarginK}),
-         sy AS (
-           SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS sum_y
-           FROM rx WHERE rk_y <= ${operators.Similarity.BitextMarginK}
-           GROUP BY 1 HAVING count(*) = ${operators.Similarity.BitextMarginK}),
-         sc AS (
-           SELECT r.x_id, r.y_id, r.cos_micro,
-             (r.cos_micro * ${2L * operators.Similarity.BitextMarginK}
-               * 1000000) // (sx.sum_x + sy.sum_y) AS margin_micro
-           FROM rx r JOIN sx USING (x_id) JOIN sy USING (y_id)
-           WHERE r.rk_x <= ${operators.Similarity.BitextMarginK}),
-         best AS (
-           SELECT *, row_number() OVER (PARTITION BY x_id
-             ORDER BY margin_micro DESC, y_id) AS rk
-           FROM sc)
-         SELECT x_id, y_id, cos_micro, margin_micro FROM best
-         WHERE rk = 1
-           AND margin_micro >= ${operators.Similarity.BitextMarginThresholdMicro}
-         ORDER BY x_id""",
+           WHERE cos_micro > 0)"""),
+    // the IVF-probed spelling: ann_ivf's cell/probe CTEs generate the
+    // candidate pairs, then the identical margin chain
+    "bitext_mine_ivf" -> bitextOracle(
+      """cents AS (
+           SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+           FROM base WHERE vec_id < 16),
+         scores AS (
+           SELECT b.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(b.embedding[d] AS DOUBLE) * CAST(c.c_emb[d] AS DOUBLE)))
+               / (b.norm * c.c_norm) AS ccos
+           FROM base b CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS x_id, c_id AS probe_cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn <= 4 AND vec_id % 2 = 0),
+         pos AS (
+           SELECT * FROM (
+             SELECT p.x_id, a.vec_id AS y_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                   d -> CAST(bx.embedding[d] AS DOUBLE)
+                     * CAST(by.embedding[d] AS DOUBLE)))
+                 / (bx.norm * by.norm) * 1e6) AS BIGINT) AS cos_micro
+             FROM probes p
+             JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id % 2 = 1
+             JOIN base bx ON bx.vec_id = p.x_id
+             JOIN base by ON by.vec_id = a.vec_id)
+           WHERE cos_micro > 0)"""),
     // recall@10 audit: LEFT JOIN keeps zero-candidate queries as 0-recall
     // rows; integer micro-rate, no float division (engine-exact)
     "ann_recall" ->

@@ -799,12 +799,13 @@ object Similarity {
     * micro-units (binary floor of the identical left-to-right double —
     * the labelCentroids rule); neighborhood sums are exact BIGINT sums
     * of those micros; the margin is pure positive-BIGINT division
-    * `(cos·2k·1e6) div (Σk_x + Σk_y)`, so `div` ≡ DuckDB `//` with no
-    * rounding hazard. Only positive-cosine pairs participate (a
-    * negative cosine is never a translation candidate, and keeping the
-    * domain positive keeps floor/div semantics engine-identical);
-    * vectors with fewer than k positive partners drop out of mining —
-    * their neighborhood statistic would be a different estimator.
+    * `(cos·2·1e6) div (Σ_x div n_x + Σ_y div n_y)` over the
+    * top-min(k, retrieved) candidates per side, so `div` ≡ DuckDB `//`
+    * with no rounding hazard and a sparse candidate set (the IVF
+    * variant's by-design case) still gets a well-defined estimator.
+    * Only positive-cosine pairs participate (a negative cosine is never
+    * a translation candidate, and keeping the domain positive keeps
+    * floor/div semantics engine-identical).
     *
     * Scale shape: the X side rides as a broadcast batch (every ann gate's
     * query-batch pattern); scoring is one pass over the Y side, and the
@@ -829,6 +830,17 @@ object Similarity {
           (col("x_norm") * col("y_norm")) * lit(1e6)).cast("long"))
       .filter(col("cos_micro") > 0)
       .select(col("x_id"), col("y_id"), col("cos_micro"))
+    marginMine(pairs, k, thresholdMicro)
+  }
+
+  /** The ratio-margin scoring/selection stage shared by [[bitextMargin]]
+    * and [[bitextMarginIvf]]: candidate (x_id, y_id, cos_micro) rows in,
+    * best-margin-above-threshold pair per x out. Separated so the two
+    * candidate generators (exhaustive / IVF-probed) cannot drift in the
+    * arithmetic the oracles pin.
+    */
+  private def marginMine(pairs: DataFrame, k: Int,
+      thresholdMicro: Long): DataFrame = {
     val wx = Window.partitionBy(col("x_id"))
       .orderBy(col("cos_micro").desc, col("y_id"))
     val wy = Window.partitionBy(col("y_id"))
@@ -836,19 +848,23 @@ object Similarity {
     val ranked = pairs
       .withColumn("rk_x", row_number().over(wx))
       .withColumn("rk_y", row_number().over(wy))
+    // neighborhood averages over the top-min(k, retrieved) candidates —
+    // a sparse candidate set (the IVF-probed variant by design) still
+    // yields a well-defined estimator instead of dropping the vector.
+    // Each side's average is its own positive-BIGINT division, so the
+    // whole margin stays engine-exact integer arithmetic; cos_micro ≥ 1
+    // after the positivity filter ⇒ each avg ≥ 1 ⇒ denominator ≥ 2.
     val sumX = ranked.filter(col("rk_x") <= k)
       .groupBy(col("x_id"))
       .agg(sum(col("cos_micro")).as("sum_x"), count(lit(1)).as("n_x"))
-      .filter(col("n_x") === k)
     val sumY = ranked.filter(col("rk_y") <= k)
       .groupBy(col("y_id"))
       .agg(sum(col("cos_micro")).as("sum_y"), count(lit(1)).as("n_y"))
-      .filter(col("n_y") === k)
     val scored = ranked.filter(col("rk_x") <= k)
       .join(sumX, Seq("x_id"))
       .join(sumY, Seq("y_id"))
       .withColumn("margin_micro",
-        expr(s"(cos_micro * ${2L * k} * 1000000) div (sum_x + sum_y)"))
+        expr("(cos_micro * 2 * 1000000) div ((sum_x div n_x) + (sum_y div n_y))"))
     val best = Window.partitionBy(col("x_id"))
       .orderBy(col("margin_micro").desc, col("y_id"))
     scored
@@ -860,4 +876,55 @@ object Similarity {
 
   def bitextMarginDocs(spark: SparkSession, dir: String): DataFrame =
     bitextMargin(Tables(spark, dir).embeddings)
+
+  /** [[bitextMargin]] through the IVF probe path — the concrete 100 TB
+    * spelling its scaladoc promises: instead of scoring X×Y, each
+    * X-side vector probes its `nProbe` best inverted-file cells and
+    * scores only the Y-side vectors assigned there, so candidate volume
+    * is corpus-linear (cells bound the fan-out) and the broadcast is
+    * the centroid table, not a corpus side. Same cell structure,
+    * assignment expression and probe machinery as [[ivfTopK]]; the
+    * margin arithmetic is [[marginMine]] verbatim, with neighborhood
+    * sums taken over the probed candidate set (the estimator every
+    * production margin miner actually uses — FAISS-backed CCMatrix
+    * scores margins over retrieved candidates, not the full corpus).
+    *
+    * Edge semantics, deliberate: a pair whose probed neighborhoods
+    * contain ONLY each other has margin exactly 1.0 and is NOT mined —
+    * a pair with no neighborhood context can't demonstrate a margin,
+    * and conservative rejection beats hallucinating alignment
+    * (SimilaritySpec pins both this and the recovered-cluster case).
+    */
+  def bitextMarginIvf(vecs: DataFrame, k: Int = BitextMarginK,
+      thresholdMicro: Long = BitextMarginThresholdMicro,
+      cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(k >= 1, s"neighborhood k must be >= 1, got $k")
+    val base = withNorm(vecs)
+    val cents = seedCentroids(base, cells)
+    require(cents.length >= 2, s"need at least 2 centroids, got ${cents.length}")
+    val scores = cents.map { case (id, w, n) =>
+      struct((vecDot(col("embedding"), lit(w)) / (col("norm") * lit(n))).as("cos"),
+        lit(id).as("c_id"))
+    }
+    val probes = transform(
+      slice(reverse(array_sort(array(scores: _*))), 1, nProbe),
+      s => s.getField("c_id"))
+    val xs = broadcast(base.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"),
+        col("norm").as("x_norm"), probes.as("x_probes")))
+    val pairs = base.filter(col("vec_id") % 2 === 1)
+      .withColumn("cell", greatest(scores: _*).getField("c_id"))
+      .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"),
+        col("norm").as("y_norm"), col("cell"))
+      .join(xs, array_contains(col("x_probes"), col("cell")))
+      .withColumn("cos_micro",
+        floor(vecDot(col("x_emb"), col("y_emb")) /
+          (col("x_norm") * col("y_norm")) * lit(1e6)).cast("long"))
+      .filter(col("cos_micro") > 0)
+      .select(col("x_id"), col("y_id"), col("cos_micro"))
+    marginMine(pairs, k, thresholdMicro)
+  }
+
+  def bitextMarginIvfDocs(spark: SparkSession, dir: String): DataFrame =
+    bitextMarginIvf(Tables(spark, dir).embeddings)
 }

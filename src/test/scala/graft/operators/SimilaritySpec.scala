@@ -465,4 +465,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(!mined2.contains(40L),
       "a hub (uniformly close to everything) must not clear the ratio margin")
   }
+
+  test("IVF bitext mining: planted pairs survive the probe path") {
+    import spark.implicits._
+    // clustered construction: 4 primary axes (3 pairs each — so probed
+    // cells contain real NEIGHBORHOODS, not just the partner; an
+    // isolated twin pair's margin is exactly 1.0 by construction and is
+    // conservatively NOT mined) plus a per-pair secondary axis that
+    // separates partners (cos ≈ 1) from same-cluster background
+    // (cos ≈ 0.6)
+    val dim = 16
+    def gridVec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        ((if (d == seed % 4) 1.0 else 0.0) +
+          (if (d == 4 + seed / 4) 0.8 else 0.0) +
+          0.05 * HashGrid.point(s"bt:$seed:$d")).toFloat)
+    val xs = (0 until 12).map(i => (2L * i, gridVec(i).toSeq))
+    val ys = (0 until 12).map { i =>
+      val v = gridVec(i)
+      v(0) = v(0) + 0.01f
+      (2L * i + 1, v.toSeq)
+    }
+    val vecs = (xs ++ ys).toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMarginIvf(vecs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted pair is recovered through the probe path; an x may
+    // also ONLY match planted partners (candidate sets are restricted,
+    // never invented)
+    (0 until 12).foreach { i =>
+      assert(mined.get(2L * i).contains(2L * i + 1),
+        s"planted pair (${2 * i}, ${2 * i + 1}) lost in the probe path")
+    }
+  }
 }
