@@ -373,4 +373,42 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), "no all-pairs stage anywhere")
   }
+
+  test("sampling mixtures: corpus scalars ride broadcast frames, zero windows") {
+    // the round-10 rewrite of the full-frame windows over domain-sized
+    // aggregates (langBalance / tempTargets): totals must arrive via
+    // broadcast scalar frames and the plan must carry no Window at all
+    for (q <- Seq("lang_balance", "mix_temperature", "mix_upsample")) {
+      val plan = planOf(q)
+      assert(plan.contains("Broadcast"),
+        s"$q: corpus totals must broadcast:\n${plan.take(2000)}")
+      assert(!plan.contains("Window"),
+        s"$q: no window may remain:\n${plan.take(2000)}")
+    }
+  }
+
+  test("NO query plans an unpartitioned Window over arbitrary input") {
+    // The sweeping form of the BoundedGlobal contract: a global window
+    // moves its whole input to one task, so every one of them was
+    // either partitioned, or replaced by a BoundedGlobal pass with a
+    // loud row bound. A future operator reintroducing one fails HERE,
+    // not as an ignorable log warning. Logical plans only — no
+    // execution — so the stream gates (whose construction runs a real
+    // streaming query; their landed read-back is a plain scan with no
+    // windows) and the trained-kmeans entries (driver-side training
+    // collects) are exercised elsewhere and skipped for cost.
+    val skip = (n: String) => n.startsWith("stream_") || n == "kmeans_assign"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.optimizedPlan
+        plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => name
+        }.headOption
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in: ${offenders.distinct.mkString(", ")}")
+  }
 }
