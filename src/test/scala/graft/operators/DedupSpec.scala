@@ -106,6 +106,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: driver fast path equals the RDD loop exactly") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with chains, cliques and islands
+    val edges = (0 until 400).map { i =>
+      val a = (i * 2654435761L) % 97
+      val b = (a + 1 + (i * 40503L) % 7) % 97
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2)
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // smallGraphMaxEdges = 0 forces the distributed label-propagation loop
+    val dist = Dedup.connectedComponents(pairs, smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+    assert(fast.nonEmpty)
+    // component label is the minimum member id in both paths
+    fast.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min === comp)
+    }
+  }
+
   test("survivors: one canonical doc per near-dup chain, islands keep themselves") {
     import spark.implicits._
     // 0~1 near-dups (chain via LSH pairs), 2 unrelated: survivors = {0, 2}
