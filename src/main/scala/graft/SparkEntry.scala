@@ -1633,7 +1633,7 @@ object SparkEntry {
     // neighborhood sums, positive-domain integer-division margin — the
     // ratio-margin criterion restated over the parity split
     "bitext_mine" -> bitextOracle(
-      """pos AS (
+      s"""pos AS (
            SELECT * FROM (
              SELECT x.vec_id AS x_id, y.vec_id AS y_id,
                CAST(floor(list_sum(list_transform(generate_series(1, 64),
@@ -1641,12 +1641,14 @@ object SparkEntry {
                      * CAST(y.embedding[d] AS DOUBLE)))
                  / (x.norm * y.norm) * 1e6) AS BIGINT) AS cos_micro
              FROM base x JOIN base y
-               ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1)
+               ON x.vec_id % 2 = 0
+                 AND x.vec_id < ${operators.Similarity.BitextGateXMaxId}
+                 AND y.vec_id % 2 = 1)
            WHERE cos_micro > 0)"""),
     // the IVF-probed spelling: ann_ivf's cell/probe CTEs generate the
     // candidate pairs, then the identical margin chain
     "bitext_mine_ivf" -> bitextOracle(
-      """cents AS (
+      s"""cents AS (
            SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
            FROM base WHERE vec_id < 16),
          scores AS (
@@ -1666,7 +1668,8 @@ object SparkEntry {
              SELECT vec_id, c_id,
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY ccos DESC, c_id DESC) AS rn
-             FROM scores) WHERE rn <= 4 AND vec_id % 2 = 0),
+             FROM scores) WHERE rn <= 4 AND vec_id % 2 = 0
+               AND vec_id < ${operators.Similarity.BitextGateXMaxId}),
          pos AS (
            SELECT * FROM (
              SELECT p.x_id, a.vec_id AS y_id,

@@ -814,11 +814,23 @@ object Similarity {
     * IVF cells ([[ivfTopK]]) before scoring; the margin arithmetic is
     * unchanged.
     */
+  /** X-side batch bound for the two gated entries: the gate mines the
+    * evens below this id against the FULL Y side — the ann gates'
+    * query-batch discipline applied to mining (covers every fixture SF
+    * whole; on the 10× stress it becomes an incremental batch-vs-corpus
+    * mine instead of a quadratic corpus×corpus blow-up). Callers mining
+    * everything pass Long.MaxValue and bring an index-shaped plan
+    * ([[bitextMarginIvf]] with corpus-scaled cells).
+    */
+  val BitextGateXMaxId = 2000L
+
   def bitextMargin(vecs: DataFrame, k: Int = BitextMarginK,
-      thresholdMicro: Long = BitextMarginThresholdMicro): DataFrame = {
+      thresholdMicro: Long = BitextMarginThresholdMicro,
+      xMaxId: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"neighborhood k must be >= 1, got $k")
     val base = withNorm(vecs)
-    val xs = broadcast(base.filter(col("vec_id") % 2 === 0)
+    val xs = broadcast(base.filter(col("vec_id") % 2 === 0 &&
+        col("vec_id") < xMaxId)
       .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"),
         col("norm").as("x_norm")))
     val pairs = base.filter(col("vec_id") % 2 === 1)
@@ -875,7 +887,7 @@ object Similarity {
   }
 
   def bitextMarginDocs(spark: SparkSession, dir: String): DataFrame =
-    bitextMargin(Tables(spark, dir).embeddings)
+    bitextMargin(Tables(spark, dir).embeddings, xMaxId = BitextGateXMaxId)
 
   /** [[bitextMargin]] through the IVF probe path — the concrete 100 TB
     * spelling its scaladoc promises: instead of scoring X×Y, each
@@ -897,7 +909,8 @@ object Similarity {
     */
   def bitextMarginIvf(vecs: DataFrame, k: Int = BitextMarginK,
       thresholdMicro: Long = BitextMarginThresholdMicro,
-      cells: Int = 16, nProbe: Int = 4): DataFrame = {
+      cells: Int = 16, nProbe: Int = 4,
+      xMaxId: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"neighborhood k must be >= 1, got $k")
     val base = withNorm(vecs)
     val cents = seedCentroids(base, cells)
@@ -909,7 +922,8 @@ object Similarity {
     val probes = transform(
       slice(reverse(array_sort(array(scores: _*))), 1, nProbe),
       s => s.getField("c_id"))
-    val xs = broadcast(base.filter(col("vec_id") % 2 === 0)
+    val xs = broadcast(base.filter(col("vec_id") % 2 === 0 &&
+        col("vec_id") < xMaxId)
       .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"),
         col("norm").as("x_norm"), probes.as("x_probes")))
     val pairs = base.filter(col("vec_id") % 2 === 1)
@@ -926,5 +940,5 @@ object Similarity {
   }
 
   def bitextMarginIvfDocs(spark: SparkSession, dir: String): DataFrame =
-    bitextMarginIvf(Tables(spark, dir).embeddings)
+    bitextMarginIvf(Tables(spark, dir).embeddings, xMaxId = BitextGateXMaxId)
 }
