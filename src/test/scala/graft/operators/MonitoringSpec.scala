@@ -106,4 +106,27 @@ class MonitoringSpec extends AnyFunSuite with SparkTestSession {
       assert(n === r.getLong(3))
     }
   }
+
+  test("sourceOverlap fails loudly on out-of-domain source ids") {
+    import spark.implicits._
+    // digit-less source → NULL sid; id ≥ nSources → mask wrap: both are
+    // silent-corruption bugs, so both must raise, not drop
+    val digitless = Seq((1L, "one two three four five six seven eight nine", "weird"))
+      .toDF("doc_id", "text", "source")
+    val e1 = intercept[Exception] {
+      Monitoring.sourceOverlap(digitless).collect()
+    }
+    assert(e1.getMessage.contains("sourceOverlap"), e1.getMessage)
+    val tooBig = Seq((1L, "one two three four five six seven eight nine", "src_99"))
+      .toDF("doc_id", "text", "source")
+    val e2 = intercept[Exception] {
+      Monitoring.sourceOverlap(tooBig).collect()
+    }
+    assert(e2.getMessage.contains("sourceOverlap"), e2.getMessage)
+    // nSources outside the single-Long mask domain is rejected up front
+    val e3 = intercept[IllegalArgumentException] {
+      Monitoring.sourceOverlap(tooBig, nSources = 64)
+    }
+    assert(e3.getMessage.contains("bitmask"))
+  }
 }
