@@ -67,8 +67,19 @@ object MapleJuice {
 
   /** Native juice: group the keyed lines and apply `f` (key, lines →
     * output lines) once per key, mirroring one reduce-executable invocation
-    * per key file (E9). The group arrives as an iterator — constant memory
-    * per key.
+    * per key file (E9).
+    *
+    * ONE shuffle, not two: the repartition already co-locates each key,
+    * so grouping happens partition-locally — sort within the partition
+    * by key, then walk consecutive runs, calling `f` once per run. The
+    * previous `groupByKey.flatMapGroups` spelling keyed on an opaque
+    * lambda, which Catalyst cannot match against the existing
+    * partitioning, so it inserted a SECOND corpus-sized exchange after
+    * the first (for Range, the range exchange then carried no semantic
+    * weight at all). One key's lines are buffered in memory per call —
+    * exactly the reference's per-key intermediate file (E6/E9), and the
+    * same bound `flatMapGroups` gave in practice since every juice
+    * function and external exe consumes its group fully.
     */
   def juice(keyedLines: DataFrame, numTasks: Int,
       partitioning: Partitioning = Hash)(
@@ -79,8 +90,22 @@ object MapleJuice {
       case Range => keyedLines.repartitionByRange(numTasks, col("key"))
     }
     parted.select(col("key"), col("line")).as[(String, String)]
-      .groupByKey(_._1)
-      .flatMapGroups((k: String, it: Iterator[(String, String)]) => f(k, it.map(_._2)))
+      .sortWithinPartitions("key")
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[String] {
+          private var out: Iterator[String] = Iterator.empty
+          private def advance(): Unit =
+            while (!out.hasNext && it.hasNext) {
+              val k = it.head._1
+              val run = scala.collection.mutable.ArrayBuffer.empty[String]
+              while (it.hasNext && it.head._1 == k) run += it.next()._2
+              out = f(k, run.iterator).iterator
+            }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): String = { advance(); out.next() }
+        }
+      }
   }
 
   // ------------------------------------------------------------ literal tier
