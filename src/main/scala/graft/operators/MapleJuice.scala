@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * fidelity tiers:
   *
   *  - **native tier**: user logic as Scala functions compiled into Spark
-  *    tasks (`flatMap` / `groupByKey.flatMapGroups`). This is the primary
+  *    tasks (`flatMap` for maple; one key-partitioned shuffle +
+  *    partition-local run grouping for juice). This is the primary
   *    surface; Catalyst/Tungsten manage the shuffle, spill and retry that
   *    the reference hand-rolls over raw TCP
   *    (`file_system/file_system.go:89-119, 985-1029`).
