@@ -48,6 +48,7 @@ run / connectInput := true
 // so the JSON line stays the last thing on stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
-// outputStrategy is consumed by the run task at execution time; sbt's
-// unused-setting lint can't see that — exclude it from the check
-Global / excludeLintKeys += run / outputStrategy
+// outputStrategy is consumed by the run task at execution time and
+// showSuccess by sbt's command engine; the unused-setting lint can't
+// see either — exclude both from the check
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
