@@ -284,4 +284,41 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("BoundedGlobal equals a naive in-memory prefix scan (10 seeds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- 0 until 10) {
+      val r = rng(700 + seed)
+      val rows = r.shuffle((0L until 40L).toList)
+        .map(k => (k, r.nextInt(1000).toLong))
+      val df = rows.toDF("k", "v").repartition(7) // arbitrary layout
+      val got = BoundedGlobal.withPrefixSum(df, Seq(col("k")), "v", "cum",
+          includeCurrent = true, maxRows = 100, "property")
+        .select("k", "cum").as[(Long, Long)].collect().toMap
+      var acc = 0L
+      val expect = rows.sortBy(_._1).map { case (k, v) =>
+        acc += v; k -> acc
+      }.toMap
+      assert(got === expect, s"seed=$seed")
+    }
+  }
+
+  test("bitext mining is partitioning-invariant (5 seeds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.rand
+    for (seed <- 0 until 5) {
+      val r = rng(800 + seed)
+      val vecs = (0L until 40L).map { id =>
+        (id, Seq.fill(8)((r.nextDouble() - 0.5).toFloat))
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val base = Similarity.bitextMargin(df).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+      val reparted = Similarity.bitextMargin(
+        df.repartition(11).orderBy(rand(seed))).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+      assert(base === reparted, s"seed=$seed")
+    }
+  }
 }
