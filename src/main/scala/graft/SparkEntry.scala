@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_span_rm"        -> (Dedup.spanRemoveDocs(_, _)),
     "dedup_norm"           -> (Dedup.normDedupDocs(_, _)),
     "snapshot_diff"        -> (Dedup.snapshotDiffDocs(_, _)),
+    "cdc_apply"            -> (Dedup.cdcApplyDocs(_, _)),
     "corpus_card"          -> (Monitoring.corpusCardDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
@@ -1449,6 +1450,26 @@ object SparkEntry {
            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
          SELECT doc_id, status FROM j
          WHERE status != 'unchanged' ORDER BY doc_id""",
+    // MERGE semantics: touched ids (updates ∪ inserts ∪ deletes) leave
+    // the base; upsert payloads come back in — same synthetic changeset
+    "cdc_apply" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS shift FROM documents),
+         ups AS (
+           SELECT doc_id, text || ' v2' AS text FROM documents
+           WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id + (SELECT shift FROM m) AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 7),
+         touched AS (
+           SELECT doc_id FROM ups
+           UNION
+           SELECT doc_id FROM documents WHERE doc_id % 10 = 9)
+         SELECT doc_id, md5(text) AS fp FROM (
+           SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM touched)
+           UNION ALL
+           SELECT doc_id, text FROM ups)
+         ORDER BY doc_id""",
     "corpus_card" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))

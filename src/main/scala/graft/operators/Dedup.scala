@@ -949,4 +949,50 @@ object Dedup {
           when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
             .otherwise(col("text"))))
   }
+
+  /** CDC apply — the lakehouse `MERGE INTO` an incremental curation
+    * pipeline runs between crawls ([[snapshotDiff]] computes a diff;
+    * this APPLIES one): upsert rows replace matched ids or add new
+    * ones, delete ids drop, everything else rides through untouched.
+    * One anti-join on the touched-id set plus a union — no corpus-wide
+    * window, no per-row versioning state.
+    *
+    * 100 TB shape: the changeset is days-of-crawl-sized against a
+    * corpus-sized base, so the touched-id side broadcasts (ids only —
+    * never changeset payloads); when a backfill-scale changeset
+    * exceeds broadcast limits, AQE falls back to a hash join on
+    * doc_id and the plan is unchanged otherwise. Upsert payloads
+    * union in by name, so base and changeset schemas must agree —
+    * loudly enforced by unionByName itself.
+    */
+  def cdcApply(base: DataFrame, upserts: DataFrame,
+      deleteIds: DataFrame): DataFrame = {
+    val touched = upserts.select(col("doc_id"))
+      .unionByName(deleteIds.select(col("doc_id")))
+      .distinct()
+    base.join(broadcast(touched), Seq("doc_id"), "left_anti")
+      .unionByName(upserts)
+  }
+
+  /** Gate entry: a synthetic changeset over the documents table —
+    * `% 10 == 3` docs get updated text (`|| " v2"`), `% 10 == 7` docs
+    * re-enter as inserts under shifted ids (`+ max(doc_id) + 1`),
+    * `% 10 == 9` docs are deleted. Gated on (doc_id, md5(text)) of the
+    * applied snapshot; same construction in the DuckDB oracle.
+    */
+  def cdcApplyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val shift = docs.agg((max(col("doc_id")) + 1).as("__shift"))
+    val updates = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    val inserts = docs.filter(col("doc_id") % 10 === 7)
+      .crossJoin(broadcast(shift))
+      .withColumn("doc_id", col("doc_id") + col("__shift"))
+      .drop("__shift")
+    val deletes = docs.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"))
+    cdcApply(docs, updates.unionByName(inserts), deletes)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
 }

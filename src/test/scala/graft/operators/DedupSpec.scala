@@ -143,6 +143,29 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.survivors(real).count() === real.count() - (members - clusters))
   }
 
+  test("cdcApply: updates replace, inserts add, deletes drop, rest rides") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val upserts = Seq((2L, "two v2"), (9L, "nine")).toDF("doc_id", "text")
+    val deletes = Seq(3L).toDF("doc_id")
+    val got = Dedup.cdcApply(base, upserts, deletes)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq((1L, "one"), (2L, "two v2"), (9L, "nine")))
+    // empty changeset is the identity
+    val same = Dedup.cdcApply(base,
+        upserts.limit(0), deletes.limit(0))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(same === Seq((1L, "one"), (2L, "two"), (3L, "three")))
+    // applying the snapshot-diff construction then diffing against the
+    // result closes the loop: diff(base, cdcApply(...)) sees exactly
+    // the changeset's touch set
+    val diff = Dedup.snapshotDiff(base,
+        Dedup.cdcApply(base, upserts, deletes))
+      .as[(Long, String)].collect().toMap
+    assert(diff === Map(2L -> "changed", 3L -> "removed", 9L -> "added"))
+  }
+
   test("decontaminate: train docs sharing a 5-gram with eval are dropped") {
     import spark.implicits._
     // train doc 1 embeds a 5-gram of eval doc 0; train doc 2 is clean
