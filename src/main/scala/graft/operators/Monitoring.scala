@@ -73,23 +73,30 @@ object Monitoring {
     * off-diagonal cells before any training run pays for the overlap.
     *
     * 100 TB shape (the part that matters): ONE aggregate keyed on the
-    * 8-byte shingle hash builds a per-shingle source BITMASK
-    * (`bit_or(1 << source_id)` — idempotent, so no per-source distinct
-    * pass), then the mask HISTOGRAM (≤ 2^S rows for S sources, usually
-    * far fewer — bounded regardless of corpus size) expands into the
-    * S(S+1)/2 pair grid. The expensive stage is shingle-volume-linear
+    * 8-byte shingle hash builds a per-shingle source BITMASK — an
+    * array of ⌈S/64⌉ Long words, each word one `bit_or` column in the
+    * same aggregate (idempotent, so no per-source distinct pass; any
+    * source count, not just 63), then the mask HISTOGRAM (≤ min(2^S,
+    * #distinct shingles) rows, in practice far fewer — bounded
+    * regardless of corpus size) expands into the S(S+1)/2 pair grid. The expensive stage is shingle-volume-linear
     * with map-side partials; the quadratic-looking pair expansion runs
     * on the tiny histogram, never on shingles. Same hash-for-string
     * substitution as every dedup path (collision odds ~(#shingles)²/2⁶⁴);
     * the oracle recomputes over the shingle strings themselves.
     */
   def sourceOverlap(docs: DataFrame, nSources: Int = 20): DataFrame = {
-    // the bitmask lives in one signed Long; sid ≥ 64 would WRAP (shiftleft
-    // is mod 64) and a digit-less source yields NULL sid — both would
-    // silently corrupt the matrix, so they fail loudly instead (the
-    // canonicalizeEventTs policy: never mis-read at 100 TB in silence)
-    require(nSources >= 1 && nSources <= 63,
-      s"sourceOverlap: nSources must be in [1, 63] (single-Long bitmask), got $nSources")
+    // the bitmask is an ARRAY of signed Longs — ⌈nSources/64⌉ words, each
+    // its own bit_or column inside the SAME single aggregate — so the
+    // source count is unbounded (real pipelines track hundreds of
+    // components) while the one-pass shape is unchanged; with ≤ 63
+    // sources this degenerates to exactly the old single-Long plan.
+    // A digit-less source yields NULL sid and sid ≥ nSources would land
+    // in a word the pair grid never reads — both would silently corrupt
+    // the matrix, so they fail loudly instead (the canonicalizeEventTs
+    // policy: never mis-read at 100 TB in silence)
+    require(nSources >= 1,
+      s"sourceOverlap: nSources must be >= 1, got $nSources")
+    val nWords = (nSources + 63) / 64
     val n = OverlapShingle
     val toks = split(trim(col("text")), "\\s+")
     val sidRaw = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
@@ -104,15 +111,23 @@ object Monitoring {
       .select(col("sid"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
         .as("shingle"))
+    val maskCols = (0 until nWords).map(w =>
+      expr(s"bit_or(IF(sid div 64 = $w, shiftleft(1L, sid % 64), 0L))")
+        .as(s"mask_$w"))
+    val maskNames = (0 until nWords).map(w => col(s"mask_$w"))
     val masks = sh
       .groupBy(xxhash64(col("shingle")).as("h"))
-      .agg(expr("bit_or(shiftleft(1L, sid))").as("mask"))
-    val hist = masks.groupBy(col("mask")).agg(count(lit(1)).as("n"))
+      .agg(maskCols.head, maskCols.tail: _*)
+    val hist = masks.groupBy(maskNames: _*).agg(count(lit(1)).as("n"))
+      .withColumn("mask_arr", array(maskNames: _*))
     val grid = (0 until nSources).flatMap(a => (a until nSources).map(b =>
       struct(lit(a).as("a"), lit(b).as("b"))))
     hist
-      .select(col("mask"), col("n"), explode(array(grid: _*)).as("p"))
-      .filter(expr("((mask >> p.a) & 1) = 1 AND ((mask >> p.b) & 1) = 1"))
+      .select(col("mask_arr"), col("n"), explode(array(grid: _*)).as("p"))
+      .filter(expr(
+        """((element_at(mask_arr, CAST(p.a div 64 AS INT) + 1) >> (p.a % 64)) & 1) = 1
+          |AND ((element_at(mask_arr, CAST(p.b div 64 AS INT) + 1) >> (p.b % 64)) & 1) = 1"""
+          .stripMargin))
       .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(sum(col("n")).as("n_shared"))
       .orderBy(col("src_a"), col("src_b"))

@@ -819,20 +819,47 @@ object Similarity {
     * query-batch discipline applied to mining (covers every fixture SF
     * whole; on the 10× stress it becomes an incremental batch-vs-corpus
     * mine instead of a quadratic corpus×corpus blow-up). Callers mining
-    * everything pass Long.MaxValue and bring an index-shaped plan
-    * ([[bitextMarginIvf]] with corpus-scaled cells).
+    * everything bring an index-shaped plan ([[bitextMarginIvf]] with
+    * corpus-scaled cells) — the exhaustive spelling refuses X batches
+    * past [[BitextMaxXRows]] by actual count, not by id predicate.
     */
   val BitextGateXMaxId = 2000L
 
+  /** Hard ceiling on the broadcast X batch of [[bitextMargin]] — the
+    * BoundedGlobal rule applied to the one remaining place a public
+    * API default could reach an unbounded broadcast: an id predicate
+    * (`xMaxId`) bounds nothing when ids are sparse or the caller keeps
+    * the `Long.MaxValue` default, so the ACTUAL row count is checked
+    * (one cheap count over the already-filtered X side) and the call
+    * fails loudly past this many rows instead of dissolving into a
+    * driver/executor OOM mid-broadcast. Full-corpus mining belongs on
+    * [[bitextMarginIvf]], whose candidate volume is cell-bounded and
+    * whose only broadcast is the centroid table.
+    */
+  val BitextMaxXRows = 100000L
+
   def bitextMargin(vecs: DataFrame, k: Int = BitextMarginK,
       thresholdMicro: Long = BitextMarginThresholdMicro,
-      xMaxId: Long = Long.MaxValue): DataFrame = {
+      xMaxId: Long = Long.MaxValue,
+      maxXRows: Long = BitextMaxXRows): DataFrame = {
     require(k >= 1, s"neighborhood k must be >= 1, got $k")
+    require(maxXRows >= 1, s"maxXRows must be >= 1, got $maxXRows")
     val base = withNorm(vecs)
-    val xs = broadcast(base.filter(col("vec_id") % 2 === 0 &&
+    val xsPlan = base.filter(col("vec_id") % 2 === 0 &&
         col("vec_id") < xMaxId)
       .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"),
-        col("norm").as("x_norm")))
+        col("norm").as("x_norm"))
+    // loud broadcast-bound contract (see BitextMaxXRows): count the X
+    // side BEFORE the broadcast is attempted, so the failure is this
+    // message and not an OOM three stages later
+    val xCount = xsPlan.count()
+    if (xCount > maxXRows) throw new IllegalStateException(
+      s"bitextMargin: X batch has $xCount rows > maxXRows=$maxXRows — " +
+        "the exhaustive spelling broadcasts X and scores X×Y, which " +
+        "only works for a bounded query batch; mine the full corpus " +
+        "with bitextMarginIvf (cell-bounded candidates, centroid-only " +
+        "broadcast) or raise maxXRows deliberately")
+    val xs = broadcast(xsPlan)
     val pairs = base.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("y_id"), col("embedding").as("y_emb"),
         col("norm").as("y_norm"))

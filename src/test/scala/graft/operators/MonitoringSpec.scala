@@ -123,10 +123,31 @@ class MonitoringSpec extends AnyFunSuite with SparkTestSession {
       Monitoring.sourceOverlap(tooBig).collect()
     }
     assert(e2.getMessage.contains("sourceOverlap"), e2.getMessage)
-    // nSources outside the single-Long mask domain is rejected up front
+    // a non-positive source count is rejected up front
     val e3 = intercept[IllegalArgumentException] {
-      Monitoring.sourceOverlap(tooBig, nSources = 64)
+      Monitoring.sourceOverlap(tooBig, nSources = 0)
     }
-    assert(e3.getMessage.contains("bitmask"))
+    assert(e3.getMessage.contains("nSources"))
+  }
+
+  test("sourceOverlap: > 63 sources span multiple mask words correctly") {
+    import spark.implicits._
+    // sources chosen to straddle the Long-word boundary (0 | 63 / 64 |
+    // 100): a correct multi-word bitmask finds the cross-word pair
+    // (0, 64) and the boundary-adjacent pair (63, 64); the old
+    // single-Long mask could not even represent source 64
+    val t1 = "a b c d e f g h"      // exactly one 8-shingle
+    val t2 = "p q r s t u v w"
+    val t3 = "k l m n o aa bb cc"
+    val docs = Seq(
+      (1L, t1, "src_0"), (2L, t1, "src_64"),
+      (3L, t2, "src_63"), (4L, t2, "src_64"),
+      (5L, t3, "src_100")).toDF("doc_id", "text", "source")
+    val m = Monitoring.sourceOverlap(docs, nSources = 101).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m === Map(
+      (0, 0) -> 1L, (0, 64) -> 1L,
+      (63, 63) -> 1L, (63, 64) -> 1L,
+      (64, 64) -> 2L, (100, 100) -> 1L))
   }
 }

@@ -466,6 +466,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       "a hub (uniformly close to everything) must not clear the ratio margin")
   }
 
+  test("bitext mining: oversized X batch fails loudly, pointing at the IVF path") {
+    import spark.implicits._
+    // 20 vectors → 10 even-id X rows; a 5-row ceiling must trip the
+    // count-based broadcast contract BEFORE any cross join runs, and
+    // the message must route the caller to bitextMarginIvf
+    val vecs = (0 until 20)
+      .map(i => (i.toLong, Seq.tabulate(4)(d => (i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      Similarity.bitextMargin(vecs, maxXRows = 5L)
+    }
+    assert(ex.getMessage.contains("bitextMarginIvf"))
+    assert(ex.getMessage.contains("maxXRows=5"))
+    // the same input under a sufficient bound still mines fine
+    Similarity.bitextMargin(vecs, maxXRows = 10L).collect()
+  }
+
   test("IVF bitext mining: planted pairs survive the probe path") {
     import spark.implicits._
     // clustered construction: 4 primary axes (3 pairs each — so probed
