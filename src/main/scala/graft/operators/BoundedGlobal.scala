@@ -43,6 +43,50 @@ object BoundedGlobal {
       if (includeCurrent) (acc + v, acc + v) else (acc, acc + v)
     }(Some(valueCol))
 
+  /** Append `outCol` = running sum of Long column `valueCol` that RESETS
+    * at each change of `keyCols` — the per-group running-total the
+    * partitioned window `sum(...) OVER (PARTITION BY key ORDER BY ...)`
+    * computes, for the case where the GROUPS can be corpus-sized but the
+    * table itself is provably bounded (e.g. a distinct-(group, value)
+    * counts table): a partitioned window over few huge groups puts a
+    * corpus in one task while nominally passing "is partitioned" plan
+    * checks; this runs the same bounded-table single-partition scan as
+    * every other BoundedGlobal pass, with the reset done in the scan.
+    *
+    * `orderCols` MUST lead with `keyCols` (so each key's rows are
+    * contiguous in the scan) and be a total order — both are the same
+    * contract the window it replaces would need.
+    */
+  def withKeyedPrefixSum(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      includeCurrent: Boolean, maxRows: Long, what: String): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    require(keyCols.nonEmpty, "withKeyedPrefixSum needs at least one key column")
+    val sorted = df.repartition(1).sortWithinPartitions(orderCols: _*)
+    val schema = StructType(sorted.schema :+ StructField(outCol, LongType, nullable = false))
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val kIdx = keyCols.map(sorted.schema.fieldIndex)
+    sorted.mapPartitions { it =>
+      var acc = 0L
+      var n = 0L
+      var prev: Seq[Any] = null
+      it.map { r =>
+        n += 1
+        if (n > maxRows) throw new IllegalStateException(
+          s"BoundedGlobal[$what]: more than $maxRows rows reached the " +
+            "global single-partition pass — the bounded-domain " +
+            "precondition broke (quantize/pre-aggregate the input or " +
+            "raise the bound deliberately)")
+        val k = kIdx.map(r.get)
+        if (prev == null || k != prev) { acc = 0L; prev = k }
+        val v = r.getLong(vIdx)
+        val out = if (includeCurrent) acc + v else acc
+        acc += v
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
   /** Append `outCol` = 1-based dense position in `orderCols` order
     * (`row_number()` over the unpartitioned window it replaces).
     */

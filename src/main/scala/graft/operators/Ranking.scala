@@ -22,8 +22,9 @@ object Ranking {
     *
     * `orderCols` must be a TOTAL order within each group (extend it with
     * a unique key if needed) — ties would otherwise make both phases
-    * nondeterministic. Appends a 1-based `rk` column (replacing any
-    * existing `rk`); rows with rank > k are dropped.
+    * nondeterministic. Appends a 1-based `rk` column; `rk` is a RESERVED
+    * OUTPUT name: an input `rk` stays visible to `orderCols` (rank by it
+    * if you like) but is overwritten in the result.
     */
   def bucketedTopK(df: DataFrame, groupCols: Seq[Column],
       orderCols: Seq[Column], k: Int, bucketKeys: Seq[Column],
@@ -34,18 +35,22 @@ object Ranking {
     val pruned = df.withColumn("__btk_lrk", row_number().over(
         Window.partitionBy(groupCols :+ bkt: _*).orderBy(orderCols: _*)))
       .filter(col("__btk_lrk") <= k)
-      .drop("__btk_lrk", "rk")
+      .drop("__btk_lrk")
     // exact-rank stitch: grouped → ordinary partitioned window; global
     // (no group columns) → the input is the bucket-pruned ≤ buckets·k
-    // rows, a BoundedGlobal pass (loud bound, no unpartitioned window)
+    // rows, a BoundedGlobal pass (loud bound, no unpartitioned window).
+    // An input `rk` column survives up to here (so orderCols may rank
+    // BY it) and is only overwritten by the final withColumn — `rk` is
+    // a reserved output name, never a silently dropped input.
     val ranked =
       if (groupCols.nonEmpty)
         pruned.withColumn("rk", row_number().over(
           Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)))
       else
-        BoundedGlobal.withRowNumber(pruned, orderCols, "rk",
+        BoundedGlobal.withRowNumber(pruned, orderCols, "__btk_grk",
             maxRows = buckets.toLong * k, "bucketedTopK global rank")
-          .withColumn("rk", col("rk").cast("int"))
+          .withColumn("rk", col("__btk_grk").cast("int"))
+          .drop("__btk_grk")
     ranked.filter(col("rk") <= k)
   }
 

@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamGate {
 
-  /** Start `out` (a streaming DataFrame) into the idempotent parquet
+  /** Build a streaming DataFrame with `build` (against a gate-scoped
+    * child session — see below), start it into the idempotent parquet
     * sink at `outDir/data` (checkpoint at `outDir/_checkpoint`), run
     * each `feed` thunk in order draining the stream to completion after
     * each (so a caller can stage multi-batch arrival patterns with a
@@ -26,9 +27,22 @@ object StreamGate {
     * read-back by default (it records delivery, not data); complete-
     * mode callers pass `keepBatchId = true` to select the final
     * emission themselves.
+    *
+    * `build` receives a `spark.newSession()` child (same SparkContext,
+    * shared extensions — so every native function is registered — but
+    * ISOLATED SQL conf) with the gate's shuffle-partition setting
+    * applied, and must construct the whole query against it: sources
+    * read through the child bind the query to the child's conf, so the
+    * setting scopes to this gate instead of toggling the shared
+    * session's conf under concurrently running queries (the old
+    * set/restore-in-finally spelling was a read-torn race for any
+    * parallel suite on the shared session). Feed-staged MemoryStream
+    * callers create their stream inside `build` from the session it
+    * receives.
     */
-  def runToParquet(spark: SparkSession, out: DataFrame, outDir: String,
-      outputMode: String = "append", keepBatchId: Boolean = false)
+  def runToParquet(spark: SparkSession, build: SparkSession => DataFrame,
+      outDir: String, outputMode: String = "append",
+      keepBatchId: Boolean = false)
       (feeds: (() => Unit)*): DataFrame = {
     // No staged feeds → the fixture is fully present at start, so run
     // under Trigger.AvailableNow: the query drains the source, runs the
@@ -42,24 +56,25 @@ object StreamGate {
     // Stateful operators instantiate one state store per shuffle
     // partition per operator per micro-batch; at gate scale (a finite
     // fixture, minutes of data) 32 partitions are pure setup overhead,
-    // so the gated stream runs at 8. The number is baked into the
+    // so the gated stream runs at 8 — on a CHILD session, so the shared
+    // session's conf is never touched. The number is baked into the
     // query's checkpoint at first start — a production deployment sizes
     // it for its own throughput; every gated transform is
     // partition-count-invariant (specs/oracles pin that), so this only
     // moves harness time, not results.
-    val spark0 = out.sparkSession
-    val prevParts = spark0.conf.get("spark.sql.shuffle.partitions")
-    spark0.conf.set("spark.sql.shuffle.partitions", "8")
+    val gateSession = spark.newSession()
+    gateSession.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = build(gateSession)
+    require(out.sparkSession eq gateSession,
+      "StreamGate: build(session) must construct its sources from the " +
+        "session it receives — a query bound to another session would " +
+        "not pick up the gate-scoped conf")
+    val q = Streaming.idempotentParquetSink(out, s"$outDir/data",
+      s"$outDir/_checkpoint", outputMode, availableNow = feeds.isEmpty)
     try {
-      val q = Streaming.idempotentParquetSink(out, s"$outDir/data",
-        s"$outDir/_checkpoint", outputMode, availableNow = feeds.isEmpty)
-      try {
-        if (feeds.isEmpty) q.awaitTermination()
-        else feeds.foreach { f => f(); q.processAllAvailable() }
-      } finally q.stop()
-      // restore only after the query stops: micro-batch planning reads
-      // the conf asynchronously after start()
-    } finally spark0.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (feeds.isEmpty) q.awaitTermination()
+      else feeds.foreach { f => f(); q.processAllAvailable() }
+    } finally q.stop()
     val landed = spark.read.parquet(s"$outDir/data")
     if (keepBatchId) landed else landed.drop("batch_id")
   }

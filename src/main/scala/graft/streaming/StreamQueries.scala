@@ -58,7 +58,7 @@ object StreamQueries {
     */
   def qualityDocs(spark: SparkSession, dir: String): DataFrame =
     StreamGate.runToParquet(spark,
-      Streaming.qualityFilterStream(streamDocs(spark, dir)),
+      s => Streaming.qualityFilterStream(streamDocs(s, dir)),
       gateDir("quality"))()
       .orderBy("doc_id")
 
@@ -75,10 +75,12 @@ object StreamQueries {
   def dedupDocs(spark: SparkSession, dir: String): DataFrame = {
     // +1s offset: a doc_id-0 row at exactly epoch 0 would sit ON the
     // initial watermark and be discarded as expired before dedup
-    val docs = streamDocs(spark, dir)
-      .withColumn("event_ts", timestamp_micros(col("doc_id") + lit(1000000L)))
     StreamGate.runToParquet(spark,
-      Streaming.dedupContentStream(docs).select("fp"),
+      { s =>
+        val docs = streamDocs(s, dir)
+          .withColumn("event_ts", timestamp_micros(col("doc_id") + lit(1000000L)))
+        Streaming.dedupContentStream(docs).select("fp")
+      },
       gateDir("dedup"))()
       .orderBy("fp")
   }
@@ -91,9 +93,9 @@ object StreamQueries {
     * path against the same oracle SQL that gates `funnel_stages`.
     */
   def funnelEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Streaming.streamEvents(spark, dir)
     StreamGate.runToParquet(spark,
-      Streaming.funnelStream(Streaming.funnelInput(ev)).toDF(),
+      s => Streaming.funnelStream(
+        Streaming.funnelInput(Streaming.streamEvents(s, dir))).toDF(),
       gateDir("funnel"), outputMode = "update")()
       .orderBy("user_id")
   }
@@ -107,9 +109,9 @@ object StreamQueries {
     * (batch) read-back side to keep the compare timezone-free.
     */
   def hourlyEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Streaming.streamEvents(spark, dir)
     StreamGate.runToParquet(spark,
-      Streaming.hourlyCounts(ev), gateDir("hourly"))()
+      s => Streaming.hourlyCounts(Streaming.streamEvents(s, dir)),
+      gateDir("hourly"))()
       .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
         col("n_events"), col("total_value"))
       .orderBy("hour_us", "event_type")
@@ -127,10 +129,12 @@ object StreamQueries {
     * which (window, type) cells fired — is hash-gated.
     */
   def mixDriftEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ref = Streaming.eventTypeSharesMicro(
-      graft.Engine.Tables(spark, dir).events)
     StreamGate.runToParquet(spark,
-      Streaming.mixDriftStream(Streaming.streamEvents(spark, dir), ref),
+      { s =>
+        val ref = Streaming.eventTypeSharesMicro(
+          graft.Engine.Tables(s, dir).events)
+        Streaming.mixDriftStream(Streaming.streamEvents(s, dir), ref)
+      },
       gateDir("mixdrift"))()
       .orderBy("hour_us", "event_type")
   }
@@ -150,7 +154,7 @@ object StreamQueries {
     */
   def quarantineDocs(spark: SparkSession, dir: String): DataFrame =
     StreamGate.runToParquet(spark,
-      Streaming.simhashQuarantineStream(streamDocs(spark, dir),
+      s => Streaming.simhashQuarantineStream(streamDocs(s, dir),
         bucketCap = Int.MaxValue).toDF(),
       gateDir("quarantine"))()
       .orderBy("doc_id", "band")
@@ -170,10 +174,12 @@ object StreamQueries {
     * test, not assumed.
     */
   def sessionsEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Streaming.streamEvents(spark, dir)
-      .withColumn("value", floor(col("value") * lit(1e6)))
     StreamGate.runToParquet(spark,
-      Streaming.sessionize(Streaming.sessionInput(ev)).toDF(),
+      { s =>
+        val ev = Streaming.streamEvents(s, dir)
+          .withColumn("value", floor(col("value") * lit(1e6)))
+        Streaming.sessionize(Streaming.sessionInput(ev)).toDF()
+      },
       gateDir("sessions"))()
       .orderBy("user_id", "start_ms")
   }
@@ -186,9 +192,8 @@ object StreamQueries {
     * interval join, which is what the oracle states.
     */
   def joinEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Streaming.streamEvents(spark, dir)
     StreamGate.runToParquet(spark,
-      Streaming.purchasesWithRecentClicks(ev)
+      s => Streaming.purchasesWithRecentClicks(Streaming.streamEvents(s, dir))
         .select(col("purchase_id"), col("user_id"),
           unix_micros(col("purchase_ts")).as("purchase_us"),
           unix_micros(col("click_ts")).as("click_us")),
@@ -203,9 +208,9 @@ object StreamQueries {
     * batch left join.
     */
   def enrichEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Streaming.streamEvents(spark, dir)
     StreamGate.runToParquet(spark,
-      Streaming.enrichWithDim(ev, Streaming.userDim(spark, dir)),
+      s => Streaming.enrichWithDim(
+        Streaming.streamEvents(s, dir), Streaming.userDim(s, dir)),
       gateDir("enrich"))()
       .orderBy("event_id")
   }
@@ -218,10 +223,10 @@ object StreamQueries {
     * partition filter), which after draining equals the batch top-k.
     */
   def leaderboardEvents(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Streaming.streamEvents(spark, dir)
     val outDir = gateDir("topk")
     val all = StreamGate.runToParquet(spark,
-      Streaming.topKLeaderboard(ev), outDir, outputMode = "complete",
+      s => Streaming.topKLeaderboard(Streaming.streamEvents(s, dir)),
+      outDir, outputMode = "complete",
       keepBatchId = true)()
     // partition discovery infers batch_id as int
     val last = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
@@ -235,7 +240,7 @@ object StreamQueries {
     */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
     StreamGate.runToParquet(spark,
-      Streaming.fingerprintStream(streamDocs(spark, dir)),
+      s => Streaming.fingerprintStream(streamDocs(s, dir)),
       gateDir("fingerprint"))()
       .orderBy("doc_id")
 
@@ -257,13 +262,15 @@ object StreamQueries {
     val evalHashes = Streaming.evalShingleHashSet(
       graft.Engine.Tables(spark, dir).documents
         .filter(col("doc_id") % 20 === 0))
-    val docs = streamDocs(spark, dir)
-      .withColumn("event_ts", timestamp_micros(col("doc_id") + lit(1000000L)))
-    val curated = Streaming.decontaminateStream(
-      Streaming.qualityFilterStream(Streaming.dedupContentStream(docs)),
-      evalHashes)
     StreamGate.runToParquet(spark,
-      curated.select(col("fp"), col("z"), col("prob")),
+      { s =>
+        val docs = streamDocs(s, dir)
+          .withColumn("event_ts", timestamp_micros(col("doc_id") + lit(1000000L)))
+        Streaming.decontaminateStream(
+            Streaming.qualityFilterStream(Streaming.dedupContentStream(docs)),
+            evalHashes)
+          .select(col("fp"), col("z"), col("prob"))
+      },
       gateDir("pipeline"))()
       .orderBy("fp")
   }
@@ -276,7 +283,7 @@ object StreamQueries {
     */
   def admitDocs(spark: SparkSession, dir: String): DataFrame =
     StreamGate.runToParquet(spark,
-      Streaming.budgetAdmitStream(streamDocs(spark, dir), AdmitBudget).toDF(),
+      s => Streaming.budgetAdmitStream(streamDocs(s, dir), AdmitBudget).toDF(),
       gateDir("admit"))()
       .orderBy("doc_id")
 }

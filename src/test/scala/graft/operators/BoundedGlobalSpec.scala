@@ -40,6 +40,34 @@ class BoundedGlobalSpec extends AnyFunSuite with SparkTestSession {
     assert(rn === wantRn)
   }
 
+  test("keyed prefix sum equals the partitioned window, resets per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 5L), ("a", 3L, 7L),
+      ("b", 1L, 2L), ("b", 2L, 1L), ("c", 9L, 4L))
+      .toDF("g", "k", "v")
+    val got = BoundedGlobal.withKeyedPrefixSum(df, Seq("g"),
+        Seq(col("g"), col("k")), "v", "cum",
+        includeCurrent = true, maxRows = 10, "spec keyed")
+      .select("g", "k", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, k, c) => (g, k) -> c }.toMap
+    val want = df.withColumn("cum", sum(col("v")).over(
+        Window.partitionBy(col("g")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("g", "k", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, k, c) => (g, k) -> c }.toMap
+    assert(got === want)
+    // exclusive flavor: first row of each key reads 0
+    val excl = BoundedGlobal.withKeyedPrefixSum(df, Seq("g"),
+        Seq(col("g"), col("k")), "v", "before",
+        includeCurrent = false, maxRows = 10, "spec keyed")
+      .select("g", "k", "before").as[(String, Long, Long)].collect()
+      .map { case (g, k, c) => (g, k) -> c }.toMap
+    assert(excl(("a", 1L)) === 0L && excl(("b", 1L)) === 0L && excl(("c", 9L)) === 0L)
+    assert(excl(("a", 3L)) === 15L)
+  }
+
   test("exceeding the row bound fails loudly, naming the call site") {
     import spark.implicits._
     val df = (1L to 100L).toDF("v").withColumn("k", col("v"))

@@ -72,6 +72,27 @@ class RankingSpec extends AnyFunSuite with SparkTestSession {
     assert(ok.head.getLong(0) === 1000L)
   }
 
+  test("bucketedTopK: an input rk column is rankable and overwritten, not dropped") {
+    import spark.implicits._
+    // `rk` is a reserved OUTPUT name — but an input carrying one must be
+    // visible to orderCols (here: rank BY the pre-existing rk) and only
+    // replaced in the result, never silently lost before ranking
+    val df = (1L to 40L).map(i => (i, 41L - i)).toDF("id", "rk")
+    val grouped = Ranking.bucketedTopK(df,
+        groupCols = Seq.empty, orderCols = Seq(col("rk").asc, col("id")),
+        k = 3, bucketKeys = Seq(col("id")), buckets = 4)
+      .select("id", "rk").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // smallest input rk values are 1,2,3 at ids 40,39,38 → output rk re-ranks them
+    assert(grouped === Set((40L, 1), (39L, 2), (38L, 3)))
+    val byGroup = Ranking.bucketedTopK(
+        df.withColumn("g", col("id") % 2), groupCols = Seq(col("g")),
+        orderCols = Seq(col("rk").asc, col("id")),
+        k = 2, bucketKeys = Seq(col("id")), buckets = 4)
+      .select("g", "id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(byGroup === Set((0L, 40L, 1), (0L, 38L, 2), (1L, 39L, 1), (1L, 37L, 2)))
+  }
+
   test("curriculumOrder: NULL key fails loud instead of dropping rows") {
     import spark.implicits._
     val df = Seq((Option(1L), 1), (Option.empty[Long], 2), (Option(3L), 1))

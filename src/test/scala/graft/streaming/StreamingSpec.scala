@@ -549,11 +549,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       rows.map { case (id, t) =>
         (id, t, new java.sql.Timestamp(base + tsOff + id)) }
     val recrawl = docs.map { case (id, t) => (id + 100000L, t) }
-    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // the stream is created INSIDE build from the gate-scoped session
+    var input: MemoryStream[(Long, String, java.sql.Timestamp)] = null
     val outDir = java.nio.file.Files.createTempDirectory("graft-sgate").toString
     val sunk = graft.streaming.StreamGate.runToParquet(spark,
-      Streaming.dedupContentStream(
-        input.toDF().toDF("doc_id", "text", "event_ts")), outDir)(
+      { s =>
+        input = MemoryStream[(Long, String, java.sql.Timestamp)](
+          implicitly[org.apache.spark.sql.Encoder[(Long, String, java.sql.Timestamp)]],
+          s.sqlContext)
+        Streaming.dedupContentStream(
+          input.toDF().toDF("doc_id", "text", "event_ts"))
+      }, outDir)(
       () => input.addData(wave(docs, 0): _*),
       () => input.addData(wave(recrawl, 600_000): _*))
     val streamIds = sunk.select("doc_id").as[Long].collect().sorted.toSeq
@@ -571,11 +577,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     implicit val ctx = spark.sqlContext
     val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
-    val input = MemoryStream[(Long, String)]
+    var input: MemoryStream[(Long, String)] = null
     val outDir = java.nio.file.Files.createTempDirectory("graft-sgate").toString
     val (a, b) = docs.splitAt(docs.length / 2)
     val sunk = graft.streaming.StreamGate.runToParquet(spark,
-      Streaming.qualityFilterStream(input.toDF().toDF("doc_id", "text")),
+      { s =>
+        input = MemoryStream[(Long, String)](
+          implicitly[org.apache.spark.sql.Encoder[(Long, String)]], s.sqlContext)
+        Streaming.qualityFilterStream(input.toDF().toDF("doc_id", "text"))
+      },
       outDir)(
       () => input.addData(a: _*),
       () => input.addData(b: _*))
