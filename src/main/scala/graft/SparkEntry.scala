@@ -89,6 +89,7 @@ object SparkEntry {
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
     "ann_recall"           -> (Similarity.annRecall(_, _)),
     "ann_recall_ivf"       -> (Similarity.annRecallIvf(_, _)),
+    "ann_recall_pq"        -> (Similarity.annRecallPq(_, _)),
     "bitext_mine"          -> (Similarity.bitextMarginDocs(_, _)),
     "bitext_mine_ivf"      -> (Similarity.bitextMarginIvfDocs(_, _)),
     "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
@@ -782,6 +783,48 @@ object SparkEntry {
   /** Exact brute-force cosine top-k — also the baseline CTE inside the
     * ann_recall audit, so the two spellings can never drift.
     */
+  /** PQ/ADC top-k oracle chain — shared by the `pq_adc_topk` gate and
+    * the `ann_recall_pq` audit, so the two spellings can never drift.
+    */
+  private def pqAdcOracle: String =
+    s"""WITH cents(sub, c_id, c, c2) AS (VALUES
+           ${pqCentroidValues()}),
+         scored AS (
+           SELECT e.vec_id, c.sub, c.c_id,
+             c.c2 - 2 * list_sum(list_transform(generate_series(1, 16),
+                 d -> CAST(e.embedding[c.sub * 16 + d] AS DOUBLE) * c.c[d]))
+               AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         codes AS (
+           SELECT vec_id, sub, c_id FROM (
+             SELECT vec_id, sub, c_id,
+               row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY dist, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 10),
+         tbl AS (
+           SELECT q.q_id, c.sub, c.c_id,
+             CAST(floor((c.c2 - 2 * list_sum(list_transform(
+                 generate_series(1, 16),
+                 d -> CAST(q.qe[c.sub * 16 + d] AS DOUBLE) * c.c[d])))
+               * 1e6) AS BIGINT) AS t_micro
+           FROM q CROSS JOIN cents c),
+         adist AS (
+           SELECT t.q_id, co.vec_id,
+             CAST(sum(t.t_micro) AS BIGINT) AS adist_micro
+           FROM codes co
+           JOIN tbl t ON t.sub = co.sub AND t.c_id = co.c_id
+           WHERE t.q_id != co.vec_id
+           GROUP BY t.q_id, co.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, adist_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adist_micro, vec_id) AS rk
+           FROM adist)
+         SELECT q_id, rk, vec_id, adist_micro FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk"""
+
   private val annTopkOracle: String =
     """WITH base AS (
            SELECT vec_id, embedding,
@@ -2109,6 +2152,35 @@ object SparkEntry {
          FROM brute b LEFT JOIN approx a
            ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
          GROUP BY b.q_id ORDER BY b.q_id""",
+    // PQ/ADC recall@10 audit: exact squared-L2 baseline (x.x - 2 x.q +
+    // q.q, each dot the same fixed-order list_sum as Spark's vec_dot,
+    // floor-micro-quantized) vs the pqAdcOracle chain verbatim
+    "ann_recall_pq" ->
+      s"""WITH exact AS (
+           WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                      FROM embeddings WHERE vec_id < 10)
+           SELECT q_id, neighbor_id FROM (
+             SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 CAST(floor((
+                   list_sum(list_transform(generate_series(1, 64),
+                     d -> CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)))
+                   - 2 * list_sum(list_transform(generate_series(1, 64),
+                     d -> CAST(e.embedding[d] AS DOUBLE) * CAST(q.qe[d] AS DOUBLE)))
+                   + list_sum(list_transform(generate_series(1, 64),
+                     d -> CAST(q.qe[d] AS DOUBLE) * CAST(q.qe[d] AS DOUBLE)))
+                 ) * 1e6) AS BIGINT) ASC, e.vec_id ASC) AS rk
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id != q.q_id)
+           WHERE rk <= 10),
+         approx AS ($pqAdcOracle)
+         SELECT x.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM exact x LEFT JOIN approx a
+           ON a.q_id = x.q_id AND a.vec_id = x.neighbor_id
+         GROUP BY x.q_id ORDER BY x.q_id""",
     // exact all-pairs restatement: the Spark side is LSH-bucketed with
     // exact verify, so its output is a (full-recall at these cosines)
     // subset of this — equality checked over the whole table
@@ -2852,44 +2924,7 @@ object SparkEntry {
     // pq_codes; per-(query, subspace, centroid) table entries are the
     // same fixed-order doubles floor-quantized to micro BIGINTs, so the
     // GROUP BY distance sum is an exact integer sum in any order
-    "pq_adc_topk" ->
-      s"""WITH cents(sub, c_id, c, c2) AS (VALUES
-           ${pqCentroidValues()}),
-         scored AS (
-           SELECT e.vec_id, c.sub, c.c_id,
-             c.c2 - 2 * list_sum(list_transform(generate_series(1, 16),
-                 d -> CAST(e.embedding[c.sub * 16 + d] AS DOUBLE) * c.c[d]))
-               AS dist
-           FROM embeddings e CROSS JOIN cents c),
-         codes AS (
-           SELECT vec_id, sub, c_id FROM (
-             SELECT vec_id, sub, c_id,
-               row_number() OVER (PARTITION BY vec_id, sub
-                 ORDER BY dist, c_id) AS rk
-             FROM scored) WHERE rk = 1),
-         q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-               WHERE vec_id < 10),
-         tbl AS (
-           SELECT q.q_id, c.sub, c.c_id,
-             CAST(floor((c.c2 - 2 * list_sum(list_transform(
-                 generate_series(1, 16),
-                 d -> CAST(q.qe[c.sub * 16 + d] AS DOUBLE) * c.c[d])))
-               * 1e6) AS BIGINT) AS t_micro
-           FROM q CROSS JOIN cents c),
-         adist AS (
-           SELECT t.q_id, co.vec_id,
-             CAST(sum(t.t_micro) AS BIGINT) AS adist_micro
-           FROM codes co
-           JOIN tbl t ON t.sub = co.sub AND t.c_id = co.c_id
-           WHERE t.q_id != co.vec_id
-           GROUP BY t.q_id, co.vec_id),
-         ranked AS (
-           SELECT q_id, vec_id, adist_micro,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY adist_micro, vec_id) AS rk
-           FROM adist)
-         SELECT q_id, rk, vec_id, adist_micro FROM ranked
-         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "pq_adc_topk" -> pqAdcOracle,
     // IVF-PQ: coarse cells from the kmeans_fixed centroid VALUES, probe
     // lists from the same distance ranking, ADC via the pq codebook
     // VALUES — every ranking input integer or fixed-order double

@@ -148,6 +148,47 @@ object Similarity {
   def annRecallIvf(spark: SparkSession, dir: String): DataFrame =
     recallAtK(annBruteForce(spark, dir), annIvf(spark, dir), k = 10)
 
+  /** Exact squared-L2 top-k — the correct baseline for the PQ/ADC
+    * audits: PQ approximates SQUARED EUCLIDEAN distance, so measuring
+    * its recall against the cosine baseline would charge the metric
+    * mismatch to the quantizer. Same scan shape as [[bruteForceTopK]]
+    * (query batch broadcast, per-query bounded window); ‖x−q‖² is
+    * spelled x·x − 2·x·q + q·q with each dot a fixed-order [[vecDot]]
+    * and the result floor-micro-quantized, so ranking and ties
+    * (vec_id) are engine-exact — the labelCentroids discipline.
+    */
+  def bruteForceTopKL2(vecs: DataFrame, numQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    val queries = vecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+    val d2 = floor((vecDot(col("embedding"), col("embedding"))
+        - lit(2.0) * vecDot(col("embedding"), col("q"))
+        + vecDot(col("q"), col("q"))) * lit(1e6)).cast("long")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2_micro").asc, col("vec_id").asc)
+    vecs.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("d2_micro", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("d2_micro"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** The PQ/ADC path's recall@10 audit — closes the one index family
+    * that carried a hash-gated result set but no gated quality metric
+    * ([[annRecall]]/[[annRecallIvf]] cover LSH and IVF): how much of
+    * the EXACT squared-L2 top-10 the 4-byte-per-vector ADC scan
+    * recovers. The audit reuses both production plans unchanged.
+    */
+  def annRecallPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir).embeddings
+    recallAtK(bruteForceTopKL2(vecs),
+      pqAdcTopK(vecs).select(col("q_id"), col("vec_id").as("neighbor_id")),
+      k = 10)
+  }
+
   /** IVF (inverted-file) ANN — the second scale path, complementary to
     * LSH: partition the corpus into `cells` by nearest centroid, probe
     * only the `nProbe` best cells per query, exact-rerank the survivors.

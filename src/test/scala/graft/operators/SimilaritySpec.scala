@@ -428,6 +428,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     got.values.foreach(h => assert(h >= 0L && h <= 10L))
   }
 
+  test("annRecallPq: exact-L2 baseline is right, audit matches a direct compare") {
+    val dir = "/root/testdata/sf0.001"
+    // in-memory exact squared-L2 top-10 (double arithmetic; micro
+    // quantization can only matter on exact ties, which break on vec_id
+    // in both spellings)
+    val all = graft.Engine.Tables(spark, dir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val exactMem = all.filter(_._1 < 10).map { case (q, qe) =>
+      q -> all.filter(_._1 != q)
+        .map { case (v, e) =>
+          val d2 = e.zip(qe).map { case (x, y) => (x - y) * (x - y) }.sum
+          (d2, v)
+        }
+        .sortBy { case (d2, v) => (d2, v) }.take(10).map(_._2).toSet
+    }.toMap
+    val gotExact = Similarity.bruteForceTopKL2(
+        graft.Engine.Tables(spark, dir).embeddings).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(gotExact === exactMem)
+    val pq = Similarity.pqAdcTopKDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val expected = exactMem.map { case (q, ex) =>
+      q -> (ex & pq.getOrElse(q, Set.empty)).size.toLong }
+    val audit = Similarity.annRecallPq(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit === expected)
+  }
+
   test("bitext mining: planted translations mined, hubs margin-rejected") {
     import spark.implicits._
     // 12 X-side (even id) base vectors, each dominated by its own axis
