@@ -76,6 +76,7 @@ object SparkEntry {
     "decon_survivors"      -> (Dedup.deconSurvivors(_, _)),
     "decon_bloom"          -> (Dedup.deconBloomSurvivors(_, _)),
     "decon_report"         -> (Dedup.deconReportDocs(_, _)),
+    "decon_overlap"        -> (Dedup.deconOverlapDocs(_, _)),
     "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
     "ingest_dedup"         -> (Dedup.ingestDedupDocs(_, _)),
     "dedup_substr"         -> (Dedup.substrDupStatsDocs(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "doc_perplexity"       -> (TextAnalysis.docPerplexityDocs(_, _)),
     "bpe_pairs"            -> (TextAnalysis.bpePairCountsDocs(_, _)),
     "bpe_encode"           -> (TextAnalysis.bpeEncodeDocs(_, _)),
+    "bpe_fertility"        -> (TextAnalysis.bpeFertilityDocs(_, _)),
     "fim_transform"        -> (TextAnalysis.fimTransformDocs(_, _)),
     "t5_spans"             -> (TextAnalysis.t5SpansDocs(_, _)),
     // --- sentence-aware family (synthesized punctuation, see Sentences)
@@ -676,6 +678,21 @@ object SparkEntry {
        FROM words JOIN sizes USING (word)
        GROUP BY doc_id ORDER BY doc_id"""
   }
+
+  /** Per-language fertility restatement: the `bpe_encode` oracle's CTE
+    * chain (same pinned-merge replace fold) rolled up to languages —
+    * the two gates share the segmentation spelling via this reuse.
+    */
+  private def bpeFertilityOracleSql: String =
+    s"""WITH perdoc AS ($bpeEncodeOracleSql)
+       SELECT d.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(p.n_words) AS BIGINT) AS n_words,
+         CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         (CAST(sum(p.n_bpe_tokens) AS BIGINT) * 1000000)
+           // CAST(sum(p.n_words) AS BIGINT) AS fertility_micro
+       FROM perdoc p JOIN documents d USING (doc_id)
+       GROUP BY d.lang ORDER BY d.lang"""
 
   /** Quality-score oracle body — shared by `text_quality` and
     * `quality_ntile` so the score definition can't drift between them.
@@ -1351,6 +1368,7 @@ object SparkEntry {
            CAST(sum(term_micro) AS BIGINT) AS lr_micro
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "bpe_encode" -> bpeEncodeOracleSql,
+    "bpe_fertility" -> bpeFertilityOracleSql,
     "sent_segment" ->
       s"""WITH $sentenceCtes
          SELECT doc_id, sent_id, sentence, n_tokens FROM sents
@@ -1956,6 +1974,26 @@ object SparkEntry {
     // bloom path: false positives are exact-verified away, so the result
     // is defined to equal the exact decontamination — ONE shared oracle
     // string, so the two entries can never drift apart
+    // per-train-doc contamination fraction: distinct-shingle overlap
+    // with the whole eval suite as an exact integer micro-rate (hash
+    // join Spark-side, string join here — the standing decon collision
+    // argument); shingle-less docs are undefined and absent both sides
+    "decon_overlap" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+           WHERE len(w) >= 5),
+         e AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 != 0)
+         SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(e.shingle) AS BIGINT) AS n_hit,
+           (CAST(count(e.shingle) AS BIGINT) * 1000000)
+             // CAST(count(*) AS BIGINT) AS overlap_micro
+         FROM t LEFT JOIN e ON e.shingle = t.shingle
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "decon_bloom" -> deconOracleSql,
     // ingest (delta-vs-corpus) dedup: LSH candidates are exact-verified, so
     // the exact cross-split formulation is the oracle (same recall argument

@@ -623,6 +623,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-TRAIN-document contamination FRACTION — the graduated form of
+    * [[decontaminate]]'s binary verdict: what share of each train doc's
+    * distinct word n-grams appears anywhere in the eval suite, as an
+    * exact integer micro-rate. Production pipelines threshold this in
+    * bands (drop near-copies of eval items, flag partial overlaps for
+    * review, keep docs sharing only boilerplate n-grams) instead of
+    * dropping on a single shared shingle; this is the column those
+    * thresholds read. Docs too short to shingle (< n tokens) have no
+    * defined fraction and are not emitted — by construction they cannot
+    * leak an n-gram.
+    *
+    * Scale shape: identical to [[decontaminate]] — the eval suite's
+    * distinct 8-byte shingle-hash set broadcasts, the 100 TB train side
+    * streams through one broadcast left join and one doc_id-keyed
+    * aggregate; nothing corpus-sized shuffles but the per-doc rollup.
+    */
+  def deconOverlap(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    val evalHashes = broadcast(
+      rawShingles(evalDocs, n).select(xxhash64(col("shingle")).as("h"))
+        .distinct().withColumn("hit", lit(1L)))
+    rawShingles(train, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+      .join(evalHashes, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .withColumn("overlap_micro", expr("n_hit * 1000000 div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate entry: same %20 eval split as [[deconSurvivors]]. */
+  def deconOverlapDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    deconOverlap(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
   /** Gate entry: same %20 eval split as [[deconSurvivors]]. */
   def deconReportDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents

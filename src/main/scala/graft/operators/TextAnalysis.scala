@@ -833,6 +833,34 @@ object TextAnalysis {
   def bpeEncodeDocs(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(Tables(spark, dir).documents, PinnedBpeMerges)
 
+  /** Per-language tokenizer FERTILITY (BPE tokens per word, exact
+    * micro-rate) under a fixed merge list — the multilingual-tokenizer
+    * audit every cross-lingual pretraining effort publishes: a
+    * vocabulary trained on one language mix over-fragments the others
+    * (fertility 2-3× the dominant language's), silently taxing their
+    * effective context length and compute share; this table is where
+    * that shows up before a training run pays for it.
+    *
+    * Scale shape: [[bpeEncode]]'s own plan (corpus touched once,
+    * merges chained over the distinct-word table) plus one broadcast-
+    * friendly join back to the doc→lang map and a languages-sized
+    * aggregate. All-integer output.
+    */
+  def bpeFertility(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeEncode(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility_micro",
+        expr("n_bpe_tokens * 1000000 div n_words"))
+      .orderBy(col("lang"))
+
+  def bpeFertilityDocs(spark: SparkSession, dir: String): DataFrame =
+    bpeFertility(Tables(spark, dir).documents, PinnedBpeMerges)
+
   def fimTransform(docs: DataFrame, rate: Double = 0.5): DataFrame =
     fimTransformOn(docs, rate).orderBy(col("doc_id"))
 

@@ -387,6 +387,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q18_sketches plans no Window at all (few-huge-groups hazard)") {
+    // A Window.partitionBy(event_type) passes the unpartitioned-window
+    // guard below while still putting ~corpus/5 in one task (5 event
+    // types). q18's exact quantiles therefore use the distinct-value
+    // counts decomposition (BoundedGlobal.withKeyedPrefixSum); pin that
+    // NO Window node survives anywhere in the plan so the hazard can't
+    // quietly return.
+    val plan = SparkEntry.queries("q18_sketches")(spark, dir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"q18_sketches must stay window-free:\n$windows")
+  }
+
   test("NO query plans an unpartitioned Window over arbitrary input") {
     // The sweeping form of the BoundedGlobal contract: a global window
     // moves its whole input to one task, so every one of them was

@@ -329,6 +329,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Seq((100L, 2L, 1L), (200L, 0L, 0L)))
   }
 
+  test("deconOverlap: exact micro-fraction per train doc, consistent with decontaminate") {
+    import spark.implicits._
+    val evalDocs = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e x y z w q"),  // 6 shingles, 1 shared ("a b c d e")
+      (2L, "p q r s t u v"),        // 3 shingles, clean
+      (3L, "a b c d e f"),          // identical to the eval doc: 2/2
+      (4L, "a b")                   // too short to shingle: absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.deconOverlap(train, evalDocs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 6L, 1L, 166666L), (2L, 3L, 0L, 0L), (3L, 2L, 2L, 1000000L)))
+    // graduated verdicts must agree with the binary one: decontaminate
+    // keeps exactly the docs deconOverlap scores 0 (plus shingle-less)
+    val kept = Dedup.decontaminate(train, evalDocs).as[Long].collect().toSet
+    val zero = got.filter(_._3 == 0L).map(_._1).toSet + 4L
+    assert(kept === zero)
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged absent") {
     import spark.implicits._
     val old = Seq(

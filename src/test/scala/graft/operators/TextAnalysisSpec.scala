@@ -451,6 +451,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     got.foreach { case (id, (nw, bpe)) => assert(bpe >= nw, s"doc $id") }
   }
 
+  test("bpeFertility: per-language rollup of the encode table, exact micro-rate") {
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val enc = TextAnalysis.bpeEncode(real, TextAnalysis.PinnedBpeMerges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val langs = real.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = enc.toSeq.groupBy { case (id, _) => langs(id) }
+      .map { case (lang, xs) =>
+        val (nw, nb) = (xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+        lang -> ((xs.size.toLong, nw, nb, nb * 1000000L / nw))
+      }
+    val got = TextAnalysis.bpeFertility(real, TextAnalysis.PinnedBpeMerges)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // fertility must be >= 1 token per word for every language
+    got.values.foreach { case (_, _, _, f) => assert(f >= 1000000L) }
+  }
+
   test("PinnedBpeMerges is exactly what bpeTrain learns at sf0.01") {
     // provenance pin for the gated bpe_encode entry: the frozen literals
     // must stay the committed trainer output, or the gate is testing a
