@@ -304,6 +304,45 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("keyed prefix sum is partitioning-invariant and equals a sequential fold (5 seeds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- 0 until 5) {
+      val r = rng(900 + seed)
+      val rows = r.shuffle((for (g <- 0 until 4; k <- 0L until 12L)
+        yield (s"g$g", k, r.nextInt(1000).toLong)).toList)
+      val df = rows.toDF("g", "k", "v").repartition(7)
+      val got = BoundedGlobal.withKeyedPrefixSum(df, Seq("g"),
+          Seq(col("g"), col("k")), "v", "cum",
+          includeCurrent = true, maxRows = 100, "property keyed")
+        .select("g", "k", "cum").as[(String, Long, Long)].collect()
+        .map { case (g, k, c) => (g, k) -> c }.toMap
+      val expect = rows.groupBy(_._1).flatMap { case (g, xs) =>
+        var acc = 0L
+        xs.sortBy(_._2).map { case (_, k, v) => acc += v; (g, k) -> acc }
+      }
+      assert(got === expect.toMap, s"seed=$seed")
+    }
+  }
+
+  test("deconOverlap and bpeFertility are partitioning-invariant on the fixture") {
+    import org.apache.spark.sql.functions.rand
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val shuffled = docs.repartition(13).orderBy(rand(42))
+    val train = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0)
+    val evalD = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
+    val a = Dedup.deconOverlap(train(docs), evalD(docs)).collect().toSeq
+    val b = Dedup.deconOverlap(train(shuffled), evalD(shuffled)).collect().toSeq
+    assert(a === b)
+    val f1 = TextAnalysis.bpeFertility(docs, TextAnalysis.PinnedBpeMerges)
+      .collect().toSeq
+    val f2 = TextAnalysis.bpeFertility(shuffled, TextAnalysis.PinnedBpeMerges)
+      .collect().toSeq
+    assert(f1 === f2)
+  }
+
   test("bitext mining is partitioning-invariant (5 seeds)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.rand
