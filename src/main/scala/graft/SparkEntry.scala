@@ -91,10 +91,12 @@ object SparkEntry {
     "ann_recall"           -> (Similarity.annRecall(_, _)),
     "ann_recall_ivf"       -> (Similarity.annRecallIvf(_, _)),
     "ann_recall_pq"        -> (Similarity.annRecallPq(_, _)),
+    "ivf_upsert"           -> (Similarity.ivfUpsertDocs(_, _)),
     "bitext_mine"          -> (Similarity.bitextMarginDocs(_, _)),
     "bitext_mine_ivf"      -> (Similarity.bitextMarginIvfDocs(_, _)),
     "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
     "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
+    "hll_mergeable"        -> (Monitoring.hllMergeableDocs(_, _)),
     "kanon_audit"          -> (Monitoring.kanonDocs(_, _)),
     "text_entropy"         -> (TextAnalysis.tokenEntropyDocs(_, _)),
     "ann_ivf"              -> (Similarity.annIvf(_, _)),
@@ -2219,6 +2221,41 @@ object SparkEntry {
          FROM exact x LEFT JOIN approx a
            ON a.q_id = x.q_id AND a.vec_id = x.neighbor_id
          GROUP BY x.q_id ORDER BY x.q_id""",
+    // incremental IVF upsert: delta slice assigned to BASE-derived seed
+    // centroids — same argmax-cosine + larger-c_id tie spelling as
+    // ann_ivf, same fixed-order double arithmetic, floor-micro cosine
+    "ivf_upsert" ->
+      """WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings WHERE vec_id % 10 != 9),
+         delta AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings WHERE vec_id % 10 = 9),
+         cents AS (
+           SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+           FROM base WHERE vec_id < 16),
+         scores AS (
+           SELECT d.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               x -> CAST(d.embedding[x] AS DOUBLE) * CAST(c.c_emb[x] AS DOUBLE)))
+               / (d.norm * c.c_norm) AS ccos
+           FROM delta d CROSS JOIN cents c)
+         SELECT vec_id, cell, cos_micro FROM (
+           SELECT vec_id, CAST(c_id AS INTEGER) AS cell,
+             CAST(floor(ccos * 1e6) AS BIGINT) AS cos_micro,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, c_id DESC) AS rn
+           FROM scores) WHERE rn = 1 ORDER BY vec_id""",
+    // mergeable-sketch audit: the oracle owns the exact distinct and
+    // asserts every sketch verdict TRUE (the q18 sketch-gating pattern)
+    "hll_mergeable" ->
+      """SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+           TRUE AS direct_ok, TRUE AS merged_ok, TRUE AS merge_consistent
+         FROM documents""",
     // exact all-pairs restatement: the Spark side is LSH-bucketed with
     // exact verify, so its output is a (full-recall at these cosines)
     // subset of this — equality checked over the whole table

@@ -137,6 +137,58 @@ object Monitoring {
       dir: String): DataFrame =
     sourceOverlap(graft.Engine.Tables(spark, dir).documents)
 
+  /** Mergeable-sketch audit — the property that makes sketches the
+    * 100 TB cardinality path at all: a DataSketches HLL built per shard
+    * and UNIONED answers the same distinct question as one sketch over
+    * everything, inside the sketch's error contract against the exact
+    * distinct. This is what lets a warehouse keep per-partition/per-day
+    * sketch columns and answer global distinct questions without ever
+    * re-touching the data — here demonstrated per `source` shard over
+    * the documents corpus with everything in one output row: the exact
+    * distinct, two q18-style error-contract verdicts, and a
+    * merge-consistency verdict the DuckDB oracle asserts TRUE.
+    *
+    * Merge consistency is a BAND, not equality, deliberately: the
+    * register state after a union is identical to the direct sketch's
+    * (register-wise max is associative/commutative), but DataSketches
+    * estimates a directly-updated sketch with its HIP estimator and a
+    * unioned one with the composite estimator, so the two ESTIMATES of
+    * the same registers legitimately differ by a fraction of a percent
+    * (measured ~0.1% on the fixtures). The verdict pins them within
+    * max(10, 2%) of each other — tight enough to catch a real merge
+    * bug, honest about the estimator seam.
+    *
+    * Scale shape: the per-shard sketch aggregate is one pass with
+    * map-side partial sketches (bytes per partition, not rows); the
+    * union aggregates shard-count sketch blobs. The exact distinct
+    * companion exists for the gate; a production run drops it — that
+    * is the point of the sketch.
+    */
+  def hllMergeable(docs: DataFrame, lgK: Int = 12): DataFrame = {
+    val key = md5(col("text"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(hll_sketch_agg(key, lit(lgK)).as("sk"))
+    val merged = perSource.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_merged"))
+    docs.agg(
+        hll_sketch_estimate(hll_sketch_agg(key, lit(lgK))).as("est_direct"),
+        countDistinct(key).as("n_exact"))
+      .crossJoin(broadcast(merged))
+      .select(col("n_exact"),
+        (abs(col("est_direct") - col("n_exact")) <=
+          greatest(lit(10L), expr("(n_exact * 5) div 100"))).as("direct_ok"),
+        (abs(col("est_merged") - col("n_exact")) <=
+          greatest(lit(10L), expr("(n_exact * 5) div 100"))).as("merged_ok"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          greatest(lit(10L), expr("(n_exact * 2) div 100")))
+          .as("merge_consistent"))
+  }
+
+  def hllMergeableDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    hllMergeable(graft.Engine.Tables(spark, dir).documents)
+
   /** Minimum group size for the k-anonymity release audit. */
   val KAnonK = 5L
 

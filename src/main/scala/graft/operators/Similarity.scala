@@ -245,15 +245,25 @@ object Similarity {
     * top-k and IVF-kNN paths: returns (assigned corpus with `cell`,
     * broadcast query batch with `q_probes`).
     */
-  private def ivfAssignments(base: DataFrame,
-      cents: Array[(Int, Array[Double], Double)],
-      numQueries: Int, nProbe: Int): (DataFrame, DataFrame) = {
+  /** Per-centroid (cos, c_id) score structs against the row's
+    * `embedding`/`norm` — the one assignment expression every IVF path
+    * (build, probe, and incremental upsert) shares, so cell semantics
+    * cannot drift between them.
+    */
+  private def centScores(
+      cents: Array[(Int, Array[Double], Double)]): Array[Column] = {
     // >= 2: greatest() over the per-centroid structs needs two arguments
     require(cents.length >= 2, s"need at least 2 centroids, got ${cents.length}")
-    val scores = cents.map { case (id, w, n) =>
+    cents.map { case (id, w, n) =>
       struct((vecDot(col("embedding"), lit(w)) / (col("norm") * lit(n))).as("cos"),
         lit(id).as("c_id"))
     }
+  }
+
+  private def ivfAssignments(base: DataFrame,
+      cents: Array[(Int, Array[Double], Double)],
+      numQueries: Int, nProbe: Int): (DataFrame, DataFrame) = {
+    val scores = centScores(cents)
     val assigned = base.withColumn("cell", greatest(scores: _*).getField("c_id"))
     // per-query probe list: the nProbe highest-cosine cells (array_sort on
     // (cos, c_id) structs is ascending → reverse → slice)
@@ -307,6 +317,42 @@ object Similarity {
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables(spark, dir).embeddings)
+
+  /** Incremental IVF index maintenance — the UPSERT half of the
+    * vector-warehouse ingest story ([[graft.operators.Dedup]]'s
+    * `ingest_dedup` and `cdc_apply` are the text half): a delta batch of
+    * newly arrived vectors (here the deterministic `vec_id % deltaMod ==
+    * deltaMod-1` slice, a fixture stand-in for "today's embeddings") is
+    * assigned into the EXISTING cell structure — centroids derived from
+    * the base corpus only, exactly what a deployed index has on disk —
+    * without touching base postings or rebuilding anything. Returns one
+    * row per delta vector: its cell and floor-micro-quantized assignment
+    * cosine (the "how central is this insert" number cell-rebalance
+    * monitoring thresholds on).
+    *
+    * Scale shape: the delta streams through the same compiled-literal
+    * centroid scan as [[ivfTopK]]'s assignment stage ([[centScores]] —
+    * shared, so build and upsert can never disagree on cell semantics);
+    * cost is delta-linear, nothing base-sized moves. At 100 TB this is
+    * the difference between nightly index rebuilds and appending
+    * cell-bucketed parquet.
+    */
+  def ivfUpsert(vecs: DataFrame, cells: Int = 16,
+      deltaMod: Int = 10): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod must be >= 2, got $deltaMod")
+    val isDelta = col("vec_id") % deltaMod === (deltaMod - 1)
+    val base = withNorm(vecs.filter(!isDelta))
+    val delta = withNorm(vecs.filter(isDelta))
+    val best = greatest(centScores(seedCentroids(base, cells)): _*)
+    delta.withColumn("best", best)
+      .select(col("vec_id"), col("best").getField("c_id").as("cell"),
+        floor(col("best").getField("cos") * lit(1e6)).cast("long")
+          .as("cos_micro"))
+      .orderBy(col("vec_id"))
+  }
+
+  def ivfUpsertDocs(spark: SparkSession, dir: String): DataFrame =
+    ivfUpsert(Tables(spark, dir).embeddings)
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
     * Exact all-pairs formulation — the CORRECTNESS oracle only (the

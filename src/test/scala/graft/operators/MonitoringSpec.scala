@@ -130,6 +130,23 @@ class MonitoringSpec extends AnyFunSuite with SparkTestSession {
     assert(e3.getMessage.contains("nSources"))
   }
 
+  test("hllMergeable: union-of-shards equals the direct sketch, inside error bounds") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    import org.apache.spark.sql.functions.{col, md5}
+    val r = Monitoring.hllMergeable(docs).head
+    val exact = docs.select(md5(col("text"))).distinct().count()
+    assert(r.getLong(0) === exact)
+    assert(r.getBoolean(1), "direct estimate outside the error contract")
+    assert(r.getBoolean(2), "merged estimate outside the error contract")
+    assert(r.getBoolean(3),
+      "union-of-shards estimate must sit within the band of the direct sketch " +
+        "(registers identical; HIP vs composite estimator seam)")
+    // partitioning-invariance: sketch merge is register-wise max, so an
+    // arbitrary repartition must not change a single output bit
+    val r2 = Monitoring.hllMergeable(docs.repartition(13)).head
+    assert(r2 === r)
+  }
+
   test("sourceOverlap: > 63 sources span multiple mask words correctly") {
     import spark.implicits._
     // sources chosen to straddle the Long-word boundary (0 | 63 / 64 |

@@ -459,6 +459,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(audit === expected)
   }
 
+  test("ivfUpsert: delta assigned to base-derived cells exactly as an in-memory argmax") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.Engine.Tables(spark, dir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val cents = all.filter { case (id, _) => id % 10 != 9 && id < 16 }
+      .sortBy(_._1)
+    val expected = all.filter(_._1 % 10 == 9).map { case (id, e) =>
+      // argmax cosine, larger c_id on ties — the ann_ivf spelling
+      val best = cents.map { case (cid, c) =>
+        val cos = c.zip(e).map { case (a, b) => a * b }.sum / (norm(c) * norm(e))
+        (cos, cid)
+      }.maxBy { case (cos, cid) => (cos, cid) }
+      id -> ((best._2.toInt, math.floor(best._1 * 1e6).toLong))
+    }.toMap
+    val got = Similarity.ivfUpsert(
+        graft.Engine.Tables(spark, dir).embeddings).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    // cells must match everywhere; the micro cosine may differ by 1 ulp
+    // of accumulation order in the in-memory reference, so bound it
+    got.foreach { case (id, (cell, micro)) =>
+      assert(cell === expected(id)._1, s"vec $id cell")
+      assert(math.abs(micro - expected(id)._2) <= 1L, s"vec $id cos_micro")
+    }
+    // delta slice only, nothing base-sized leaks into the output
+    assert(got.keySet.forall(_ % 10 == 9))
+  }
+
   test("bitext mining: planted translations mined, hubs margin-rejected") {
     import spark.implicits._
     // 12 X-side (even id) base vectors, each dominated by its own axis
