@@ -258,6 +258,7 @@ object SparkEntry {
     "stream_enrich"        -> (streaming.StreamQueries.enrichEvents(_, _)),
     "stream_topk"          -> (streaming.StreamQueries.leaderboardEvents(_, _)),
     "stream_fingerprint"   -> (streaming.StreamQueries.fingerprintDocs(_, _)),
+    "stream_upsert"        -> (streaming.StreamQueries.upsertVectors(_, _)),
     "stream_pipeline"      -> (streaming.StreamQueries.pipelineDocs(_, _)),
     // --- the composed curation pipeline (dedup → decon → quality →
     // sample) as one plan, gated end to end
@@ -914,6 +915,37 @@ object SparkEntry {
     * argmax-cosine cells with larger-id ties, top-4 probe lists) —
     * shared by the `ann_ivf` gate and the `ann_recall_ivf` audit.
     */
+  /** Shared by `ivf_upsert` and `stream_upsert`: the streaming ingest
+    * twin's landed table must equal the batch assignment bit-for-bit,
+    * enforced by gating both against this single string.
+    */
+  private val ivfUpsertOracle: String =
+    """WITH base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings WHERE vec_id % 10 != 9),
+         delta AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings WHERE vec_id % 10 = 9),
+         cents AS (
+           SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+           FROM base WHERE vec_id < 16),
+         scores AS (
+           SELECT d.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               x -> CAST(d.embedding[x] AS DOUBLE) * CAST(c.c_emb[x] AS DOUBLE)))
+               / (d.norm * c.c_norm) AS ccos
+           FROM delta d CROSS JOIN cents c)
+         SELECT vec_id, cell, cos_micro FROM (
+           SELECT vec_id, CAST(c_id AS INTEGER) AS cell,
+             CAST(floor(ccos * 1e6) AS BIGINT) AS cos_micro,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, c_id DESC) AS rn
+           FROM scores) WHERE rn = 1 ORDER BY vec_id"""
+
   private val annIvfOracle: String =
     """WITH base AS (
            SELECT vec_id, embedding,
@@ -2224,32 +2256,7 @@ object SparkEntry {
     // incremental IVF upsert: delta slice assigned to BASE-derived seed
     // centroids — same argmax-cosine + larger-c_id tie spelling as
     // ann_ivf, same fixed-order double arithmetic, floor-micro cosine
-    "ivf_upsert" ->
-      """WITH base AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-           FROM embeddings WHERE vec_id % 10 != 9),
-         delta AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-           FROM embeddings WHERE vec_id % 10 = 9),
-         cents AS (
-           SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
-           FROM base WHERE vec_id < 16),
-         scores AS (
-           SELECT d.vec_id, c.c_id,
-             list_sum(list_transform(generate_series(1, 64),
-               x -> CAST(d.embedding[x] AS DOUBLE) * CAST(c.c_emb[x] AS DOUBLE)))
-               / (d.norm * c.c_norm) AS ccos
-           FROM delta d CROSS JOIN cents c)
-         SELECT vec_id, cell, cos_micro FROM (
-           SELECT vec_id, CAST(c_id AS INTEGER) AS cell,
-             CAST(floor(ccos * 1e6) AS BIGINT) AS cos_micro,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY ccos DESC, c_id DESC) AS rn
-           FROM scores) WHERE rn = 1 ORDER BY vec_id""",
+    "ivf_upsert" -> ivfUpsertOracle,
     // mergeable-sketch audit: the oracle owns the exact distinct and
     // asserts every sketch verdict TRUE (the q18 sketch-gating pattern)
     "hll_mergeable" ->
@@ -2505,6 +2512,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""",
     // stateless fingerprint enrichment: md5-60 digest + per-doc distinct
     // winnow-fp count (same rolling-hash chain as the text_winnow gate)
+    "stream_upsert" -> ivfUpsertOracle,
     "stream_fingerprint" ->
       s"""WITH cs AS (
            SELECT doc_id, list_transform(generate_series(1, length(text)),

@@ -341,14 +341,37 @@ object Similarity {
       deltaMod: Int = 10): DataFrame = {
     require(deltaMod >= 2, s"deltaMod must be >= 2, got $deltaMod")
     val isDelta = col("vec_id") % deltaMod === (deltaMod - 1)
-    val base = withNorm(vecs.filter(!isDelta))
-    val delta = withNorm(vecs.filter(isDelta))
-    val best = greatest(centScores(seedCentroids(base, cells)): _*)
-    delta.withColumn("best", best)
+    assignToCells(vecs.filter(isDelta),
+        upsertCentroids(vecs, cells, deltaMod))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The existing index's cell structure for the upsert paths: seed
+    * centroids from the BASE slice only (what a deployed index has on
+    * disk) — collected once, compiled into the assignment expression as
+    * literals by [[assignToCells]]. Shared by the batch gate and the
+    * streaming ingest twin so the two see one index.
+    */
+  def upsertCentroids(vecs: DataFrame, cells: Int = 16,
+      deltaMod: Int = 10): Array[(Int, Array[Double], Double)] = {
+    require(deltaMod >= 2, s"deltaMod must be >= 2, got $deltaMod")
+    seedCentroids(
+      withNorm(vecs.filter(col("vec_id") % deltaMod =!= (deltaMod - 1))),
+      cells)
+  }
+
+  /** Assign arbitrary vectors into a FIXED cell structure: pure scalar
+    * expressions (norm + `cells` fused vec_dot structs + greatest), so
+    * the same plan serves batch ([[ivfUpsert]]) and a streaming ingest
+    * micro-batch unchanged — stateless, no shuffle, delta-linear.
+    */
+  def assignToCells(vecs: DataFrame,
+      cents: Array[(Int, Array[Double], Double)]): DataFrame = {
+    val best = greatest(centScores(cents): _*)
+    withNorm(vecs).withColumn("best", best)
       .select(col("vec_id"), col("best").getField("c_id").as("cell"),
         floor(col("best").getField("cos") * lit(1e6)).cast("long")
           .as("cos_micro"))
-      .orderBy(col("vec_id"))
   }
 
   def ivfUpsertDocs(spark: SparkSession, dir: String): DataFrame =

@@ -275,6 +275,31 @@ object StreamQueries {
       .orderBy("fp")
   }
 
+  /** Gated streaming IVF upsert — [[graft.operators.Similarity.ivfUpsert]]'s
+    * ingest-time twin: newly arriving vectors (the same deterministic
+    * delta slice) are assigned into the EXISTING index's cells as they
+    * land. The centroids are peeked once batch-side from the base slice
+    * ([[graft.operators.Similarity.upsertCentroids]] — exactly the
+    * broadcast-literal move the batch path makes) and the per-row
+    * assignment is pure scalar expressions, so the streaming plan is
+    * the batch plan per micro-batch and the landed table equals the
+    * batch gate bit-for-bit — one shared oracle string pins that.
+    */
+  def upsertVectors(spark: SparkSession, dir: String): DataFrame = {
+    val cents = graft.operators.Similarity.upsertCentroids(
+      graft.Engine.Tables(spark, dir).embeddings)
+    StreamGate.runToParquet(spark,
+      { s =>
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val vecs = s.readStream.schema(schema)
+          .parquet(s"$dir/{embeddings.parquet}")
+        graft.operators.Similarity.assignToCells(
+          vecs.filter(col("vec_id") % 10 === 9), cents)
+      },
+      gateDir("upsert"))()
+      .orderBy("vec_id")
+  }
+
   /** Gated [[Streaming.budgetAdmitStream]]: per-language token-budget
     * admission (flatMapGroupsWithState, append). Arrival order inside
     * the single micro-batch is the operator's own doc_id sort, so

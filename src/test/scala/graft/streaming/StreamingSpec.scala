@@ -572,6 +572,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(sunk.columns.contains("text"))
   }
 
+  test("stream_upsert lands exactly the batch ivfUpsert assignment") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamQueries.upsertVectors(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Similarity.ivfUpsertDocs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("StreamGate parquet: qualityFilterStream equals the gated batch scorer") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
