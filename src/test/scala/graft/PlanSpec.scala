@@ -387,6 +387,26 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivf_upsert plans as a pure scan pipeline: no join, no Window, one exchange") {
+    // the incremental-ingest contract: centroids are compiled literals,
+    // so assignment must stay scan-fused — a Join or Window appearing
+    // here means the index structure leaked back in as a dataset
+    val plan = SparkEntry.queries("ivf_upsert")(spark, dir)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    assert(plan.collect { case j: Join => j }.isEmpty, s"no join allowed:\n$plan")
+    assert(plan.collect { case w: LWindow => w }.isEmpty, s"no window allowed:\n$plan")
+    val phys = planOf("ivf_upsert")
+    assert(phys.contains("vecdot"), "assignment must run the fused native kernel")
+  }
+
+  test("decon_overlap broadcasts the eval side; train side never shuffles pre-agg") {
+    val plan = planOf("decon_overlap")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the eval shingle set must broadcast, not sort-merge against the corpus")
+  }
+
   test("q18_sketches plans no Window at all (few-huge-groups hazard)") {
     // A Window.partitionBy(event_type) passes the unpartitioned-window
     // guard below while still putting ~corpus/5 in one task (5 event
