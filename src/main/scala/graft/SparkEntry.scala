@@ -132,6 +132,7 @@ object SparkEntry {
     "bpe_pairs"            -> (TextAnalysis.bpePairCountsDocs(_, _)),
     "bpe_encode"           -> (TextAnalysis.bpeEncodeDocs(_, _)),
     "bpe_fertility"        -> (TextAnalysis.bpeFertilityDocs(_, _)),
+    "unigram_encode"       -> (TextAnalysis.unigramEncodeDocs(_, _)),
     "fim_transform"        -> (TextAnalysis.fimTransformDocs(_, _)),
     "t5_spans"             -> (TextAnalysis.t5SpansDocs(_, _)),
     // --- sentence-aware family (synthesized punctuation, see Sentences)
@@ -656,6 +657,50 @@ object SparkEntry {
     * n_bpe = symbol count of the final wrapped string; the corpus side
     * is the same word-explode + integer sums as wc_wordcount.
     */
+  /** Unigram-LM Viterbi DP restated in DuckDB: the identical packed
+    * integer min-plus recurrence (cost·1024 + n_pieces — see
+    * [[operators.TextAnalysis.unigramW]]) unrolled to
+    * UnigramMaxWordLen sequential CTE steps, one dp column per
+    * character position; pieces interpolated from the same pinned
+    * inventory, so both engines run one DP definition.
+    */
+  private def unigramEncodeOracleSql: String = {
+    import operators.TextAnalysis._
+    val huge = Long.MaxValue
+    def pieceCase(len: Int, i: Int): String = {
+      val items = UnigramPieces.toSeq.filter(_._1.length == len).sortBy(_._1)
+        .map { case (p, c) => s"WHEN '$p' THEN ${unigramW(c)}" }.mkString(" ")
+      s"CASE substr(word, ${i - len + 1}, $len) $items END"
+    }
+    val steps = (1 to UnigramMaxWordLen).map { i =>
+      val single = s"v${i - 1} + CASE WHEN substr(word, $i, 1) BETWEEN 'a' AND 'z' " +
+        s"THEN ${unigramW(UnigramCharCost)} ELSE ${unigramW(UnigramUnkCost)} END"
+      val multi = (2 to 4).filter(_ <= i).map(l =>
+        s"coalesce(v${i - l} + ${pieceCase(l, i)}, $huge)")
+      val cands = (single +: multi).mkString(",\n             ")
+      s"d$i AS (SELECT *, CASE WHEN length(word) >= $i THEN least(\n             $cands) END AS v$i FROM d${i - 1})"
+    }.mkString(",\n         ")
+    val finalCase = (1 to UnigramMaxWordLen)
+      .map(i => s"WHEN $i THEN v$i").mkString(" ")
+    s"""WITH words AS (
+         SELECT doc_id, word
+         FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+               FROM documents)
+         WHERE length(word) > 0),
+       d0 AS (SELECT DISTINCT word, CAST(0 AS BIGINT) AS v0 FROM words),
+       $steps,
+       sizes AS (
+         SELECT word,
+           CASE length(word) $finalCase END AS vf
+         FROM d${UnigramMaxWordLen})
+       SELECT doc_id, count(*) AS n_words,
+         CAST(sum(vf % 1024) AS BIGINT) AS n_pieces,
+         CAST(sum(vf // 1024) AS BIGINT) AS cost_micro
+       FROM words JOIN sizes USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   private def bpeEncodeOracleSql: String = {
     val d = "chr(31)"
     val dd = s"$d || $d"
@@ -1403,6 +1448,7 @@ object SparkEntry {
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "bpe_encode" -> bpeEncodeOracleSql,
     "bpe_fertility" -> bpeFertilityOracleSql,
+    "unigram_encode" -> unigramEncodeOracleSql,
     "sent_segment" ->
       s"""WITH $sentenceCtes
          SELECT doc_id, sent_id, sentence, n_tokens FROM sents

@@ -861,6 +861,115 @@ object TextAnalysis {
   def bpeFertilityDocs(spark: SparkSession, dir: String): DataFrame =
     bpeFertility(Tables(spark, dir).documents, PinnedBpeMerges)
 
+  // --------------------------------------- unigram-LM (Viterbi) encoding
+
+  /** Pinned unigram-LM piece inventory for the gated `unigram_encode`
+    * entry — the SECOND tokenizer family next to BPE: piece →
+    * cost_micro (−ln p in micro-nats, integers). The multi-character
+    * pieces are the symbols the committed BPE run learned (thematic
+    * continuity with [[PinnedBpeMerges]]); costs are frequency-tiered so
+    * Viterbi meaningfully prefers long pieces ("hash" as one piece at
+    * 7.0 beats "h"+"ash" at 10.0 beats four singles at 16.0).
+    */
+  val UnigramPieces: Map[String, Long] = Map(
+    "in" -> 4500000L, "er" -> 4500000L, "at" -> 4500000L, "ar" -> 4500000L,
+    "st" -> 4500000L, "or" -> 4500000L, "as" -> 4500000L,
+    "ow" -> 5500000L, "lu" -> 5500000L, "jo" -> 5500000L,
+    "mer" -> 6000000L, "par" -> 6000000L, "ash" -> 6000000L, "row" -> 6000000L,
+    "join" -> 7000000L, "hash" -> 7000000L)
+
+  /** Cost of a known ([a-z]) single character; the universal fallback
+    * that keeps every word segmentable.
+    */
+  val UnigramCharCost = 4000000L
+
+  /** Cost of any other single character (digits, punctuation, unicode)
+    * — the <unk>-per-char floor.
+    */
+  val UnigramUnkCost = 10000000L
+
+  /** Longest word the gate accepts — the DuckDB oracle's DP unroll
+    * depth. The Spark fold handles any length; a longer word fails
+    * LOUDLY (raise_error) instead of silently disagreeing with the
+    * oracle. Fixture max is 8; raise deliberately for a real corpus.
+    */
+  val UnigramMaxWordLen = 16
+
+  /** Packed DP weight: Viterbi state is (cost_micro, n_pieces) compared
+    * lexicographically; with n_pieces < 1024 (≤ [[UnigramMaxWordLen]])
+    * the pair packs into ONE BIGINT `cost·1024 + n`, and taking a piece
+    * adds `cost(p)·1024 + 1` — the whole DP becomes pure integer
+    * min-plus that any engine reproduces bit-for-bit, no struct
+    * comparison machinery needed.
+    */
+  def unigramW(costMicro: Long): Long = costMicro * 1024L + 1L
+
+  private def unigramMapLit(len: Int): String = {
+    val entries = UnigramPieces.toSeq.filter(_._1.length == len).sortBy(_._1)
+      .map { case (p, c) => s"'$p', ${unigramW(c)}L" }.mkString(", ")
+    s"map($entries)"
+  }
+
+  /** Unigram-LM (SentencePiece-style) ENCODING under the pinned piece
+    * inventory: per document, the token count and total cost of the
+    * min-cost Viterbi segmentation of each word (Kudo 2018's apply
+    * half; the EM trainer is out of scope the same way [[bpeTrain]]'s
+    * loop is gated via its pinned-apply twin). dp[0] = 0;
+    * dp[i] = min over pieces p ending at i of dp[i−|p|] + W(p), with a
+    * single-char fallback at every position so dp is always finite;
+    * ties prefer fewer pieces (the packed weight's low bits). The whole
+    * recurrence is ONE in-row `aggregate` fold over character
+    * positions — scan-fused, zero shuffles for the DP itself — and
+    * every quantity is BIGINT, so the DuckDB oracle (the same DP
+    * unrolled to [[UnigramMaxWordLen]] CTE steps) matches hash-exactly.
+    *
+    * Scale shape: the corpus is touched once by the token explode
+    * (wordcount pattern); the DP runs over the DISTINCT word table —
+    * vocabulary-sized — and joins back size-thresholded by AQE, the
+    * [[bpeEncode]] layout exactly.
+    */
+  def unigramEncode(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val vocab = toks.select(col("word")).distinct()
+      .withColumn("word", when(length(col("word")) > UnigramMaxWordLen,
+        raise_error(concat(
+          lit(s"unigramEncode: word longer than $UnigramMaxWordLen chars: '"),
+          col("word"),
+          lit("' — raise UnigramMaxWordLen (the oracle unroll depth) deliberately"))))
+        .otherwise(col("word")))
+    val dp = s"""
+      aggregate(
+        sequence(1, length(word)),
+        array(CAST(0 AS BIGINT)),
+        (acc, i) -> array_append(acc, array_min(filter(array(
+          element_at(acc, i) + IF(substr(word, i, 1) BETWEEN 'a' AND 'z',
+            ${unigramW(UnigramCharCost)}L, ${unigramW(UnigramUnkCost)}L),
+          IF(i >= 2, element_at(acc, i - 1) +
+            try_element_at(${unigramMapLit(2)}, substr(word, i - 1, 2)),
+            CAST(NULL AS BIGINT)),
+          IF(i >= 3, element_at(acc, i - 2) +
+            try_element_at(${unigramMapLit(3)}, substr(word, i - 2, 3)),
+            CAST(NULL AS BIGINT)),
+          IF(i >= 4, element_at(acc, i - 3) +
+            try_element_at(${unigramMapLit(4)}, substr(word, i - 3, 4)),
+            CAST(NULL AS BIGINT))
+        ), x -> x IS NOT NULL))))"""
+    val sizes = vocab
+      .withColumn("vf", element_at(expr(dp), -1))
+      .select(col("word"), expr("vf div 1024").as("wc"),
+        expr("vf % 1024").as("wn"))
+    toks.join(sizes, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wn")).as("n_pieces"),
+        sum(col("wc")).as("cost_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def unigramEncodeDocs(spark: SparkSession, dir: String): DataFrame =
+    unigramEncode(Tables(spark, dir).documents)
+
   def fimTransform(docs: DataFrame, rate: Double = 0.5): DataFrame =
     fimTransformOn(docs, rate).orderBy(col("doc_id"))
 

@@ -471,6 +471,60 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     got.values.foreach { case (_, _, _, f) => assert(f >= 1000000L) }
   }
 
+  test("unigramEncode matches an in-memory Viterbi over the fixture") {
+    def viterbi(word: String): (Long, Long) = {
+      // dp over (cost_micro, n_pieces), lexicographic min — the unpacked
+      // form of the operator's cost*1024+n integers
+      val n = word.length
+      val dp = Array.fill[(Long, Long)](n + 1)((Long.MaxValue, Long.MaxValue))
+      dp(0) = (0L, 0L)
+      for (i <- 1 to n) {
+        val ch = word.charAt(i - 1)
+        val charCost = if (ch >= 'a' && ch <= 'z') TextAnalysis.UnigramCharCost
+          else TextAnalysis.UnigramUnkCost
+        var best = (dp(i - 1)._1 + charCost, dp(i - 1)._2 + 1)
+        for (l <- 2 to 4; if i >= l) {
+          TextAnalysis.UnigramPieces.get(word.substring(i - l, i)).foreach { c =>
+            val cand = (dp(i - l)._1 + c, dp(i - l)._2 + 1)
+            if (implicitly[Ordering[(Long, Long)]].lt(cand, best)) best = cand
+          }
+        }
+        dp(i) = best
+      }
+      dp(n)
+    }
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val words = real.select("text").collect().map(_.getString(0))
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    val got = TextAnalysis.unigramEncode(real).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      val segs = ws.map(viterbi)
+      val expect = (ws.length.toLong, segs.map(_._2).sum, segs.map(_._1).sum)
+      assert(got(id) === expect, s"doc $id")
+    }
+    // piece preference: "hash" must cost one 7.0-piece, not h+ash or singles
+    assert(viterbi("hash") === (7000000L, 1L))
+    assert(viterbi("join") === (7000000L, 1L))
+    // unknown chars fall back to the unk cost, never fail
+    assert(viterbi("x9!") === (TextAnalysis.UnigramCharCost + 2 * TextAnalysis.UnigramUnkCost, 3L))
+  }
+
+  test("unigramEncode: overlong word fails loudly, naming the bound") {
+    import spark.implicits._
+    val docs = Seq((1L, ("a" * (TextAnalysis.UnigramMaxWordLen + 1))))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.unigramEncode(docs).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("UnigramMaxWordLen"), msg)
+  }
+
   test("PinnedBpeMerges is exactly what bpeTrain learns at sf0.01") {
     // provenance pin for the gated bpe_encode entry: the frozen literals
     // must stay the committed trainer output, or the gate is testing a
