@@ -270,6 +270,7 @@ object SparkEntry {
     // --- data-layout optimization: Z-order file assignment + the
     // per-file min/max manifest data skipping prunes on
     "zorder_layout"        -> (operators.Layout.zorderLineitem(_, _)),
+    "hilbert_layout"       -> (operators.Layout.hilbertLineitem(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -3192,6 +3193,7 @@ object SparkEntry {
          WHERE rk <= 10 ORDER BY q_id, rk""",
     "graph_pagerank" -> pageRankOracleSql,
     "zorder_layout" -> zorderOracleSql,
+    "hilbert_layout" -> hilbertOracleSql,
     "kmeans_assign" -> kmeansAssignOracleSql,
     // mm_features: the stub decode's integer byte-bucket histogram,
     // recomputed from the text characters (the fixture is pure ASCII,
@@ -3302,6 +3304,50 @@ object SparkEntry {
            CAST(min(l_partkey) AS BIGINT) AS min_y,
            CAST(max(l_partkey) AS BIGINT) AS max_y
          FROM zz GROUP BY file_id ORDER BY file_id"""
+  }
+
+  /** Hilbert oracle: [[zorderOracleSql]]'s quantization and stats
+    * rollup with the xy2d fold unrolled one CTE step per bit level —
+    * identical integer shift/mask recurrence, constants interpolated
+    * from the one Scala definition.
+    */
+  private def hilbertOracleSql: String = {
+    val bits = operators.Layout.Bits
+    val scale = 1L << bits
+    val cellW = (1L << (2 * bits)) / operators.Layout.Files
+    val steps = (0 until bits).map { k =>
+      val sh = bits - 1 - k
+      val s = 1L << sh
+      val rx = s"((x$k >> $sh) & 1)"
+      val ry = s"((y$k >> $sh) & 1)"
+      s"""h${k + 1} AS (
+           SELECT l_orderkey, l_partkey,
+             CASE WHEN $ry = 0 THEN
+               CASE WHEN $rx = 1 THEN $s - 1 - y$k ELSE y$k END
+             ELSE x$k END AS x${k + 1},
+             CASE WHEN $ry = 0 THEN
+               CASE WHEN $rx = 1 THEN $s - 1 - x$k ELSE x$k END
+             ELSE y$k END AS y${k + 1},
+             d$k + ${s * s} *
+               (CASE WHEN $rx = 1 THEN 3 - $ry ELSE $ry END) AS d${k + 1}
+           FROM h$k)"""
+    }.mkString(",\n         ")
+    s"""WITH b AS (
+           SELECT max(l_orderkey) + 1 AS mx, max(l_partkey) + 1 AS my
+           FROM lineitem),
+         h0 AS (
+           SELECT l_orderkey, l_partkey,
+             (l_orderkey * $scale) // mx AS x0,
+             (l_partkey * $scale) // my AS y0,
+             CAST(0 AS BIGINT) AS d0
+           FROM lineitem, b),
+         $steps
+         SELECT d$bits // $cellW AS file_id, count(*) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_x,
+           CAST(max(l_orderkey) AS BIGINT) AS max_x,
+           CAST(min(l_partkey) AS BIGINT) AS min_y,
+           CAST(max(l_partkey) AS BIGINT) AS max_y
+         FROM h$bits GROUP BY file_id ORDER BY file_id"""
   }
 
   /** PageRank oracle: re-derive [[operators.Graph.linkEdges]]'s synthetic

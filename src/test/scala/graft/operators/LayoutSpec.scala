@@ -45,4 +45,73 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     // and the files tile all rows exactly once
     assert(stats.map(_.getLong(1)).sum === li.count())
   }
+
+  /** In-memory xy2d reference (the classic rotation form). */
+  private def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * (if (rx == 1) 3 - ry else ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertIndex matches the classic xy2d reference on a dense grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the full 32×32 sub-grid scaled up into the 10-bit domain exercises
+    // every rotation state of the top 5 levels
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x * 32, y * 32)
+    val got = pts.toDF("x", "y")
+      .withColumn("d", Layout.hilbertIndex("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === xy2d(Layout.Bits, x, y), s"($x, $y)")
+    }
+  }
+
+  test("Hilbert locality: consecutive indices are always grid neighbors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // THE property Morton lacks (its index makes diagonal jumps across
+    // power-of-two boundaries): walk a full 32×32 curve via the scaled
+    // embedding and check every step moves exactly one cell
+    val step = 1L << (Layout.Bits - 5) // 32×32 grid in the 10-bit domain
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val byD = pts.map { case (x, y) =>
+      xy2d(5, x, y) -> ((x, y))
+    }.sortBy(_._1)
+    byD.sliding(2).foreach {
+      case Seq((d1, (x1, y1)), (d2, (x2, y2))) =>
+        assert(d2 === d1 + 1)
+        assert(math.abs(x2 - x1) + math.abs(y2 - y1) === 1,
+          s"jump between d=$d1 ($x1,$y1) and d=$d2 ($x2,$y2)")
+      case _ =>
+    }
+    // the scaled 10-bit spelling Spark runs agrees with the 5-bit walk's
+    // ORDER (scaling by 2^5 multiplies every index by 2^10)
+    val sparkD = pts.map { case (x, y) => (x * step, y * step) }
+      .toDF("x", "y").withColumn("d", Layout.hilbertIndex("x", "y"))
+      .collect().map(r => ((r.getLong(0) / step, r.getLong(1) / step), r.getLong(2)))
+      .sortBy(_._2).map(_._1)
+    assert(sparkD.toSeq === byD.map(_._2).toSeq)
+  }
+
+  test("hilbert files tile rows exactly once with tight two-dim envelopes") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Engine.Tables(spark, dir).lineitem
+    val stats = Layout.hilbertStats(li, "l_orderkey", "l_partkey").collect()
+    assert(stats.map(_.getLong(1)).sum === li.count())
+    val (xLo, xHi) = (stats.map(_.getLong(2)).min, stats.map(_.getLong(3)).max)
+    val wx = stats.map(r => (r.getLong(3) - r.getLong(2)).toDouble).sum /
+      stats.length / math.max(1.0, (xHi - xLo).toDouble)
+    assert(wx < 0.5, s"x envelopes too wide under hilbert: $wx")
+  }
 }
