@@ -36,6 +36,7 @@ object Engine {
       .withExtensions(graft.functions.LshBandHashes.register)
       .withExtensions(graft.functions.PqArgmin.register)
       .withExtensions(graft.functions.PqArgminDist.register)
+      .withExtensions(graft.functions.HilbertIdx.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       // BloomFilterAggregate silently clamps its size arguments to these
       // confs (Spark tunes them for its own runtime join filters); raise

@@ -100,36 +100,17 @@ object Layout {
     * skipping prunes more — which is why lakehouse clustering engines
     * moved from ZORDER to Hilbert. The classic xy2d bit-level
     * transform (per level: quadrant digit `rx ? 3−ry : ry`, then
-    * conditional flip + swap rotates the frame) is a sequential fold
-    * over [[Bits]] levels — spelled as ONE in-row `aggregate` over the
-    * level sequence, the unigram-DP technique: pure integer
-    * shift/mask/add arithmetic end to end, scan-fused, engine-exact,
-    * and the DuckDB oracle unrolls the identical recurrence one CTE
-    * step per level.
+    * conditional flip + swap rotates the frame) runs as the native
+    * codegen kernel [[graft.functions.HilbertIdx]] — it was first
+    * spelled as an in-row `aggregate` fold (the unigram-DP technique),
+    * which is semantically identical but interpreted: measured ~9× the
+    * Morton projection on the same scan, vs at-par once compiled into
+    * the whole-stage-generated loop. Pure integer shift/mask/add
+    * arithmetic end to end; the DuckDB oracle unrolls the identical
+    * recurrence one CTE step per level.
     */
-  def hilbertIndex(zx: String, zy: String): Column = {
-    val b1 = Bits - 1
-    expr(s"""
-      aggregate(
-        sequence(0, $b1),
-        named_struct('x', $zx, 'y', $zy, 'd', CAST(0 AS BIGINT)),
-        (st, k) -> named_struct(
-          'x', IF(((st.y >> ($b1 - k)) & 1) = 0,
-                  IF(((st.x >> ($b1 - k)) & 1) = 1,
-                     shiftleft(CAST(1 AS BIGINT), $b1 - k) - 1 - st.y,
-                     st.y),
-                  st.x),
-          'y', IF(((st.y >> ($b1 - k)) & 1) = 0,
-                  IF(((st.x >> ($b1 - k)) & 1) = 1,
-                     shiftleft(CAST(1 AS BIGINT), $b1 - k) - 1 - st.x,
-                     st.x),
-                  st.y),
-          'd', st.d + shiftleft(CAST(1 AS BIGINT), 2 * ($b1 - k)) *
-               IF(((st.x >> ($b1 - k)) & 1) = 1,
-                  3 - ((st.y >> ($b1 - k)) & 1),
-                  ((st.y >> ($b1 - k)) & 1))),
-        st -> st.d)""")
-  }
+  def hilbertIndex(zx: String, zy: String): Column =
+    graft.functions.HilbertIdx.hilbertXy2d(col(zx), col(zy), Bits)
 
   /** [[zorderAssign]] with the Hilbert index as the layout key — same
     * max-scaled quantization, same fixed-width file cells, same

@@ -343,6 +343,20 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(f1 === f2)
   }
 
+  test("unigramEncode and hilbertStats are partitioning-invariant on the fixture") {
+    import org.apache.spark.sql.functions.rand
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val a = TextAnalysis.unigramEncode(docs).collect().toSeq
+    val b = TextAnalysis.unigramEncode(docs.repartition(13).orderBy(rand(7)))
+      .collect().toSeq
+    assert(a === b)
+    val li = graft.Engine.Tables(spark, "/root/testdata/sf0.001").lineitem
+    val h1 = Layout.hilbertStats(li, "l_orderkey", "l_partkey").collect().toSeq
+    val h2 = Layout.hilbertStats(li.repartition(11).orderBy(rand(9)),
+      "l_orderkey", "l_partkey").collect().toSeq
+    assert(h1 === h2)
+  }
+
   test("bitext mining is partitioning-invariant (5 seeds)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.rand
