@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_norm"           -> (Dedup.normDedupDocs(_, _)),
     "snapshot_diff"        -> (Dedup.snapshotDiffDocs(_, _)),
     "cdc_apply"            -> (Dedup.cdcApplyDocs(_, _)),
+    "dedup_containment"    -> (Dedup.containmentDocs(_, _)),
     "corpus_card"          -> (Monitoring.corpusCardDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
     "hll_mergeable"        -> (Monitoring.hllMergeableDocs(_, _)),
     "kanon_audit"          -> (Monitoring.kanonDocs(_, _)),
+    "ldiv_audit"           -> (Monitoring.ldivDocs(_, _)),
     "text_entropy"         -> (TextAnalysis.tokenEntropyDocs(_, _)),
     "ann_ivf"              -> (Similarity.annIvf(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
@@ -271,6 +273,7 @@ object SparkEntry {
     // per-file min/max manifest data skipping prunes on
     "zorder_layout"        -> (operators.Layout.zorderLineitem(_, _)),
     "hilbert_layout"       -> (operators.Layout.hilbertLineitem(_, _)),
+    "skip_audit"           -> (operators.Layout.skipAuditLineitem(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -1379,6 +1382,55 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // Same df-capped candidate screen as dedup_jaccard, but verified on
+    // CONTAINMENT |∩|/min(|A|,|B|) with NO size-ratio prune — the
+    // asymmetric (doc-inside-doc) pairs Jaccard structurally misses.
+    "dedup_containment" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         hist AS (SELECT df, count(*) AS ns FROM dfr GROUP BY df),
+         capq AS (
+           SELECT greatest(least(
+               coalesce(min(CASE WHEN cum_ns * 1000 >= 999 * tot_ns
+                 THEN df END), 1),
+               coalesce(max(CASE WHEN cum_pairs <=
+                   (SELECT count(*) FROM documents)
+                     * ${graft.operators.Dedup.JaccardPairsPerDoc}
+                 THEN df END), 1)),
+             2) AS cap
+           FROM (SELECT df,
+                   sum(ns) OVER (ORDER BY df) AS cum_ns,
+                   (SELECT sum(ns) FROM hist) AS tot_ns,
+                   sum(ns * (df * (df - 1) // 2)) OVER (ORDER BY df)
+                     AS cum_pairs
+                 FROM hist)),
+         rare AS (SELECT shingle FROM dfr
+                  WHERE df <= (SELECT cap FROM capq)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a
+           JOIN rare r ON r.shingle = a.shingle
+           JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(n_inter * 1.0 / least(sa.n, sb.n), 6) AS cont,
+                round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_inter * 1.0 / least(sa.n, sb.n) >= 0.8
+         ORDER BY doc_a, doc_b""",
     // novelty over shingle STRINGS — also re-checks the Spark side's
     // hash-for-string substitution
     "text_novelty" ->
@@ -1652,6 +1704,15 @@ object SparkEntry {
          FROM documents
          GROUP BY 1, 2, 3 HAVING count(*) < 5
          ORDER BY lang, source, len_bucket""",
+    // l-diversity: class size + exact distinct sensitive-value count,
+    // classes below l — the homogeneity-attack audit on top of kanon
+    "ldiv_audit" ->
+      s"""SELECT source, n_chars // 100 AS len_bucket, count(*) AS n,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive
+         FROM documents
+         GROUP BY 1, 2
+         HAVING count(DISTINCT lang) < ${graft.operators.Monitoring.LDivL}
+         ORDER BY source, len_bucket""",
     // oracle keys token counts on the token STRING; the engine keys on
     // xxhash64(token) — the gate re-checks the substitution. Every
     // per-token term floors to integer micro-nats BEFORE the sum, so
@@ -3194,6 +3255,7 @@ object SparkEntry {
     "graph_pagerank" -> pageRankOracleSql,
     "zorder_layout" -> zorderOracleSql,
     "hilbert_layout" -> hilbertOracleSql,
+    "skip_audit" -> skipAuditOracleSql,
     "kmeans_assign" -> kmeansAssignOracleSql,
     // mm_features: the stub decode's integer byte-bucket histogram,
     // recomputed from the text characters (the fixture is pure ASCII,
@@ -3348,6 +3410,84 @@ object SparkEntry {
            CAST(min(l_partkey) AS BIGINT) AS min_y,
            CAST(max(l_partkey) AS BIGINT) AS max_y
          FROM h$bits GROUP BY file_id ORDER BY file_id"""
+  }
+
+  /** skip_audit oracle: the three manifests (linear-by-x baseline, Morton,
+    * Hilbert) rebuilt with the same quantization CTEs the layout oracles
+    * use — interleave terms and the xy2d unroll generated from the one
+    * Scala definition — then the pruning test `max ≥ lo AND min ≤ hi`
+    * replayed over the unioned manifest against corpus-derived integer
+    * probe ranges [max/4, max/2] per dimension.
+    */
+  private def skipAuditOracleSql: String = {
+    val bits = operators.Layout.Bits
+    val scale = 1L << bits
+    val cellW = (1L << (2 * bits)) / operators.Layout.Files
+    val linW = (1L << bits) / operators.Layout.Files
+    val terms = (0 until bits).map(i =>
+      s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val steps = (0 until bits).map { k =>
+      val sh = bits - 1 - k
+      val s = 1L << sh
+      val rx = s"((x$k >> $sh) & 1)"
+      val ry = s"((y$k >> $sh) & 1)"
+      s"""h${k + 1} AS (
+           SELECT l_orderkey, l_partkey,
+             CASE WHEN $ry = 0 THEN
+               CASE WHEN $rx = 1 THEN $s - 1 - y$k ELSE y$k END
+             ELSE x$k END AS x${k + 1},
+             CASE WHEN $ry = 0 THEN
+               CASE WHEN $rx = 1 THEN $s - 1 - x$k ELSE x$k END
+             ELSE y$k END AS y${k + 1},
+             d$k + ${s * s} *
+               (CASE WHEN $rx = 1 THEN 3 - $ry ELSE $ry END) AS d${k + 1}
+           FROM h$k)"""
+    }.mkString(",\n         ")
+    val stats = """count(*) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_x,
+           CAST(max(l_orderkey) AS BIGINT) AS max_x,
+           CAST(min(l_partkey) AS BIGINT) AS min_y,
+           CAST(max(l_partkey) AS BIGINT) AS max_y"""
+    s"""WITH b AS (
+           SELECT max(l_orderkey) + 1 AS mx, max(l_partkey) + 1 AS my,
+             max(l_orderkey) AS bx, max(l_partkey) AS by
+           FROM lineitem),
+         z AS (
+           SELECT l_orderkey, l_partkey,
+             (l_orderkey * $scale) // mx AS zx,
+             (l_partkey * $scale) // my AS zy
+           FROM lineitem, b),
+         lin AS (
+           SELECT 'linear_x' AS layout, zx // $linW AS file_id, $stats
+           FROM z GROUP BY 1, 2),
+         zz AS (
+           SELECT l_orderkey, l_partkey, $terms AS zval FROM z),
+         zman AS (
+           SELECT 'zorder' AS layout, zval // $cellW AS file_id, $stats
+           FROM zz GROUP BY 1, 2),
+         h0 AS (
+           SELECT l_orderkey, l_partkey, zx AS x0, zy AS y0,
+             CAST(0 AS BIGINT) AS d0
+           FROM z),
+         $steps,
+         hman AS (
+           SELECT 'hilbert' AS layout, d$bits // $cellW AS file_id, $stats
+           FROM h$bits GROUP BY 1, 2),
+         man AS (
+           SELECT * FROM lin UNION ALL
+           SELECT * FROM zman UNION ALL
+           SELECT * FROM hman)
+         SELECT layout, count(*) AS n_files,
+           CAST(sum(CASE WHEN max_x >= bx // 4 AND min_x <= bx // 2
+             THEN 1 ELSE 0 END) AS BIGINT) AS files_x,
+           CAST(sum(CASE WHEN max_x >= bx // 4 AND min_x <= bx // 2
+             THEN n_rows ELSE 0 END) AS BIGINT) AS rows_x,
+           CAST(sum(CASE WHEN max_y >= by // 4 AND min_y <= by // 2
+             THEN 1 ELSE 0 END) AS BIGINT) AS files_y,
+           CAST(sum(CASE WHEN max_y >= by // 4 AND min_y <= by // 2
+             THEN n_rows ELSE 0 END) AS BIGINT) AS rows_y
+         FROM man, b GROUP BY layout ORDER BY layout"""
   }
 
   /** PageRank oracle: re-derive [[operators.Graph.linkEdges]]'s synthetic

@@ -256,6 +256,58 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsAdaptive(Tables(spark, dir).documents, threshold = 0.8)
 
+  /** One-sided CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    * — the asymmetric-duplication detector Jaccard structurally misses.
+    * A short doc fully quoted inside a much longer one (snippet inside
+    * aggregator page, README inside a vendored tree) has Jaccard
+    * ≈ |A|/|B| → 0 but containment 1, so a Jaccard-thresholded dedup
+    * keeps both copies; containment is the signal ExactSubstr-style
+    * pipelines (Lee et al. 2022) act on at document granularity.
+    *
+    * Candidates come from the SAME df-capped shared-shingle screen as
+    * [[jaccardPairsAdaptive]] (shared rare shingles, corpus-derived cap)
+    * — minhash-LSH banding is NOT usable here: it estimates Jaccard, and
+    * the asymmetric pairs containment exists to catch are exactly the
+    * low-Jaccard ones banding drops. Verification is exact over the full
+    * shingle-hash sets; crucially there is NO size-ratio prefilter (the
+    * Jaccard verifier's `min/max ≥ t` prune would delete the asymmetric
+    * pairs this operator exists to find). Both the containment and the
+    * Jaccard of each surviving pair are emitted so a consumer can route
+    * symmetric pairs to the normal dedup path and asymmetric ones to
+    * span-removal.
+    *
+    * 100 TB shape: identical to the Jaccard screen — candidate volume is
+    * bounded by the derived df cap (budget bound linear in corpus size),
+    * shuffles carry 8-byte hashes, and the exact verify joins only the
+    * candidate set. Containment is a ratio of exact ints → bit-identical
+    * in any engine.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+      permille: Int = 999,
+      pairsPerDoc: Long = JaccardPairsPerDoc): DataFrame = {
+    val sh = shingleHashes(docs, n)
+    val candidates =
+      cappedCandidates(sh, derivedDfCap(sh, docs, permille, pairsPerDoc))
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("cont", col("n_inter") / least(col("na"), col("nb")))
+      .filter(col("cont") >= threshold)
+      .withColumn("jac",
+        col("n_inter") / (col("na") + col("nb") - col("n_inter")))
+      .select(col("doc_a"), col("doc_b"), round(col("cont"), 6).as("cont"),
+        round(col("jac"), 6).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def containmentDocs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables(spark, dir).documents, threshold = 0.8)
+
   /** MinHash signature + banded LSH near-dup pairs (the 100 TB path).
     *
     * Shingles are hashed to 64-bit with xxhash64; the i-th "permutation" is

@@ -146,4 +146,67 @@ object Layout {
 
   def hilbertLineitem(spark: SparkSession, dir: String): DataFrame =
     hilbertStats(Tables(spark, dir).lineitem, "l_orderkey", "l_partkey")
+
+  // --------------------------------------------- skipping-effectiveness
+
+  /** Per-file manifest under a LINEAR layout (sorted by `xCol` alone):
+    * file = x's quantized cell, `zx div (2^Bits / Files)`. The baseline
+    * every curve layout is measured against — perfect envelopes on x,
+    * arbitrary ones on y.
+    */
+  def linearStats(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val bounds = df.agg((max(col(xCol)).cast("long") + 1L).as("__mx"))
+    val cellW = (1L << Bits) / Files
+    df.crossJoin(broadcast(bounds))
+      .withColumn("file_id",
+        expr(s"(CAST($xCol AS BIGINT) * ${1L << Bits} div __mx) div $cellW"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).cast("long").as("min_x"),
+        max(col(xCol)).cast("long").as("max_x"),
+        min(col(yCol)).cast("long").as("min_y"),
+        max(col(yCol)).cast("long").as("max_y"))
+  }
+
+  /** File-skipping effectiveness audit — the number that justifies a
+    * layout job at 100 TB: for each layout (linear-by-x, Z-order,
+    * Hilbert), how many files a range predicate on x and on y would
+    * actually scan given only the manifest's (min, max) envelopes
+    * (`max ≥ lo AND min ≤ hi` — the pruning test every lakehouse reader
+    * runs), and how many rows those surviving files hold. The probe
+    * ranges are corpus-derived ([max/4, max/2] per dimension — integer
+    * division, so both engines derive identical probes). Expected
+    * shape, asserted in LayoutSpec: linear prunes x perfectly and y not
+    * at all; the curves prune BOTH, Hilbert at least as well as Morton.
+    *
+    * 100 TB shape: three manifest aggregations (each the wordcount
+    * pattern over a scan-fused layout assignment) into ≤ 3·[[Files]]
+    * manifest rows; the audit itself is arithmetic over those rows
+    * against a broadcast 1-row bounds frame. Output: 3 rows.
+    */
+  def skipAudit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val manifests =
+      linearStats(df, xCol, yCol).withColumn("layout", lit("linear_x"))
+        .unionByName(zorderStats(df, xCol, yCol)
+          .withColumn("layout", lit("zorder")))
+        .unionByName(hilbertStats(df, xCol, yCol)
+          .withColumn("layout", lit("hilbert")))
+    val bounds = df.agg(max(col(xCol)).cast("long").as("__bx"),
+      max(col(yCol)).cast("long").as("__by"))
+    manifests.crossJoin(broadcast(bounds))
+      .withColumn("__hit_x",
+        col("max_x") >= expr("__bx div 4") && col("min_x") <= expr("__bx div 2"))
+      .withColumn("__hit_y",
+        col("max_y") >= expr("__by div 4") && col("min_y") <= expr("__by div 2"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("__hit_x"), 1L).otherwise(0L)).as("files_x"),
+        sum(when(col("__hit_x"), col("n_rows")).otherwise(0L)).as("rows_x"),
+        sum(when(col("__hit_y"), 1L).otherwise(0L)).as("files_y"),
+        sum(when(col("__hit_y"), col("n_rows")).otherwise(0L)).as("rows_y"))
+      .orderBy(col("layout"))
+  }
+
+  def skipAuditLineitem(spark: SparkSession, dir: String): DataFrame =
+    skipAudit(Tables(spark, dir).lineitem, "l_orderkey", "l_partkey")
 }

@@ -227,4 +227,48 @@ object Monitoring {
           expr("n_chars div 100").as("len_bucket")),
       Seq("lang", "source", "len_bucket"))
   }
+
+  /** Minimum sensitive-value diversity for the l-diversity audit. */
+  val LDivL = 3L
+
+  /** l-diversity audit — [[kAnonymityAudit]]'s stronger sibling:
+    * k-anonymity alone still leaks when a quasi-identifier class is
+    * large but HOMOGENEOUS in the sensitive attribute (everyone in the
+    * class shares one sensitive value, so membership reveals it —
+    * Machanavajjhala et al. 2007's homogeneity attack). The audit
+    * reports every class whose DISTINCT sensitive-value count falls
+    * below l, with its size and diversity, for suppression or further
+    * generalization before release.
+    *
+    * 100 TB shape: ONE aggregate on the quasi-identifier tuple —
+    * count + exact count-distinct of the sensitive column. The distinct
+    * aggregate plans through Spark's two-phase Expand/partial machinery
+    * (never a per-class collect), and the output is violation-sized.
+    */
+  def lDiversityAudit(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, l: Long = LDivL): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiIds.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+      .orderBy(quasiIds.map(col): _*)
+  }
+
+  /** Gated entry: documents released with (source, length-century)
+    * quasi-identifiers and `lang` as the sensitive attribute — a class
+    * of same-source same-length docs that are all one language tells an
+    * observer that language for every member.
+    */
+  def ldivDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    lDiversityAudit(
+      graft.Engine.Tables(spark, dir).documents
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket")),
+      Seq("source", "len_bucket"), "lang")
+  }
 }

@@ -49,6 +49,39 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       === uncapped)
   }
 
+  test("containment catches a doc embedded in a larger doc that jaccard misses") {
+    import spark.implicits._
+    // doc 1 = doc 0's full text plus 3× as much unrelated prose: every
+    // shingle of 0 appears in 1 (containment 1.0) but the union is so
+    // much bigger that jaccard sits far below any dedup threshold
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " " + (1 to 30).map(i => s"filler$i word$i").mkString(" ")
+    val other = "totally unrelated content about something else entirely here"
+    val docs = Seq((0L, small), (1L, big), (2L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((0L, 1L)))
+    val (_, _, cont, jac) = got.head
+    assert(cont === 1.0, s"small doc is fully contained: $got")
+    assert(jac < 0.2, s"jaccard must miss this pair: $got")
+    // and the jaccard path indeed reports nothing at the same threshold
+    assert(Dedup.jaccardPairs(docs, threshold = 0.9).count() === 0L)
+  }
+
+  test("containment pairs are a superset of same-threshold jaccard pairs") {
+    // jac = |∩|/|∪| ≤ |∩|/min(|A|,|B|) = cont pointwise, and both gates
+    // run the same candidate screen — so on the fixture corpus every
+    // jaccard pair must re-surface in the containment output
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = keys(Dedup.jaccardPairsAdaptive(docs, threshold = 0.9))
+    val cont = keys(Dedup.containmentPairs(docs, threshold = 0.9))
+    assert(jac.nonEmpty)
+    assert(jac.subsetOf(cont), s"missing: ${jac.diff(cont).take(5)}")
+  }
+
   test("derivedDfCap: quantile and budget bounds follow the histogram") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -114,4 +114,29 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
       stats.length / math.max(1.0, (xHi - xLo).toDouble)
     assert(wx < 0.5, s"x envelopes too wide under hilbert: $wx")
   }
+
+  test("skipAudit: linear prunes only x; curves prune both dimensions") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Engine.Tables(spark, dir).lineitem
+    val n = li.count()
+    val audit = Layout.skipAudit(li, "l_orderkey", "l_partkey").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(audit.keySet === Set("linear_x", "zorder", "hilbert"))
+    val (linF, _, _, linFy, linRy) = audit("linear_x")
+    val (zF, zFx, _, zFy, _) = audit("zorder")
+    val (hF, hFx, _, hFy, _) = audit("hilbert")
+    // the linear-by-x baseline cannot prune y at all: the y-probe hits
+    // every file (and therefore every row)
+    assert(linFy === linF && linRy === n,
+      s"linear layout should scan everything on y: $audit")
+    // both curves prune the y probe to a strict subset of the files
+    assert(zFy < linFy && hFy < linFy, s"curves must beat linear on y: $audit")
+    // the x probe stays prunable under the curves too (≤ half the files
+    // for a quarter-range probe — envelopes are tight in BOTH dims)
+    assert(zFx <= zF / 2 && hFx <= hF / 2, s"curve x-pruning too weak: $audit")
+    // hilbert is never worse than morton on this fixture's y probe
+    assert(hFy <= zFy, s"hilbert should be at least as tight as zorder: $audit")
+  }
 }

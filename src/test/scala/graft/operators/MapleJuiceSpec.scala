@@ -74,4 +74,18 @@ class MapleJuiceSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("exited 3") ||
       Option(ex.getCause).exists(_.getMessage.contains("exited 3")))
   }
+
+  test("failing MAPLE executable fails the job too (RDD.pipe tier)") {
+    // the map-side literal tier: a maple exe that dies mid-stream (after
+    // emitting a line, exit 7) must surface as a loud Spark job failure,
+    // not a silent truncation of the keyed output
+    val lines = spark.read.textFile(fixture)
+    val ex = intercept[org.apache.spark.SparkException] {
+      MapleJuice.mapleExe(lines, "head -n 1; exit 7", 2).collect()
+    }
+    // RDD.pipe raises "Subprocess exited with status 7"
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(5).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("status 7") || msgs.contains("exited 7"), msgs)
+  }
 }

@@ -167,4 +167,29 @@ class MonitoringSpec extends AnyFunSuite with SparkTestSession {
       (63, 63) -> 1L, (63, 64) -> 1L,
       (64, 64) -> 2L, (100, 100) -> 1L))
   }
+
+  test("lDiversityAudit flags homogeneous classes, passes diverse ones") {
+    import spark.implicits._
+    // class (s1, 0): 3 rows, all lang=en  → flagged (n_sensitive = 1)
+    // class (s2, 0): 3 rows, langs en/de  → flagged (n_sensitive = 2)
+    // class (s3, 0): 3 rows, langs en/de/fr → diverse, NOT flagged
+    val rows = Seq(
+      ("en", "s1", 0L), ("en", "s1", 0L), ("en", "s1", 0L),
+      ("en", "s2", 0L), ("de", "s2", 0L), ("en", "s2", 0L),
+      ("en", "s3", 0L), ("de", "s3", 0L), ("fr", "s3", 0L))
+      .toDF("lang", "source", "len_bucket")
+    val got = Monitoring.lDiversityAudit(rows,
+        Seq("source", "len_bucket"), "lang", l = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("s1", 0L, 3L, 1L), ("s2", 0L, 3L, 2L)))
+  }
+
+  test("lDiversityAudit rejects a sensitive column that is also a QI") {
+    import spark.implicits._
+    val rows = Seq(("en", "s1")).toDF("lang", "source")
+    val ex = intercept[IllegalArgumentException] {
+      Monitoring.lDiversityAudit(rows, Seq("lang", "source"), "lang")
+    }
+    assert(ex.getMessage.contains("cannot also be a quasi-identifier"))
+  }
 }
