@@ -85,6 +85,7 @@ object SparkEntry {
     "snapshot_diff"        -> (Dedup.snapshotDiffDocs(_, _)),
     "cdc_apply"            -> (Dedup.cdcApplyDocs(_, _)),
     "dedup_containment"    -> (Dedup.containmentDocs(_, _)),
+    "dedup_weights"        -> (Dedup.softDedupWeightsDocs(_, _)),
     "corpus_card"          -> (Monitoring.corpusCardDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
@@ -113,9 +114,12 @@ object SparkEntry {
     "embed_quantize_i8"    -> (Similarity.quantizeI8Docs(_, _)),
     "ann_i8_topk"          -> (Similarity.i8TopKDocs(_, _)),
     "matryoshka_topk"      -> (Similarity.matryoshkaTopKDocs(_, _)),
+    "rp_project"           -> (Similarity.rpProjectDocs(_, _)),
+    "ann_rp_topk"          -> (Similarity.rpTopKDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
+    "embed_drift"          -> (Clustering.embedDriftDocs(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
@@ -135,6 +139,7 @@ object SparkEntry {
     "bpe_encode"           -> (TextAnalysis.bpeEncodeDocs(_, _)),
     "bpe_fertility"        -> (TextAnalysis.bpeFertilityDocs(_, _)),
     "unigram_encode"       -> (TextAnalysis.unigramEncodeDocs(_, _)),
+    "wordpiece_encode"     -> (TextAnalysis.wordpieceEncodeDocs(_, _)),
     "fim_transform"        -> (TextAnalysis.fimTransformDocs(_, _)),
     "t5_spans"             -> (TextAnalysis.t5SpansDocs(_, _)),
     // --- sentence-aware family (synthesized punctuation, see Sentences)
@@ -230,6 +235,7 @@ object SparkEntry {
       Packing.lengthBatchesDocs(s, d, LengthBatchBudget)),
     "pack_shards"          -> ((s, d) => Packing.packShardsDocs(s, d, PackBudget)),
     "pack_sequences"       -> ((s, d) => Packing.packSequencesDocs(s, d, SeqLen)),
+    "pack_masks"           -> ((s, d) => Packing.packMasksDocs(s, d, SeqLen)),
     "mix_budget"           -> ((s, d) => Packing.mixBudgetDocs(s, d, MixBudget)),
     "bm25_topk"            -> (Retrieval.bm25Docs(_, _)),
     "hybrid_topk"          -> (Retrieval.hybridDocs(_, _)),
@@ -262,6 +268,7 @@ object SparkEntry {
     "stream_topk"          -> (streaming.StreamQueries.leaderboardEvents(_, _)),
     "stream_fingerprint"   -> (streaming.StreamQueries.fingerprintDocs(_, _)),
     "stream_upsert"        -> (streaming.StreamQueries.upsertVectors(_, _)),
+    "stream_cdc"           -> (streaming.StreamQueries.cdcDocs(_, _)),
     "stream_pipeline"      -> (streaming.StreamQueries.pipelineDocs(_, _)),
     // --- the composed curation pipeline (dedup → decon → quality →
     // sample) as one plan, gated end to end
@@ -274,6 +281,7 @@ object SparkEntry {
     "zorder_layout"        -> (operators.Layout.zorderLineitem(_, _)),
     "hilbert_layout"       -> (operators.Layout.hilbertLineitem(_, _)),
     "skip_audit"           -> (operators.Layout.skipAuditLineitem(_, _)),
+    "range_join"           -> (operators.RangeJoin.rangeJoinEvents(_, _)),
   )
 
   /** The engine-portable 60-bit md5 digest, DuckDB spelling — the same
@@ -705,6 +713,37 @@ object SparkEntry {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** WordPiece greedy scan restated in DuckDB: the identical packed
+    * integer state machine (pos·2^20 + n_pieces·2^10 + n_unk) unrolled
+    * to WordpieceMaxWordLen CTE steps; each step splices the SAME
+    * [[operators.TextAnalysis.wpStepDuck]] fragment the Spark fold
+    * uses (with the initial-vs-continuation inventory resolved
+    * statically per step), so both engines run one scanner definition.
+    */
+  private def wordpieceEncodeOracleSql: String = {
+    import operators.TextAnalysis._
+    val steps = (1 to WordpieceMaxWordLen).map { k =>
+      s"""w$k AS (SELECT *, CASE WHEN $k > length(word)
+             OR $k < s${k - 1} // 1048576 THEN s${k - 1}
+           ELSE s${k - 1} + ${wpStepDuck(k)} END AS s$k FROM w${k - 1})"""
+    }.mkString(",\n       ")
+    s"""WITH words AS (
+         SELECT doc_id, word
+         FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+               FROM documents)
+         WHERE length(word) > 0),
+       w0 AS (SELECT DISTINCT word, CAST(1048576 AS BIGINT) AS s0 FROM words),
+       $steps,
+       sizes AS (
+         SELECT word, s$WordpieceMaxWordLen AS wf FROM w$WordpieceMaxWordLen)
+       SELECT doc_id, count(*) AS n_words,
+         CAST(sum(wf // 1024 % 1024) AS BIGINT) AS n_pieces,
+         CAST(sum(wf % 1024) AS BIGINT) AS n_unk
+       FROM words JOIN sizes USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   private def bpeEncodeOracleSql: String = {
     val d = "chr(31)"
     val dd = s"$d || $d"
@@ -994,6 +1033,29 @@ object SparkEntry {
              row_number() OVER (PARTITION BY vec_id
                ORDER BY ccos DESC, c_id DESC) AS rn
            FROM scores) WHERE rn = 1 ORDER BY vec_id"""
+
+  /** Shared by `cdc_apply` and `stream_cdc`: the streaming merge sink's
+    * final snapshot must equal the batch MERGE bit-for-bit, enforced by
+    * gating both against this single string.
+    */
+  private val cdcApplyOracle: String =
+    """WITH m AS (SELECT max(doc_id) + 1 AS shift FROM documents),
+         ups AS (
+           SELECT doc_id, text || ' v2' AS text FROM documents
+           WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id + (SELECT shift FROM m) AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 7),
+         touched AS (
+           SELECT doc_id FROM ups
+           UNION
+           SELECT doc_id FROM documents WHERE doc_id % 10 = 9)
+         SELECT doc_id, md5(text) AS fp FROM (
+           SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM touched)
+           UNION ALL
+           SELECT doc_id, text FROM ups)
+         ORDER BY doc_id"""
 
   private val annIvfOracle: String =
     """WITH base AS (
@@ -1502,6 +1564,7 @@ object SparkEntry {
     "bpe_encode" -> bpeEncodeOracleSql,
     "bpe_fertility" -> bpeFertilityOracleSql,
     "unigram_encode" -> unigramEncodeOracleSql,
+    "wordpiece_encode" -> wordpieceEncodeOracleSql,
     "sent_segment" ->
       s"""WITH $sentenceCtes
          SELECT doc_id, sent_id, sentence, n_tokens FROM sents
@@ -1646,24 +1709,7 @@ object SparkEntry {
          WHERE status != 'unchanged' ORDER BY doc_id""",
     // MERGE semantics: touched ids (updates ∪ inserts ∪ deletes) leave
     // the base; upsert payloads come back in — same synthetic changeset
-    "cdc_apply" ->
-      """WITH m AS (SELECT max(doc_id) + 1 AS shift FROM documents),
-         ups AS (
-           SELECT doc_id, text || ' v2' AS text FROM documents
-           WHERE doc_id % 10 = 3
-           UNION ALL
-           SELECT doc_id + (SELECT shift FROM m) AS doc_id, text
-           FROM documents WHERE doc_id % 10 = 7),
-         touched AS (
-           SELECT doc_id FROM ups
-           UNION
-           SELECT doc_id FROM documents WHERE doc_id % 10 = 9)
-         SELECT doc_id, md5(text) AS fp FROM (
-           SELECT d.doc_id, d.text FROM documents d
-           WHERE d.doc_id NOT IN (SELECT doc_id FROM touched)
-           UNION ALL
-           SELECT doc_id, text FROM ups)
-         ORDER BY doc_id""",
+    "cdc_apply" -> cdcApplyOracle,
     "corpus_card" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
@@ -2024,6 +2070,27 @@ object SparkEntry {
            md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY d))
              AS centroid_digest
          FROM g GROUP BY label ORDER BY label""",
+    // centroid drift between the vec_id-parity slices, cross-multiplied
+    // (|so·nn − sn·no|) so no signed integer division is ever taken —
+    // Spark div truncates, DuckDB // floors, products agree exactly
+    "embed_drift" ->
+      """WITH e AS (
+           SELECT label, vec_id % 2 = 0 AS is_old, d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * 1e6) AS BIGINT)
+               AS micro
+           FROM embeddings,
+                UNNEST(generate_series(1, len(embedding))) AS t(d)),
+         g AS (SELECT label, d,
+             CAST(coalesce(sum(CASE WHEN is_old THEN micro END), 0)
+               AS BIGINT) AS so,
+             CAST(count(CASE WHEN is_old THEN 1 END) AS BIGINT) AS no,
+             CAST(coalesce(sum(CASE WHEN NOT is_old THEN micro END), 0)
+               AS BIGINT) AS sn,
+             CAST(count(CASE WHEN NOT is_old THEN 1 END) AS BIGINT) AS nn
+           FROM e GROUP BY 1, 2)
+         SELECT label, min(no) AS n_old, min(nn) AS n_new,
+           CAST(sum(abs(so * nn - sn * no)) AS BIGINT) AS l1_scaled
+         FROM g GROUP BY label ORDER BY label""",
     // clusters = transitive closure over the exact near-dup pairs (the
     // LSH pair set equals the exact set — see dedup_minhash_lsh above)
     "dedup_clusters" ->
@@ -2053,6 +2120,41 @@ object SparkEntry {
            SELECT u, min(comp) AS component FROM r GROUP BY u)
          SELECT component AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
          FROM reach GROUP BY 1 ORDER BY 1""",
+    // soft dedup: same pair set + closure as dedup_clusters, but every
+    // doc stays with weight 1/cluster-size in positive micro ints
+    "dedup_weights" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(u, comp) AS (
+             SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             UNION
+             SELECT e.u, r.comp FROM edges e JOIN r ON e.v = r.u)
+           SELECT u, min(comp) AS component FROM r GROUP BY u),
+         csize AS (SELECT component, count(*) AS m FROM reach GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(s.m, 1) AS BIGINT) AS n_members,
+           CAST(1000000 // coalesce(s.m, 1) AS BIGINT) AS weight_micro
+         FROM documents d
+         LEFT JOIN reach r ON d.doc_id = r.u
+         LEFT JOIN csize s ON r.component = s.component
+         ORDER BY d.doc_id""",
     // retention contract: every cluster keeps its minimum member, docs in
     // no cluster keep themselves (same pair set + closure as dedup_clusters)
     "dedup_survivors" ->
@@ -2621,6 +2723,7 @@ object SparkEntry {
     // stateless fingerprint enrichment: md5-60 digest + per-doc distinct
     // winnow-fp count (same rolling-hash chain as the text_winnow gate)
     "stream_upsert" -> ivfUpsertOracle,
+    "stream_cdc" -> cdcApplyOracle,
     "stream_fingerprint" ->
       s"""WITH cs AS (
            SELECT doc_id, list_transform(generate_series(1, length(text)),
@@ -2967,6 +3070,50 @@ object SparkEntry {
              - greatest(off, seq_id * $SeqLen) AS BIGINT) AS n_toks
          FROM spans
          ORDER BY seq_id, doc_id""",
+    // mask metadata rollup of the pack_sequences span table: ordered
+    // seq_start:n_toks boundary digest + pad, same layout CTEs
+    "pack_masks" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+             md5('pack:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         o AS (
+           SELECT doc_id, tok,
+             CAST(sum(tok) OVER (ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS BIGINT) AS off
+           FROM d),
+         spans AS (
+           SELECT doc_id, tok, off,
+             unnest(generate_series(off // $SeqLen,
+               (off + tok - 1) // $SeqLen)) AS seq_id
+           FROM o),
+         segs AS (
+           SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             CAST(greatest(off, seq_id * $SeqLen) - seq_id * $SeqLen
+               AS BIGINT) AS seq_start,
+             CAST(least(off + tok, (seq_id + 1) * $SeqLen)
+               - greatest(off, seq_id * $SeqLen) AS BIGINT) AS n_toks
+           FROM spans)
+         SELECT seq_id, count(*) AS n_segments,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks_used,
+           CAST($SeqLen - sum(n_toks) AS BIGINT) AS n_pad,
+           md5(string_agg(CAST(seq_start AS VARCHAR) || ':'
+             || CAST(n_toks AS VARCHAR), ','
+             ORDER BY seq_start, n_toks, doc_id)) AS segments_digest
+         FROM segs GROUP BY seq_id ORDER BY seq_id""",
+    // bucketed range join restated as DuckDB's native range predicate —
+    // the oracle checks the SEMANTICS (point-in-interval), not the
+    // bucketing rewrite, so a bucket-boundary bug cannot hash-match
+    "range_join" ->
+      """WITH iv AS (
+           SELECT event_id AS iv_id, value - 40 AS lo, value + 40 AS hi
+           FROM events WHERE event_id % 50 = 0)
+         SELECT iv_id, count(*) AS n_points,
+           min(e.event_id) AS min_event, max(e.event_id) AS max_event
+         FROM iv JOIN events e ON e.value >= iv.lo AND e.value <= iv.hi
+         GROUP BY iv_id ORDER BY iv_id""",
     // per-language greedy fill in the same md5-salted order; a doc is
     // admitted when its first token falls inside the lang budget
     "mix_budget" ->
@@ -3256,6 +3403,8 @@ object SparkEntry {
     "zorder_layout" -> zorderOracleSql,
     "hilbert_layout" -> hilbertOracleSql,
     "skip_audit" -> skipAuditOracleSql,
+    "rp_project" -> rpProjectOracleSql,
+    "ann_rp_topk" -> rpTopKOracleSql,
     "kmeans_assign" -> kmeansAssignOracleSql,
     // mm_features: the stub decode's integer byte-bucket histogram,
     // recomputed from the text characters (the fixture is pure ASCII,
@@ -3410,6 +3559,57 @@ object SparkEntry {
            CAST(min(l_partkey) AS BIGINT) AS min_y,
            CAST(max(l_partkey) AS BIGINT) AS max_y
          FROM h$bits GROUP BY file_id ORDER BY file_id"""
+  }
+
+  /** rp_project oracle: the identical generated ± float-sum template
+    * ([[operators.Similarity.rpExprDuck]]) — same element order, same
+    * floor-micro quantization, so the projection is bit-identical by
+    * construction.
+    */
+  private def rpProjectOracleSql: String = {
+    val cols = (0 until operators.Similarity.RpDim).map(j =>
+      s"${operators.Similarity.rpExprDuck(j)} AS r${"%02d".format(j + 1)}")
+      .mkString(",\n           ")
+    s"""SELECT vec_id,
+           $cols
+         FROM embeddings ORDER BY vec_id"""
+  }
+
+  /** ann_rp_topk oracle: the projection CTE feeds an exact BIGINT
+    * shortlist dot, then the matryoshka-style full-dim micro rerank.
+    */
+  private def rpTopKOracleSql: String = {
+    val rDim = operators.Similarity.RpDim
+    val arr = (0 until rDim).map(operators.Similarity.rpExprDuck)
+      .mkString("[", ",\n             ", "]")
+    s"""WITH p AS (
+           SELECT vec_id, embedding,
+             $arr AS rp
+           FROM embeddings),
+         q AS (
+           SELECT vec_id AS q_id, embedding AS qv, rp AS qrp
+           FROM p WHERE vec_id < 10),
+         s1 AS (
+           SELECT q_id, c.vec_id, c.embedding AS cv, qv,
+             CAST(list_sum(list_transform(generate_series(1, $rDim),
+               i -> c.rp[i] * qrp[i])) AS BIGINT) AS drp
+           FROM p c JOIN q ON c.vec_id != q.q_id),
+         r1 AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY drp DESC, vec_id) AS rk1
+           FROM s1),
+         s2 AS (
+           SELECT q_id, vec_id,
+             CAST(floor(list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(cv[d] AS DOUBLE) * CAST(qv[d] AS DOUBLE)))
+               * 1e6) AS BIGINT) AS d64
+           FROM r1 WHERE rk1 <= 50),
+         r2 AS (
+           SELECT q_id, vec_id, d64, row_number() OVER (PARTITION BY q_id
+             ORDER BY d64 DESC, vec_id) AS rk
+           FROM s2)
+         SELECT q_id, rk, vec_id, d64 FROM r2
+         WHERE rk <= 10 ORDER BY q_id, rk"""
   }
 
   /** skip_audit oracle: the three manifests (linear-by-x baseline, Morton,

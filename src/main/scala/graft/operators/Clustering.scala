@@ -350,4 +350,48 @@ object Clustering {
 
   def labelCentroidsDocs(spark: SparkSession, dir: String): DataFrame =
     labelCentroids(Tables(spark, dir).embeddings)
+
+  // --------------------------------------------- embedding drift monitor
+
+  /** Embedding-distribution drift between two corpus slices — the
+    * monitor a pipeline runs across a crawl/model boundary before
+    * trusting an index or classifier trained on the old slice (here the
+    * slices are vec_id parity, the repo's deterministic crawl-boundary
+    * stand-in). Per label: both slice sizes and the L1 distance between
+    * the slice centroids.
+    *
+    * Engine-exactness without division: centroid means need s/n, but
+    * micro sums are SIGNED and Spark `div` (truncating) disagrees with
+    * DuckDB `//` (flooring) on negatives — so the distance is carried
+    * cross-multiplied: l1_scaled = Σ_d |so_d·nn − sn_d·no|, pure BIGINT
+    * products (|s| ≤ n·10⁶·max|x|, n ≤ corpus — no overflow at any
+    * realistic slice size), with true L1(mean_old, mean_new) =
+    * l1_scaled / (no·nn·10⁶) left to the consumer.
+    *
+    * Scale shape: [[labelCentroids]]' exact posexplode layout with the
+    * slice tag as a conditional-aggregate column — one (label, d)
+    * groupBy with map-side partials, then a label-sized rollup. The
+    * shuffle carries (label, d, two longs).
+    */
+  def embedDrift(vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("label"), (col("vec_id") % 2 === 0).as("is_old"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("is_old"), col("d"),
+        floor(col("x").cast("double") * lit(1e6)).cast("long").as("micro"))
+    e.groupBy(col("label"), col("d"))
+      .agg(
+        coalesce(sum(when(col("is_old"), col("micro"))), lit(0L)).as("so"),
+        count(when(col("is_old"), lit(1))).as("no"),
+        coalesce(sum(when(!col("is_old"), col("micro"))), lit(0L)).as("sn"),
+        count(when(!col("is_old"), lit(1))).as("nn"))
+      .groupBy(col("label"))
+      .agg(min(col("no")).as("n_old"), min(col("nn")).as("n_new"),
+        sum(abs(col("so") * col("nn") - col("sn") * col("no")))
+          .as("l1_scaled"))
+      .orderBy(col("label"))
+  }
+
+  def embedDriftDocs(spark: SparkSession, dir: String): DataFrame =
+    embedDrift(Tables(spark, dir).embeddings)
 }

@@ -615,6 +615,39 @@ object Dedup {
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
     survivors(Tables(spark, dir).documents)
 
+  /** SOFT dedup — the reweighting alternative to dropping: every doc
+    * stays in the corpus, but docs in a near-dup cluster of size m
+    * carry sampling weight 1/m, so each duplicate FAMILY contributes
+    * one doc's worth of training mass (the soft-dedup option recent
+    * data-curation work prefers when near-dups still carry distinct
+    * long-tail content the hard [[survivors]] cut would lose).
+    * Emitted in exact micro units (`1000000 div m` — positive integers,
+    * so Spark `div` and DuckDB `//` agree) with the cluster size in the
+    * clear; unclustered docs weigh 1.0.
+    *
+    * Scale shape: [[connectedComponents]] over the banded LSH pair set
+    * (everything the clusters gate already bounds), one component-size
+    * aggregate, then the corpus streams through two broadcast-able
+    * joins keyed on doc_id — the joined side is bounded by duplicate
+    * volume, not corpus size.
+    */
+  def softDedupWeights(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val comp = connectedComponents(minhashLshPairs(docs, threshold))
+      .withColumnRenamed("id", "doc_id")
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(sizes, Seq("component"), "left")
+      .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+      .withColumn("weight_micro", expr("1000000 div n_members"))
+      .select(col("doc_id"), col("n_members"), col("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def softDedupWeightsDocs(spark: SparkSession, dir: String): DataFrame =
+    softDedupWeights(Tables(spark, dir).documents)
+
   /** Train/eval decontamination — the overlap-removal pass a training
     * pipeline runs before the data ships: drop from the training split
     * every document sharing at least one word n-gram (default 5) with

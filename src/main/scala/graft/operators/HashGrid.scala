@@ -20,9 +20,16 @@ object HashGrid {
     * (planeWeights) trades that for finer resolution where only the SIGN
     * of a dot product matters.
     */
-  def point(key: String, mod: Long = 1024L): Double = {
+  def point(key: String, mod: Long = 1024L): Double =
+    bucket(key, mod).toDouble / mod - 0.5
+
+  /** The raw keyed bucket in [0, mod) — for discrete derivations (sign
+    * patterns, categorical picks) where [[point]]'s affine map to
+    * [-0.5, 0.5) would just be undone.
+    */
+  def bucket(key: String, mod: Long): Long = {
     val s = UTF8String.fromString(key)
     val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-    Math.floorMod(h, mod).toDouble / mod - 0.5
+    Math.floorMod(h, mod)
   }
 }

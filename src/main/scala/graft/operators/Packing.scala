@@ -182,6 +182,40 @@ object Packing {
       seqLen: Long = 256L): DataFrame =
     packSequences(Tables(spark, dir).documents, seqLen)
 
+  /** Per-sequence ATTENTION-MASK metadata for the packed layout — what a
+    * trainer actually consumes next to the token buffer: packing without
+    * block-diagonal masking lets documents attend across their shared
+    * sequence, the classic packing bug. Per seq_id: segment count, used
+    * tokens, padding (non-zero only on the final partial sequence — every
+    * interior sequence tiles exactly), and an md5 digest of the ordered
+    * `seq_start:n_toks` boundary list (the repo's array-gating technique —
+    * the digest pins every block edge of the mask).
+    *
+    * Scale shape: one rollup of [[packSequences]]' segment table on
+    * seq_id with map-side partials; segments per sequence are bounded by
+    * seqLen (each segment is ≥ 1 token), so collect_list is bounded.
+    */
+  def packMasks(docs: DataFrame, seqLen: Long,
+      salt: String = "pack:"): DataFrame = {
+    packSequences(docs, seqLen, salt)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("n_toks")).as("n_toks_used"),
+        md5(concat_ws(",", expr(
+          """transform(array_sort(collect_list(struct(seq_start, n_toks, doc_id))),
+             s -> concat(CAST(s.seq_start AS STRING), ':',
+                         CAST(s.n_toks AS STRING)))""")))
+          .as("segments_digest"))
+      .withColumn("n_pad", lit(seqLen) - col("n_toks_used"))
+      .select(col("seq_id"), col("n_segments"), col("n_toks_used"),
+        col("n_pad"), col("segments_digest"))
+      .orderBy(col("seq_id"))
+  }
+
+  def packMasksDocs(spark: SparkSession, dir: String,
+      seqLen: Long = 256L): DataFrame =
+    packMasks(Tables(spark, dir).documents, seqLen)
+
   /** Token-budget data mixture: admit documents per mixture key (here:
     * language) in the deterministic shuffled order until the key's token
     * budget is spent — the "X billion tokens of each language/domain"

@@ -970,6 +970,123 @@ object TextAnalysis {
   def unigramEncodeDocs(spark: SparkSession, dir: String): DataFrame =
     unigramEncode(Tables(spark, dir).documents)
 
+  // ------------------------------------- WordPiece (greedy) encoding
+
+  /** Pinned WordPiece inventories for the gated `wordpiece_encode`
+    * entry — the THIRD tokenizer family: BPE applies a learned merge
+    * list, unigram-LM minimizes global cost by Viterbi, WordPiece
+    * (BERT's tokenizer) is greedy LONGEST-MATCH-FIRST with separate
+    * word-initial and continuation ("##") inventories. Keyed by piece
+    * length; every [a-z] single char is implicitly in both inventories
+    * (the per-char backoff — see [[wordpieceEncode]]).
+    */
+  val WordpieceInitial: Map[Int, Seq[String]] = Map(
+    2 -> Seq("ar", "as", "at", "er", "in", "jo", "or", "st"),
+    3 -> Seq("mer", "par", "row"),
+    4 -> Seq("hash", "join"))
+
+  /** Continuation pieces (the "##xx" half of the vocab, stored without
+    * the marker — position > 1 IS the marker here).
+    */
+  val WordpieceCont: Map[Int, Seq[String]] = Map(
+    2 -> Seq("ar", "at", "er", "in", "ow", "sh"),
+    3 -> Seq("ash", "ine", "row"),
+    4 -> Seq("oins"))
+
+  /** Longest word the gate accepts — the DuckDB oracle's unroll depth
+    * (same loud-bound contract as [[UnigramMaxWordLen]]).
+    */
+  val WordpieceMaxWordLen = 16
+
+  /** Packed scanner state: `pos · 2^20 + n_pieces · 2^10 + n_unk` — one
+    * BIGINT, so the whole greedy scan is integer adds any engine
+    * reproduces exactly. pos ≤ 17, counts ≤ 16: no field overflows.
+    */
+  private val WpPosW = 1L << 20
+  private val WpPieceW = 1L << 10
+
+  private def wpIn(len: Int, initial: Boolean, at: String): String = {
+    val pieces = (if (initial) WordpieceInitial else WordpieceCont)
+      .getOrElse(len, Nil).sorted
+    if (pieces.isEmpty) "false"
+    else pieces.map(p => s"'$p'")
+      .mkString(s"substr(word, $at, $len) IN (", ", ", ")")
+  }
+
+  /** The greedy step at position `i` (an expression fragment shared by
+    * the Spark fold and — with `i` a literal — the oracle's unrolled
+    * CTEs): if a 4-, 3-, then 2-char piece from the position's
+    * inventory matches, consume it; else consume one char, counting it
+    * UNK unless it is [a-z]. `initSel` renders the initial-vs-
+    * continuation choice (a runtime IF in the fold, static per CTE
+    * step in the oracle).
+    */
+  private def wpStep(at: String, initSel: (String, String) => String): String = {
+    def m(len: Int) = initSel(wpIn(len, initial = true, at),
+      wpIn(len, initial = false, at))
+    s"""CASE
+        WHEN length(word) >= $at + 3 AND ${m(4)} THEN ${4 * WpPosW + WpPieceW}
+        WHEN length(word) >= $at + 2 AND ${m(3)} THEN ${3 * WpPosW + WpPieceW}
+        WHEN length(word) >= $at + 1 AND ${m(2)} THEN ${2 * WpPosW + WpPieceW}
+        WHEN substr(word, $at, 1) BETWEEN 'a' AND 'z' THEN ${WpPosW + WpPieceW}
+        ELSE ${WpPosW + WpPieceW + 1}
+       END"""
+  }
+
+  private[graft] def wpStepSpark: String =
+    wpStep("i", (ini, cont) => s"IF(i = 1, $ini, $cont)")
+
+  private[graft] def wpStepDuck(k: Int): String =
+    wpStep(k.toString, (ini, cont) => if (k == 1) ini else cont)
+
+  /** WordPiece (greedy longest-match-first) encoding under the pinned
+    * inventories: per document, word/piece/UNK counts of the scan. The
+    * scan is ONE in-row `aggregate` fold over character positions with
+    * the packed integer state — at a position the scanner owns (i =
+    * pos) it consumes the longest matching piece and jumps; positions
+    * inside a consumed piece pass the state through untouched. Deviates
+    * from BERT's whole-word-UNK rule by design: a non-matching char
+    * becomes a counted per-char UNK instead of voiding the word — the
+    * robust-pipeline variant (a single emoji doesn't erase a 15-char
+    * word from the token budget), documented here because the oracle
+    * replays exactly this rule.
+    *
+    * Scale shape: identical to [[unigramEncode]] — corpus touched once
+    * by the token explode, the scan runs on the DISTINCT word table,
+    * AQE sizes the join back. Words past [[WordpieceMaxWordLen]] fail
+    * loudly (the oracle's unroll depth).
+    */
+  def wordpieceEncode(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val vocab = toks.select(col("word")).distinct()
+      .withColumn("word", when(length(col("word")) > WordpieceMaxWordLen,
+        raise_error(concat(
+          lit(s"wordpieceEncode: word longer than $WordpieceMaxWordLen chars: '"),
+          col("word"),
+          lit("' — raise WordpieceMaxWordLen (the oracle unroll depth) deliberately"))))
+        .otherwise(col("word")))
+    val scan = s"""
+      aggregate(
+        sequence(1, length(word)),
+        CAST($WpPosW AS BIGINT),
+        (acc, i) -> IF(i < acc div $WpPosW, acc, acc + $wpStepSpark))"""
+    val sizes = vocab
+      .withColumn("wf", expr(scan))
+      .select(col("word"),
+        expr(s"wf div $WpPieceW % ${WpPosW / WpPieceW}").as("wn"),
+        expr(s"wf % $WpPieceW").as("wu"))
+    toks.join(sizes, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wn")).as("n_pieces"),
+        sum(col("wu")).as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+
+  def wordpieceEncodeDocs(spark: SparkSession, dir: String): DataFrame =
+    wordpieceEncode(Tables(spark, dir).documents)
+
   def fimTransform(docs: DataFrame, rate: Double = 0.5): DataFrame =
     fimTransformOn(docs, rate).orderBy(col("doc_id"))
 

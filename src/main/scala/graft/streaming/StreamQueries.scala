@@ -311,4 +311,39 @@ object StreamQueries {
       s => Streaming.budgetAdmitStream(streamDocs(s, dir), AdmitBudget).toDF(),
       gateDir("admit"))()
       .orderBy("doc_id")
+
+  /** Gated [[Streaming.cdcMergeSink]]: the batch `cdc_apply` gate's %10
+    * changeset arrives as a STREAM of change events (update / shifted
+    * insert / delete ops derived from the documents fixture), the merge
+    * sink maintains the versioned snapshot, and the gate reads the
+    * final version. The three op classes are disjoint id sets, so any
+    * micro-batch partitioning of the changeset converges to the same
+    * snapshot — which is exactly the batch result, and the gate shares
+    * the batch entry's oracle string to pin it.
+    */
+  def cdcDocs(spark: SparkSession, dir: String): DataFrame = {
+    val out = gateDir("cdc")
+    val gateSession = spark.newSession()
+    gateSession.conf.set("spark.sql.shuffle.partitions", "8")
+    val base = graft.Engine.Tables(gateSession, dir).documents
+    // the insert-id shift is a 1-row batch aggregate peeked at build
+    // time (the streaming twin of the batch gate's broadcast scalar)
+    val shift = base.agg(max(col("doc_id")).as("m")).head.getLong(0) + 1L
+    val docsStream = streamDocs(gateSession, dir)
+    val changes = docsStream.filter(col("doc_id") % 10 === 3)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .withColumn("op", lit("upsert"))
+      .unionByName(docsStream.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + lit(shift))
+        .withColumn("op", lit("upsert")))
+      .unionByName(docsStream.filter(col("doc_id") % 10 === 9)
+        .withColumn("op", lit("delete")))
+    val q = Streaming.cdcMergeSink(changes, base, s"$out/state",
+      s"$out/_checkpoint", availableNow = true)
+    try q.awaitTermination() finally q.stop()
+    Streaming.latestSnapshot(spark, s"$out/state")
+      .getOrElse(sys.error(s"stream_cdc: no snapshot landed under $out/state"))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -555,6 +555,69 @@ object Streaming {
       }
   }
 
+  /** Streaming CDC MERGE sink: maintains a parquet SNAPSHOT of a table
+    * under a stream of change events (`op` = 'upsert' | 'delete' with
+    * the row payload). Each micro-batch applies
+    * [[graft.operators.Dedup.cdcApply]] against the previous snapshot
+    * and lands the result in a version-addressed directory
+    * `v=<batch_id>` with mode=overwrite — the [[idempotentParquetSink]]
+    * discipline applied to MERGE: a replayed batch recomputes from the
+    * same predecessor version and overwrites its own output, so the
+    * effect is exactly-once. Within one batch a doc_id appearing as
+    * both delete and upsert resolves upsert-wins (cdcApply anti-joins
+    * the touched ids out and THEN unions the upserts in); across
+    * batches the later version wins by construction.
+    *
+    * 100 TB shape: the per-batch merge is cdcApply's broadcast
+    * anti-join — only the delta's ids cross the wire, the base is never
+    * shuffled — but each version REWRITES the full snapshot, which is
+    * the plain-parquet price of exactly-once MERGE. A production
+    * deployment keeps these per-batch semantics and points the write at
+    * a lakehouse table format whose MERGE rewrites only touched files;
+    * the versioned-snapshot spelling here is the format-free equivalent
+    * with the same replay story.
+    */
+  def cdcMergeSink(changes: DataFrame, base: DataFrame, stateDir: String,
+      checkpoint: String, availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    val w = changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val prev = latestSnapshot(spark, stateDir, below = Some(id))
+          .getOrElse(base)
+        val upserts = batch.filter(col("op") =!= "delete").drop("op")
+        val deletes = batch.filter(col("op") === "delete")
+          .select(col("doc_id"))
+        graft.operators.Dedup.cdcApply(prev, upserts, deletes)
+          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
+      }
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w)
+      .start()
+  }
+
+  /** The snapshot at the highest landed version strictly below `below`
+    * (replay reads its predecessor, not its own half-written output),
+    * or the highest overall when `below` is None (the read side).
+    */
+  def latestSnapshot(spark: SparkSession, stateDir: String,
+      below: Option[Long] = None): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong)
+        .filter(v => below.forall(v < _))
+      if (vs.isEmpty) None
+      else Some(spark.read.parquet(s"$stateDir/v=${vs.max}"))
+    }
+  }
+
   def idempotentParquetSink(df: DataFrame, path: String,
       checkpoint: String, outputMode: String = "append",
       availableNow: Boolean = false)

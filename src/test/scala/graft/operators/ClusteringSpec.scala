@@ -139,4 +139,28 @@ class ClusteringSpec extends AnyFunSuite with SparkTestSession {
     assert(got === expected)
     assert(run(vecs.repartition(17)) === got) // Long sums: order-free
   }
+
+  test("embedDrift: zero for identical slices, exact for a planted shift") {
+    import spark.implicits._
+    // label 0: old and new slices identical → l1_scaled = 0
+    // label 1: new slice shifted by +0.5 in dim 0 only →
+    //   per-dim |so·nn − sn·no| = |so·1 − (so + 500000)·1| = 500000
+    val v0 = Seq(0.25f, -0.5f, 0.125f)
+    val v1 = Seq(0.1f, 0.2f, -0.3f)
+    val v1shift = Seq(0.6f, 0.2f, -0.3f)
+    val vecs = Seq(
+      (0L, v0, 0), (1L, v0, 0),       // label 0: even(old)=odd(new)
+      (2L, v1, 1), (3L, v1shift, 1))  // label 1: shifted new slice
+      .toDF("vec_id", "embedding", "label")
+    val got = Clustering.embedDrift(vecs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0) === ((1L, 1L, 0L)))
+    assert(got(1) === ((1L, 1L, 500000L)))
+    // partitioning-invariant: pure Long sums and products
+    val re = Clustering.embedDrift(vecs.repartition(7)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(re === got)
+  }
 }

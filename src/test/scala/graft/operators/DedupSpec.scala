@@ -82,6 +82,22 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(jac.subsetOf(cont), s"missing: ${jac.diff(cont).take(5)}")
   }
 
+  test("softDedupWeights: 1/m micro weights per cluster, singletons weigh 1.0") {
+    import spark.implicits._
+    // docs 0,1,2 one near-dup family (m = 3); doc 3 unrelated singleton
+    val docs = Seq(
+      (0L, docA), (1L, docA + " x"), (2L, docA + " y"), (3L, docC))
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, threshold = 0.7)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 3L, 333333L), (1L, 3L, 333333L), (2L, 3L, 333333L),
+      (3L, 1L, 1000000L)))
+    // every doc keeps a row (soft: nothing is dropped), and each
+    // cluster's total mass is ≤ 1.0 with equality iff m divides 1e6
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("derivedDfCap: quantile and budget bounds follow the histogram") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -163,4 +163,34 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
         s"bucket $b batches: ${ids.mkString(",")}")
     }
   }
+
+  test("packMasks: interior sequences tile exactly; digests pin boundaries") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val seqLen = 128L
+    val segs = Packing.packSequences(docs, seqLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val masks = Packing.packMasks(docs, seqLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val lastSeq = masks.map(_._1).max
+    masks.foreach { case (sid, nSeg, used, pad, digest) =>
+      val mine = segs.filter(_._1 == sid)
+      assert(nSeg === mine.length.toLong, s"seq $sid")
+      assert(used === mine.map(_._4).sum, s"seq $sid")
+      assert(used + pad === seqLen, s"seq $sid")
+      if (sid != lastSeq) assert(pad === 0L,
+        s"interior seq $sid must tile exactly, pad=$pad")
+      // digest replay: ordered seq_start:n_toks list
+      val joined = mine.sortBy(t => (t._3, t._4, t._2))
+        .map(t => s"${t._3}:${t._4}").mkString(",")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(digest === md, s"seq $sid digest")
+    }
+    // token conservation: total used tokens across sequences equals the
+    // corpus token count
+    val totalTok = docs.select("text").collect().map(_.getString(0))
+      .map(_.trim.split("\\s+").count(_.nonEmpty).toLong).sum
+    assert(masks.map(_._3).sum === totalTok)
+  }
 }

@@ -575,4 +575,77 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
         s"planted pair (${2 * i}, ${2 * i + 1}) lost in the probe path")
     }
   }
+
+  test("rpSigns: deterministic sparse Achlioptas pattern, ~1/3 density") {
+    val s1 = Similarity.rpSigns()
+    val s2 = Similarity.rpSigns()
+    assert(s1 === s2)
+    assert(s1.length === Similarity.RpDim && s1.head.length === 64)
+    val nonzero = s1.flatten.count(_ != 0)
+    val total = s1.flatten.length
+    // expected density 1/3; allow a generous band for the hash draw
+    assert(nonzero > total / 5 && nonzero < total / 2,
+      s"density off: $nonzero / $total")
+    assert(s1.flatten.forall(v => v == -1 || v == 0 || v == 1))
+  }
+
+  test("rpProject matches an independent driver-side projection") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Engine.Tables(spark, dir).embeddings
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val signs = Similarity.rpSigns()
+    val got = Similarity.rpProject(vecs).collect()
+    assert(got.length === raw.size)
+    got.take(20).foreach { row =>
+      val v = raw(row.getLong(0))
+      (0 until Similarity.RpDim).foreach { j =>
+        // replay the same left-to-right ± double sum
+        var acc = 0.0
+        (0 until 64).foreach { d =>
+          if (signs(j)(d) == 1) acc += v(d).toDouble
+          else if (signs(j)(d) == -1) acc -= v(d).toDouble
+        }
+        assert(row.getLong(1 + j) === math.floor(acc * 1e6).toLong,
+          s"vec ${row.getLong(0)} dim $j")
+      }
+    }
+  }
+
+  test("rpTopK: JL shortlist preserves most of the exact top-10") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Engine.Tables(spark, dir).embeddings
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // exact full-dim micro-dot top-10 per query, the rpTopK tie rule
+    def microDot(a: Array[Float], b: Array[Float]): Long = {
+      var acc = 0.0
+      (0 until 64).foreach(d => acc += a(d).toDouble * b(d).toDouble)
+      math.floor(acc * 1e6).toLong
+    }
+    val exact = (0L until 10L).map { q =>
+      q -> raw.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, microDot(raw(q), v)) }
+        .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def meanRecall(shortlist: Int): Double = {
+      val got = Similarity.rpTopK(vecs, shortlist = shortlist).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+      val recalls = (0L until 10L).map(q =>
+        exact(q).intersect(got(q)).size.toDouble / exact(q).size)
+      recalls.sum / recalls.size
+    }
+    // the fixture's embeddings are near-uniform random — the HARDEST
+    // case for a 16-d JL shortlist (neighbor gaps are tiny), so the
+    // default-shortlist floor is 3× the random-shortlist baseline
+    // (50/500 = 0.10) rather than a high absolute; widening the
+    // shortlist must buy recall back (the funnel's contract), and the
+    // exact rerank guarantees whatever survives is ranked exactly
+    val r50 = meanRecall(50)
+    val r150 = meanRecall(150)
+    assert(r50 >= 0.3, s"recall@10 with shortlist 50: $r50")
+    assert(r150 >= r50 && r150 >= 0.55,
+      s"recall should grow with shortlist width: $r50 -> $r150")
+  }
 }

@@ -525,6 +525,64 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(msg.contains("UnigramMaxWordLen"), msg)
   }
 
+  test("wordpieceEncode matches an in-memory greedy scanner on the fixture") {
+    def greedy(word: String): (Long, Long) = {
+      // (n_pieces, n_unk) of the longest-match-first scan with per-char
+      // backoff — the unpacked form of the operator's state integer
+      var pos = 0
+      var pieces = 0L
+      var unk = 0L
+      while (pos < word.length) {
+        val inv = if (pos == 0) TextAnalysis.WordpieceInitial
+          else TextAnalysis.WordpieceCont
+        val l = (4 to 2 by -1).find { l =>
+          pos + l <= word.length &&
+            inv.getOrElse(l, Nil).contains(word.substring(pos, pos + l))
+        }.getOrElse(1)
+        if (l == 1) {
+          val c = word.charAt(pos)
+          if (c < 'a' || c > 'z') unk += 1
+        }
+        pieces += 1
+        pos += l
+      }
+      (pieces, unk)
+    }
+    val real = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val got = TextAnalysis.wordpieceEncode(real).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      val segs = ws.map(greedy)
+      val expect = (ws.length.toLong, segs.map(_._1).sum, segs.map(_._2).sum)
+      assert(got(id) === expect, s"doc $id")
+    }
+    // longest-match-first: "join" is ONE initial piece, not jo+in
+    assert(greedy("join") === (1L, 0L))
+    // "joins" = join + ##s (single-char continuation backoff)
+    assert(greedy("joins") === (2L, 0L))
+    // continuation inventory differs from initial: "rower" = row + ##er,
+    // but "er" alone is an INITIAL piece too — one piece either way
+    assert(greedy("rower") === (2L, 0L))
+    assert(greedy("er") === (1L, 0L))
+    // non-alpha chars count as per-char UNKs, never void the word
+    assert(greedy("a9b") === (3L, 1L))
+  }
+
+  test("wordpieceEncode: overlong word fails loudly, naming the bound") {
+    import spark.implicits._
+    val docs = Seq((1L, ("a" * (TextAnalysis.WordpieceMaxWordLen + 1))))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.wordpieceEncode(docs).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("WordpieceMaxWordLen"), msg)
+  }
+
   test("PinnedBpeMerges is exactly what bpeTrain learns at sf0.01") {
     // provenance pin for the gated bpe_encode entry: the frozen literals
     // must stay the committed trainer output, or the gate is testing a
