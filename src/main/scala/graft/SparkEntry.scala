@@ -77,6 +77,7 @@ object SparkEntry {
     "decon_bloom"          -> (Dedup.deconBloomSurvivors(_, _)),
     "decon_report"         -> (Dedup.deconReportDocs(_, _)),
     "decon_overlap"        -> (Dedup.deconOverlapDocs(_, _)),
+    "ngram_coverage"       -> (Dedup.ngramCoverageDocs(_, _)),
     "dup_stats"            -> (Dedup.dupStatsDocs(_, _)),
     "ingest_dedup"         -> (Dedup.ingestDedupDocs(_, _)),
     "dedup_substr"         -> (Dedup.substrDupStatsDocs(_, _)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "cdc_apply"            -> (Dedup.cdcApplyDocs(_, _)),
     "dedup_containment"    -> (Dedup.containmentDocs(_, _)),
     "dedup_weights"        -> (Dedup.softDedupWeightsDocs(_, _)),
+    "dup_curve"            -> (Dedup.dupCurveDocs(_, _)),
     "corpus_card"          -> (Monitoring.corpusCardDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
@@ -98,6 +100,7 @@ object SparkEntry {
     "bitext_mine_ivf"      -> (Similarity.bitextMarginIvfDocs(_, _)),
     "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
     "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
+    "weak_labels"          -> (QualityModel.weakLabelsDocs(_, _)),
     "hll_mergeable"        -> (Monitoring.hllMergeableDocs(_, _)),
     "kanon_audit"          -> (Monitoring.kanonDocs(_, _)),
     "ldiv_audit"           -> (Monitoring.ldivDocs(_, _)),
@@ -120,6 +123,7 @@ object SparkEntry {
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
     "embed_drift"          -> (Clustering.embedDriftDocs(_, _)),
+    "balanced_assign"      -> (Clustering.balancedAssignDocs(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
@@ -239,6 +243,7 @@ object SparkEntry {
     "mix_budget"           -> ((s, d) => Packing.mixBudgetDocs(s, d, MixBudget)),
     "bm25_topk"            -> (Retrieval.bm25Docs(_, _)),
     "hybrid_topk"          -> (Retrieval.hybridDocs(_, _)),
+    "maxsim_topk"          -> (Retrieval.maxSimDocs(_, _)),
     // --- training-data pipeline: multimodal binary columns
     "mm_metadata"          -> ((s, d) => Multimodal.blobMetadata(s, d).drop("content_hash")),
     "mm_decode"            -> (Multimodal.decodeDims(_, _)),
@@ -1750,6 +1755,40 @@ object SparkEntry {
          FROM documents
          GROUP BY 1, 2, 3 HAVING count(*) < 5
          ORDER BY lang, source, len_bucket""",
+    // weak supervision: four integer-statistic labeling functions with
+    // abstention; label = vote sign, confidence = |sum|/non-abstaining
+    "weak_labels" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_chars,
+             CAST(len(w) AS BIGINT) AS nt,
+             CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+             CAST(len(list_filter(w, x -> length(x) >= 3)) AS BIGINT) AS nl
+           FROM t),
+         r AS (
+           SELECT doc_id,
+             CASE WHEN nt >= 20 THEN 1 WHEN nt < 5 THEN -1 ELSE 0 END AS r1,
+             CASE WHEN nd * 1000000 // nt >= 700000 THEN 1
+                  WHEN nd * 1000000 // nt < 300000 THEN -1 ELSE 0 END AS r2,
+             CASE WHEN nl * 1000000 // nt >= 600000 THEN 1
+                  WHEN nl * 1000000 // nt < 200000 THEN -1 ELSE 0 END AS r3,
+             CASE WHEN n_chars // nt BETWEEN 3 AND 12 THEN 1
+                  WHEN n_chars // nt > 20 THEN -1 ELSE 0 END AS r4
+           FROM f)
+         SELECT doc_id,
+           CAST(r1 AS INT) AS r1, CAST(r2 AS INT) AS r2,
+           CAST(r3 AS INT) AS r3, CAST(r4 AS INT) AS r4,
+           CAST(CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1
+                WHEN r1 + r2 + r3 + r4 < 0 THEN -1 ELSE 0 END AS INT)
+             AS weak_label,
+           CAST(CASE WHEN abs(r1) + abs(r2) + abs(r3) + abs(r4) > 0
+             THEN abs(r1 + r2 + r3 + r4) * 1000000
+               // (abs(r1) + abs(r2) + abs(r3) + abs(r4))
+             ELSE 0 END AS BIGINT) AS confidence_micro
+         FROM r ORDER BY doc_id""",
     // l-diversity: class size + exact distinct sensitive-value count,
     // classes below l — the homogeneity-attack audit on top of kanon
     "ldiv_audit" ->
@@ -2155,6 +2194,47 @@ object SparkEntry {
          LEFT JOIN reach r ON d.doc_id = r.u
          LEFT JOIN csize s ON r.component = s.component
          ORDER BY d.doc_id""",
+    // duplication-rate curve: same pair set + closure; fixed power-of-two
+    // k ladder with zero-count rows kept
+    "dup_curve" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(u, comp) AS (
+             SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             UNION
+             SELECT e.u, r.comp FROM edges e JOIN r ON e.v = r.u)
+           SELECT u, min(comp) AS component FROM r GROUP BY u),
+         csize AS (SELECT component, count(*) AS m FROM reach GROUP BY 1),
+         perdoc AS (
+           SELECT d.doc_id, coalesce(s.m, 1) AS m
+           FROM documents d
+           LEFT JOIN reach r ON d.doc_id = r.u
+           LEFT JOIN csize s ON r.component = s.component),
+         tot AS (SELECT count(*) AS n_total FROM perdoc)
+         SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN m >= k THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN m >= k THEN 1 ELSE 0 END) * 1000000
+             // n_total AS BIGINT) AS frac_micro
+         FROM perdoc CROSS JOIN (VALUES (1), (2), (4), (8), (16), (32)) ks(k),
+              tot
+         GROUP BY k, n_total ORDER BY k""",
     // retention contract: every cluster keeps its minimum member, docs in
     // no cluster keep themselves (same pair set + closure as dedup_clusters)
     "dedup_survivors" ->
@@ -2238,6 +2318,24 @@ object SparkEntry {
              // CAST(count(*) AS BIGINT) AS overlap_micro
          FROM t LEFT JOIN e ON e.shingle = t.shingle
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // coverage rolls the same split up to the EVAL side: per eval doc,
+    // what fraction of its distinct 5-grams the train corpus contains
+    "ngram_coverage" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+           WHERE len(w) >= 5),
+         e AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 = 0),
+         t AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 != 0)
+         SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(t.shingle) AS BIGINT) AS n_covered,
+           (CAST(count(t.shingle) AS BIGINT) * 1000000)
+             // CAST(count(*) AS BIGINT) AS coverage_micro
+         FROM e LEFT JOIN t ON t.shingle = e.shingle
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
     "decon_bloom" -> deconOracleSql,
     // ingest (delta-vs-corpus) dedup: LSH candidates are exact-verified, so
     // the exact cross-split formulation is the oracle (same recall argument
@@ -3109,7 +3207,7 @@ object SparkEntry {
     "range_join" ->
       """WITH iv AS (
            SELECT event_id AS iv_id, value - 40 AS lo, value + 40 AS hi
-           FROM events WHERE event_id % 50 = 0)
+           FROM events WHERE event_id % 50 = 0 AND event_id < 1000)
          SELECT iv_id, count(*) AS n_points,
            min(e.event_id) AS min_event, max(e.event_id) AS max_event
          FROM iv JOIN events e ON e.value >= iv.lo AND e.value <= iv.hi
@@ -3135,6 +3233,27 @@ object SparkEntry {
     // ((1.2 + 1), not 2.2) so both engines produce bit-identical doubles
     "bm25_topk" -> bm25OracleSql,
     "hybrid_topk" -> hybridOracleSql,
+    // late interaction: each <q_i, d_j> sub-dot floor-micro-quantized
+    // BEFORE the max/sum, so the whole MaxSim is integer arithmetic
+    "maxsim_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+         scored AS (
+           SELECT q_id, c.vec_id,
+             CAST(list_sum(list_transform(generate_series(0, 3), i ->
+               list_max(list_transform(generate_series(0, 3), j ->
+                 CAST(floor(list_sum(list_transform(generate_series(1, 16),
+                   k -> CAST(qv[i * 16 + k] AS DOUBLE)
+                      * CAST(c.embedding[j * 16 + k] AS DOUBLE)))
+                   * 1e6) AS BIGINT))))) AS BIGINT) AS maxsim
+           FROM embeddings c JOIN q ON c.vec_id != q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, maxsim, row_number() OVER (
+             PARTITION BY q_id ORDER BY maxsim DESC, vec_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, vec_id, maxsim FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk""",
     "sample_det" ->
       s"""SELECT doc_id FROM documents
          WHERE ${duckMd5_60("CAST(doc_id AS VARCHAR)")} % 1000000
@@ -3203,6 +3322,47 @@ object SparkEntry {
            FROM scored)
          SELECT vec_id, c_id AS cluster, round(v2 + d, 4) AS dist2
          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    // capacity-balanced assignment: top-2 centroids per vector (same
+    // VALUES), md5-salted per-cluster sub-windows split cap = q·64 + r,
+    // overflow rows take their second-nearest centroid
+    "balanced_assign" ->
+      s"""WITH cents(c_id, c, c2) AS (VALUES
+           ${kmeansCentroidValues()}),
+         scored AS (
+           SELECT e.vec_id, c.c_id,
+             c.c2 - 2 * list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(e.embedding[d] AS DOUBLE) * c.c[d])) AS d
+           FROM embeddings e CROSS JOIN cents c),
+         top2 AS (
+           SELECT vec_id, c_id, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+           FROM scored),
+         a AS (
+           SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN c_id END) AS c1,
+             max(CASE WHEN rn = 1 THEN d END) AS d1,
+             max(CASE WHEN rn = 2 THEN c_id END) AS c2
+           FROM top2 WHERE rn <= 2 GROUP BY vec_id),
+         s AS (
+           SELECT *, ('0x' || substr(md5('bal:' || CAST(vec_id AS VARCHAR)),
+             1, 15))::BIGINT % ${operators.Clustering.BalancedSaltBuckets}
+             AS salt
+           FROM a),
+         caps AS (SELECT (count(*) + 15) // 16 AS cap FROM embeddings),
+         r AS (
+           SELECT s.*, cap,
+             cap // ${operators.Clustering.BalancedSaltBuckets}
+               + (CASE WHEN salt <
+                   cap % ${operators.Clustering.BalancedSaltBuckets}
+                 THEN 1 ELSE 0 END) AS cap_local,
+             row_number() OVER (PARTITION BY c1, salt
+               ORDER BY d1, vec_id) AS rk
+           FROM s, caps)
+         SELECT vec_id,
+           CAST(CASE WHEN rk > cap_local THEN c2 ELSE c1 END AS INT)
+             AS cluster,
+           rk > cap_local AS moved
+         FROM r ORDER BY vec_id""",
     // SemDeDup: fixed-centroid assignment (same VALUES as kmeans_fixed),
     // then within-cluster cosine pruning keeping the lowest vec_id; the
     // τ compare is raw doubles — SemDedupTau sits in a measured 1.3e-4

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Engine.Tables
 import graft.functions.VecDot.vecDot
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd k-means over the embeddings table — the clustering
@@ -394,4 +395,64 @@ object Clustering {
 
   def embedDriftDocs(spark: SparkSession, dir: String): DataFrame =
     embedDrift(Tables(spark, dir).embeddings)
+
+  // ---------------------------------------- capacity-balanced assignment
+
+  /** Salt-bucket fan-out for the balanced ranking (two-level window
+    * discipline: a cluster's members never serialize into one task).
+    */
+  val BalancedSaltBuckets = 64L
+
+  /** Capacity-balanced nearest-centroid assignment — the sharding form
+    * of clustering: plain argmin assignment gives hot centroids
+    * unbounded clusters, useless when each cluster must fit a shard /
+    * index partition / worker. Every vector takes its nearest centroid
+    * unless that cluster is at capacity `ceil(n/k)`, in which case it
+    * moves to its SECOND-nearest (one greedy overflow round —
+    * deterministic, and the moved set is exactly the per-cluster
+    * farthest tail).
+    *
+    * Scale + determinism: the per-cluster "farthest tail" needs a rank
+    * by distance, which as ONE window per cluster would put corpus/k
+    * rows in a task — so capacity splits across [[BalancedSaltBuckets]]
+    * md5-salted sub-windows per cluster (cap = q·64 + r ⇒ buckets < r
+    * hold q+1), the keyed two-level discipline the packing operators
+    * use. Balance is enforced per salt shard; totals per cluster still
+    * respect cap exactly, and the assignment is a pure function of the
+    * data (md5 salt, distance+id ties) any engine replays.
+    */
+  def balancedAssign(vecs: DataFrame, k: Int = 16): DataFrame = {
+    val cents = fixedCentroids(k)
+    val ds = cents.zipWithIndex.map { case (c, id) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * vecDot(col("embedding"), lit(c))).as("d"),
+        lit(id).as("c_id"))
+    }
+    val capFrame = broadcast(vecs.agg(
+      expr(s"(count(1) + ${k - 1}) div $k").as("cap")))
+    val base = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("__a", array_sort(array(ds: _*)))
+      .select(col("vec_id"),
+        col("__a").getItem(0).getField("c_id").as("c1"),
+        col("__a").getItem(0).getField("d").as("d1"),
+        col("__a").getItem(1).getField("c_id").as("c2"))
+      .withColumn("salt", pmod(graft.operators.TextAnalysis.md5_60(
+        concat(lit("bal:"), col("vec_id").cast("string"))),
+        lit(BalancedSaltBuckets)))
+    val w = Window.partitionBy(col("c1"), col("salt"))
+      .orderBy(col("d1"), col("vec_id"))
+    base.withColumn("rk", row_number().over(w))
+      .crossJoin(capFrame)
+      .withColumn("cap_local", expr(
+        s"cap div $BalancedSaltBuckets" +
+          s" + IF(salt < cap % $BalancedSaltBuckets, 1, 0)"))
+      .withColumn("moved", col("rk") > col("cap_local"))
+      .withColumn("cluster",
+        when(col("moved"), col("c2")).otherwise(col("c1")))
+      .select(col("vec_id"), col("cluster"), col("moved"))
+      .orderBy(col("vec_id"))
+  }
+
+  def balancedAssignDocs(spark: SparkSession, dir: String): DataFrame =
+    balancedAssign(Tables(spark, dir).embeddings)
 }

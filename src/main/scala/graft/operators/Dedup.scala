@@ -648,6 +648,45 @@ object Dedup {
   def softDedupWeightsDocs(spark: SparkSession, dir: String): DataFrame =
     softDedupWeights(Tables(spark, dir).documents)
 
+  /** Duplication-rate curve — the dataset-card figure that summarizes a
+    * corpus's duplication STRUCTURE: for each power-of-two k, how many
+    * docs (and what corpus fraction, in exact micro units) live in a
+    * near-dup cluster of size ≥ k. k=1 is the whole corpus by
+    * definition (a sanity anchor both engines must agree on); the k≥2
+    * tail is what dedup policy decisions read — "12% of the corpus is
+    * in clusters of 4+" argues differently than the same dup_ratio
+    * spread thin over pairs.
+    *
+    * Scale shape: the clusters pipeline's component sizes joined back
+    * (duplicate-volume-bounded), then ONE conditional aggregate over
+    * corpus × 6 narrow rows. Zero-count rows are kept (the curve's ks
+    * are fixed), so the output is always exactly the k ladder.
+    */
+  val DupCurveKs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+
+  def dupCurve(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val comp = connectedComponents(minhashLshPairs(docs, threshold))
+      .withColumnRenamed("id", "doc_id")
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("m"))
+    val perDoc = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(sizes, Seq("component"), "left")
+      .withColumn("m", coalesce(col("m"), lit(1L)))
+    val total = broadcast(perDoc.agg(count(lit(1)).as("n_total")))
+    val ks = broadcast(docs.sparkSession.range(0, DupCurveKs.length)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("k")))
+    perDoc.crossJoin(ks)
+      .groupBy(col("k"))
+      .agg(sum(when(col("m") >= col("k"), 1L).otherwise(0L)).as("n_docs"))
+      .crossJoin(total)
+      .withColumn("frac_micro", expr("n_docs * 1000000 div n_total"))
+      .select(col("k"), col("n_docs"), col("frac_micro"))
+      .orderBy(col("k"))
+  }
+
+  def dupCurveDocs(spark: SparkSession, dir: String): DataFrame =
+    dupCurve(Tables(spark, dir).documents)
+
   /** Train/eval decontamination — the overlap-removal pass a training
     * pipeline runs before the data ships: drop from the training split
     * every document sharing at least one word n-gram (default 5) with
@@ -742,6 +781,47 @@ object Dedup {
   def deconOverlapDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     deconOverlap(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** Eval-set n-gram COVERAGE in the training corpus — the inverse
+    * direction of [[deconOverlap]]: instead of asking which TRAIN docs
+    * leak eval content, ask how much of each EVAL doc's n-gram set the
+    * corpus already contains. The benchmark-saturation / memorization-
+    * risk audit: an eval doc whose n-grams are 95% covered measures
+    * recall of the corpus, not generalization, even when no single
+    * train doc contains a long verbatim span (which is why the decon
+    * survivor check alone can green-light it).
+    *
+    * Scale shape: the SAME decon asymmetry, just rolled up to the other
+    * side — the eval suite's distinct hashes broadcast; the 100 TB
+    * train side streams through a broadcast semi-join that only lets
+    * eval-matching hashes survive (match volume ≤ eval vocabulary, so
+    * the distinct after it is eval-sized); one eval-sized join + rollup
+    * finishes. The train corpus is never shuffled.
+    */
+  def ngramCoverage(train: DataFrame, evalDocs: DataFrame,
+      n: Int = 5): DataFrame = {
+    val evH = rawShingles(evalDocs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+    val evSet = broadcast(evH.select(col("h")).distinct())
+    val covered = rawShingles(train, n)
+      .select(xxhash64(col("shingle")).as("h"))
+      .join(evSet, Seq("h"), "left_semi")
+      .distinct()
+      .withColumn("hit", lit(1L))
+    evH.join(covered, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_covered"))
+      .withColumn("coverage_micro", expr("n_covered * 1000000 div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate entry: same %20 eval split as [[deconSurvivors]]. */
+  def ngramCoverageDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    ngramCoverage(
       docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
   }

@@ -164,6 +164,53 @@ object QualityModel {
   def calibrationDocs(spark: SparkSession, dir: String): DataFrame =
     calibrationTable(Tables(spark, dir).documents)
 
+  /** Snorkel-style weak supervision over labeling-function votes — how a
+    * quality TRAINING SET gets made when no human labels exist: each
+    * rule votes accept (+1) / reject (−1) / ABSTAIN (0) — abstention is
+    * what separates this from [[TextAnalysis]]'s hard cascade, where
+    * every rule fires on every doc — and the weak label is the vote
+    * sign with confidence |Σ| / #non-abstaining. The output feeds
+    * [[trainLogit]] as its label column; the per-rule votes ride along
+    * for the agreement/conflict audit a label model wants.
+    *
+    * Four rules on pure INTEGER token statistics (counts, micro-ratios
+    * by integer division — all positive, so Spark `div` == DuckDB `//`):
+    * length, lexical diversity, long-token ratio, mean token length.
+    * Scan-fused, zero shuffles; every quantity engine-exact.
+    */
+  def weakLabels(docs: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    docs.select(col("doc_id"), col("n_chars"),
+        size(w).cast("long").as("nt"),
+        size(array_distinct(w)).cast("long").as("nd"),
+        size(filter(w, t => length(t) >= 3)).cast("long").as("nl"))
+      .withColumn("r1", when(col("nt") >= 20, 1)
+        .when(col("nt") < 5, -1).otherwise(0))
+      .withColumn("__dr", expr("nd * 1000000 div nt"))
+      .withColumn("r2", when(col("__dr") >= 700000, 1)
+        .when(col("__dr") < 300000, -1).otherwise(0))
+      .withColumn("__lr", expr("nl * 1000000 div nt"))
+      .withColumn("r3", when(col("__lr") >= 600000, 1)
+        .when(col("__lr") < 200000, -1).otherwise(0))
+      .withColumn("__al", expr("n_chars div nt"))
+      .withColumn("r4", when(col("__al").between(3, 12), 1)
+        .when(col("__al") > 20, -1).otherwise(0))
+      .withColumn("__s", col("r1") + col("r2") + col("r3") + col("r4"))
+      .withColumn("__nv",
+        abs(col("r1")) + abs(col("r2")) + abs(col("r3")) + abs(col("r4")))
+      .withColumn("weak_label",
+        expr("CASE WHEN __s > 0 THEN 1 WHEN __s < 0 THEN -1 ELSE 0 END"))
+      .withColumn("confidence_micro",
+        when(col("__nv") > 0, expr("abs(__s) * 1000000 div __nv"))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("r1"), col("r2"), col("r3"), col("r4"),
+        col("weak_label"), col("confidence_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def weakLabelsDocs(spark: SparkSession, dir: String): DataFrame =
+    weakLabels(Tables(spark, dir).documents)
+
   /** Batch gradient descent on the logistic loss. `feats` must carry
     * f1/f2/f3 and a 0/1 `labelCol`. Returns the learned
     * (bias, w1, w2, w3). One aggregate job per iteration; nothing but

@@ -41,15 +41,18 @@ object RangeJoin {
       .drop("__bkt")
   }
 
-  /** Gated entry: every 50th event opens a ±40 value window; all events
-    * whose value falls inside a window join to it (bucket width 20 ⇒ ≤ 6
-    * bucket rows per interval). Emitted as a per-interval rollup —
-    * match count and the extreme matching event ids (pure integers; the
-    * double comparisons themselves are identical IEEE in any engine).
+  /** Gated entry: a FIXED panel of probe intervals (every 50th event
+    * among the first 1000 — 20 intervals at any scale factor, so match
+    * volume grows linearly with the corpus, not quadratically) opens a
+    * ±40 value window; all events whose value falls inside a window
+    * join to it (bucket width 20 ⇒ ≤ 6 bucket rows per interval).
+    * Emitted as a per-interval rollup — match count and the extreme
+    * matching event ids (pure integers; the double comparisons
+    * themselves are identical IEEE in any engine).
     */
   def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events.select(col("event_id"), col("value"))
-    val ivs = ev.filter(col("event_id") % 50 === 0)
+    val ivs = ev.filter(col("event_id") % 50 === 0 && col("event_id") < 1000)
       .select(col("event_id").as("iv_id"),
         (col("value") - lit(40.0)).as("lo"),
         (col("value") + lit(40.0)).as("hi"))

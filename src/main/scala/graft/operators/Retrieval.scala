@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Engine.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 retrieval over the document corpus — the "find the training docs
@@ -133,6 +134,63 @@ object Retrieval {
       .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(topK)
   }
+
+  // ------------------------------------------ late-interaction (MaxSim)
+
+  /** Token sub-vectors per embedding for the MaxSim gate: the 64-d
+    * vector is read as [[MaxSimTokens]] contiguous 16-d token vectors —
+    * the storage layout a ColBERT-style multi-vector index uses (flat
+    * array + fixed stride), stood in here on the single-vector fixture.
+    */
+  val MaxSimTokens = 4
+  private val MaxSimSubDim = 16
+
+  /** Late-interaction (ColBERT-style MaxSim) retrieval: score(q, d) =
+    * Σ_i max_j ⟨q_i, d_j⟩ over the token sub-vectors — the retrieval
+    * family BETWEEN single-vector ANN (cheap, lossy pooling) and full
+    * cross-attention (unscalable): every query token finds its best
+    * match in the document independently.
+    *
+    * Engine-exactness: each ⟨q_i, d_j⟩ is a sequential double fold
+    * floor-quantized to micro BIGINT *before* the max and sum, so the
+    * whole score is integer arithmetic — the max/sum can never see
+    * float-order noise. The entire 4×4 MaxSim is ONE in-row expression
+    * (nested aggregate/transform/array_max folds): no explode of the
+    * token dimension, no shuffle — the corpus-side cost is one codegen
+    * scan per query batch, the ann_topk shape exactly.
+    *
+    * 100 TB path: the same two-stage funnels apply unchanged — an
+    * [[graft.operators.Similarity.rpTopK]]-style shortlist or IVF cells
+    * over POOLED vectors first, MaxSim as the rerank; this gate pins
+    * the exact-scoring kernel those funnels rerank with.
+    */
+  def maxSimTopK(vecs: DataFrame, numQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    val score = s"""
+      aggregate(sequence(0, ${MaxSimTokens - 1}), CAST(0 AS BIGINT),
+        (acc, i) -> acc + array_max(transform(
+          sequence(0, ${MaxSimTokens - 1}), j ->
+            CAST(floor(aggregate(sequence(1, $MaxSimSubDim),
+              CAST(0 AS DOUBLE),
+              (s, kk) -> s
+                + CAST(element_at(qv, i * $MaxSimSubDim + kk) AS DOUBLE)
+                * CAST(element_at(embedding, j * $MaxSimSubDim + kk) AS DOUBLE))
+              * 1e6) AS BIGINT))))"""
+    val queries = broadcast(vecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("maxsim", expr(score))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("maxsim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def maxSimDocs(spark: SparkSession, dir: String): DataFrame =
+    maxSimTopK(Tables(spark, dir).embeddings)
 
   def hybridDocs(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

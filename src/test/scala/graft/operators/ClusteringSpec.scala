@@ -163,4 +163,35 @@ class ClusteringSpec extends AnyFunSuite with SparkTestSession {
       .toMap
     assert(re === got)
   }
+
+  test("balancedAssign: per-cluster totals respect cap; moved = far tail") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val n = vecs.count()
+    val k = 16
+    val cap = (n + k - 1) / k
+    val rows = Clustering.balancedAssign(vecs, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.length === n)
+    // capacity bound: the FIRST-choice load per cluster never exceeds cap
+    // (moved rows land on their second choice, which this single greedy
+    // round does not re-balance — documented; assert the unmoved side)
+    val unmovedPerCluster = rows.filter(!_._3).groupBy(_._2).map(_._2.size)
+    assert(unmovedPerCluster.forall(_ <= cap),
+      s"unmoved overflow: ${unmovedPerCluster.toSeq.sorted.reverse.take(3)}")
+    // unmoved rows sit on their exact nearest centroid
+    val nearest = Clustering.kmeansFixedAssign(spark,
+        "/root/testdata/sf0.001", k).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.filter(!_._3).foreach { case (id, c, _) =>
+      assert(c === nearest(id), s"unmoved vec $id not on nearest centroid")
+    }
+    // moved rows are NOT on their nearest (they were displaced)
+    rows.filter(_._3).foreach { case (id, c, _) =>
+      assert(c !== nearest(id), s"moved vec $id still on nearest")
+    }
+    // partitioning-invariant
+    val re = Clustering.balancedAssign(vecs.repartition(13), k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(re.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+  }
 }

@@ -98,6 +98,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("dupCurve: exact ladder for planted family sizes") {
+    import spark.implicits._
+    // families: one of 3 near-dups, one of 2, plus 2 singletons → 7 docs
+    val docs = Seq(
+      (0L, docA), (1L, docA + " x"), (2L, docA + " y"),
+      (3L, docC), (4L, docC + " q"),
+      (5L, "lonely text number one with quite some words inside"),
+      (6L, "another lonely text saying different things entirely ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupCurve(docs, threshold = 0.7)
+      .as[(Long, Long, Long)].collect().toSeq
+    // m per doc: 3,3,3,2,2,1,1 → ≥1:7, ≥2:5, ≥4/8/16/32:0
+    assert(got === Seq(
+      (1L, 7L, 1000000L), (2L, 5L, 714285L), (4L, 0L, 0L),
+      (8L, 0L, 0L), (16L, 0L, 0L), (32L, 0L, 0L)))
+  }
+
+  test("ngramCoverage: exact covered fractions per eval doc") {
+    import spark.implicits._
+    // eval doc 0: 6 words → 2 distinct 5-grams, BOTH present in train
+    // doc 10 (full coverage); eval doc 1: one of its two 5-grams only;
+    // eval doc 2: nothing shared
+    val e0 = "a b c d e f"
+    val e1 = "p q r s t u"
+    val e2 = "v w x y z zz"
+    val train = Seq(
+      (10L, "a b c d e f g"),       // covers both of e0's grams (+1 own)
+      (11L, "p q r s t nope"))      // covers only e1's first gram
+      .toDF("doc_id", "text")
+    val ev = Seq((0L, e0), (1L, e1), (2L, e2)).toDF("doc_id", "text")
+    val got = Dedup.ngramCoverage(train, ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 2L, 1000000L),
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 0L, 0L)))
+  }
+
   test("derivedDfCap: quantile and budget bounds follow the histogram") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -89,4 +89,32 @@ class QualityModelSpec extends AnyFunSuite with SparkTestSession {
     // ratio, a signal the logit model does not use) — surfacing exactly
     // that disagreement is what the calibration table is FOR.
   }
+
+  test("weakLabels: rule branches, abstention, and confidence arithmetic") {
+    import spark.implicits._
+    // doc 1: 24 distinct 4-char tokens → r1=+1 (≥20 toks), r2=+1
+    // (all distinct), r3=+1 (all ≥3 chars), r4 via n_chars/nt
+    val good = (1 to 24).map(i => f"tok$i%02d").mkString(" ")
+    // doc 2: 3 tokens, heavy repetition of a 1-char token
+    val bad = "a a a"
+    // doc 3: mid-length with mixed signals → exercises abstention
+    val mid = (1 to 10).map(_ => "ab").mkString(" ")
+    val docs = Seq(
+      (1L, good, good.length.toLong),
+      (2L, bad, bad.length.toLong),
+      (3L, mid, mid.length.toLong)).toDF("doc_id", "text", "n_chars")
+    val got = QualityModel.weakLabels(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getInt(5), r.getLong(6))))
+      .toMap
+    // doc 1: nt=24 nd=24 nl=24, n_chars=143 → al=5 → all four +1
+    assert(got(1L) === ((1, 1, 1, 1, 1, 1000000L)))
+    // doc 2: nt=3 → r1=-1; nd=1 → dr=333333 → abstain; nl=0 → r3=-1;
+    // al = 5/3 = 1 → abstain → s=-2, nv=2, conf 1.0
+    assert(got(2L) === ((-1, 0, -1, 0, -1, 1000000L)))
+    // doc 3: nt=10 → abstain; nd=1 → dr=100000 → r2=-1; nl=0 → r3=-1;
+    // al = 29/10 = 2 → abstain → label -1, conf 1.0
+    assert(got(3L) === ((0, -1, -1, 0, -1, 1000000L)))
+  }
 }

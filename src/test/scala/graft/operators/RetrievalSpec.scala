@@ -82,4 +82,55 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
       assert(rl > 0 || rs > 0, s"doc $id in neither candidate list")
     }
   }
+
+  /** In-memory MaxSim reference: Σ_i max_j micro⟨q_i, d_j⟩ over 4×16-d
+    * token blocks, quantized before max/sum like the operator.
+    */
+  private def maxsimRef(q: Array[Float], d: Array[Float]): Long =
+    (0 until 4).map { i =>
+      (0 until 4).map { j =>
+        var acc = 0.0
+        (0 until 16).foreach(k =>
+          acc += q(i * 16 + k).toDouble * d(j * 16 + k).toDouble)
+        math.floor(acc * 1e6).toLong
+      }.max
+    }.sum
+
+  test("maxSimTopK matches the in-memory reference on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Engine.Tables(spark, dir).embeddings
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expect = (0L until 10L).map { q =>
+      q -> raw.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, maxsimRef(raw(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+    }.toMap
+    val got = Retrieval.maxSimTopK(vecs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      }
+    (0L until 10L).foreach(q => assert(got(q) === expect(q), s"query $q"))
+  }
+
+  test("maxsim is invariant to document token-block order; pooled dot is not") {
+    import spark.implicits._
+    // q's best match per token block lives in a DIFFERENT block of d:
+    // late interaction finds it wherever it is, a flat dot cannot
+    val q = Array.tabulate(64)(k => if (k < 16) 1.0f else 0.0f)
+    val dPerm = Array.tabulate(64)(k => if (k >= 48) 1.0f else 0.0f)
+    val dId = q.clone()
+    assert(maxsimRef(q, dPerm) === maxsimRef(q, dId),
+      "block permutation must not change MaxSim")
+    val flatDot = (0 until 64).map(k => q(k) * dPerm(k)).sum
+    assert(flatDot === 0.0f, "the flat dot misses the permuted match")
+    // and the operator agrees with the reference on this construction
+    val vecs = Seq((0L, q.toSeq), (1L, dPerm.toSeq), (2L, dId.toSeq))
+      .toDF("vec_id", "embedding")
+    val rows = Retrieval.maxSimTopK(vecs, numQueries = 1, k = 2).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(_._2).distinct.size === 1,
+      s"permuted and identity docs must tie under MaxSim: $rows")
+  }
 }
