@@ -119,11 +119,13 @@ object SparkEntry {
     "matryoshka_topk"      -> (Similarity.matryoshkaTopKDocs(_, _)),
     "rp_project"           -> (Similarity.rpProjectDocs(_, _)),
     "ann_rp_topk"          -> (Similarity.rpTopKDocs(_, _)),
+    "ann_recall_rp"        -> (Similarity.annRecallRp(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
     "embed_drift"          -> (Clustering.embedDriftDocs(_, _)),
     "balanced_assign"      -> (Clustering.balancedAssignDocs(_, _)),
+    "kcenter_coreset"      -> (Clustering.kCenterCoresetDocs(_, _)),
     // --- training-data pipeline: text analysis
     "text_stats"           -> (TextAnalysis.textStats(_, _)),
     "text_quality"         -> (TextAnalysis.qualityScore(_, _)),
@@ -3565,7 +3567,34 @@ object SparkEntry {
     "skip_audit" -> skipAuditOracleSql,
     "rp_project" -> rpProjectOracleSql,
     "ann_rp_topk" -> rpTopKOracleSql,
+    // RP-funnel recall audit against the exact raw-dot baseline (the
+    // funnel's own metric — cosine would mischarge the projection)
+    "ann_recall_rp" ->
+      s"""WITH exact AS (
+           WITH q AS (
+             SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+             WHERE vec_id < 10),
+           s AS (
+             SELECT q_id, c.vec_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(c.embedding[d] AS DOUBLE) * CAST(qv[d] AS DOUBLE)))
+                 * 1e6) AS BIGINT) AS d64
+             FROM embeddings c JOIN q ON c.vec_id != q.q_id),
+           r AS (
+             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY d64 DESC, vec_id) AS rk
+             FROM s)
+           SELECT q_id, vec_id FROM r WHERE rk <= 10),
+         approx AS ($rpTopKOracleSql)
+         SELECT e.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM exact e LEFT JOIN approx a
+           ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         GROUP BY e.q_id ORDER BY e.q_id""",
     "kmeans_assign" -> kmeansAssignOracleSql,
+    "kcenter_coreset" -> kCenterOracleSql,
     // mm_features: the stub decode's integer byte-bucket histogram,
     // recomputed from the text characters (the fixture is pure ASCII,
     // FixtureSchemaSpec enforces it — so ord(char) IS the UTF-8 byte),
@@ -3770,6 +3799,50 @@ object SparkEntry {
            FROM s2)
          SELECT q_id, rk, vec_id, d64 FROM r2
          WHERE rk <= 10 ORDER BY q_id, rk"""
+  }
+
+  /** kcenter_coreset oracle: the farthest-first traversal unrolled one
+    * (select, re-min) CTE pair per step — the same v·v + (c² − 2·v·c)
+    * operand order and floor-micro quantization as the Spark loop, with
+    * the centers DERIVED in-query (min-vec_id seed, max-md/min-vec_id
+    * argmax per step) rather than inlined, so the oracle re-runs the
+    * whole greedy selection independently.
+    */
+  private def kCenterOracleSql: String = {
+    val k = operators.Clustering.KCenterMaxK
+    def dist(e: String, c: String): String =
+      s"""CAST(floor((list_sum(list_transform(generate_series(1, 64),
+             d -> CAST($e.embedding[d] AS DOUBLE) * CAST($e.embedding[d] AS DOUBLE)))
+           + (list_sum(list_transform(generate_series(1, 64),
+               d -> CAST($c.embedding[d] AS DOUBLE) * CAST($c.embedding[d] AS DOUBLE)))
+             - 2 * list_sum(list_transform(generate_series(1, 64),
+               d -> CAST($e.embedding[d] AS DOUBLE) * CAST($c.embedding[d] AS DOUBLE)))))
+           * 1e6) AS BIGINT)"""
+    val steps = (2 to k).map { i =>
+      val pick =
+        s"""c$i AS (
+           SELECT e.vec_id, e.embedding, m.md
+           FROM e JOIN m${i - 1} m ON m.vec_id = e.vec_id
+           ORDER BY m.md DESC, e.vec_id LIMIT 1)"""
+      val remin = if (i == k) "" else
+        s""",
+         m$i AS (
+           SELECT m.vec_id, least(m.md, ${dist("e", "c")}) AS md
+           FROM e JOIN m${i - 1} m ON m.vec_id = e.vec_id, c$i c)"""
+      pick + remin
+    }.mkString(",\n         ")
+    val rows = (2 to k).map(i =>
+      s"UNION ALL SELECT $i, (SELECT vec_id FROM c$i), (SELECT md FROM c$i)")
+      .mkString("\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+         m1 AS (SELECT e.vec_id, ${dist("e", "c")} AS md FROM e, c1 c),
+         $steps
+         SELECT * FROM (
+           SELECT 1 AS step, (SELECT vec_id FROM c1) AS center_id,
+             CAST(0 AS BIGINT) AS d_micro
+           $rows)
+         ORDER BY step"""
   }
 
   /** skip_audit oracle: the three manifests (linear-by-x baseline, Morton,

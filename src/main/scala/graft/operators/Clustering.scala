@@ -455,4 +455,57 @@ object Clustering {
 
   def balancedAssignDocs(spark: SparkSession, dir: String): DataFrame =
     balancedAssign(Tables(spark, dir).embeddings)
+
+  // --------------------------------------------- greedy k-center coreset
+
+  /** Oracle unroll depth for [[kCenterCoreset]] — the loud k bound. */
+  val KCenterMaxK = 8
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-first traversal) —
+    * the data-PRUNING selector: pick the point farthest from everything
+    * picked so far, k times. The selected set is a 2-approximation of
+    * the optimal k-center cover, which is why coreset-based data
+    * selection uses it to find a small subset whose coverage radius
+    * over the full corpus is near-minimal. Emits (step, center_id,
+    * d_micro) where d_micro is the selected point's min squared-L2
+    * distance (micro-quantized) to the previously selected set — a
+    * monotonically non-increasing sequence, the coverage-radius curve.
+    *
+    * Determinism + engine-exactness: seed = min vec_id; each step's
+    * argmax breaks ties on vec_id; distances are v·v + (c² − 2·v·c) in
+    * the fixed [[kmeansFixedAssign]] operand order, floor-quantized to
+    * micro BIGINT BEFORE the max/least. The k selected centers are
+    * driver state (k rows — the kmeans centroid discipline); each step
+    * is one corpus scan + TakeOrdered(1), so the loop is k driver-paced
+    * jobs with k loudly bounded by the oracle's unroll depth.
+    */
+  def kCenterCoreset(vecs: DataFrame, k: Int = KCenterMaxK): DataFrame = {
+    require(k >= 2 && k <= KCenterMaxK,
+      s"kCenterCoreset: k must be in [2, $KCenterMaxK] (the oracle's " +
+        s"unroll depth — raise KCenterMaxK deliberately), got $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col("vec_id"), col("embedding"))
+    def dMicro(c: Array[Double]): org.apache.spark.sql.Column = {
+      val c2 = c.map(x => x * x).sum
+      floor((vecDot(col("embedding"), col("embedding"))
+        + (lit(c2) - lit(2.0) * vecDot(col("embedding"), lit(c))))
+        * lit(1e6)).cast("long")
+    }
+    val seed = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    def embOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Float](1).toArray.map(_.toDouble)
+    var picked = Vector((1, seed.getLong(0), 0L))
+    var md = dMicro(embOf(seed))
+    (2 to k).foreach { step =>
+      val next = base.withColumn("md", md)
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+      picked :+= ((step, next.getLong(0), next.getLong(2)))
+      md = least(md, dMicro(embOf(next)))
+    }
+    picked.toDF("step", "center_id", "d_micro").orderBy(col("step"))
+  }
+
+  def kCenterCoresetDocs(spark: SparkSession, dir: String): DataFrame =
+    kCenterCoreset(Tables(spark, dir).embeddings)
 }

@@ -1178,4 +1178,37 @@ object Similarity {
 
   def rpTopKDocs(spark: SparkSession, dir: String): DataFrame =
     rpTopK(Tables(spark, dir).embeddings)
+
+  /** Exact full-dim DOT-product top-k — the correct baseline for the RP
+    * funnel's recall audit: [[rpTopK]] ranks by the micro-quantized raw
+    * dot (not cosine, not L2), so its baseline must rank by exactly
+    * that ([[annRecallPq]]'s metric-mismatch argument). Same broadcast
+    * query batch + per-query bounded window as every exact baseline.
+    */
+  def bruteForceTopKDot(vecs: DataFrame, numQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    val queries = broadcast(vecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val d64 = floor(vecDot(col("embedding"), col("qv")) * lit(1e6)).cast("long")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d64").desc, col("vec_id"))
+    vecs.select(col("vec_id"), col("embedding"))
+      .join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("d64", d64)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("d64"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Recall@10 audit for the JL-projection funnel — with this, every
+    * approximate index family in the library (LSH, IVF, PQ/ADC, RP)
+    * carries a gated recall metric against its own exact metric, not
+    * just a gated result set.
+    */
+  def annRecallRp(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir).embeddings
+    recallAtK(bruteForceTopKDot(vecs),
+      rpTopK(vecs).withColumnRenamed("vec_id", "neighbor_id"), k = 10)
+  }
 }

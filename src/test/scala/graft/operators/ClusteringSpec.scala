@@ -194,4 +194,42 @@ class ClusteringSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
     assert(re.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
   }
+
+  test("kCenterCoreset matches an in-memory farthest-first traversal") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def dMicro(v: Array[Double], c: Array[Double]): Long = {
+      var vv = 0.0; var dot = 0.0; var c2 = 0.0
+      (0 until 64).foreach { d =>
+        vv += v(d) * v(d); dot += v(d) * c(d); c2 += c(d) * c(d)
+      }
+      math.floor((vv + (c2 - 2.0 * dot)) * 1e6).toLong
+    }
+    val ids = raw.keys.toSeq.sorted
+    var centers = Vector(ids.head)
+    var md = ids.map(id => id -> dMicro(raw(id), raw(ids.head))).toMap
+    var expect = Vector((1, ids.head, 0L))
+    (2 to 8).foreach { step =>
+      val (nid, nd) = md.toSeq.maxBy { case (id, d) => (d, -id) }
+      expect :+= ((step, nid, nd))
+      centers :+= nid
+      md = md.map { case (id, d) => id -> math.min(d, dMicro(raw(id), raw(nid))) }
+    }
+    val got = Clustering.kCenterCoreset(vecs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got === expect)
+    // coverage radius is non-increasing — the curve data selection reads
+    got.sliding(2).foreach {
+      case Vector((_, _, d1), (s2, _, d2)) =>
+        assert(d2 <= d1 || s2 == 2, s"radius grew at step $s2")
+      case _ =>
+    }
+    // loud bound past the oracle unroll depth
+    val ex = intercept[IllegalArgumentException] {
+      Clustering.kCenterCoreset(vecs, k = 20)
+    }
+    assert(ex.getMessage.contains("KCenterMaxK"))
+  }
 }
