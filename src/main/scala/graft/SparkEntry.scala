@@ -66,6 +66,7 @@ object SparkEntry {
     // --- the MapleJuice engine surface itself (SURVEY §2.1 E1-E11)
     "mj_wordcount"         -> (Workloads.mjWordCount(_, _)),
     "mj_wordcount_range"   -> (Workloads.mjWordCountRange(_, _)),
+    "line_table_keys"      -> (sources.LineTable.keyStats(_, _)),
     // --- training-data pipeline: dedup (SURVEY §7.2-M6)
     "dedup_exact"          -> (Dedup.exactDedup(_, _)),
     "dedup_jaccard"        -> (Dedup.ngramJaccard(_, _)),
@@ -1398,6 +1399,22 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    // the DSv2 line-table round trip: the oracle derives the same
+    // per-key rollup straight from documents — a split-boundary bug
+    // (lost / duplicated / torn line) cannot hash-match
+    "line_table_keys" ->
+      """WITH t AS (
+           SELECT trim(text) AS line FROM documents
+           WHERE length(trim(text)) > 0 AND strpos(text, chr(10)) = 0),
+         s AS (
+           SELECT CASE WHEN strpos(line, ' ') = 0 THEN line
+                  ELSE substr(line, 1, strpos(line, ' ') - 1) END AS key,
+                  CASE WHEN strpos(line, ' ') = 0 THEN ''
+                  ELSE substr(line, strpos(line, ' ') + 1) END AS value
+           FROM t)
+         SELECT key, count(*) AS n_lines,
+           CAST(sum(length(value)) AS BIGINT) AS n_value_chars
+         FROM s GROUP BY key ORDER BY key""",
     // Mirrors the DF-capped scale path with the CORPUS-DERIVED cap
     // (Dedup.derivedDfCap): min of the 99.9%-of-distinct-shingles
     // quantile bound and the 1000-pairs-per-doc candidate-volume budget

@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the reference's native table format — SDFS
+  * line-text tables where each line is `<key> <rest...>` and the key is
+  * the first space-delimited token (`maple_juice/maple_juice.go`'s
+  * keying rule, SURVEY §2.1-E4). `spark.read.format("graft.sources.line")
+  * .option("path", dir)` yields a `(key STRING, value STRING)` table.
+  *
+  * This is E1 ("source scan + line-balanced split") done the way the
+  * engine should do it, as a first-class Catalyst source rather than a
+  * `textFile().map`:
+  *
+  *  - **Byte-range splits with newline alignment**: each file splits
+  *    into `maxSplitBytes` ranges planned BEFORE any read (so 1000
+  *    executors start in parallel on a 100 TB table); a reader whose
+  *    range starts mid-file skips to the first line boundary after its
+  *    start and reads through its end to finish the final line — every
+  *    line is read exactly once, whatever the split size (property-
+  *    tested across split sizes in LineTableSpec). The reference
+  *    instead pre-splits by LINE COUNT on the master
+  *    (`maple_juice.go`'s NUM_LINES partitioning), which costs a full
+  *    pre-scan of the input before any map task can start.
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): a query
+  *    touching only `key` never materializes the rest of the line —
+  *    visible as `ReadSchema: struct<key:string>` in `.explain`, the
+  *    same contract the parquet scans honor.
+  *
+  * The format is unsplittable-compression-free plain text (the
+  * reference's own storage format); UTF-8 with `\n` terminators and an
+  * optional trailing `\r` stripped.
+  */
+class LineTable extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LineTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LineTableImpl(properties.get("path"),
+      Option(properties.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(LineTable.DefaultSplitBytes))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object LineTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** 128 MiB — the parquet-scan default; override with
+    * `.option("maxSplitBytes", n)` (tests use small values to force
+    * many ranges per file).
+    */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Gated entry: the documents fixture round-trips through the
+    * reference's own table format — each doc's text becomes one line in
+    * a 3-file line-text table, read back through THIS source with a
+    * 4 KiB split size (so dozens of byte ranges cover the 3 files and
+    * the exactly-once alignment is load-bearing, not decorative), then
+    * rolled up per key (= first token). The DuckDB oracle derives the
+    * same rollup from the documents table directly: a split-boundary
+    * bug (lost, duplicated, or torn line) cannot hash-match.
+    */
+  def keyStats(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-linetable-").toString
+    graft.Engine.Tables(spark, dir).documents
+      .filter(length(trim(col("text"))) > 0 && !col("text").contains("\n"))
+      .select(trim(col("text")).as("value"))
+      .repartition(3)
+      .write.mode("overwrite").text(tmp)
+    spark.read.format("graft.sources.LineTable")
+      .option("path", tmp)
+      .option("maxSplitBytes", 4096)
+      .load()
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("n_value_chars"))
+      .orderBy(col("key"))
+  }
+}
+
+private class LineTableImpl(path: String, splitBytes: Long)
+    extends Table with SupportsRead {
+  require(path != null, "graft.sources.line: missing required option 'path'")
+  require(splitBytes > 0, s"maxSplitBytes must be positive, got $splitBytes")
+
+  override def name(): String = s"line($path)"
+  override def schema(): StructType = LineTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LineScanBuilder(path, splitBytes)
+}
+
+private class LineScanBuilder(path: String, splitBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = LineTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new LineScan(path, splitBytes, required)
+}
+
+private class LineScan(path: String, splitBytes: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"graft.sources.line: no such path $path")
+    val files = (if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
+      .filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    files.flatMap { s =>
+      val n = s.getLen
+      (0L until n by splitBytes).map(start =>
+        LinePartition(s.getPath.toString, start, math.min(start + splitBytes, n)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LineReaderFactory(required.fieldNames.toSeq)
+}
+
+private case class LinePartition(file: String, start: Long, end: Long)
+    extends InputPartition
+
+private class LineReaderFactory(fields: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new LineReader(partition.asInstanceOf[LinePartition], fields)
+}
+
+/** Reads the lines whose FIRST byte falls inside [start, end): skip to
+  * the first boundary after `start` (unless at file start), finish the
+  * last line past `end`. Exactly-once coverage for any split plan.
+  */
+private class LineReader(part: LinePartition, fields: Seq[String])
+    extends PartitionReader[InternalRow] {
+  // default Hadoop conf: resolves file:// and the cluster's core-site
+  // defaults on the executor; the source carries no custom FS options
+  private val hconf = new org.apache.hadoop.conf.Configuration()
+  private val p = new Path(part.file)
+  private val in = p.getFileSystem(hconf).open(p)
+  private var pos: Long = part.start
+  private val needKey = fields.contains("key")
+  private val needValue = fields.contains("value")
+  private var row: InternalRow = _
+
+  // align to the first line that STARTS inside the range
+  if (part.start > 0) {
+    in.seek(part.start - 1)
+    pos = part.start - 1
+    var b = in.read(); pos += 1
+    while (b != -1 && b != '\n') { b = in.read(); pos += 1 }
+  } else in.seek(0)
+
+  override def next(): Boolean = {
+    if (pos >= part.end) { row = null; return false }
+    val buf = new java.io.ByteArrayOutputStream(96)
+    var b = in.read(); pos += 1
+    if (b == -1) { row = null; return false }
+    while (b != -1 && b != '\n') { buf.write(b); b = in.read(); pos += 1 }
+    var bytes = buf.toByteArray
+    if (bytes.nonEmpty && bytes.last == '\r') bytes = bytes.dropRight(1)
+    val line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val sp = line.indexOf(' ')
+    val key = if (sp < 0) line else line.substring(0, sp)
+    val value = if (sp < 0) "" else line.substring(sp + 1)
+    val vals = fields.map {
+      case "key" => UTF8String.fromString(key)
+      case "value" => UTF8String.fromString(value)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    row = new GenericInternalRow(vals.toArray[Any])
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

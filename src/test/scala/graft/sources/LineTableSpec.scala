@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class LineTableSpec extends AnyFunSuite with SparkTestSession {
+
+  private def write(dir: String, name: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+  }
+
+  private def read(dir: String, split: Long) =
+    spark.read.format("graft.sources.LineTable")
+      .option("path", dir).option("maxSplitBytes", split).load()
+
+  test("every line read exactly once at ANY split size") {
+    val dir = java.nio.file.Files.createTempDirectory("lt-split-").toString
+    val lines = (0 until 200).map(i => s"key${i % 7} payload $i with words")
+    write(dir, "part-0.txt", lines.take(120).mkString("\n") + "\n")
+    write(dir, "part-1.txt", lines.drop(120).mkString("\n") + "\n")
+    val expect = lines.map { l =>
+      val sp = l.indexOf(' '); (l.substring(0, sp), l.substring(sp + 1))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // split sizes bracketing every regime: sub-line, line-ish, multi-line,
+    // file-sized, and whole-table
+    for (split <- Seq(1L, 7L, 30L, 101L, 4096L, 1L << 30)) {
+      val got = read(dir, split).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === expect, s"split=$split")
+    }
+  }
+
+  test("CRLF terminators, no-newline EOF, keyless and empty-value lines") {
+    val dir = java.nio.file.Files.createTempDirectory("lt-edge-").toString
+    // CRLF line; LF line; line with no space (all key); final line
+    // without a terminator; a key with empty value ("k " → value "")
+    write(dir, "f.txt", "a one two\r\nb three\nnospace\nk \nc final")
+    val got = read(dir, 8).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("a", "one two"), ("b", "three"), ("nospace", ""),
+      ("k", ""), ("c", "final")))
+  }
+
+  test("column pruning reaches the scan: key-only query never reads value") {
+    val dir = java.nio.file.Files.createTempDirectory("lt-prune-").toString
+    write(dir, "f.txt", "a 1\nb 2\na 3\n")
+    val df = read(dir, 1L << 20).select("key")
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse(fail("no BatchScan in plan"))
+    assert(scanLine.contains("key#"), scanLine)
+    assert(!scanLine.contains("value#"), s"value not pruned: $scanLine")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("a", "a", "b"))
+  }
+
+  test("hidden and empty files are skipped; missing path fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("lt-files-").toString
+    write(dir, "f.txt", "a 1\n")
+    write(dir, "_SUCCESS", "")
+    write(dir, ".hidden", "z 9\n")
+    write(dir, "empty.txt", "")
+    assert(read(dir, 1024).count() === 1L)
+    val ex = intercept[Exception] {
+      read(dir + "/definitely-missing", 1024).collect()
+    }
+    assert(ex.getMessage.contains("no such path"), ex.getMessage)
+  }
+}
