@@ -277,6 +277,7 @@ object SparkEntry {
     "stream_fingerprint"   -> (streaming.StreamQueries.fingerprintDocs(_, _)),
     "stream_upsert"        -> (streaming.StreamQueries.upsertVectors(_, _)),
     "stream_cdc"           -> (streaming.StreamQueries.cdcDocs(_, _)),
+    "stream_line_ingest"   -> (streaming.StreamQueries.lineIngest(_, _)),
     "stream_pipeline"      -> (streaming.StreamQueries.pipelineDocs(_, _)),
     // --- the composed curation pipeline (dedup → decon → quality →
     // sample) as one plan, gated end to end
@@ -1065,6 +1066,25 @@ object SparkEntry {
            SELECT doc_id, text FROM ups)
          ORDER BY doc_id"""
 
+  /** Shared by `line_table_keys` and `stream_line_ingest`: both the
+    * batch scan and the MicroBatchStream ingest of the DSv2 line-table
+    * source must reproduce the per-key rollup DuckDB derives straight
+    * from the documents fixture.
+    */
+  private val lineTableOracle: String =
+    """WITH t AS (
+           SELECT trim(text) AS line FROM documents
+           WHERE length(trim(text)) > 0 AND strpos(text, chr(10)) = 0),
+         s AS (
+           SELECT CASE WHEN strpos(line, ' ') = 0 THEN line
+                  ELSE substr(line, 1, strpos(line, ' ') - 1) END AS key,
+                  CASE WHEN strpos(line, ' ') = 0 THEN ''
+                  ELSE substr(line, strpos(line, ' ') + 1) END AS value
+           FROM t)
+         SELECT key, count(*) AS n_lines,
+           CAST(sum(length(value)) AS BIGINT) AS n_value_chars
+         FROM s GROUP BY key ORDER BY key"""
+
   private val annIvfOracle: String =
     """WITH base AS (
            SELECT vec_id, embedding,
@@ -1402,19 +1422,10 @@ object SparkEntry {
     // the DSv2 line-table round trip: the oracle derives the same
     // per-key rollup straight from documents — a split-boundary bug
     // (lost / duplicated / torn line) cannot hash-match
-    "line_table_keys" ->
-      """WITH t AS (
-           SELECT trim(text) AS line FROM documents
-           WHERE length(trim(text)) > 0 AND strpos(text, chr(10)) = 0),
-         s AS (
-           SELECT CASE WHEN strpos(line, ' ') = 0 THEN line
-                  ELSE substr(line, 1, strpos(line, ' ') - 1) END AS key,
-                  CASE WHEN strpos(line, ' ') = 0 THEN ''
-                  ELSE substr(line, strpos(line, ' ') + 1) END AS value
-           FROM t)
-         SELECT key, count(*) AS n_lines,
-           CAST(sum(length(value)) AS BIGINT) AS n_value_chars
-         FROM s GROUP BY key ORDER BY key""",
+    "line_table_keys" -> lineTableOracle,
+    // streaming ingest through the same source's MicroBatchStream must
+    // land exactly the batch row set — one shared oracle string
+    "stream_line_ingest" -> lineTableOracle,
     // Mirrors the DF-capped scale path with the CORPUS-DERIVED cap
     // (Dedup.derivedDfCap): min of the 99.9%-of-distinct-shingles
     // quantile bound and the 1000-pairs-per-doc candidate-volume budget

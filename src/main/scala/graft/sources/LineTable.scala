@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -102,7 +103,8 @@ private class LineTableImpl(path: String, splitBytes: Long)
   override def name(): String = s"line($path)"
   override def schema(): StructType = LineTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LineScanBuilder(path, splitBytes)
@@ -124,25 +126,135 @@ private class LineScan(path: String, splitBytes: Long, required: StructType)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    require(fs.exists(p), s"graft.sources.line: no such path $path")
-    val files = (if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
-      .filter(s => s.isFile && s.getLen > 0 &&
-        !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-    files.flatMap { s =>
-      val n = s.getLen
-      (0L until n by splitBytes).map(start =>
-        LinePartition(s.getPath.toString, start, math.min(start + splitBytes, n)))
+    val lens = LineScan.fileLengths(path)
+    lens.toSeq.sortBy(_._1).flatMap { case (file, n) =>
+      LineScan.ranges(file, 0L, n, splitBytes)
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LineReaderFactory(required.fieldNames.toSeq)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LineMicroBatchStream(path, splitBytes, required)
+}
+
+private object LineScan {
+  /** Current (file → byte length) snapshot of the table directory. */
+  def fileLengths(path: String): Map[String, Long] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"graft.sources.line: no such path $path")
+    (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+     else Seq(fs.getFileStatus(p)))
+      .filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.toString -> s.getLen).toMap
+  }
+
+  def ranges(file: String, from: Long, to: Long,
+      splitBytes: Long): Seq[LinePartition] =
+    (from until to by splitBytes).map(start =>
+      LinePartition(file, start, math.min(start + splitBytes, to)))
+}
+
+/** Streaming read of an APPEND-ONLY line table: the offset is the
+  * per-file byte-length snapshot, each micro-batch covers exactly the
+  * [committed, latest) byte range of every file (newline-aligned by the
+  * same reader — correct as long as producers append whole terminated
+  * lines, the format's append contract), and new files join at offset
+  * 0. Exactly-once: ranges are a pure function of (start, end) offsets,
+  * so a replayed batch re-reads the identical byte ranges.
+  */
+private class LineMicroBatchStream(path: String, splitBytes: Long,
+    required: StructType) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // AvailableNow contract: snapshot the end offset once at query start,
+  // drain up to it, terminate — later appends wait for the next run
+  private var availableNowCap: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(LineScan.fileLengths(path))
+
+  override def initialOffset(): Offset = LineOffset(Map.empty)
+
+  override def latestOffset(): Offset =
+    LineOffset(availableNowCap.getOrElse(LineScan.fileLengths(path)))
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): this
+  // source applies no rate limiting — every batch admits the full delta
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = LineOffset.parse(start)
+    val e = LineOffset.parse(end)
+    e.toSeq.sortBy(_._1).flatMap { case (file, endLen) =>
+      val from = s.getOrElse(file, 0L)
+      if (endLen > from) LineScan.ranges(file, from, endLen, splitBytes)
+      else Seq.empty
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LineReaderFactory(required.fieldNames.toSeq)
+
+  override def deserializeOffset(json: String): Offset =
+    LineOffset(LineOffset.fromJson(json))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class LineOffset(lens: Map[String, Long]) extends Offset {
+  // deterministic key order so offset equality is textual equality
+  override def json(): String = lens.toSeq.sorted
+    .map { case (f, n) => s"""${LineOffset.q(f)}:$n""" }
+    .mkString("{", ",", "}")
+}
+
+private object LineOffset {
+  def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+  } + "\""
+
+  def parse(o: Offset): Map[String, Long] = o match {
+    case LineOffset(m) => m
+    case other => fromJson(other.json())
+  }
+
+  /** Minimal parser for the flat {"file":len,...} object [[LineOffset.json]]
+    * emits (keys may contain escaped quotes/backslashes, values are
+    * plain longs).
+    */
+  def fromJson(json: String): Map[String, Long] = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}")
+    if (body.isEmpty) Map.empty
+    else {
+      val out = Map.newBuilder[String, Long]
+      var i = 0
+      while (i < body.length) {
+        require(body.charAt(i) == '"', s"bad offset json at $i: $json")
+        i += 1
+        val sb = new StringBuilder
+        while (body.charAt(i) != '"') {
+          if (body.charAt(i) == '\\') i += 1
+          sb.append(body.charAt(i)); i += 1
+        }
+        i += 1 // closing quote
+        require(body.charAt(i) == ':', s"bad offset json at $i: $json")
+        i += 1
+        val numStart = i
+        while (i < body.length && body.charAt(i) != ',') i += 1
+        out += sb.toString -> body.substring(numStart, i).toLong
+        if (i < body.length) i += 1 // comma
+      }
+      out.result()
+    }
+  }
 }
 
 private case class LinePartition(file: String, start: Long, end: Long)

@@ -312,6 +312,34 @@ object StreamQueries {
       gateDir("admit"))()
       .orderBy("doc_id")
 
+  /** Gated STREAMING read through [[graft.sources.LineTable]]'s
+    * MicroBatchStream: the fixture materializes as a 3-file line table,
+    * the stream drains it through the idempotent parquet sink
+    * (stateless append — every micro-batch covers exact byte ranges of
+    * the committed→latest offset delta), and the rollup runs batch-side
+    * on the landed rows. One oracle string shared with the batch
+    * `line_table_keys` gate: the streaming ingest path must deliver
+    * exactly the batch row set — a lost or replayed range cannot
+    * hash-match.
+    */
+  def lineIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lineingest-").toString
+    graft.Engine.Tables(spark, dir).documents
+      .filter(length(trim(col("text"))) > 0 && !col("text").contains("\n"))
+      .select(trim(col("text")).as("value"))
+      .repartition(3)
+      .write.mode("overwrite").text(tmp)
+    StreamGate.runToParquet(spark,
+      s => s.readStream.format("graft.sources.LineTable")
+        .option("path", tmp).option("maxSplitBytes", 4096).load(),
+      gateDir("lineingest"))()
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("n_value_chars"))
+      .orderBy(col("key"))
+  }
+
   /** Gated [[Streaming.cdcMergeSink]]: the batch `cdc_apply` gate's %10
     * changeset arrives as a STREAM of change events (update / shifted
     * insert / delete ops derived from the documents fixture), the merge

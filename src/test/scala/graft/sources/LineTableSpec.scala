@@ -55,6 +55,29 @@ class LineTableSpec extends AnyFunSuite with SparkTestSession {
     assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("a", "a", "b"))
   }
 
+  test("streaming: staged appends and new files land exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("lt-stream-").toString
+    write(dir, "a.txt", "k1 one\nk2 two\n")
+    def append(name: String, content: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        content.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    val landed = graft.streaming.StreamGate.runToParquet(spark,
+      s => s.readStream.format("graft.sources.LineTable")
+        .option("path", dir).option("maxSplitBytes", 8).load(),
+      java.nio.file.Files.createTempDirectory("lt-stream-out-").toString)(
+      // batch 2: whole-line append to the existing file (the format's
+      // append contract) — the new range starts exactly at the old length
+      () => append("a.txt", "k1 three\nk3 four\n"),
+      // batch 3: a brand-new file joins at offset 0
+      () => append("b.txt", "k2 five\n"))
+    val got = landed.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq(("k1", "one"), ("k1", "three"), ("k2", "five"),
+      ("k2", "two"), ("k3", "four")))
+  }
+
   test("hidden and empty files are skipped; missing path fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lt-files-").toString
     write(dir, "f.txt", "a 1\n")
