@@ -70,7 +70,7 @@ object LineTable {
   /** Gated entry: the documents fixture round-trips through the
     * reference's own table format — each doc's text becomes one line in
     * a 3-file line-text table, read back through THIS source with a
-    * 4 KiB split size (so dozens of byte ranges cover the 3 files and
+    * 64 KiB split size (so many byte ranges cover the 3 files and
     * the exactly-once alignment is load-bearing, not decorative), then
     * rolled up per key (= first token). The DuckDB oracle derives the
     * same rollup from the documents table directly: a split-boundary
@@ -86,7 +86,7 @@ object LineTable {
       .write.mode("overwrite").text(tmp)
     spark.read.format("graft.sources.LineTable")
       .option("path", tmp)
-      .option("maxSplitBytes", 4096)
+      .option("maxSplitBytes", 65536)
       .load()
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_lines"),

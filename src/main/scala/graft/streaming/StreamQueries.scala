@@ -332,7 +332,7 @@ object StreamQueries {
       .write.mode("overwrite").text(tmp)
     StreamGate.runToParquet(spark,
       s => s.readStream.format("graft.sources.LineTable")
-        .option("path", tmp).option("maxSplitBytes", 4096).load(),
+        .option("path", tmp).option("maxSplitBytes", 65536).load(),
       gateDir("lineingest"))()
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_lines"),
