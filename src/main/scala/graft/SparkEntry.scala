@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_containment"    -> (Dedup.containmentDocs(_, _)),
     "dedup_weights"        -> (Dedup.softDedupWeightsDocs(_, _)),
     "dup_curve"            -> (Dedup.dupCurveDocs(_, _)),
+    "minhash_mergeable"    -> (Dedup.minhashMergeableDocs(_, _)),
     "corpus_card"          -> (Monitoring.corpusCardDocs(_, _)),
     // --- training-data pipeline: similarity search over embeddings
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
@@ -278,6 +279,7 @@ object SparkEntry {
     "stream_upsert"        -> (streaming.StreamQueries.upsertVectors(_, _)),
     "stream_cdc"           -> (streaming.StreamQueries.cdcDocs(_, _)),
     "stream_line_ingest"   -> (streaming.StreamQueries.lineIngest(_, _)),
+    "stream_weak_labels"   -> (streaming.StreamQueries.weakLabelDocs(_, _)),
     "stream_pipeline"      -> (streaming.StreamQueries.pipelineDocs(_, _)),
     // --- the composed curation pipeline (dedup → decon → quality →
     // sample) as one plan, gated end to end
@@ -1043,6 +1045,43 @@ object SparkEntry {
                ORDER BY ccos DESC, c_id DESC) AS rn
            FROM scores) WHERE rn = 1 ORDER BY vec_id"""
 
+  /** Shared by `weak_labels` and `stream_weak_labels`: the labeler is a
+    * stateless per-row projection, so the streaming twin must land the
+    * identical vote table.
+    */
+  private val weakLabelsOracle: String =
+    """WITH t AS (
+           SELECT doc_id, n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_chars,
+             CAST(len(w) AS BIGINT) AS nt,
+             CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+             CAST(len(list_filter(w, x -> length(x) >= 3)) AS BIGINT) AS nl
+           FROM t),
+         r AS (
+           SELECT doc_id,
+             CASE WHEN nt >= 20 THEN 1 WHEN nt < 5 THEN -1 ELSE 0 END AS r1,
+             CASE WHEN nd * 1000000 // nt >= 700000 THEN 1
+                  WHEN nd * 1000000 // nt < 300000 THEN -1 ELSE 0 END AS r2,
+             CASE WHEN nl * 1000000 // nt >= 600000 THEN 1
+                  WHEN nl * 1000000 // nt < 200000 THEN -1 ELSE 0 END AS r3,
+             CASE WHEN n_chars // nt BETWEEN 3 AND 12 THEN 1
+                  WHEN n_chars // nt > 20 THEN -1 ELSE 0 END AS r4
+           FROM f)
+         SELECT doc_id,
+           CAST(r1 AS INT) AS r1, CAST(r2 AS INT) AS r2,
+           CAST(r3 AS INT) AS r3, CAST(r4 AS INT) AS r4,
+           CAST(CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1
+                WHEN r1 + r2 + r3 + r4 < 0 THEN -1 ELSE 0 END AS INT)
+             AS weak_label,
+           CAST(CASE WHEN abs(r1) + abs(r2) + abs(r3) + abs(r4) > 0
+             THEN abs(r1 + r2 + r3 + r4) * 1000000
+               // (abs(r1) + abs(r2) + abs(r3) + abs(r4))
+             ELSE 0 END AS BIGINT) AS confidence_micro
+         FROM r ORDER BY doc_id"""
+
   /** Shared by `cdc_apply` and `stream_cdc`: the streaming merge sink's
     * final snapshot must equal the batch MERGE bit-for-bit, enforced by
     * gating both against this single string.
@@ -1787,38 +1826,9 @@ object SparkEntry {
          ORDER BY lang, source, len_bucket""",
     // weak supervision: four integer-statistic labeling functions with
     // abstention; label = vote sign, confidence = |sum|/non-abstaining
-    "weak_labels" ->
-      """WITH t AS (
-           SELECT doc_id, n_chars,
-             regexp_split_to_array(trim(text), '\s+') AS w
-           FROM documents),
-         f AS (
-           SELECT doc_id, n_chars,
-             CAST(len(w) AS BIGINT) AS nt,
-             CAST(len(list_distinct(w)) AS BIGINT) AS nd,
-             CAST(len(list_filter(w, x -> length(x) >= 3)) AS BIGINT) AS nl
-           FROM t),
-         r AS (
-           SELECT doc_id,
-             CASE WHEN nt >= 20 THEN 1 WHEN nt < 5 THEN -1 ELSE 0 END AS r1,
-             CASE WHEN nd * 1000000 // nt >= 700000 THEN 1
-                  WHEN nd * 1000000 // nt < 300000 THEN -1 ELSE 0 END AS r2,
-             CASE WHEN nl * 1000000 // nt >= 600000 THEN 1
-                  WHEN nl * 1000000 // nt < 200000 THEN -1 ELSE 0 END AS r3,
-             CASE WHEN n_chars // nt BETWEEN 3 AND 12 THEN 1
-                  WHEN n_chars // nt > 20 THEN -1 ELSE 0 END AS r4
-           FROM f)
-         SELECT doc_id,
-           CAST(r1 AS INT) AS r1, CAST(r2 AS INT) AS r2,
-           CAST(r3 AS INT) AS r3, CAST(r4 AS INT) AS r4,
-           CAST(CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1
-                WHEN r1 + r2 + r3 + r4 < 0 THEN -1 ELSE 0 END AS INT)
-             AS weak_label,
-           CAST(CASE WHEN abs(r1) + abs(r2) + abs(r3) + abs(r4) > 0
-             THEN abs(r1 + r2 + r3 + r4) * 1000000
-               // (abs(r1) + abs(r2) + abs(r3) + abs(r4))
-             ELSE 0 END AS BIGINT) AS confidence_micro
-         FROM r ORDER BY doc_id""",
+    "weak_labels" -> weakLabelsOracle,
+    // the stateless streaming twin lands the identical votes
+    "stream_weak_labels" -> weakLabelsOracle,
     // l-diversity: class size + exact distinct sensitive-value count,
     // classes below l — the homogeneity-attack audit on top of kanon
     "ldiv_audit" ->
@@ -3623,6 +3633,7 @@ object SparkEntry {
          GROUP BY e.q_id ORDER BY e.q_id""",
     "kmeans_assign" -> kmeansAssignOracleSql,
     "kcenter_coreset" -> kCenterOracleSql,
+    "minhash_mergeable" -> minhashMergeableOracleSql,
     // mm_features: the stub decode's integer byte-bucket histogram,
     // recomputed from the text characters (the fixture is pure ASCII,
     // FixtureSchemaSpec enforces it — so ord(char) IS the UTF-8 byte),
@@ -3949,6 +3960,31 @@ object SparkEntry {
            CAST(sum(CASE WHEN max_y >= by // 4 AND min_y <= by // 2
              THEN n_rows ELSE 0 END) AS BIGINT) AS rows_y
          FROM man, b GROUP BY layout ORDER BY layout"""
+  }
+
+  /** minhash_mergeable oracle: the DIRECT (unsharded) signature — per
+    * doc, each lane's min md5_60 over all shingles. The Spark side
+    * computes the SHARDED two-level merge; digest equality across
+    * engines is the mergeability proof.
+    */
+  private def minhashMergeableOracleSql: String = {
+    val lanes = (0 until operators.Dedup.MinhashAuditLanes).map(i =>
+      s"min(${duckMd5_60(s"'$i:' || shingle")}) AS m$i")
+      .mkString(",\n           ")
+    val joined = (0 until operators.Dedup.MinhashAuditLanes)
+      .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+    s"""WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         lanes AS (
+           SELECT doc_id,
+           $lanes
+           FROM sh GROUP BY doc_id)
+         SELECT doc_id, m0 AS s0, md5($joined) AS sig_digest
+         FROM lanes ORDER BY doc_id"""
   }
 
   /** PageRank oracle: re-derive [[operators.Graph.linkEdges]]'s synthetic

@@ -485,7 +485,9 @@ object Clustering {
         s"unroll depth — raise KCenterMaxK deliberately), got $k")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val base = vecs.select(col("vec_id"), col("embedding"))
+    // one materialization, k in-memory passes — the traversal re-scans
+    // the corpus per step, so don't pay the source read k times
+    val base = vecs.select(col("vec_id"), col("embedding")).localCheckpoint()
     def dMicro(c: Array[Double]): org.apache.spark.sql.Column = {
       val c2 = c.map(x => x * x).sum
       floor((vecDot(col("embedding"), col("embedding"))

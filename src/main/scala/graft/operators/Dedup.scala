@@ -687,6 +687,52 @@ object Dedup {
   def dupCurveDocs(spark: SparkSession, dir: String): DataFrame =
     dupCurve(Tables(spark, dir).documents)
 
+  /** Lanes for the [[minhashMergeable]] audit — mergeability needs no
+    * recall, so 16 suffice (the production signature keeps 64).
+    */
+  val MinhashAuditLanes = 16
+
+  /** MinHash-signature MERGEABILITY audit — [[Monitoring.hllMergeable]]'s
+    * sibling for the dedup index: per-lane min is associative and
+    * commutative, so a corpus sharded ANY way can maintain per-shard
+    * signatures and merge them by elementwise min — the property that
+    * lets a 1000-shard ingest pipeline keep signature state per shard
+    * and still answer corpus-wide near-dup queries. The gate computes
+    * each doc's signature the SHARDED way (shingles split across
+    * `shards` by hash, per-shard lane mins, merged in a second
+    * aggregate) and the ORACLE computes the direct unsharded signature:
+    * hash equality of the digests IS the mergeability proof, checked
+    * cross-engine.
+    *
+    * Lanes are md5-derived ([[TextAnalysis.md5_60]] over `"i:" ++
+    * shingle`) — the engine-portable audit variant of the xxhash64
+    * production lanes (which DuckDB cannot evaluate; their merge
+    * algebra is identical). Two-level aggregation is the plan shape
+    * under audit: partial mins per (doc, shard), final min across
+    * shards — the wordcount pattern twice.
+    */
+  def minhashMergeable(docs: DataFrame, shards: Int = 4): DataFrame = {
+    require(shards >= 1, s"need >= 1 shard, got $shards")
+    val sh = shingles(docs, 3)
+    val laneCols = (0 until MinhashAuditLanes).map(i =>
+      min(TextAnalysis.md5_60(concat(lit(s"$i:"), col("shingle"))))
+        .as(s"m$i"))
+    val mergeCols = (0 until MinhashAuditLanes).map(i =>
+      min(col(s"m$i")).as(s"m$i"))
+    sh.withColumn("shard", pmod(xxhash64(col("shingle")), lit(shards.toLong)))
+      .groupBy(col("doc_id"), col("shard"))
+      .agg(laneCols.head, laneCols.tail: _*)
+      .groupBy(col("doc_id"))
+      .agg(mergeCols.head, mergeCols.tail: _*)
+      .select(col("doc_id"), col("m0").as("s0"),
+        md5(concat_ws(",", (0 until MinhashAuditLanes)
+          .map(i => col(s"m$i").cast("string")): _*)).as("sig_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  def minhashMergeableDocs(spark: SparkSession, dir: String): DataFrame =
+    minhashMergeable(Tables(spark, dir).documents)
+
   /** Train/eval decontamination — the overlap-removal pass a training
     * pipeline runs before the data ships: drop from the training split
     * every document sharing at least one word n-gram (default 5) with

@@ -178,7 +178,15 @@ object QualityModel {
     * length, lexical diversity, long-token ratio, mean token length.
     * Scan-fused, zero shuffles; every quantity engine-exact.
     */
-  def weakLabels(docs: DataFrame): DataFrame = {
+  def weakLabels(docs: DataFrame): DataFrame =
+    weakLabelsOn(docs).orderBy(col("doc_id"))
+
+  /** [[weakLabels]] without the final sort — the transform itself is a
+    * stateless per-row projection, so the SAME plan runs per
+    * micro-batch under Structured Streaming (the `stream_weak_labels`
+    * gate) where a global sort is neither possible nor meaningful.
+    */
+  def weakLabelsOn(docs: DataFrame): DataFrame = {
     val w = split(trim(col("text")), "\\s+")
     docs.select(col("doc_id"), col("n_chars"),
         size(w).cast("long").as("nt"),
@@ -205,7 +213,6 @@ object QualityModel {
           .otherwise(lit(0L)))
       .select(col("doc_id"), col("r1"), col("r2"), col("r3"), col("r4"),
         col("weak_label"), col("confidence_micro"))
-      .orderBy(col("doc_id"))
   }
 
   def weakLabelsDocs(spark: SparkSession, dir: String): DataFrame =

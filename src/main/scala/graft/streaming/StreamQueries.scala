@@ -312,6 +312,19 @@ object StreamQueries {
       gateDir("admit"))()
       .orderBy("doc_id")
 
+  /** Gated streaming [[graft.operators.QualityModel.weakLabelsOn]]: the
+    * weak-supervision labeler is a stateless per-row projection, so the
+    * ingest-time spelling runs the IDENTICAL plan per micro-batch —
+    * labeling functions evaluated as data lands, the label model's
+    * training set maintained incrementally. Shares the batch gate's
+    * oracle string: the landed votes must equal the batch scan's.
+    */
+  def weakLabelDocs(spark: SparkSession, dir: String): DataFrame =
+    StreamGate.runToParquet(spark,
+      s => graft.operators.QualityModel.weakLabelsOn(streamDocs(s, dir)),
+      gateDir("weaklabels"))()
+      .orderBy("doc_id")
+
   /** Gated STREAMING read through [[graft.sources.LineTable]]'s
     * MicroBatchStream: the fixture materializes as a 3-file line table,
     * the stream drains it through the idempotent parquet sink

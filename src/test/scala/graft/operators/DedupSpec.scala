@@ -98,6 +98,22 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("minhashMergeable: sharded merge equals direct signature for any sharding") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    def run(shards: Int, parts: Int = 0) = {
+      val d = if (parts > 0) docs.repartition(parts) else docs
+      Dedup.minhashMergeable(d, shards).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    }
+    // shards = 1 IS the direct signature; per-lane min is associative,
+    // so any shard count and any partitioning must merge to it exactly
+    val direct = run(1)
+    assert(direct.nonEmpty)
+    assert(run(4) === direct)
+    assert(run(13) === direct)
+    assert(run(4, parts = 17) === direct)
+  }
+
   test("dupCurve: exact ladder for planted family sizes") {
     import spark.implicits._
     // families: one of 3 near-dups, one of 2, plus 2 singletons → 7 docs
