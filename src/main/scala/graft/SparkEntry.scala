@@ -148,6 +148,7 @@ object SparkEntry {
     "bpe_fertility"        -> (TextAnalysis.bpeFertilityDocs(_, _)),
     "unigram_encode"       -> (TextAnalysis.unigramEncodeDocs(_, _)),
     "wordpiece_encode"     -> (TextAnalysis.wordpieceEncodeDocs(_, _)),
+    "tok_compare"          -> (TextAnalysis.tokenizerCompareDocs(_, _)),
     "fim_transform"        -> (TextAnalysis.fimTransformDocs(_, _)),
     "t5_spans"             -> (TextAnalysis.t5SpansDocs(_, _)),
     // --- sentence-aware family (synthesized punctuation, see Sentences)
@@ -1639,6 +1640,23 @@ object SparkEntry {
     "bpe_fertility" -> bpeFertilityOracleSql,
     "unigram_encode" -> unigramEncodeOracleSql,
     "wordpiece_encode" -> wordpieceEncodeOracleSql,
+    // the bake-off table: the three family oracles composed as CTEs —
+    // each family's chain is the SAME string its own gate uses
+    "tok_compare" ->
+      s"""WITH b AS ($bpeEncodeOracleSql),
+         u AS ($unigramEncodeOracleSql),
+         w AS ($wordpieceEncodeOracleSql)
+         SELECT b.doc_id, b.n_words, b.n_bpe_tokens,
+           u.n_pieces AS n_unigram, w.n_pieces AS n_wordpiece,
+           CAST(b.n_bpe_tokens * 1000000 // b.n_words AS BIGINT)
+             AS bpe_fert_micro,
+           CAST(u.n_pieces * 1000000 // b.n_words AS BIGINT)
+             AS unigram_fert_micro,
+           CAST(w.n_pieces * 1000000 // b.n_words AS BIGINT)
+             AS wordpiece_fert_micro
+         FROM b JOIN u ON u.doc_id = b.doc_id
+         JOIN w ON w.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
     "sent_segment" ->
       s"""WITH $sentenceCtes
          SELECT doc_id, sent_id, sentence, n_tokens FROM sents

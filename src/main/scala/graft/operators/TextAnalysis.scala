@@ -1087,6 +1087,39 @@ object TextAnalysis {
   def wordpieceEncodeDocs(spark: SparkSession, dir: String): DataFrame =
     wordpieceEncode(Tables(spark, dir).documents)
 
+  /** Cross-family tokenizer comparison — the table a tokenizer BAKE-OFF
+    * reads: per document, the piece counts and exact micro-fertilities
+    * of all three gated families (BPE merge list, unigram-LM Viterbi,
+    * WordPiece greedy scan) side by side. Fertility differences between
+    * algorithms ON THE SAME corpus are the selection signal (a family
+    * whose fertility spikes on some docs is over-fragmenting them), and
+    * having all three in one deterministic table is what makes the
+    * choice auditable rather than anecdotal.
+    *
+    * Pure reuse: the three encoders run their own (vocabulary-sized)
+    * plans and join on doc_id — the corpus is scanned once per family,
+    * exactly as the individual gates already pay, and fertilities are
+    * positive integer micro-divisions.
+    */
+  def tokenizerCompare(docs: DataFrame): DataFrame = {
+    val b = bpeEncode(docs, PinnedBpeMerges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    val u = unigramEncode(docs)
+      .select(col("doc_id"), col("n_pieces").as("n_unigram"))
+    val w = wordpieceEncode(docs)
+      .select(col("doc_id"), col("n_pieces").as("n_wordpiece"))
+    b.join(u, Seq("doc_id")).join(w, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        col("n_unigram"), col("n_wordpiece"),
+        expr("n_bpe_tokens * 1000000 div n_words").as("bpe_fert_micro"),
+        expr("n_unigram * 1000000 div n_words").as("unigram_fert_micro"),
+        expr("n_wordpiece * 1000000 div n_words").as("wordpiece_fert_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def tokenizerCompareDocs(spark: SparkSession, dir: String): DataFrame =
+    tokenizerCompare(Tables(spark, dir).documents)
+
   def fimTransform(docs: DataFrame, rate: Double = 0.5): DataFrame =
     fimTransformOn(docs, rate).orderBy(col("doc_id"))
 

@@ -583,6 +583,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestSession {
     assert(msg.contains("WordpieceMaxWordLen"), msg)
   }
 
+  test("tokenizerCompare is column-consistent with the three family outputs") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val cmp = TextAnalysis.tokenizerCompare(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val bpe = TextAnalysis.bpeEncode(docs, TextAnalysis.PinnedBpeMerges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val uni = TextAnalysis.unigramEncode(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val wp = TextAnalysis.wordpieceEncode(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cmp.keySet === bpe.keySet)
+    cmp.foreach { case (id, (nw, nb, nu, nwp, bf)) =>
+      assert((nw, nb) === bpe(id), s"doc $id bpe")
+      assert(nu === uni(id), s"doc $id unigram")
+      assert(nwp === wp(id), s"doc $id wordpiece")
+      assert(bf === nb * 1000000L / nw, s"doc $id fertility")
+      // every family segments into at least one piece per word
+      assert(nb >= nw && nu >= nw && nwp >= nw, s"doc $id: fewer pieces than words")
+    }
+  }
+
   test("PinnedBpeMerges is exactly what bpeTrain learns at sf0.01") {
     // provenance pin for the gated bpe_encode entry: the frozen literals
     // must stay the committed trainer output, or the gate is testing a
