@@ -6,9 +6,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Engine.session(cpus, "graft-bench")
     // Dev-only selective run, same contract as Verify: unset = all.
+    // A token is an exact query name unless it ends in `*` (prefix) —
+    // bare-prefix matching made exact lists impossible ("ann_recall"
+    // dragged in ann_recall_pq/rp), which broke like-for-like bisects.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    def selected(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+    def selected(name: String): Boolean = only.forall(_.exists(tok =>
+      if (tok.endsWith("*")) name.startsWith(tok.dropRight(1)) else name == tok))
     val queries = SparkEntry.queries.filter(q => selected(q._1))
     // Warm-up pass: run every query once (same SF) before the timed pass —
     // the standard measure-the-second-run benchmark discipline, in effect
@@ -60,8 +63,19 @@ object Bench {
     }
     val emap = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // every committed artifact self-identifies the code it measured
+    // (round-11 verdict #8) — "-dirty" when the working tree has
+    // uncommitted changes, so a number can never masquerade as a
+    // clean-SHA measurement
+    val commit = try {
+      val sha = scala.sys.process.Process(
+        Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+      val dirty = scala.sys.process.Process(
+        Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
+      if (dirty) sha + "-dirty" else sha
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
     val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""n_err":${errs.size},"errors":$emap,"sf":"$sfDir""""
+      s""""n_err":${errs.size},"errors":$emap,"commit":"$commit","sf":"$sfDir""""
     // Two artifacts from one run:
     //  - FULL file (tracked in-repo as BENCH_FULL.json unless overridden):
     //    every per-query time — the audit trail.

@@ -36,11 +36,19 @@ object Cli {
         val keyed = MapleJuice.mapleExe(wh.readText(src), exe, n.toInt)
         // the status line's key count rides the write itself via
         // Observation (approximate — observe can't do exact distinct) —
-        // no re-scan of the intermediate just to print a number
+        // no re-scan of the intermediate just to print a number.
+        // The intermediate is stored AS a line table through the DSv2
+        // writer — the reference's own on-disk format (its
+        // `<prefix>_<key>` files are exactly these lines), so `get` on
+        // an intermediate hands back text the reference's juice exes
+        // could consume, and the read side below exercises the same
+        // byte-range-split source as every other line-table scan.
         val obs = org.apache.spark.sql.Observation()
-        keyed.observe(obs, org.apache.spark.sql.functions
-            .approx_count_distinct(org.apache.spark.sql.functions.col("key")).as("n_keys"))
-          .write.mode("overwrite").parquet(wh.path(intermediate(prefix)))
+        MapleJuice.toLineTable(
+          keyed.observe(obs, org.apache.spark.sql.functions
+            .approx_count_distinct(org.apache.spark.sql.functions.col("key")).as("n_keys")))
+          .write.format("graft.sources.LineTable").mode("overwrite")
+          .option("path", wh.path(intermediate(prefix))).save()
         s"maple done: ~${obs.get("n_keys")} keys under prefix $prefix"
       // juice <exe> <numTasks> <prefix> <dest> <delete{0|1}> <hash|range>
       case "juice" :: exe :: n :: prefix :: dest :: del :: part :: Nil =>
@@ -48,7 +56,9 @@ object Cli {
           case "range" => MapleJuice.Range
           case _       => MapleJuice.Hash
         }
-        val keyed = spark.read.parquet(wh.path(intermediate(prefix)))
+        val keyed = MapleJuice.fromLineTable(
+          spark.read.format("graft.sources.LineTable")
+            .option("path", wh.path(intermediate(prefix))).load())
         val out = MapleJuice.juiceExe(keyed, exe, n.toInt, partitioning)
         wh.writeText(out, dest, singleFile = true)
         if (del == "1") wh.delete(intermediate(prefix))

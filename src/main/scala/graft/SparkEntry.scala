@@ -65,8 +65,10 @@ object SparkEntry {
     "trace_contact"        -> (Workloads.traceContacts(_, _)),
     // --- the MapleJuice engine surface itself (SURVEY §2.1 E1-E11)
     "mj_wordcount"         -> (Workloads.mjWordCount(_, _)),
+    "mj_wordcount_exe"     -> (Workloads.mjWordCountExe(_, _)),
     "mj_wordcount_range"   -> (Workloads.mjWordCountRange(_, _)),
     "line_table_keys"      -> (sources.LineTable.keyStats(_, _)),
+    "line_table_rt"        -> (sources.LineTable.roundTrip(_, _)),
     // --- training-data pipeline: dedup (SURVEY §7.2-M6)
     "dedup_exact"          -> (Dedup.exactDedup(_, _)),
     "dedup_jaccard"        -> (Dedup.ngramJaccard(_, _)),
@@ -1450,6 +1452,13 @@ object SparkEntry {
          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
                FROM documents)
          WHERE length(word) > 0 GROUP BY word ORDER BY word""",
+    // the literal exe tier computes the same wordcount through external
+    // processes (RDD.pipe + one process per key): same oracle
+    "mj_wordcount_exe" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+               FROM documents)
+         WHERE length(word) > 0 GROUP BY word ORDER BY word""",
     // range partitioning is placement-only (not output-visible): same oracle
     "mj_wordcount_range" ->
       """SELECT word, count(*) AS cnt
@@ -1463,6 +1472,9 @@ object SparkEntry {
     // per-key rollup straight from documents — a split-boundary bug
     // (lost / duplicated / torn line) cannot hash-match
     "line_table_keys" -> lineTableOracle,
+    // the DSv2 WRITE path round trip (append + truncating overwrite)
+    // must land the identical rollup — one shared oracle string
+    "line_table_rt" -> lineTableOracle,
     // streaming ingest through the same source's MicroBatchStream must
     // land exactly the batch row set — one shared oracle string
     "stream_line_ingest" -> lineTableOracle,

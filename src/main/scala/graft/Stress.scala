@@ -66,10 +66,11 @@ object Stress {
     // rows — and the scaling ratios STRESS.md reports compare against
     // the warm-run bench, so the stress pass must be warm too.
     System.err.println("[stress] methodology: warm-run (untimed full pass, then timed)")
-    // Dev-only selective run, same contract as Verify/Bench: unset = all.
+    // Dev-only selective run, same contract as Verify/Bench: unset = all;
+    // exact names, `*` suffix for prefix (see Bench.scala).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    def selected(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+    def selected(name: String): Boolean = only.forall(_.exists(tok =>
+      if (tok.endsWith("*")) name.startsWith(tok.dropRight(1)) else name == tok))
     val queries = SparkEntry.queries.filter(q => selected(q._1))
     queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, out).count() catch {
@@ -77,22 +78,52 @@ object Stress {
           System.err.println(s"[stress] WARM-UP FAILURE $name: ${e.getMessage}")
       }
     }
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Timed pass with a REPRODUCIBILITY contract (round-11 verdict #2):
+    // same-code 10× runs of the 44 M-candidate dedup joins varied up to
+    // 7× (dedup_simhash 2.7/19.5/3.3 s — JIT recompilation + GC landing
+    // differently per run), so a single number on a heavy query proves
+    // nothing. Every query runs once; any query whose first timed run
+    // costs >= repeatThresholdSec runs twice more and reports the MEDIAN,
+    // with all runs kept in the artifact so the spread is visible —
+    // cheap queries stay single-run (their noise is bounded by the
+    // threshold), and the artifact says which regime each number is from.
+    val repeatThresholdSec =
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_REPEAT_SEC", "1.0").toDouble
+    def once(name: String, fn: (SparkSession, String) => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = try fn(spark, out).count() catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[stress] $name failed: ${e.getMessage}")
           -1L
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (sec, n)
+      ((System.nanoTime() - t0) / 1e9, n)
     }
-    val qs = results.map { case (k, (s, n)) => s""""$k":{"sec":$s,"rows":$n}""" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"stress_total","value":${results.map(_._2._1).sum},""" +
-      s""""unit":"sec","factor":$factor,"queries":$qs,"base":"$sfDir"}""")
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = once(name, fn)
+      val runs =
+        if (first._2 >= 0 && first._1 >= repeatThresholdSec)
+          first +: Seq.fill(2)(once(name, fn))
+        else Seq(first)
+      val rows = runs.map(_._2).max // -1 only if every run failed
+      (name, median(runs.map(_._1)), runs.map(_._1), rows)
+    }
+    val commit = try {
+      val sha = scala.sys.process.Process(
+        Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+      val dirty = scala.sys.process.Process(
+        Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
+      if (dirty) sha + "-dirty" else sha
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, med, runs, n) =>
+      s""""$k":{"sec":${fmt(med)},"runs":[${runs.map(fmt).mkString(",")}],"rows":$n}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress_total","value":${fmt(results.map(_._2).sum)},""" +
+      s""""unit":"sec","factor":$factor,"repeat_threshold_sec":$repeatThresholdSec,""" +
+      s""""commit":"$commit","queries":$qs,"base":"$sfDir"}""")
     spark.stop()
     // a smoke that cannot fail is not a smoke
-    if (results.exists(_._2._2 < 0)) sys.exit(1)
+    if (results.exists(_._4 < 0)) sys.exit(1)
   }
 }

@@ -7,13 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // Dev-only selective run: SPARK_GRAFT_ONLY=<prefix>[,<prefix>...]
+    // Dev-only selective run: SPARK_GRAFT_ONLY=<name>[,<name>...]
     // restricts the dump (and the oracle json) to matching query names —
     // lets a new operator iterate against tools/check_oracle.py without
     // re-running the whole surface. Unset (the driver's mode) = run all.
+    // Exact names; `*` suffix for prefix match (see Bench.scala).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    def selected(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+    def selected(name: String): Boolean = only.forall(_.exists(tok =>
+      if (tok.endsWith("*")) name.startsWith(tok.dropRight(1)) else name == tok))
     val spark = Engine.session(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     var nFailed = 0

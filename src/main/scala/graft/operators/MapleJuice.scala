@@ -162,6 +162,26 @@ object MapleJuice {
 
   // ------------------------------------------------------------ sink
 
+  /** Keyed (key, line) rows → the line-table (key, value) shape the
+    * DSv2 [[graft.sources.LineTable]] writer stores: value is the line
+    * minus its leading `<key> ` (empty when the line IS the key). The
+    * inverse is [[fromLineTable]]; a trailing-space-only value
+    * canonicalizes to empty — the same equivalence the read-side
+    * first-space split already implies.
+    */
+  def toLineTable(keyed: DataFrame): DataFrame =
+    keyed.select(col("key"),
+      when(length(col("line")) > length(col("key")),
+        expr("substring(line, length(key) + 2)")).otherwise(lit(""))
+        .as("value"))
+
+  /** Line-table (key, value) rows → the keyed (key, line) shape
+    * [[juice]]/[[juiceExe]] consume. */
+  def fromLineTable(table: DataFrame): DataFrame =
+    table.select(col("key"),
+      when(col("value") === "", col("key"))
+        .otherwise(concat(col("key"), lit(" "), col("value"))).as("line"))
+
   /** Append-concat text sink (E11). The reference appends reduce outputs
     * into one SDFS file in nondeterministic order; Spark writes part-files.
     * `singleFile = true` coalesces to one partition for byte-shape parity

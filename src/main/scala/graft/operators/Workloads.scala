@@ -66,6 +66,36 @@ object Workloads {
       .orderBy(col("word"))
   }
 
+  /** [[mjWordCount]] through the LITERAL exe tier — the E3/E10 external-
+    * executable contract (`maple_juice/maple_juice.go:241-264`: lines on
+    * stdin, lines on stdout, one juice process per key), driven by
+    * POSIX-portable awk programs that mirror the reference's
+    * `mj_exe/wordcount_maple.go` / `juice_wordcount.go` byte-for-byte in
+    * behavior: maple prints `<token> 1` per whitespace token; juice sums
+    * the per-key `1`s and prints `<word> <count>`. Gating this entry
+    * means the driver's CORRECTNESS artifact itself exercises
+    * `RDD.pipe` + the per-key process launch — previously the one §2.1
+    * path whose green light came only from sbt (RefBinarySpec).
+    *
+    * Scale: process launches are per KEY (vocabulary), not per row, and
+    * run inside executor tasks — the same shape the reference uses, and
+    * the reason the literal tier is for exe-compatibility, not the
+    * native hot path.
+    */
+  def mjWordCountExe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir).documents.select(col("text")).as[String]
+    val keyed = MapleJuice.mapleExe(lines,
+      "awk '{for(i=1;i<=NF;i++) print $i, 1}'", 8)
+    val out = MapleJuice.juiceExe(keyed,
+      "awk '{s+=$2} END{if(NR>0) print $1, s}'", 8)
+    out.toDF("line")
+      .select(
+        substring_index(col("line"), " ", 1).as("word"),
+        substring_index(col("line"), " ", -1).cast("long").as("cnt"))
+      .orderBy(col("word"))
+  }
+
   /** [[mjWordCount]] routed through the RANGE juice partitioning
     * (`maple_juice.go:688-706` intended semantics — contiguous key
     * blocks via `repartitionByRange`). Placement is not output-visible,

@@ -6,10 +6,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,6 +77,44 @@ object LineTable {
     * same rollup from the documents table directly: a split-boundary
     * bug (lost, duplicated, or torn line) cannot hash-match.
     */
+  /** Gated entry `line_table_rt`: the full DSv2 WRITE → READ round trip.
+    * Documents are split into the source's (key, value) shape in Spark,
+    * written through [[LineWriteBuilder]] (first APPENDing a decoy row
+    * set, then OVERWRITE with the real data — so the truncate path is
+    * load-bearing: a truncate that failed to delete would leave decoy
+    * rows in the rollup and hash-mismatch), read back through the same
+    * source with a 64 KiB split size, and rolled up per key. Oracle =
+    * the same documents-derived rollup as `line_table_keys`: a writer
+    * bug (lost row, mangled separator, visible temp file, surviving
+    * decoy) cannot hash-match.
+    */
+  def roundTrip(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-linetable-rt-").toString
+    val lines = graft.Engine.Tables(spark, dir).documents
+      .filter(length(trim(col("text"))) > 0 && !col("text").contains("\n"))
+      .select(trim(col("text")).as("line"))
+      .select(
+        substring_index(col("line"), " ", 1).as("key"),
+        when(col("line").contains(" "),
+          expr("substring(line, instr(line, ' ') + 1)")).otherwise(lit(""))
+          .as("value"))
+    val decoy = spark.range(64).select(
+      concat(lit("decoy"), col("id")).as("key"), lit("to be truncated").as("value"))
+    decoy.write.format("graft.sources.LineTable").option("path", tmp)
+      .mode("append").save()
+    lines.write.format("graft.sources.LineTable").option("path", tmp)
+      .mode("overwrite").save()
+    spark.read.format("graft.sources.LineTable")
+      .option("path", tmp)
+      .option("maxSplitBytes", 65536)
+      .load()
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("n_value_chars"))
+      .orderBy(col("key"))
+  }
+
   def keyStats(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-linetable-").toString
@@ -96,7 +135,7 @@ object LineTable {
 }
 
 private class LineTableImpl(path: String, splitBytes: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft.sources.line: missing required option 'path'")
   require(splitBytes > 0, s"maxSplitBytes must be positive, got $splitBytes")
 
@@ -104,10 +143,122 @@ private class LineTableImpl(path: String, splitBytes: Long)
   override def schema(): StructType = LineTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LineScanBuilder(path, splitBytes)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the source's one schema: (key STRING, value STRING). A mismatched
+    // frame is a plan-time error, not a corrupted table.
+    val got = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+    val want = LineTable.Schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"graft.sources.line: write schema must be (key STRING, value STRING), got ${info.schema().simpleString}")
+    new LineWriteBuilder(path)
+  }
+}
+
+/** DSv2 write path (E11 as a first-class sink): each task streams its
+  * rows as `<key> <value>\n` (bare `<key>\n` for an empty value — the
+  * exact inverse of [[LineReader]]'s first-space split, so round-trips
+  * are byte-faithful) into a dot-prefixed temp file the reader's
+  * file filter ignores; job commit renames temps to visible
+  * `part-*.line` names, job abort deletes them. SaveMode.Append adds to
+  * the table; SaveMode.Overwrite arrives as truncate-then-append
+  * (TableCapability.TRUNCATE) and deletes the previously visible data
+  * files inside the same job commit. This is the standard
+  * temp-plus-rename commit protocol: a failed or speculative task
+  * attempt can never leave a half-written VISIBLE file, matching the
+  * atomicity the parquet sinks get from their commit coordinator.
+  */
+private class LineWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new LineBatchWrite(path, doTruncate)
+  }
+}
+
+private final case class LineCommit(tmp: String, finalName: String)
+    extends WriterCommitMessage
+
+private class LineBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LineWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncate && fs.exists(dir))
+      // delete exactly what the reader would have seen — the same
+      // visibility filter LineScan.fileLengths applies
+      LineScan.fileLengths(path).keys.foreach(f => fs.delete(new Path(f), false))
+    messages.foreach { case LineCommit(tmp, finalName) =>
+      val ok = fs.rename(new Path(tmp), new Path(dir, finalName))
+      require(ok, s"graft.sources.line: commit rename failed for $tmp")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    messages.filter(_ != null).foreach { case LineCommit(tmp, _) =>
+      fs.delete(new Path(tmp), false)
+    }
+  }
+}
+
+private class LineWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LineWriter(path, partitionId, taskId)
+}
+
+private class LineWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  // dot prefix = invisible to LineScan.fileLengths until commit renames;
+  // taskId (globally unique per attempt) keeps speculative twins apart
+  private val finalName = f"part-$partitionId%05d-$taskId.line"
+  private val dir = new Path(path)
+  private val tmpPath = new Path(dir, s".$finalName.tmp")
+  private val fs = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val f = dir.getFileSystem(conf)
+    f.mkdirs(dir)
+    f
+  }
+  private val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      "graft.sources.line: key/value must be non-null (the format has no null spelling)")
+    val key = row.getUTF8String(0).toString
+    val value = row.getUTF8String(1).toString
+    // the format cannot represent these — fail the row loudly rather
+    // than write a table that reads back as different rows
+    require(key.nonEmpty && key.indexOf(' ') < 0 && key.indexOf('\n') < 0,
+      s"graft.sources.line: key must be non-empty with no space/newline, got '$key'")
+    require(value.indexOf('\n') < 0,
+      "graft.sources.line: value must not contain a newline")
+    val line = if (value.isEmpty) key else s"$key $value"
+    out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    LineCommit(tmpPath.toString, finalName)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 private class LineScanBuilder(path: String, splitBytes: Long)

@@ -17,6 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamGate {
 
+  // one gate-scoped child per root session (weak keys: a stopped root
+  // session must not be pinned by the cache); conf set only at creation
+  private val gateSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private def sessionFor(spark: SparkSession): SparkSession =
+    gateSessions.synchronized {
+      var child = gateSessions.get(spark)
+      if (child == null) {
+        child = spark.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        gateSessions.put(spark, child)
+      }
+      child
+    }
+
   /** Build a streaming DataFrame with `build` (against a gate-scoped
     * child session — see below), start it into the idempotent parquet
     * sink at `outDir/data` (checkpoint at `outDir/_checkpoint`), run
@@ -28,17 +45,22 @@ object StreamGate {
     * mode callers pass `keepBatchId = true` to select the final
     * emission themselves.
     *
-    * `build` receives a `spark.newSession()` child (same SparkContext,
-    * shared extensions — so every native function is registered — but
-    * ISOLATED SQL conf) with the gate's shuffle-partition setting
-    * applied, and must construct the whole query against it: sources
-    * read through the child bind the query to the child's conf, so the
-    * setting scopes to this gate instead of toggling the shared
-    * session's conf under concurrently running queries (the old
-    * set/restore-in-finally spelling was a read-torn race for any
-    * parallel suite on the shared session). Feed-staged MemoryStream
-    * callers create their stream inside `build` from the session it
-    * receives.
+    * `build` receives a CACHED `spark.newSession()` child (same
+    * SparkContext, shared extensions — so every native function is
+    * registered — but ISOLATED SQL conf) with the gate's
+    * shuffle-partition setting applied, and must construct the whole
+    * query against it: sources read through the child bind the query to
+    * the child's conf, so the setting scopes to gate queries instead of
+    * toggling the shared session's conf under concurrently running
+    * queries (the old set/restore-in-finally spelling was a read-torn
+    * race for any parallel suite on the shared session). The child is
+    * created ONCE per root session and reused by every gate: a fresh
+    * `newSession()` per call rebuilds the whole SessionState (analyzer,
+    * optimizer, all eleven extension injections) and cost the r11 bench
+    * a measured ~0.2-0.5 s PER stream gate over r10; the child's conf is
+    * written only at creation, so reuse is race-free. Feed-staged
+    * MemoryStream callers create their stream inside `build` from the
+    * session it receives.
     */
   def runToParquet(spark: SparkSession, build: SparkSession => DataFrame,
       outDir: String, outputMode: String = "append",
@@ -62,8 +84,7 @@ object StreamGate {
     // it for its own throughput; every gated transform is
     // partition-count-invariant (specs/oracles pin that), so this only
     // moves harness time, not results.
-    val gateSession = spark.newSession()
-    gateSession.conf.set("spark.sql.shuffle.partitions", "8")
+    val gateSession = sessionFor(spark)
     val out = build(gateSession)
     require(out.sparkSession eq gateSession,
       "StreamGate: build(session) must construct its sources from the " +

@@ -296,12 +296,35 @@ object Streaming {
     * collected to the driver for broadcast. Shingles come from the SAME
     * [[graft.operators.Dedup.rawShingles]] expression the batch
     * decontamination uses — one tokenization definition for both modes.
+    *
+    * The "bounded eval corpus" precondition is ENFORCED, not assumed:
+    * the distinct-hash cardinality is counted before the collect and an
+    * over-bound suite fails loudly (same BoundedGlobal discipline as
+    * every other driver-side global in this library). `maxHashes`
+    * defaults to 10M — an ~80 MB broadcast array, comfortably inside
+    * task-broadcast budgets; a genuinely larger suite should use the
+    * probabilistic path ([[graft.operators.Dedup.decontaminateBloom]] /
+    * the `decon_bloom` gate), which sizes a Bloom filter instead of an
+    * exact set and never collects hashes to the driver.
     */
-  def evalShingleHashSet(evalDocs: DataFrame, n: Int = 5): Set[Long] =
-    graft.operators.Dedup.rawShingles(evalDocs, n)
+  def evalShingleHashSet(evalDocs: DataFrame, n: Int = 5,
+      maxHashes: Int = 10000000): Set[Long] = {
+    require(maxHashes > 0, s"maxHashes must be positive, got $maxHashes")
+    // limit(max+1) keeps this ONE job with driver memory bounded at
+    // max+1 longs either way — a separate count() pass would double the
+    // shingle scan just to ask permission
+    val taken = graft.operators.Dedup.rawShingles(evalDocs, n)
       .select(xxhash64(col("shingle")).as("h"))
       .distinct()
-      .collect().map(_.getLong(0)).toSet
+      .limit(maxHashes + 1)
+      .collect()
+    if (taken.length > maxHashes) throw new IllegalStateException(
+      s"evalShingleHashSet: eval corpus has more than $maxHashes distinct " +
+        "shingle hashes — too large for an exact broadcast set; use " +
+        "Dedup.decontaminateBloom (the decon_bloom path), which streams " +
+        "the hashes into a sized Bloom filter instead")
+    taken.map(_.getLong(0)).toSet
+  }
 
   // ------------------------------------------------------- funnel state
 

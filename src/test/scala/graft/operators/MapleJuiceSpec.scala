@@ -54,6 +54,29 @@ class MapleJuiceSpec extends AnyFunSuite with SparkTestSession {
     assert(toMap(out.collect()) === expected)
   }
 
+  test("gated exe query mj_wordcount_exe agrees with the native wordcount") {
+    // the CORRECTNESS-gated spelling (Workloads.mjWordCountExe) must
+    // produce exactly the native plan's result on real testdata — same
+    // tokens, same counts, same column names the oracle hashes
+    val exe = Workloads.mjWordCountExe(spark, "/root/testdata/sf0.001").collect()
+    val native = Workloads.wcDocuments(spark, "/root/testdata/sf0.001").collect()
+    assert(exe.map(r => (r.getString(0), r.getLong(1))).toMap ===
+      native.map(r => (r.getString(0), r.getLong(1))).toMap)
+    assert(exe.nonEmpty)
+  }
+
+  test("toLineTable/fromLineTable round-trip the keyed intermediate") {
+    import spark.implicits._
+    val keyed = Seq(
+      ("alpha", "alpha 1"), ("alpha", "alpha two words"),
+      ("solo", "solo"), ("x", "x ")) // trailing-space value canonicalizes
+      .toDF("key", "line")
+    val back = MapleJuice.fromLineTable(MapleJuice.toLineTable(keyed))
+      .as[(String, String)].collect().sorted.toSeq
+    assert(back === Seq(("alpha", "alpha 1"), ("alpha", "alpha two words"),
+      ("solo", "solo"), ("x", "x")))
+  }
+
   test("literal tier survives a chatty executable (>64KB stderr)") {
     val lines = spark.read.textFile(fixture)
     val keyed = MapleJuice.mapleExe(lines,

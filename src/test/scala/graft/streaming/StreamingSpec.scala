@@ -375,6 +375,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(viaStreamOp === viaBatchOp)
   }
 
+  test("evalShingleHashSet fails loudly past maxHashes, pointing at the Bloom path") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    // works under the bound…
+    assert(Streaming.evalShingleHashSet(evalDocs, maxHashes = 100).nonEmpty)
+    // …and an over-bound suite is a loud failure naming the alternative,
+    // never a silent multi-GB driver collect
+    val e = intercept[IllegalStateException] {
+      Streaming.evalShingleHashSet(evalDocs, maxHashes = 3)
+    }
+    assert(e.getMessage.contains("decontaminateBloom"))
+    assert(e.getMessage.contains("more than 3 distinct"))
+  }
+
   test("simhashQuarantineStream flags exactly the docs with an earlier near-dup") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
