@@ -45,6 +45,17 @@ object Engine {
       // actual size always comes from the operator's argument.
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", (1L << 32).toString)
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", (1L << 36).toString)
+      // STATIC conf (JVM-wide, bound at first-session creation): the
+      // generated-class cache defaults to 100 entries, but a full
+      // Bench/Verify pass plans ~180 queries × several codegen fragments
+      // each — the warm-up pass's Janino compilations are evicted before
+      // the timed pass reaches them, so every timed query pays
+      // recompilation and the suite total grows super-linearly in query
+      // count (the round-11 "uniform like-for-like drift": +18% when the
+      // surface grew 147 → 178 with no plan changes). 4096 holds the
+      // whole suite; the classes live in metaspace/code-cache, which
+      // build.sbt already sizes for hundreds of codegen units.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by

@@ -72,6 +72,7 @@ object SparkEntry {
     // --- training-data pipeline: dedup (SURVEY §7.2-M6)
     "dedup_exact"          -> (Dedup.exactDedup(_, _)),
     "dedup_jaccard"        -> (Dedup.ngramJaccard(_, _)),
+    "dedup_prefix"         -> (Dedup.prefixJaccardDocs(_, _)),
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh(_, _)),
     "dedup_simhash"        -> (Dedup.simhashDocs(_, _)),
     "dedup_clusters"       -> (Dedup.dedupClusters(_, _)),
@@ -1523,6 +1524,31 @@ object SparkEntry {
            FROM cand c
            JOIN sh a ON a.doc_id = c.doc_a
            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+         ORDER BY doc_a, doc_b""",
+    // The PPJoin prefix screen is EXACT (zero recall loss), so its oracle
+    // is the full UNCAPPED Jaccard pair set — stated without any cap or
+    // prefix machinery. DuckDB never reproduces the xxhash64 prefix
+    // order; a single pair the prefix filter wrongly dropped (or a float
+    // ceil that shortened a prefix) hash-mismatches here.
+    "dedup_prefix" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a
+           JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT doc_a, doc_b,
                 round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac

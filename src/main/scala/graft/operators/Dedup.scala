@@ -256,6 +256,79 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsAdaptive(Tables(spark, dir).documents, threshold = 0.8)
 
+  /** PREFIX-FILTERED exact Jaccard join — the AllPairs/PPJoin candidate
+    * screen (Bayardo et al. WWW'07; Xiao et al. WWW'08), the third and
+    * strongest point on the exact-dedup cost/recall curve:
+    *
+    *  - [[jaccardPairs]] (uncapped): exact, but candidate volume is
+    *    Σ_h df(h)² — quadratic on every hot shingle;
+    *  - [[jaccardPairsAdaptive]] (df cap): linear-bounded volume, but
+    *    one-sided recall loss on pairs whose entire overlap is hot
+    *    shingles;
+    *  - THIS: exact — ZERO recall loss — with candidate volume
+    *    Σ_h pdf(h)² over PREFIX document frequencies only.
+    *
+    * Prefix-filter lemma: order the shingle universe by any global total
+    * order (here ascending global df, ties by hash — rarest first, which
+    * makes prefixes maximally selective). If J(A,B) ≥ t then
+    * |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so the FIRST common shingle (in
+    * that order) sits within the first |x| − ⌈t·|x|⌉ + 1 shingles of
+    * BOTH docs: any qualifying pair collides inside the prefixes, and
+    * shingles outside a doc's prefix generate no candidates at all. A
+    * boilerplate header shared by a million docs costs nothing unless it
+    * is among a doc's rarest shingles — exactly the docs for which it is
+    * discriminative.
+    *
+    * The threshold arrives as a RATIONAL (`tNum`/`tDen`) so the prefix
+    * length is exact integer arithmetic — `⌈t·n⌉` via
+    * `(n·tNum + tDen − 1) div tDen`. A double `ceil` that rounded up on
+    * a 0.8·5-style boundary would shorten a prefix and silently drop a
+    * true pair; with integers the bound is provable, and the gated
+    * entry's oracle is the full UNCAPPED exact pair set (the oracle
+    * DuckDB can state independently — it never needs to reproduce the
+    * xxhash64 prefix order), so a single dropped pair hash-mismatches.
+    *
+    * 100 TB shape: two extra narrow shuffles over the (doc_id, h) table
+    * (df join + per-doc rank — the rank window is PARTITIONED by doc_id,
+    * bounded by doc shingle count), then the self-join runs on prefix
+    * rows only (~(1−t) of the corpus shingle volume, df-skewed toward
+    * rare keys). Verification is [[verifiedPairsSided]] over candidates
+    * only, same as every other screen.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, tNum: Long, tDen: Long,
+      n: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    val sh = shingleHashes(docs, n)
+    val dfr = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // The prefix table feeds BOTH sides of the candidate self-join. Left
+    // INLINE deliberately: the two sides canonicalize to the same
+    // exchange, so AQE's ReuseExchange runs the df-join + window sort
+    // once at runtime — measured faster than a localCheckpoint barrier
+    // (2.1 s vs 2.8 s at sf0.1), which pays materialization without
+    // saving work. (Unlike the PQ/RP indexes, nothing here is an
+    // expression CollapseProject could fold into the probe side — the
+    // hazard that forced checkpoints there.) In a warehouse deployment
+    // this is the persisted prefix-index table.
+    val prefix = sh
+      .join(dfr, Seq("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rnk") <=
+        expr(s"n_sh - ((n_sh * $tNum + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("doc_id"), col("h"))
+    val candidates = prefix.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifiedPairs(candidates, sh, tNum.toDouble / tDen)
+  }
+
+  def prefixJaccardDocs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsPrefix(Tables(spark, dir).documents, tNum = 4, tDen = 5)
+
   /** One-sided CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
     * — the asymmetric-duplication detector Jaccard structurally misses.
     * A short doc fully quoted inside a much longer one (snippet inside

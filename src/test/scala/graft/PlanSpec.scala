@@ -197,6 +197,23 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("array_contains"), plan.take(3000))
   }
 
+  test("dedup_prefix: doc-partitioned windows, h-keyed candidate join, reused prefix exchange") {
+    val plan = planOf("dedup_prefix")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // every window is PARTITIONED by doc_id (rank + per-doc size) —
+    // never an unpartitioned global sort
+    val specs = "windowspecdefinition\\(doc_id".r.findAllIn(plan).length
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows > 0 && specs >= windows,
+      s"all $windows Window ops must partition by doc_id ($specs specs):\n${plan.take(3000)}")
+    // candidate generation is an equi-join keyed on the shingle hash
+    // (at corpus scale both sides hash-partition on h and AQE reuses the
+    // canonically-identical prefix exchange; at fixture scale the join
+    // broadcasts — either way, never a cartesian)
+    assert("Join \\[h#".r.findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
   test("dsir_weights: both LMs from one token aggregate, partial-agg'd") {
     val plan = planOf("dsir_weights")
     // the raw and target counts ride one groupBy (conditional sum), so

@@ -49,6 +49,58 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       === uncapped)
   }
 
+  test("prefix-filtered jaccard equals the uncapped pair set on testdata") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = norm(Dedup.jaccardPairs(docs, threshold = 0.8))
+    assert(uncapped.nonEmpty, "fixture should contain planted near-dups")
+    assert(norm(Dedup.jaccardPairsPrefix(docs, tNum = 4, tDen = 5)) === uncapped)
+  }
+
+  test("prefix screen keeps pairs whose overlap is ENTIRELY hot shingles") {
+    import spark.implicits._
+    // 40 docs all sharing one boilerplate block (df 40 — far above any
+    // derived df cap) + per-doc unique tails, plus one true near-dup pair
+    // (0, 1) whose overlap is ONLY that hot boilerplate. The df-capped
+    // screen documents this as its one-sided recall loss; the prefix
+    // screen must still find the pair: for docs 0/1 the boilerplate
+    // shingles are their RAREST (only) shingles, so they sit in the
+    // prefix regardless of global df.
+    val boiler = (1 to 12).map(i => s"license$i").mkString(" ")
+    val docs = (
+      Seq((0L, boiler), (1L, boiler)) ++
+        (2L to 39L).map(i => (i, s"$boiler " + (1 to 30).map(j => s"u${i}w$j").mkString(" ")))
+      ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(docs, tNum = 4, tDen = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((0L, 1L)), s"got $got")
+    assert(got.head._3 === 1.0)
+    // and the df-capped screen indeed misses it on this corpus — the
+    // adversarial shape the prefix filter exists to close
+    assert(Dedup.jaccardPairsAdaptive(docs, threshold = 0.8,
+      pairsPerDoc = 1L).count() === 0L)
+  }
+
+  test("prefix jaccard matches uncapped across thresholds incl. ceil boundaries") {
+    import spark.implicits._
+    // thresholds chosen so t·|x| lands ON integers for fixture doc sizes
+    // (the ⌈t·n⌉ boundary a float ceil can get wrong) and off them
+    val docs = (0L to 11L).map { i =>
+      val base = (1 to 10).map(j => s"w$j").mkString(" ")
+      val tail = (1 to (i % 4).toInt).map(j => s"t${i}x$j").mkString(" ")
+      (i, s"$base $tail")
+    }.toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for ((num, den) <- Seq((1L, 2L), (3L, 4L), (4L, 5L), (9L, 10L), (1L, 1L))) {
+      val t = num.toDouble / den
+      assert(norm(Dedup.jaccardPairsPrefix(docs, num, den)) ===
+        norm(Dedup.jaccardPairs(docs, threshold = t)),
+        s"threshold $num/$den")
+    }
+  }
+
   test("containment catches a doc embedded in a larger doc that jaccard misses") {
     import spark.implicits._
     // doc 1 = doc 0's full text plus 3× as much unrelated prose: every
