@@ -548,16 +548,21 @@ object Dedup {
     * rather than failing, matching the lenient semantics of the other
     * approximate dedup paths.
     */
-  /** Edge-count ceiling for the driver-side union-find fast path: below
-    * it the whole graph is ≤ ~3 MB of Long pairs — cheaper to solve in
-    * microseconds on the driver than to schedule even ONE distributed
-    * round (measured ~1 s/round of scheduler overhead on a 25-edge
-    * graph). A near-dup graph is bounded by duplicate volume, not
-    * corpus size, so most real corpora live under this ceiling; past
-    * it, the co-partitioned RDD loop takes over unchanged. The same
-    * hybrid GraphFrames ships for its CC.
+  /** Edge-count ceiling for the driver-side union-find fast path
+    * (counted on the DIRECTED edge RDD — 2× the pair count). At the
+    * ceiling the collected graph is 1M (Long, Long) tuples ≈ 16 MB of
+    * payload, ~100 MB transient with JVM boxing + the union-find map —
+    * comfortably inside any production driver heap, and solved in
+    * milliseconds where even ONE distributed round costs ~1 s of
+    * scheduler overhead (measured; and the 10×-stress 440k-edge graph
+    * paid ~4-5 s/gate in loop rounds under the old 100k ceiling for a
+    * graph the driver solves instantly). A near-dup graph is bounded by
+    * duplicate volume, not corpus size, so most real corpora live under
+    * this ceiling; past it, the co-partitioned RDD loop takes over
+    * unchanged (the 20× stress probe's ~2M-edge graph still exercises
+    * it). The same hybrid GraphFrames ships for its CC.
     */
-  val SmallGraphMaxEdges = 100000L
+  val SmallGraphMaxEdges = 1000000L
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
       smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
