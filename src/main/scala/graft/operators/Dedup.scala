@@ -106,14 +106,37 @@ object Dedup {
     // the size-only branches prune collect_set out of their aggregates, so
     // this stage joins 8-byte counts, not shingle arrays. The division
     // form mirrors the final jac >= t compare exactly (no boundary skew).
+    //
+    // Every join below is a SHUFFLED HASH join BUILDING ON THE SETS
+    // SLICE (the hint sits on the sets/sizes side). Three strategies
+    // were measured at 20× stress before settling here:
+    //  - planner default: Catalyst's size estimate for the
+    //    post-aggregate `sets` subtree is badly low (aggregates shrink
+    //    sizeInBytes; array rows are ~100× the estimator's per-row
+    //    guess), so it picked a DRIVER BROADCAST of the whole corpus
+    //    array table — borderline OOM at 20× (first timed
+    //    dedup_containment run died building it), hard-fail beyond;
+    //  - sort-merge: spill-safe but pathological — the candidate×array
+    //    intermediate is re-sorted per join side, tens of GB of spill
+    //    I/O (a 43 s query became >10 min);
+    //  - shuffle-hash building the PER-PARTITION sets slice: the build
+    //    is each partition's share of the (docs × signature) table —
+    //    ~7.5 MB/task at 20× — while the candidate stream probes
+    //    without sorting. Scales with docs/partitions (raise
+    //    partitions, not heap, on bigger corpora), never materializes
+    //    anything corpus-wide in one place.
     val pruned = candidates
-      .join(sa.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sb.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .join(sa.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sb.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .filter(least(col("na"), col("nb")) / greatest(col("na"), col("nb"))
         >= threshold)
     pruned
-      .join(sa.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
-      .join(sb.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .join(sa.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sb.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= threshold)
@@ -363,11 +386,15 @@ object Dedup {
       cappedCandidates(sh, derivedDfCap(sh, docs, permille, pairsPerDoc))
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+    // shuffle-hash building the per-partition sets slice — same
+    // broadcast-OOM guard as [[verifiedPairsSided]] (this operator's
+    // first 20×-stress run is what found the hazard; full strategy
+    // comparison there)
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-        col("n_sh").as("na")), Seq("doc_a"))
+        col("n_sh").as("na")).hint("shuffle_hash"), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-        col("n_sh").as("nb")), Seq("doc_b"))
+        col("n_sh").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("cont", col("n_inter") / least(col("na"), col("nb")))
       .filter(col("cont") >= threshold)
