@@ -58,6 +58,15 @@ object Engine {
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE can COALESCE shuffle partitions but never split them, so
+      // `shuffle.partitions` (= cpus) is a hard ceiling that leaves the
+      // heaviest shuffles (the 10×/20×-stress dedup verify joins) with
+      // multi-hundred-MB partitions. Planning shuffles at a finer
+      // initial granularity and letting AQE coalesce back to
+      // target-size partitions gives small queries the same plans as
+      // before (coalesced to a handful) and big ones real parallelism
+      // headroom — the standard AQE sizing idiom.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
       // default; read as Long (ns since epoch) and do exact integer time
       // arithmetic in the queries.
