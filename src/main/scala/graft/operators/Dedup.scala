@@ -636,9 +636,18 @@ object Dedup {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       // roots carry the minimum id of their component by construction
-      // (unions always point the larger root at the smaller)
+      // (unions always point the larger root at the smaller). The result
+      // goes back through parallelize, NOT a driver-Seq toDF: a
+      // LocalRelation would embed up to ~2M rows in the logical plan
+      // (re-serialized into every downstream plan copy), while an RDD
+      // scan keeps the plan O(1) and the rows on executors.
       val nodes = collected.iterator.map(_._1).toArray.distinct
-      return nodes.sorted.toSeq.map(id => (id, find(id))).toDF("id", "component")
+      val rows = nodes.sorted.map(id => (id, find(id)))
+      val nOut = math.max(1, math.min(
+        spark.sessionState.conf.numShufflePartitions, rows.length / 100000 + 1))
+      return spark.createDataset(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, nOut))
+        .toDF("id", "component")
     }
     val nParts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions,
@@ -687,12 +696,27 @@ object Dedup {
     out
   }
 
-  /** End-to-end duplicate clustering: LSH near-dup pairs → connected
-    * components → one row per cluster with its canonical (minimum) doc_id
-    * and member count. Docs in no cluster are implicitly canonical.
+  /** PRODUCTION near-dup pair generation for the clustering family —
+    * the prefix-filtered exact screen ([[jaccardPairsPrefix]]), promoted
+    * here after the 10×/20× stress comparison: it beats the df-capped
+    * adaptive screen 2.4–4× with ZERO recall loss and a tight run
+    * spread, and unlike the LSH screen it cannot miss a pair at all
+    * (LSH's 4e-8 per-pair miss bound is tiny but nonzero). The LSH and
+    * adaptive screens remain first-class as the dedicated
+    * `dedup_minhash_lsh` / `dedup_jaccard` gates — they are the
+    * oracle/fallback spellings and the scale escape hatch for
+    * dup-saturated corpora where even prefix volume grows.
+    */
+  private def nearDupPairs(docs: DataFrame, tNum: Long, tDen: Long): DataFrame =
+    jaccardPairsPrefix(docs, tNum, tDen)
+
+  /** End-to-end duplicate clustering: exact prefix-screened near-dup
+    * pairs → connected components → one row per cluster with its
+    * canonical (minimum) doc_id and member count. Docs in no cluster are
+    * implicitly canonical.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(Tables(spark, dir).documents, threshold = 0.9)
+    val pairs = nearDupPairs(Tables(spark, dir).documents, 9, 10)
     connectedComponents(pairs)
       .groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
@@ -708,8 +732,8 @@ object Dedup {
     * corpus) streams through one broadcast-able anti-join — the dropped
     * set is bounded by duplicate volume, not corpus size.
     */
-  def survivors(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val dropped = connectedComponents(minhashLshPairs(docs, threshold))
+  def survivors(docs: DataFrame, tNum: Long = 9, tDen: Long = 10): DataFrame = {
+    val dropped = connectedComponents(nearDupPairs(docs, tNum, tDen))
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
     docs.select(col("doc_id"))
@@ -730,14 +754,15 @@ object Dedup {
     * so Spark `div` and DuckDB `//` agree) with the cluster size in the
     * clear; unclustered docs weigh 1.0.
     *
-    * Scale shape: [[connectedComponents]] over the banded LSH pair set
-    * (everything the clusters gate already bounds), one component-size
-    * aggregate, then the corpus streams through two broadcast-able
-    * joins keyed on doc_id — the joined side is bounded by duplicate
-    * volume, not corpus size.
+    * Scale shape: [[connectedComponents]] over the exact prefix-screened
+    * pair set (everything the clusters gate already bounds), one
+    * component-size aggregate, then the corpus streams through two
+    * broadcast-able joins keyed on doc_id — the joined side is bounded
+    * by duplicate volume, not corpus size.
     */
-  def softDedupWeights(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val comp = connectedComponents(minhashLshPairs(docs, threshold))
+  def softDedupWeights(docs: DataFrame, tNum: Long = 9,
+      tDen: Long = 10): DataFrame = {
+    val comp = connectedComponents(nearDupPairs(docs, tNum, tDen))
       .withColumnRenamed("id", "doc_id")
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
@@ -769,8 +794,8 @@ object Dedup {
     */
   val DupCurveKs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L)
 
-  def dupCurve(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val comp = connectedComponents(minhashLshPairs(docs, threshold))
+  def dupCurve(docs: DataFrame, tNum: Long = 9, tDen: Long = 10): DataFrame = {
+    val comp = connectedComponents(nearDupPairs(docs, tNum, tDen))
       .withColumnRenamed("id", "doc_id")
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("m"))
     val perDoc = docs.select(col("doc_id"))

@@ -202,11 +202,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     // every window is PARTITIONED by doc_id (rank + per-doc size) —
-    // never an unpartitioned global sort
-    val specs = "windowspecdefinition\\(doc_id".r.findAllIn(plan).length
-    val windows = "Window \\[".r.findAllIn(plan).length
-    assert(windows > 0 && specs >= windows,
-      s"all $windows Window ops must partition by doc_id ($specs specs):\n${plan.take(3000)}")
+    // never an unpartitioned global sort. Count ALL specs and require
+    // every one to carry the doc_id partitioning: a specs >= windows
+    // compare could be satisfied by one doc_id Window evaluating two
+    // functions while a global-spec Window slips in beside it.
+    val docSpecs = "windowspecdefinition\\(doc_id".r.findAllIn(plan).length
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    assert(allSpecs > 0 && docSpecs === allSpecs,
+      s"every window spec must partition by doc_id ($docSpecs/$allSpecs):\n${plan.take(3000)}")
     // candidate generation is an equi-join keyed on the shingle hash
     // (at corpus scale both sides hash-partition on h and AQE reuses the
     // canonically-identical prefix exchange; at fixture scale the join

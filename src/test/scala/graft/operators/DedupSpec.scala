@@ -140,7 +140,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     val docs = Seq(
       (0L, docA), (1L, docA + " x"), (2L, docA + " y"), (3L, docC))
       .toDF("doc_id", "text")
-    val got = Dedup.softDedupWeights(docs, threshold = 0.7)
+    val got = Dedup.softDedupWeights(docs, tNum = 7, tDen = 10)
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq(
       (0L, 3L, 333333L), (1L, 3L, 333333L), (2L, 3L, 333333L),
@@ -175,7 +175,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       (5L, "lonely text number one with quite some words inside"),
       (6L, "another lonely text saying different things entirely ok"))
       .toDF("doc_id", "text")
-    val got = Dedup.dupCurve(docs, threshold = 0.7)
+    val got = Dedup.dupCurve(docs, tNum = 7, tDen = 10)
       .as[(Long, Long, Long)].collect().toSeq
     // m per doc: 3,3,3,2,2,1,1 → ≥1:7, ≥2:5, ≥4/8/16/32:0
     assert(got === Seq(
@@ -285,13 +285,15 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
 
   test("survivors: one canonical doc per near-dup chain, islands keep themselves") {
     import spark.implicits._
-    // 0~1 near-dups (chain via LSH pairs), 2 unrelated: survivors = {0, 2}
+    // 0~1 near-dups (chain via prefix-screened pairs), 2 unrelated:
+    // survivors = {0, 2}
     val docs = Seq((0L, docA), (1L, docA), (2L, docC)).toDF("doc_id", "text")
     val got = Dedup.survivors(docs).as[Long].collect().toSeq
     assert(got === Seq(0L, 2L))
-    // retention invariant on real data: survivors = corpus − (members − clusters)
+    // retention invariant on real data: survivors = corpus − (members −
+    // clusters), with pairs generated the way survivors generates them
     val real = graft.Engine.Tables(spark, "/root/testdata/sf0.01").documents
-    val pairs = Dedup.minhashLshPairs(real, threshold = 0.9)
+    val pairs = Dedup.jaccardPairsPrefix(real, tNum = 9, tDen = 10)
     val members = Dedup.connectedComponents(pairs).count()
     val clusters = Dedup.connectedComponents(pairs)
       .select("component").distinct().count()
