@@ -23,6 +23,12 @@ object Bench {
     // A warm-up failure is loud (it predicts an err row in the timed pass),
     // just not fatal.
     System.err.println(s"[bench] methodology: warm-run (untimed full pass at $sfDir, then timed)")
+    // The warm-up pass is timed as COLD_TOTAL (first-execution cost:
+    // plan compilation + Janino codegen + JIT tiering on top of the
+    // work itself) so the artifact carries both regimes — round-over-
+    // round comparisons read warm_total, cold_total bounds the
+    // first-run experience a fresh session pays.
+    val coldT0 = System.nanoTime()
     try SparkEntry.entry(spark).count() catch {
       case t: Throwable => System.err.println(s"[bench] WARM-UP FAILURE entry: $t")
     }
@@ -31,6 +37,7 @@ object Bench {
         case t: Throwable => System.err.println(s"[bench] WARM-UP FAILURE $name: $t")
       }
     }
+    val coldTotal = (System.nanoTime() - coldT0) / 1e9
     // Timed pass. A failed query is an ERROR row, never a phantom time —
     // round 8 shipped 11 analysis-broken queries that this harness timed
     // at ~0.07 s each (the cost of throwing), which read as improvements
@@ -74,8 +81,16 @@ object Bench {
         Seq("git", "status", "--porcelain")).!!.trim.nonEmpty
       if (dirty) sha + "-dirty" else sha
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
+    // Box-speed canary (round-12 verdict #5/#7): q13_scalar_fns is a pure
+    // scalar-codegen scan whose cost is plan-stable (~0.1 s) and code-
+    // change-insensitive, so cross-round tables can normalize out the
+    // measured ±20% box-to-box speed drift (README) instead of aliasing
+    // it into code deltas. -1 when the canary itself isn't in this run
+    // (SPARK_GRAFT_ONLY dev subsets) or failed.
+    val canary = ok.toMap.getOrElse("q13_scalar_fns", -1.0)
     val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""n_err":${errs.size},"errors":$emap,"commit":"$commit","sf":"$sfDir""""
+      s""""n_err":${errs.size},"cold_total":${fmt(coldTotal)},"warm_total":${fmt(total)},""" +
+      s""""canary_sec":${fmt(canary)},"errors":$emap,"commit":"$commit","sf":"$sfDir""""
     // Two artifacts from one run:
     //  - FULL file (tracked in-repo as BENCH_FULL.json unless overridden):
     //    every per-query time — the audit trail.

@@ -21,7 +21,10 @@ object Engine {
     * SQL-level ones (AQE, shuffle partitions) matter for plan shape.
     */
   def session(cpus: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+    // "0" disables the override entirely (Spark's default: initial =
+    // shuffle.partitions) — the A/B control arm.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       // native expressions (graft.functions.*) enter through the public
@@ -65,14 +68,20 @@ object Engine {
       // initial granularity and letting AQE coalesce back to
       // target-size partitions gives small queries the same plans as
       // before (coalesced to a handful) and big ones real parallelism
-      // headroom — the standard AQE sizing idiom.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // headroom — the standard AQE sizing idiom. Env-overridable for
+      // same-box A/B measurement (SPARK_GRAFT_INIT_PARTS, "0" = leave
+      // Spark's default, i.e. initial = shuffle.partitions); the
+      // retained default is re-justified post-prefix-promotion in
+      // STRESS.md's round-14 A/B section.
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
       // default; read as Long (ns since epoch) and do exact integer time
       // arithmetic in the queries.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (initParts == "0") builder
+      else builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -69,6 +69,7 @@ object SparkEntry {
     "mj_wordcount_range"   -> (Workloads.mjWordCountRange(_, _)),
     "line_table_keys"      -> (sources.LineTable.keyStats(_, _)),
     "line_table_rt"        -> (sources.LineTable.roundTrip(_, _)),
+    "stream_line_rt"       -> (sources.LineTable.streamRoundTrip(_, _)),
     // --- training-data pipeline: dedup (SURVEY §7.2-M6)
     "dedup_exact"          -> (Dedup.exactDedup(_, _)),
     "dedup_jaccard"        -> (Dedup.ngramJaccard(_, _)),
@@ -76,6 +77,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh(_, _)),
     "dedup_simhash"        -> (Dedup.simhashDocs(_, _)),
     "dedup_clusters"       -> (Dedup.dedupClusters(_, _)),
+    "dedup_clusters_loop"  -> (Dedup.dedupClustersLoop(_, _)),
     "dedup_survivors"      -> (Dedup.dedupSurvivors(_, _)),
     "decon_survivors"      -> (Dedup.deconSurvivors(_, _)),
     "decon_bloom"          -> (Dedup.deconBloomSurvivors(_, _)),
@@ -1109,6 +1111,41 @@ object SparkEntry {
            SELECT doc_id, text FROM ups)
          ORDER BY doc_id"""
 
+  /** Shared by `dedup_clusters` and `dedup_clusters_loop`: the driver
+    * union-find fast path and the forced distributed label-propagation
+    * loop must produce the identical clustering (one row per cluster,
+    * canonical = min doc_id, member count) — the closure over the exact
+    * near-dup pair set, which DuckDB derives independently via a
+    * recursive CTE.
+    */
+  private val dedupClustersOracle: String =
+    """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(u, comp) AS (
+             SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             UNION
+             SELECT e.u, r.comp FROM edges e JOIN r ON e.v = r.u)
+           SELECT u, min(comp) AS component FROM r GROUP BY u)
+         SELECT component AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         FROM reach GROUP BY 1 ORDER BY 1"""
+
   /** Shared by `line_table_keys` and `stream_line_ingest`: both the
     * batch scan and the MicroBatchStream ingest of the DSv2 line-table
     * source must reproduce the per-key rollup DuckDB derives straight
@@ -1479,6 +1516,9 @@ object SparkEntry {
     // streaming ingest through the same source's MicroBatchStream must
     // land exactly the batch row set — one shared oracle string
     "stream_line_ingest" -> lineTableOracle,
+    // streaming WRITE through the source's StreamingWrite (epoch-
+    // addressed append) must land the identical rollup too
+    "stream_line_rt" -> lineTableOracle,
     // Mirrors the DF-capped scale path with the CORPUS-DERIVED cap
     // (Dedup.derivedDfCap): min of the 99.9%-of-distinct-shingles
     // quantile bound and the 1000-pairs-per-doc candidate-volume budget
@@ -2228,33 +2268,11 @@ object SparkEntry {
          FROM g GROUP BY label ORDER BY label""",
     // clusters = transitive closure over the exact near-dup pairs (the
     // LSH pair set equals the exact set — see dedup_minhash_lsh above)
-    "dedup_clusters" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-                 FROM documents),
-                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
-           WHERE len(w) >= 3),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT doc_a, doc_b FROM inter
-           JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-           WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.9),
-         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-                   UNION ALL SELECT doc_b, doc_a FROM pairs),
-         reach AS (
-           WITH RECURSIVE r(u, comp) AS (
-             SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-             UNION
-             SELECT e.u, r.comp FROM edges e JOIN r ON e.v = r.u)
-           SELECT u, min(comp) AS component FROM r GROUP BY u)
-         SELECT component AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
-         FROM reach GROUP BY 1 ORDER BY 1""",
+    "dedup_clusters" -> dedupClustersOracle,
+    // the forced distributed-label-propagation twin must produce the
+    // IDENTICAL clustering — one shared oracle string pins driver-
+    // union-find vs RDD-loop path equality at every gated SF
+    "dedup_clusters_loop" -> dedupClustersOracle,
     // soft dedup: same pair set + closure as dedup_clusters, but every
     // doc stays with weight 1/cluster-size in positive micro ints
     "dedup_weights" ->

@@ -640,7 +640,14 @@ object Dedup {
       // goes back through parallelize, NOT a driver-Seq toDF: a
       // LocalRelation would embed up to ~2M rows in the logical plan
       // (re-serialized into every downstream plan copy), while an RDD
-      // scan keeps the plan O(1) and the rows on executors.
+      // scan keeps the plan O(1) and the rows on executors. Stats trade,
+      // acknowledged: an RDD scan reports defaultSizeInBytes (huge), so
+      // the downstream joins the clustering family documents as
+      // "broadcast-able" (survivors anti-join, softDedupWeights/dupCurve
+      // left joins) rely on AQE's runtime size-based conversion — which
+      // Engine.session always enables. A deployment running with AQE off
+      // would plan sort-merge there; if that matters, persist-with-count
+      // this result so static stats stay broadcast-eligible.
       val nodes = collected.iterator.map(_._1).toArray.distinct
       val rows = nodes.sorted.map(id => (id, find(id)))
       val nOut = math.max(1, math.min(
@@ -706,22 +713,82 @@ object Dedup {
     * `dedup_minhash_lsh` / `dedup_jaccard` gates — they are the
     * oracle/fallback spellings and the scale escape hatch for
     * dup-saturated corpora where even prefix volume grows.
+    *
+    * The pair table is MATERIALIZED ONCE PER (corpus, threshold) and
+    * shared session-wide: all four clustering consumers ([[clusters]],
+    * [[survivors]], [[softDedupWeights]], [[dupCurve]]) run the same
+    * screen over the same corpus, and in a production pipeline the pair
+    * set is a persisted intermediate table computed once per curation
+    * run, not re-derived per report. The cache key is the CANONICALIZED
+    * logical plan of the docs input (so two scans of the same parquet
+    * path hit, different paths/thresholds miss) and the value is a
+    * `persist(MEMORY_AND_DISK)`-cached frame: recomputable lineage (a
+    * lost executor re-derives partitions, unlike localCheckpoint), and
+    * once materialized the InMemoryRelation reports REAL stats, so the
+    * downstream duplicate-volume-bounded joins broadcast on actual
+    * sizes. Bounded: pairs are duplicate-volume-sized (1M pairs = ~16 MB
+    * at the 20× probe), ≤ 4 corpora cached per session with
+    * eldest-eviction + unpersist, sessions weakly keyed.
     */
-  private def nearDupPairs(docs: DataFrame, tNum: Long, tDen: Long): DataFrame =
-    jaccardPairsPrefix(docs, tNum, tDen)
+  private val PairCacheMaxEntries = 4
+  private val pairCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long), DataFrame]]())
+
+  private def nearDupPairs(docs: DataFrame, tNum: Long, tDen: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val perSession = pairCache.synchronized {
+      var m = pairCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.LinkedHashMap.empty
+        pairCache.put(spark, m)
+      }
+      m
+    }
+    val key = (docs.queryExecution.analyzed.canonicalized, tNum, tDen)
+    perSession.synchronized {
+      perSession.getOrElseUpdate(key, {
+        if (perSession.size >= PairCacheMaxEntries) {
+          val (oldKey, oldDf) = perSession.head
+          perSession.remove(oldKey)
+          oldDf.unpersist(blocking = false)
+        }
+        jaccardPairsPrefix(docs, tNum, tDen)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+  }
 
   /** End-to-end duplicate clustering: exact prefix-screened near-dup
     * pairs → connected components → one row per cluster with its
     * canonical (minimum) doc_id and member count. Docs in no cluster are
-    * implicitly canonical.
+    * implicitly canonical. Threshold arrives as the same tNum/tDen
+    * rational (default 9/10) as the sibling entry points.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(Tables(spark, dir).documents, 9, 10)
-    connectedComponents(pairs)
+  def clusters(docs: DataFrame, tNum: Long = 9, tDen: Long = 10,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame =
+    connectedComponents(nearDupPairs(docs, tNum, tDen),
+      smallGraphMaxEdges = smallGraphMaxEdges)
       .groupBy(col("component").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_id"))
-  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusters(Tables(spark, dir).documents)
+
+  /** Gated twin of `dedup_clusters` that FORCES the distributed
+    * label-propagation path (`smallGraphMaxEdges = 0` — no graph
+    * qualifies for the driver union-find fast path), sharing the batch
+    * gate's oracle string so path equality is hash-pinned by the
+    * correctness gate itself, at every SF the driver runs. Exists
+    * because every naturally-gated run of the clustering family takes
+    * the fast path (near-dup graphs are duplicate-bounded and sit under
+    * the 1M-edge ceiling up to ~10× stress scale): without this entry
+    * the RDD loop — the code 100 TB corpora actually run — would be
+    * exercised only by un-gated probes.
+    */
+  def dedupClustersLoop(spark: SparkSession, dir: String): DataFrame =
+    clusters(Tables(spark, dir).documents, smallGraphMaxEdges = 0L)
 
   /** The retention side of fuzzy dedup — the doc_ids that SURVIVE: every
     * cluster keeps exactly its canonical (minimum) member, docs in no

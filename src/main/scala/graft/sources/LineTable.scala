@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -115,6 +116,52 @@ object LineTable {
       .orderBy(col("key"))
   }
 
+  /** Gated entry `stream_line_rt`: the STREAMING write path round trip —
+    * the streaming twin of `line_table_rt`. Documents are staged into a
+    * line table through the (already-gated) batch writer, streamed back
+    * out through the source's MicroBatchStream, sunk through
+    * [[LineStreamingWrite]] into a second line table under
+    * Trigger.AvailableNow, and the landed table is read back and rolled
+    * up per key. Oracle = the same documents-derived rollup
+    * (`lineTableOracle`): a streaming-writer bug (lost epoch, double
+    * append, visible temp, torn line) cannot hash-match. This closes the
+    * LineTable capability asymmetry — a streaming pipeline sinking into
+    * the reference's format no longer detours through foreachBatch.
+    */
+  def streamRoundTrip(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stage = java.nio.file.Files.createTempDirectory("graft-linetable-srt-in-").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-linetable-srt-out-").toString
+    graft.Engine.Tables(spark, dir).documents
+      .filter(length(trim(col("text"))) > 0 && !col("text").contains("\n"))
+      .select(trim(col("text")).as("line"))
+      .select(
+        substring_index(col("line"), " ", 1).as("key"),
+        when(col("line").contains(" "),
+          expr("substring(line, instr(line, ' ') + 1)")).otherwise(lit(""))
+          .as("value"))
+      .write.format("graft.sources.LineTable").option("path", stage)
+      .mode("overwrite").save()
+    val q = spark.readStream.format("graft.sources.LineTable")
+      .option("path", stage)
+      .option("maxSplitBytes", 65536)
+      .load()
+      .writeStream.format("graft.sources.LineTable")
+      .option("path", s"$out/table")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("graft.sources.LineTable")
+      .option("path", s"$out/table")
+      .option("maxSplitBytes", 65536)
+      .load()
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("n_value_chars"))
+      .orderBy(col("key"))
+  }
+
   def keyStats(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-linetable-").toString
@@ -144,7 +191,8 @@ private class LineTableImpl(path: String, splitBytes: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LineScanBuilder(path, splitBytes)
@@ -179,6 +227,12 @@ private class LineWriteBuilder(path: String)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new LineBatchWrite(path, doTruncate)
+    override def toStreaming: StreamingWrite = {
+      require(!doTruncate,
+        "graft.sources.line: streaming writes are append-only (the format " +
+          "is the reference's append-concat sink); use a batch overwrite to truncate")
+      new LineStreamingWrite(path)
+    }
   }
 }
 
@@ -212,18 +266,72 @@ private class LineBatchWrite(path: String, truncate: Boolean) extends BatchWrite
   }
 }
 
-private class LineWriterFactory(path: String) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LineWriter(path, partitionId, taskId)
+/** E11's streaming face (STREAMING_WRITE): each micro-batch epoch
+  * appends through the same temp-plus-rename protocol as the batch
+  * writer, with EPOCH-ADDRESSED final names (`part-e<epoch>-<partition>
+  * .line` — deterministic per (epochId, partitionId), no taskId) so a
+  * replayed epoch is idempotent: if the destination already exists, the
+  * replay's commit discards its temp instead of double-appending — the
+  * same batch-id-addressed exactly-once-effect discipline the engine's
+  * parquet streaming sink uses. Within an epoch, speculative task twins
+  * stay apart via taskId-suffixed temp names; only the committed
+  * attempt's message gets renamed. Streaming writes are append-only
+  * (the format is the reference's append-concat sink, SURVEY §2.1-E11);
+  * truncation is the batch overwrite path's job.
+  */
+private class LineStreamingWrite(path: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LineStreamingWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    messages.foreach { case LineCommit(tmp, finalName) =>
+      val dest = new Path(dir, finalName)
+      if (fs.exists(dest)) {
+        // epoch replay after a failure between sink commit and
+        // checkpoint commit: the epoch's data is already visible —
+        // drop the replay's temp, never append twice
+        fs.delete(new Path(tmp), false)
+      } else {
+        val ok = fs.rename(new Path(tmp), dest)
+        require(ok, s"graft.sources.line: streaming commit rename failed for $tmp")
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    messages.filter(_ != null).foreach { case LineCommit(tmp, _) =>
+      fs.delete(new Path(tmp), false)
+    }
+  }
 }
 
-private class LineWriter(path: String, partitionId: Int, taskId: Long)
+private class LineStreamingWriterFactory(path: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LineWriter(path,
+      finalName = f"part-e$epochId%05d-$partitionId%05d.line",
+      tmpSuffix = s".$taskId.tmp")
+}
+
+private class LineWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    // taskId (globally unique per attempt) in the FINAL name: batch
+    // commits happen exactly once per job, so uniqueness is all that's
+    // needed and speculative twins can never collide
+    new LineWriter(path, finalName = f"part-$partitionId%05d-$taskId.line",
+      tmpSuffix = ".tmp")
+}
+
+private class LineWriter(path: String, finalName: String, tmpSuffix: String)
     extends DataWriter[InternalRow] {
-  // dot prefix = invisible to LineScan.fileLengths until commit renames;
-  // taskId (globally unique per attempt) keeps speculative twins apart
-  private val finalName = f"part-$partitionId%05d-$taskId.line"
+  // dot prefix = invisible to LineScan.fileLengths until commit renames
   private val dir = new Path(path)
-  private val tmpPath = new Path(dir, s".$finalName.tmp")
+  private val tmpPath = new Path(dir, s".$finalName$tmpSuffix")
   private val fs = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val f = dir.getFileSystem(conf)

@@ -283,6 +283,17 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("dedup_clusters_loop: forced label-propagation equals the fast path end-to-end") {
+    // the gated twin forces smallGraphMaxEdges = 0 (every graph takes the
+    // RDD loop); clustering must be bit-identical to the driver fast path
+    val fast = Dedup.dedupClusters(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val loop = Dedup.dedupClustersLoop(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast.nonEmpty, "fixture should contain near-dup clusters")
+    assert(loop === fast)
+  }
+
   test("survivors: one canonical doc per near-dup chain, islands keep themselves") {
     import spark.implicits._
     // 0~1 near-dups (chain via prefix-screened pairs), 2 unrelated:
