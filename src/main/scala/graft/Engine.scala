@@ -21,9 +21,18 @@ object Engine {
     * SQL-level ones (AQE, shuffle partitions) matter for plan shape.
     */
   def session(cpus: Int = 32, appName: String = "graft"): SparkSession = {
-    // "0" disables the override entirely (Spark's default: initial =
-    // shuffle.partitions) — the A/B control arm.
-    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256")
+    // RETIRED as a default in round 14 (was 256 in round 13, added for
+    // AQE parallelism headroom on the heavy verify joins): a same-box
+    // A/B at the round-14 SHA measured the finer initial granularity a
+    // WASH at 1× (90.86 s vs 90.70 s full suite) and a clear LOSS at
+    // 10× on the very queries it was meant to help — dedup_containment
+    // 50.4 → 24.7 s, the clustering family ~0.65×, heavy-gate total
+    // 98.2 → 71.2 s with the override off (numbers in STRESS.md §r14).
+    // The r12 beneficiaries were the PRE-shuffle_hash verify plans; with
+    // builds pinned to per-partition sets slices, 8× more shuffle tasks
+    // is pure scheduling/locality overhead. "0" = leave Spark's default
+    // (initial = shuffle.partitions); any value sets the conf for A/B.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "0")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -61,18 +70,6 @@ object Engine {
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE can COALESCE shuffle partitions but never split them, so
-      // `shuffle.partitions` (= cpus) is a hard ceiling that leaves the
-      // heaviest shuffles (the 10×/20×-stress dedup verify joins) with
-      // multi-hundred-MB partitions. Planning shuffles at a finer
-      // initial granularity and letting AQE coalesce back to
-      // target-size partitions gives small queries the same plans as
-      // before (coalesced to a handful) and big ones real parallelism
-      // headroom — the standard AQE sizing idiom. Env-overridable for
-      // same-box A/B measurement (SPARK_GRAFT_INIT_PARTS, "0" = leave
-      // Spark's default, i.e. initial = shuffle.partitions); the
-      // retained default is re-justified post-prefix-promotion in
-      // STRESS.md's round-14 A/B section.
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
       // default; read as Long (ns since epoch) and do exact integer time
       // arithmetic in the queries.
