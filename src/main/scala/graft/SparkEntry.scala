@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Monitoring, Multimodal, Packing, QualityModel, Relational, Retrieval, Similarity, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Monitoring, Multimodal, Packing, QualityModel, Relational, Retrieval, Similarity, Skew, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,8 @@ object SparkEntry {
     "cohort_retention"     -> (Analytics.cohortRetention(_, _)),
     "funnel_stages"        -> (Analytics.funnelStages(_, _)),
     "skew_salted_agg"      -> (Analytics.skewSaltedAgg(_, _)),
+    "skew_split_join"      -> (Skew.skewSplitJoinEvents(_, _)),
+    "bucket_join"          -> (Skew.bucketJoinOrders(_, _)),
     "hh_heavy_hitters"     -> (HeavyHitters.frequentUsers(_, _)),
     // --- reference workloads A/B/C (SURVEY §2.3) on driver testdata
     "wc_wordcount"         -> (Workloads.wcDocuments(_, _)),
@@ -2821,6 +2823,21 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          round(sum(value), 2) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the hot/cold split is routing only — ANY hot set unions back to
+    // exactly the plain inner join, which is what the oracle states
+    "skew_split_join" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment,
+         round(value, 2) AS value
+         FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
+    // bucketing is a physical layout choice — the oracle is the plain
+    // join + rollup the bucketed plan must reproduce byte-for-byte
+    "bucket_join" ->
+      """SELECT o_custkey AS c_custkey, c_mktsegment,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY 1""",
     "q26_correlated" ->
       """SELECT p_brand,
          round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Engine.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,13 +64,86 @@ object Skew {
     * the "pay the shuffle once, reuse forever" pattern for fact-fact joins
     * repeated across a pipeline. Tables land in the session catalog
     * (`spark.sql.warehouse.dir`).
+    *
+    * Re-runnable by construction: a managed-table CREATE fails loudly if
+    * the catalog has forgotten the table but its warehouse directory
+    * survived (a fresh in-memory-catalog JVM over a prior run's files),
+    * so any orphaned location is deleted before the write.
     */
   def bucketize(spark: SparkSession, df: DataFrame, table: String,
       key: String, buckets: Int = 32): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
     spark.table(table)
+  }
+
+  /** Gated entry for [[skewSplitJoin]]: enrich every event with its
+    * user's market segment, routing the heaviest users through the
+    * broadcast slice. The hot set is DISCOVERED, not assumed — a top-k
+    * count probe whose driver pull is bounded by `limit(topK)` (the
+    * repo's bounded-collect contract; k rows of one long each). The
+    * split is correctness-invariant for ANY hot set — hot and cold
+    * slices partition the key space and union back to exactly the plain
+    * inner join — so the oracle is that plain join, and the probe's
+    * choice can never change the result, only the routing. At 100 TB
+    * the probe is one map-side-combined count over the fact table
+    * (amortizable: production pipelines persist last run's heavy-hitter
+    * list), and the payoff is that the hottest keys' rows never enter
+    * the shuffle that their skew would otherwise stall.
+    */
+  def skewSplitJoinEvents(spark: SparkSession, dir: String,
+      topK: Int = 8): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    val dim = t.customer.select(col("c_custkey").as("user_id"),
+      col("c_mktsegment"))
+    val hot: Seq[Any] = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(topK)
+      .collect().map(_.getLong(0)).toSeq
+    skewSplitJoin(ev, dim, "user_id", hot)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gated entry for [[bucketize]]: both join sides land in the catalog
+    * bucketed by the customer key, then the per-customer order rollup
+    * reads co-partitioned buckets — the scan's HashPartitioning(key)
+    * satisfies BOTH the join and the groupBy distribution, so the whole
+    * query plans without a single hash exchange (only the presentation
+    * range-sort shuffles; BucketJoinSpec pins the exchange-free property
+    * with broadcast disabled, the fact-fact regime). The write pays the
+    * one shuffle-equivalent pass that every later join on the key skips
+    * — the standard layout investment for a fact table joined
+    * repeatedly across a pipeline. Grouping keys come from the BUCKETED
+    * side (`o_custkey`) so the partitioning guarantee propagates through
+    * the join regardless of which side the planner builds.
+    */
+  def bucketJoinOrders(spark: SparkSession, dir: String,
+      buckets: Int = 16): DataFrame = {
+    val t = Tables(spark, dir)
+    val bo = bucketize(spark, t.orders.select(col("o_custkey"),
+      col("o_totalprice")), "graft_b_orders", "o_custkey", buckets)
+    val bc = bucketize(spark, t.customer.select(col("c_custkey"),
+      col("c_mktsegment")), "graft_b_customer", "c_custkey", buckets)
+    bo.join(bc, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+      .select(col("o_custkey").as("c_custkey"), col("c_mktsegment"),
+        col("n_orders"), col("total_spend"))
+      .orderBy(col("c_custkey"))
   }
 }

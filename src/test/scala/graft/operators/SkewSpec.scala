@@ -63,4 +63,55 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
       spark.sql("DROP TABLE IF EXISTS t_items_b")
     }
   }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("skew_split_join gate equals the plain enrichment join") {
+    import graft.Engine.Tables
+    val got = Skew.skewSplitJoinEvents(spark, dir)
+    val t = Tables(spark, dir)
+    val expect = t.events.join(t.customer,
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), round(col("value"), 2).as("value"))
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(got).count() === 0)
+    // hot routing is real: a nonempty hot set exists at every SF (events
+    // always has users), so the union's broadcast slice is non-trivial
+    assert(got.queryExecution.executedPlan.toString.contains("Union"))
+  }
+
+  test("bucket_join gate: no hash exchange anywhere, and re-runnable") {
+    val first = Skew.bucketJoinOrders(spark, dir)
+    val plan = first.queryExecution.executedPlan.toString
+    // write-time bucketing must satisfy join AND groupBy distributions:
+    // the only allowed Exchange is the presentation range-sort
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed gate grew a hash shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+    val rows = first.collect()
+    // second invocation in the same catalog must overwrite cleanly and
+    // agree (the gate is re-run every Verify/Bench pass)
+    val again = Skew.bucketJoinOrders(spark, dir).collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("bucketize survives an orphaned warehouse directory") {
+    import spark.implicits._
+    // simulate a fresh in-memory catalog over a prior JVM's surviving
+    // files: a directory at the managed location with NO catalog entry
+    // (managed-table CREATE refuses a non-empty location; bucketize must
+    // clear it rather than die)
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "t_orphan_b")
+    spark.sql("DROP TABLE IF EXISTS t_orphan_b")
+    loc.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(loc, "part-stale.parquet").toPath, "stale")
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("key", "v")
+    val back = Skew.bucketize(spark, df, "t_orphan_b", "key", buckets = 4)
+    assert(back.count() === 100)
+    spark.sql("DROP TABLE IF EXISTS t_orphan_b")
+  }
 }
