@@ -88,9 +88,23 @@ object Bench {
     // it into code deltas. -1 when the canary itself isn't in this run
     // (SPARK_GRAFT_ONLY dev subsets) or failed.
     val canary = ok.toMap.getOrElse("q13_scalar_fns", -1.0)
+    // Gates whose TIMED pass reads a PlanCache-warm materialized
+    // intermediate (the near-dup pair table / sentence segmentation,
+    // built during the warm-up pass — the production landed-intermediate
+    // shape). Their warm times price the downstream computation only;
+    // the full recompute is priced by the dedicated uncached gates
+    // (dedup_prefix, sent_segment) and by cold_total. Named in the
+    // artifact (round-14 verdict #4) so round-over-round totals can
+    // separate accounting moves from plan wins without re-deriving it.
+    val cachedGates = Seq("dedup_clusters", "dedup_clusters_loop",
+        "dedup_survivors", "dedup_weights", "dup_curve",
+        "sent_dedup", "sent_chunks")
+      .filter(queries.contains)
+    val cachedArr = cachedGates.map(jstr).mkString("[", ",", "]")
     val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_err":${errs.size},"cold_total":${fmt(coldTotal)},"warm_total":${fmt(total)},""" +
-      s""""canary_sec":${fmt(canary)},"errors":$emap,"commit":"$commit","sf":"$sfDir""""
+      s""""canary_sec":${fmt(canary)},"cached_intermediate":$cachedArr,""" +
+      s""""errors":$emap,"commit":"$commit","sf":"$sfDir""""
     // Two artifacts from one run:
     //  - FULL file (tracked in-repo as BENCH_FULL.json unless overridden):
     //    every per-query time — the audit trail.

@@ -352,6 +352,75 @@ object Dedup {
   def prefixJaccardDocs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsPrefix(Tables(spark, dir).documents, tNum = 4, tDen = 5)
 
+  /** Best rational approximation of `t` with denominator ≤ `maxDen`,
+    * by continued-fraction convergents. Exact for every decimal-literal
+    * threshold a caller would write (0.8 → 4/5, 0.85 → 17/20,
+    * 0.9 → 9/10): the double nearest such a literal has the literal as
+    * its best small-denominator rational. Backs the deprecated
+    * `threshold: Double` compatibility overloads below.
+    */
+  private[graft] def toRational(t: Double, maxDen: Long = 1000000L): (Long, Long) = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
+    var (p0, q0, p1, q1) = (0L, 1L, 1L, 0L) // convergents h₋₂/k₋₂ = 0/1, h₋₁/k₋₁ = 1/0
+    var x = t
+    var done = false
+    while (!done) {
+      val a = math.floor(x).toLong
+      val p2 = a * p1 + p0
+      val q2 = a * q1 + q0
+      if (q2 > maxDen) done = true
+      else {
+        p0 = p1; q0 = q1; p1 = p2; q1 = q2
+        val frac = x - a
+        if (frac < 1e-12) done = true else x = 1.0 / frac
+      }
+    }
+    (p1, q1)
+  }
+
+  // ---- Deprecated Double-threshold compatibility overloads -------------
+  // The r13 rational-threshold change (`threshold: Double` → `tNum/tDen`,
+  // motivated in [[jaccardPairsPrefix]]'s scaladoc: exact integer prefix
+  // bounds, no double-ceil boundary bugs) broke external Double callers.
+  // These shims convert through [[toRational]] and delegate; internal
+  // code and the gated entries use the rational forms directly.
+
+  @deprecated("thresholds are rationals now (exact prefix arithmetic); " +
+    "use jaccardPairsPrefix(docs, tNum, tDen, n) — this overload converts " +
+    "via the nearest rational", "0.1.0")
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double, n: Int): DataFrame = {
+    val (tn, td) = toRational(threshold)
+    jaccardPairsPrefix(docs, tn, td, n)
+  }
+
+  @deprecated("thresholds are rationals now; use clusters(docs, tNum, tDen)",
+    "0.1.0")
+  def clusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val (tn, td) = toRational(threshold)
+    clusters(docs, tn, td)
+  }
+
+  @deprecated("thresholds are rationals now; use survivors(docs, tNum, tDen)",
+    "0.1.0")
+  def survivors(docs: DataFrame, threshold: Double): DataFrame = {
+    val (tn, td) = toRational(threshold)
+    survivors(docs, tn, td)
+  }
+
+  @deprecated("thresholds are rationals now; use softDedupWeights(docs, tNum, tDen)",
+    "0.1.0")
+  def softDedupWeights(docs: DataFrame, threshold: Double): DataFrame = {
+    val (tn, td) = toRational(threshold)
+    softDedupWeights(docs, tn, td)
+  }
+
+  @deprecated("thresholds are rationals now; use dupCurve(docs, tNum, tDen)",
+    "0.1.0")
+  def dupCurve(docs: DataFrame, threshold: Double): DataFrame = {
+    val (tn, td) = toRational(threshold)
+    dupCurve(docs, tn, td)
+  }
+
   /** One-sided CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
     * — the asymmetric-duplication detector Jaccard structurally misses.
     * A short doc fully quoted inside a much longer one (snippet inside
@@ -725,6 +794,9 @@ object Dedup {
     * is duplicate-volume-sized (1M pairs = ~16 MB at the 20× probe),
     * and its materialized stats let the downstream
     * duplicate-volume-bounded joins broadcast on actual sizes.
+    * Cached inputs are assumed immutable for the session (the landed-
+    * intermediate contract); after an in-session rewrite of the corpus
+    * files, call [[PlanCache.invalidate]] to drop the materialization.
     */
   private val pairCache = new PlanCache()
 

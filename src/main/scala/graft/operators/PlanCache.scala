@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -16,16 +17,35 @@ import org.apache.spark.storage.StorageLevel
   * localCheckpoint), spill-safe, and once materialized the
   * InMemoryRelation reports REAL stats, so downstream joins broadcast on
   * actual sizes rather than estimates. Bounded: at most [[maxEntries]]
-  * cached inputs per session with eldest-eviction + unpersist; sessions
-  * are weakly keyed so a stopped session's entries are collectable.
+  * cached inputs per session with eldest-eviction + unpersist.
+  *
+  * Lifecycle: entries are keyed by a per-session id String — never the
+  * session object, whose DataFrames would otherwise pin it; the r14
+  * WeakHashMap-of-sessions spelling was exactly that value-refs-key leak
+  * and never collected anything. (The id map itself IS weakly keyed, but
+  * its String values hold no reference back to the session, so that one
+  * genuinely collects.) The first materialization for a session installs
+  * a SparkListener that drops and unpersists all of that session's
+  * entries — across every family cache — on application end, so a
+  * stopped session leaves nothing behind. Sessions that share one
+  * SparkContext (`newSession()`) are evicted together when the context
+  * stops, which is also when their cached blocks die.
+  *
+  * IMMUTABLE-INPUT ASSUMPTION: the cache key is the input's logical
+  * plan, not its data — if the underlying files are rewritten
+  * mid-session, downstream reads keep serving the stale materialization.
+  * That is the contract of a landed intermediate table (recompute is a
+  * new run), but a caller that must re-ingest in-session can call
+  * [[PlanCache.invalidate]] to drop and unpersist every family's entries
+  * for the session.
   *
   * Instantiate one per operator family (each family bounds its own
   * working set — a hot dedup corpus can never evict the sentence table).
   */
-private[operators] final class PlanCache(maxEntries: Int = 4) {
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.LinkedHashMap[Any, DataFrame]]())
+private[graft] final class PlanCache(maxEntries: Int = 4) {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String,
+    scala.collection.mutable.LinkedHashMap[Any, DataFrame]]()
+  PlanCache.register(this)
 
   /** The cached frame for (`input`'s canonical plan, `params`), built and
     * persisted via `build` on first use. `build` must be a pure function
@@ -34,14 +54,9 @@ private[operators] final class PlanCache(maxEntries: Int = 4) {
   def getOrMaterialize(input: DataFrame, params: Any)
       (build: => DataFrame): DataFrame = {
     val spark = input.sparkSession
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.LinkedHashMap.empty
-        cache.put(spark, m)
-      }
-      m
-    }
+    PlanCache.ensureEvictionListener(spark)
+    val perSession = cache.computeIfAbsent(PlanCache.sessionId(spark),
+      _ => scala.collection.mutable.LinkedHashMap.empty)
     val key = (input.queryExecution.analyzed.canonicalized, params)
     perSession.synchronized {
       perSession.getOrElseUpdate(key, {
@@ -54,4 +69,78 @@ private[operators] final class PlanCache(maxEntries: Int = 4) {
       })
     }
   }
+
+  /** Entries currently held for `sessionUUID` (test observability). */
+  private[graft] def entryCount(sessionUUID: String): Int = {
+    val m = cache.get(sessionUUID)
+    if (m == null) 0 else m.synchronized(m.size)
+  }
+
+  /** Drop (and best-effort unpersist) this family's entries for the
+    * session. Unpersist failures are swallowed: on application end the
+    * block manager is already going down and the blocks die with it.
+    */
+  private[graft] def invalidateSession(sessionUUID: String): Unit = {
+    val m = cache.remove(sessionUUID)
+    if (m != null) m.synchronized {
+      m.values.foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      m.clear()
+    }
+  }
+}
+
+/** Registry over every family's [[PlanCache]] instance: the public
+  * invalidation face and the shared session-end eviction listener.
+  */
+object PlanCache {
+  private val instances =
+    new java.util.concurrent.CopyOnWriteArrayList[PlanCache]()
+  private val tracked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def register(c: PlanCache): Unit = instances.add(c)
+
+  /** Stable per-session id. Spark 4's public SparkSession exposes no
+    * session UUID, so we mint one: the map is weakly keyed and its
+    * String values hold no reference to the session, so a dropped
+    * session's id entry is collectable (unlike caching frames against
+    * the session itself).
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private[graft] def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  /** Drop and unpersist every family's cached intermediates for `spark`.
+    * Call after rewriting a cached input's underlying files in-session
+    * (see the immutable-input assumption on [[PlanCache]]).
+    */
+  def invalidate(spark: SparkSession): Unit = invalidateAll(sessionId(spark))
+
+  private[graft] def invalidateAll(sessionUUID: String): Unit = {
+    tracked.remove(sessionUUID)
+    instances.forEach(_.invalidateSession(sessionUUID))
+  }
+
+  /** Install (once per session) the application-end eviction hook. */
+  private def ensureEvictionListener(spark: SparkSession): Unit = {
+    val id = sessionId(spark)
+    if (tracked.add(id)) {
+      spark.sparkContext.addSparkListener(sessionEndListener(id))
+    }
+  }
+
+  /** The eviction hook itself, factored so a spec can fire it directly:
+    * delivery of `onApplicationEnd` at context stop is Spark's contract,
+    * the eviction it triggers is ours.
+    */
+  private[graft] def sessionEndListener(sessionUUID: String): SparkListener =
+    new SparkListener {
+      override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+        invalidateAll(sessionUUID)
+    }
 }

@@ -175,6 +175,9 @@ object Sentences {
     * family's uncached `dedup_prefix` screen gate). Corpus-sized
     * (≈ tokens/[[SentenceEvery]] rows), so MEMORY_AND_DISK spill
     * safety matters and the cache stays bounded at 4 corpora.
+    * Cached inputs are assumed immutable for the session (the landed-
+    * intermediate contract); after an in-session rewrite of the corpus
+    * files, call [[PlanCache.invalidate]] to drop the materialization.
     */
   private val segCache = new PlanCache()
   private def segmentedCached(docs: DataFrame): DataFrame =

@@ -68,22 +68,34 @@ object Skew {
     * Re-runnable by construction: a managed-table CREATE fails loudly if
     * the catalog has forgotten the table but its warehouse directory
     * survived (a fresh in-memory-catalog JVM over a prior run's files),
-    * so any orphaned location is deleted before the write.
+    * so any orphaned location is deleted before the write — through the
+    * Hadoop FileSystem of the warehouse URI, so the cleanup works the
+    * same on `hdfs://`/`s3a://`/authority-bearing `file://` warehouses
+    * (a `java.io.File` delete silently no-ops on all of those, returning
+    * the CREATE-over-survivors failure this path exists to prevent).
+    *
+    * Concurrency-safe across sessions sharing a warehouse (or a shared
+    * external catalog via `newSession()`): the PHYSICAL table name is
+    * scoped by a per-session id, so two sessions bucketizing the same
+    * logical name never race each other's DROP/delete/CREATE. The
+    * returned frame reads the session's own physical table. Orphaned
+    * scoped tables from crashed sessions are inert files under the
+    * warehouse (no catalog entry in a fresh JVM) — the same janitorial
+    * surface as any Spark scratch table, cleaned by warehouse TTL policy.
     */
   def bucketize(spark: SparkSession, df: DataFrame, table: String,
       key: String, buckets: Int = 32): DataFrame = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (loc.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(loc).deleteRecursively()
-    }
+    val phys = s"${table}_${PlanCache.sessionId(spark).replace("-", "")}"
+    spark.sql(s"DROP TABLE IF EXISTS `$phys`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), phys)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
-    spark.table(table)
+      .saveAsTable(phys)
+    spark.table(phys)
   }
 
   /** Gated entry for [[skewSplitJoin]]: enrich every event with its

@@ -286,15 +286,23 @@ private class LineBatchWrite(path: String, truncate: Boolean) extends BatchWrite
 /** E11's streaming face (STREAMING_WRITE): each micro-batch epoch
   * appends through the same temp-plus-rename protocol as the batch
   * writer, with EPOCH-ADDRESSED final names (`part-e<epoch>-<partition>
-  * .line` — deterministic per (epochId, partitionId), no taskId) so a
-  * replayed epoch is idempotent: if the destination already exists, the
-  * replay's commit discards its temp instead of double-appending — the
-  * same batch-id-addressed exactly-once-effect discipline the engine's
-  * parquet streaming sink uses. Within an epoch, speculative task twins
-  * stay apart via taskId-suffixed temp names; only the committed
-  * attempt's message gets renamed. Streaming writes are append-only
-  * (the format is the reference's append-concat sink, SURVEY §2.1-E11);
-  * truncation is the batch overwrite path's job.
+  * .line` — deterministic per (epochId, partitionId), no taskId) and a
+  * per-epoch MANIFEST (`_epoch-<epoch>.committed`, written last, listing
+  * the epoch's exact file set — underscore-prefixed, so invisible to
+  * [[LineScan.fileLengths]]) whose presence is the epoch's commit
+  * record. Replay after a failure between sink commit and checkpoint
+  * commit sees the manifest and drops its temps — never appends twice.
+  * A PARTIAL prior attempt (crash mid-rename: files visible, no
+  * manifest) is wiped wholesale before the replay's files rename in, so
+  * idempotence holds even when the replay plans a DIFFERENT partition
+  * count (e.g. a changed `maxSplitBytes` redistributes rows across
+  * partition ids — per-file existence checks alone would merge the two
+  * attempts and double-append the redistributed rows; this is the same
+  * pinned-file-set discipline as FileStreamSink's metadata log). Within
+  * an epoch, speculative task twins stay apart via taskId-suffixed temp
+  * names; only the committed attempt's message gets renamed. Streaming
+  * writes are append-only (the format is the reference's append-concat
+  * sink, SURVEY §2.1-E11); truncation is the batch overwrite path's job.
   */
 private class LineStreamingWrite(path: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -304,17 +312,33 @@ private class LineStreamingWrite(path: String) extends StreamingWrite {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    messages.foreach { case LineCommit(tmp, finalName) =>
-      val dest = new Path(dir, finalName)
-      if (fs.exists(dest)) {
-        // epoch replay after a failure between sink commit and
-        // checkpoint commit: the epoch's data is already visible —
-        // drop the replay's temp, never append twice
+    val manifest = new Path(dir, LineStreamingWrite.manifestName(epochId))
+    if (fs.exists(manifest)) {
+      // replay of a fully-committed epoch: its data is already visible
+      // (and its file set pinned by the manifest) — drop the replay's
+      // temps whatever partitioning it planned with
+      messages.foreach { case LineCommit(tmp, _) =>
         fs.delete(new Path(tmp), false)
-      } else {
-        val ok = fs.rename(new Path(tmp), dest)
+      }
+    } else {
+      // no manifest ⇒ the epoch never fully committed. Anything already
+      // visible under this epoch's names is a failed attempt's partial
+      // rename set — possibly under a different partition count — so the
+      // epoch is replaced wholesale, never merged across attempts.
+      val prefix = f"part-e$epochId%05d-"
+      if (fs.exists(dir)) fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+        .foreach(s => fs.delete(s.getPath, false))
+      messages.foreach { case LineCommit(tmp, finalName) =>
+        val ok = fs.rename(new Path(tmp), new Path(dir, finalName))
         require(ok, s"graft.sources.line: streaming commit rename failed for $tmp")
       }
+      // manifest LAST: a crash before this line re-runs the wipe+rename,
+      // a crash after it makes every future replay a no-op
+      val out = fs.create(manifest, false)
+      try messages.foreach { case LineCommit(_, finalName) =>
+        out.write((finalName + "\n").getBytes("UTF-8"))
+      } finally out.close()
     }
   }
 
@@ -325,6 +349,13 @@ private class LineStreamingWrite(path: String) extends StreamingWrite {
       fs.delete(new Path(tmp), false)
     }
   }
+}
+
+private object LineStreamingWrite {
+  /** The epoch's commit-record name — underscore-prefixed so the scan's
+    * visibility filter never reads it as data.
+    */
+  def manifestName(epochId: Long): String = f"_epoch-$epochId%05d.committed"
 }
 
 private class LineStreamingWriterFactory(path: String) extends StreamingDataWriterFactory {

@@ -97,21 +97,56 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.toSeq === again.toSeq)
   }
 
+  /** The session-scoped PHYSICAL name bucketize writes under (mirrors
+    * the derivation in [[Skew.bucketize]] — the scoping is internal, so
+    * the orphan test must aim at the real location).
+    */
+  private def physName(s: org.apache.spark.sql.SparkSession, table: String) =
+    s"${table}_${PlanCache.sessionId(s).replace("-", "")}"
+
   test("bucketize survives an orphaned warehouse directory") {
     import spark.implicits._
     // simulate a fresh in-memory catalog over a prior JVM's surviving
-    // files: a directory at the managed location with NO catalog entry
-    // (managed-table CREATE refuses a non-empty location; bucketize must
-    // clear it rather than die)
+    // files: a directory at the SCOPED managed location with NO catalog
+    // entry (managed-table CREATE refuses a non-empty location;
+    // bucketize must clear it rather than die)
+    val phys = physName(spark, "t_orphan_b")
     val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "t_orphan_b")
-    spark.sql("DROP TABLE IF EXISTS t_orphan_b")
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), phys)
+    spark.sql(s"DROP TABLE IF EXISTS `$phys`")
     loc.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(loc, "part-stale.parquet").toPath, "stale")
+    assert(loc.exists(), "orphan fixture must exist before the write")
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("key", "v")
     val back = Skew.bucketize(spark, df, "t_orphan_b", "key", buckets = 4)
     assert(back.count() === 100)
-    spark.sql("DROP TABLE IF EXISTS t_orphan_b")
+    spark.sql(s"DROP TABLE IF EXISTS `$phys`")
+  }
+
+  test("two sessions bucketize the same logical table name concurrently") {
+    // sibling sessions share one catalog + warehouse (SharedState), so
+    // an unscoped name would race DROP/delete/CREATE; the session-scoped
+    // physical names must let both writes land and each session read
+    // back its OWN rows
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(s: org.apache.spark.sql.SparkSession, tag: Int): Future[Set[Int]] =
+      Future {
+        import s.implicits._
+        val df = (1 to 200).map(i => (i.toLong, tag)).toDF("key", "tag")
+        val back = Skew.bucketize(s, df, "t_race_b", "key", buckets = 4)
+        back.select("tag").distinct().collect().map(_.getInt(0)).toSet
+      }
+    val both: (Set[Int], Set[Int]) = Await.result(
+      run(s1, 1).zip(run(s2, 2)), 120.seconds)
+    assert(both._1 === Set(1), s"session 1 read foreign rows: ${both._1}")
+    assert(both._2 === Set(2), s"session 2 read foreign rows: ${both._2}")
+    Seq(s1 -> "t_race_b", s2 -> "t_race_b").foreach { case (s, t) =>
+      s.sql(s"DROP TABLE IF EXISTS `${physName(s, t)}`")
+    }
   }
 }

@@ -164,6 +164,62 @@ class LineTableSpec extends AnyFunSuite with SparkTestSession {
     val leftover = new java.io.File(out).listFiles().map(_.getName)
       .filter(n => (n.startsWith(".") || n.endsWith(".tmp")) && !n.endsWith(".crc"))
     assert(leftover.isEmpty, leftover.mkString(","))
+    // the epoch's commit record exists and pins its exact file set
+    val manifest = java.nio.file.Paths.get(out, "_epoch-00000.committed")
+    assert(java.nio.file.Files.exists(manifest), "epoch manifest must exist")
+    val pinned = java.nio.file.Files.readAllLines(manifest)
+      .toArray.map(_.toString).toSeq
+    val visible = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("part-e00000-")).sorted.toSeq
+    assert(pinned.sorted === visible,
+      "manifest must list exactly the epoch's visible files")
+  }
+
+  test("STREAMING_WRITE: partial epoch + replan with a different split sizing cannot double-append") {
+    val in = java.nio.file.Files.createTempDirectory("lt-sw2-in-").toString
+    val out = java.nio.file.Files.createTempDirectory("lt-sw2-out-").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("lt-sw2-ckpt-").toString
+    write(in, "a.txt", "k1 one\nk2 two\nk1 three\n")
+    write(in, "b.txt", "k3 four\n")
+    def run(splitBytes: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.LineTable")
+        .option("path", in).option("maxSplitBytes", splitBytes).load()
+        .writeStream.format("graft.sources.LineTable")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(8) // many small splits → many epoch part files
+    val expect = Seq(("k1", "one"), ("k1", "three"), ("k2", "two"), ("k3", "four"))
+    def landed(): Seq[(String, String)] = read(out, 1024).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(landed() === expect)
+    // Simulate a crash MID-COMMIT: some epoch files renamed in, but the
+    // manifest (written last) never landed — and the restart replans the
+    // source with a coarser maxSplitBytes, so the replay's rows land
+    // under a DIFFERENT partition-id distribution. A per-file existence
+    // check would keep the old attempt's files AND rename in the new
+    // ids — double-appending the redistributed rows; the manifest
+    // protocol must wipe the partial attempt and land exactly one copy.
+    def rmOut(name: String): Unit = {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out, name))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out, s".$name.crc"))
+    }
+    rmOut("_epoch-00000.committed")
+    val parts = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("part-e00000-")).sorted
+    assert(parts.length > 1, s"fixture needs >1 epoch file, got ${parts.length}")
+    rmOut(parts.head) // partial: first attempt lost one of its files
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    run(1024) // replay under ONE split → one part file, different ids
+    assert(landed() === expect,
+      "partial-epoch replay under a new partitioning must not double-append")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_epoch-00000.committed")))
   }
 
   test("stream_line_rt gate: streaming round trip equals the batch rollup") {
