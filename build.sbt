@@ -36,6 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=2g",
   "-XX:MetaspaceSize=512m",
 )
+// Dev-only extra JVM flags for forked run/test (GC-profiling A/Bs, e.g.
+// SPARK_GRAFT_JVM_EXTRA="-XX:G1HeapRegionSize=32m") — appended last so
+// they override the defaults above.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+  .toSeq.flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)
 
 // forward stdin to forked runMain processes (graft.Cli REPL)
 run / connectInput := true

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +22,35 @@ object Stress {
 
   private def shifted(df: DataFrame, factor: Int)(rep: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(i => rep(df, i)).reduce(_ unionByName _)
+
+  /** Cumulative shuffle/agg spill across all tasks since registration —
+    * local-mode driver == executor, so one listener sees every task.
+    * Per-query numbers are deltas between snapshots.
+    */
+  private final class SpillListener extends SparkListener {
+    private val mem = new java.util.concurrent.atomic.AtomicLong
+    private val disk = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long) = (mem.get, disk.get)
+  }
+
+  private def heapPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+  }
+  /** Peak heap (bytes) across heap pools since the last reset — the
+    * cliff-probe observable: how close a factor runs to the configured
+    * heap before the first spill/OOM cliff.
+    */
+  private def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+  private def peakHeapBytes(): Long = heapPools.map(_.getPeakUsage.getUsed).sum
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -89,14 +119,22 @@ object Stress {
     // threshold), and the artifact says which regime each number is from.
     val repeatThresholdSec =
       sys.env.getOrElse("SPARK_GRAFT_STRESS_REPEAT_SEC", "1.0").toDouble
-    def once(name: String, fn: (SparkSession, String) => DataFrame): (Double, Long) = {
+    val spills = new SpillListener
+    spark.sparkContext.addSparkListener(spills)
+    // (sec, rows, spillBytes, peakHeapBytes) — spill is memory+disk
+    // spill delta for the run, peak heap the G1 pools' high-water mark
+    def once(name: String, fn: (SparkSession, String) => DataFrame): (Double, Long, Long, Long) = {
+      val (m0, d0) = spills.snapshot
+      resetHeapPeaks()
       val t0 = System.nanoTime()
       val n = try fn(spark, out).count() catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[stress] $name failed: ${e.getMessage}")
           -1L
       }
-      ((System.nanoTime() - t0) / 1e9, n)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (m1, d1) = spills.snapshot
+      (sec, n, (m1 - m0) + (d1 - d0), peakHeapBytes())
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -106,7 +144,8 @@ object Stress {
           first +: Seq.fill(2)(once(name, fn))
         else Seq(first)
       val rows = runs.map(_._2).max // -1 only if every run failed
-      (name, median(runs.map(_._1)), runs.map(_._1), rows)
+      (name, median(runs.map(_._1)), runs.map(_._1), rows,
+        runs.map(_._3).max, runs.map(_._4).max)
     }
     val commit = try {
       val sha = scala.sys.process.Process(
@@ -116,8 +155,10 @@ object Stress {
       if (dirty) sha + "-dirty" else sha
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, med, runs, n) =>
-      s""""$k":{"sec":${fmt(med)},"runs":[${runs.map(fmt).mkString(",")}],"rows":$n}"""
+    def mb(bytes: Long): Long = bytes >> 20
+    val qs = results.map { case (k, med, runs, n, spill, peak) =>
+      s""""$k":{"sec":${fmt(med)},"runs":[${runs.map(fmt).mkString(",")}],""" +
+        s""""rows":$n,"spill_mb":${mb(spill)},"peak_heap_mb":${mb(peak)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${fmt(results.map(_._2).sum)},""" +
       s""""unit":"sec","factor":$factor,"repeat_threshold_sec":$repeatThresholdSec,""" +
