@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   * parquet path canonicalize identically and hit; different paths or
   * parameters miss.
   *
-  * The value is a `persist(MEMORY_AND_DISK)`-cached frame: recomputable
+  * The value is a `persist(level)`-cached frame: recomputable
   * lineage (a lost executor re-derives partitions, unlike
   * localCheckpoint), spill-safe, and once materialized the
   * InMemoryRelation reports REAL stats, so downstream joins broadcast on
@@ -41,8 +41,22 @@ import org.apache.spark.storage.StorageLevel
   *
   * Instantiate one per operator family (each family bounds its own
   * working set — a hot dedup corpus can never evict the sentence table).
+  *
+  * `level` sizes the cache to its content class: duplicate-volume-BOUNDED
+  * intermediates (the near-dup pair table, ~16 MB even at the 20× probe)
+  * may pin unified memory (MEMORY_AND_DISK, the default); CORPUS-SIZED
+  * intermediates (the sentence segmentation — it carries the full text)
+  * must use DISK_ONLY. A corpus-sized on-heap cache evicts down to the
+  * protected storage fraction and squeezes execution memory for every
+  * heavy join that follows in the same executor — measured at the 20×
+  * probe: with the segmentation MEMORY_AND_DISK, `dedup_containment`
+  * spilled 14 GB and ran a 94–145 s band vs its 74 s baseline, and the
+  * post-pair clustering reports doubled; DISK_ONLY restores them while
+  * keeping the shared-read win. It is also the production shape: a
+  * landed intermediate lives in the lake, not in executor memory.
   */
-private[graft] final class PlanCache(maxEntries: Int = 4) {
+private[graft] final class PlanCache(maxEntries: Int = 4,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String,
     scala.collection.mutable.LinkedHashMap[Any, DataFrame]]()
   PlanCache.register(this)
@@ -65,7 +79,7 @@ private[graft] final class PlanCache(maxEntries: Int = 4) {
           perSession.remove(oldKey)
           oldDf.unpersist(blocking = false)
         }
-        build.persist(StorageLevel.MEMORY_AND_DISK)
+        build.persist(level)
       })
     }
   }

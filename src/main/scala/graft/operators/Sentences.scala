@@ -172,14 +172,20 @@ object Sentences {
     * instead of re-running synthesis + segmentation per report. The
     * segmentation pass's own full cost stays measured by the UNCACHED
     * `sent_segment` gate ([[segmentDocs]] — same policy as the dedup
-    * family's uncached `dedup_prefix` screen gate). Corpus-sized
-    * (≈ tokens/[[SentenceEvery]] rows), so MEMORY_AND_DISK spill
-    * safety matters and the cache stays bounded at 4 corpora.
-    * Cached inputs are assumed immutable for the session (the landed-
-    * intermediate contract); after an in-session rewrite of the corpus
-    * files, call [[PlanCache.invalidate]] to drop the materialization.
+    * family's uncached `dedup_prefix` screen gate). Corpus-sized (it
+    * carries the full sentence text, ≈ tokens/[[SentenceEvery]] rows),
+    * so it persists DISK_ONLY: an on-heap corpus-sized cache squeezes
+    * unified execution memory for every heavy join that follows in the
+    * same executor (measured at the 20× probe — see [[PlanCache]]'s
+    * level scaladoc), and the production shape for a landed
+    * intermediate is the lake, not executor memory. Bounded at 4
+    * corpora. Cached inputs are assumed immutable for the session (the
+    * landed-intermediate contract); after an in-session rewrite of the
+    * corpus files, call [[PlanCache.invalidate]] to drop the
+    * materialization.
     */
-  private val segCache = new PlanCache()
+  private val segCache = new PlanCache(
+    level = org.apache.spark.storage.StorageLevel.DISK_ONLY)
   private def segmentedCached(docs: DataFrame): DataFrame =
     segCache.getOrMaterialize(docs, "segmented") {
       sentenceSegment(docs)
