@@ -47,6 +47,7 @@ object Engine {
       .withExtensions(graft.functions.NgramAnyIn.register)
       .withExtensions(graft.functions.LshBandHashes.register)
       .withExtensions(graft.functions.PqArgmin.register)
+      .withExtensions(graft.functions.SortedIntersectCount.register)
       .withExtensions(graft.functions.PqArgminDist.register)
       .withExtensions(graft.functions.HilbertIdx.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)

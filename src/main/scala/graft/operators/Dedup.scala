@@ -54,7 +54,7 @@ object Dedup {
     * (collision odds ~(#shingles)²/2⁶⁴ — the same negligible bound the
     * downstream set-intersections already accept).
     */
-  private def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def shingleHashes(docs: DataFrame, n: Int): DataFrame =
     rawShingles(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
@@ -97,8 +97,13 @@ object Dedup {
     */
   private def verifiedPairsSided(candidates: DataFrame, shA: DataFrame,
       shB: DataFrame, threshold: Double): DataFrame = {
+    // hash sets sorted ONCE per document (O(s log s), amortized over
+    // every candidate pair the doc appears in) so the per-pair verify is
+    // the zero-allocation sorted_intersect_count merge kernel — see the
+    // ArrayIntersect GC analysis in [[graft.functions.SortedIntersectCount]]
     def sets(sh: DataFrame) = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"),
+        count(lit(1)).as("n_sh"))
     val sa = sets(shA)
     val sb = sets(shB)
     // size-ratio prefix filter BEFORE the heavy array joins: |∩| ≤ min, so
@@ -137,7 +142,9 @@ object Dedup {
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(sb.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
         .hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("ha"), col("hb")))
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
@@ -453,8 +460,11 @@ object Dedup {
     val sh = shingleHashes(docs, n)
     val candidates =
       cappedCandidates(sh, derivedDfCap(sh, docs, permille, pairsPerDoc))
+    // sorted once per doc for the zero-allocation merge-count verify
+    // (same discipline as [[verifiedPairsSided]])
     val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"),
+        count(lit(1)).as("n_sh"))
     // shuffle-hash building the per-partition sets slice — same
     // broadcast-OOM guard as [[verifiedPairsSided]] (this operator's
     // first 20×-stress run is what found the hazard; full strategy
@@ -464,7 +474,9 @@ object Dedup {
         col("n_sh").as("na")).hint("shuffle_hash"), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
         col("n_sh").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(
+          col("ha"), col("hb")))
       .withColumn("cont", col("n_inter") / least(col("na"), col("nb")))
       .filter(col("cont") >= threshold)
       .withColumn("jac",

@@ -232,3 +232,75 @@ class PqArgminSpec extends AnyFunSuite with SparkTestSession {
     assert(got(1).isNullAt(0))
   }
 }
+
+class SortedIntersectCountSpec extends AnyFunSuite with SparkTestSession {
+  import SortedIntersectCount.sortedIntersectCount
+
+  test("equals size(array_intersect) on randomized sorted sets (seeded)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0xC0FFEE)
+    val rows = Seq.fill(500) {
+      val a = Seq.fill(rng.nextInt(60))(rng.nextInt(80).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(60))(rng.nextInt(80).toLong).distinct.sorted
+      (a.toArray, b.toArray)
+    }
+    val got = rows.toDF("a", "b").select(
+      sortedIntersectCount(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("spark")).collect()
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
+  test("empty / disjoint / identical / negative-spanning inputs") {
+    import spark.implicits._
+    val cases = Seq(
+      (Array.empty[Long], Array(1L, 2L), 0),
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L), 0),
+      (Array(Long.MinValue, -7L, 0L, Long.MaxValue),
+        Array(Long.MinValue, -7L, 0L, Long.MaxValue), 4),
+      (Array(-5L, 1L, 9L), Array(-5L, 9L, 10L), 2))
+    val got = cases.map { case (a, b, _) =>
+      Seq((a, b)).toDF("a", "b")
+        .select(sortedIntersectCount(col("a"), col("b"))).head().getInt(0)
+    }
+    assert(got === cases.map(_._3))
+  }
+
+  test("null array propagates; null elements (array_sort tail) ignored") {
+    val r1 = spark.sql(
+      "SELECT sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L))").collect()
+    assert(r1.head.isNullAt(0))
+    // array_sort ascending parks nulls last: the scan must stop there
+    // having already counted every non-null match
+    val r2 = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 2L, NULL), array(2L, NULL))").collect()
+    assert(r2.head.getInt(0) === 1)
+  }
+
+  test("agrees with array_intersect on real shingle sets (interpreted twin too)") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val sets = graft.operators.Dedup.shingleHashes(docs, 3)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+    val pairs = sets.select(col("doc_id").as("a_id"), col("hs").as("ha"))
+      .crossJoin(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")))
+      .filter(col("a_id") < col("b_id")).limit(2000)
+    val rows = pairs.select(
+      sortedIntersectCount(col("ha"), col("hb")).as("native"),
+      size(array_intersect(col("ha"), col("hb"))).as("spark"),
+      col("ha"), col("hb")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1))
+      // interpreted twin (nullSafeEval) against the codegen result
+      val ha = r.getSeq[Long](2).toArray
+      val hb = r.getSeq[Long](3).toArray
+      var (i, j, c) = (0, 0, 0)
+      while (i < ha.length && j < hb.length) {
+        if (ha(i) < hb(j)) i += 1
+        else if (ha(i) > hb(j)) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      assert(c === r.getInt(0))
+    }
+  }
+}
