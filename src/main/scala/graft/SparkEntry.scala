@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Monitoring, Multimodal, Packing, QualityModel, Relational, Retrieval, Similarity, Skew, TextAnalysis, Workloads}
+import graft.operators.{Analytics, Clustering, Dedup, HeavyHitters, Monitoring, Multimodal, Packing, Posttraining, QualityModel, Relational, Retrieval, Similarity, Skew, TextAnalysis, Workloads}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -129,6 +129,13 @@ object SparkEntry {
     "rp_project"           -> (Similarity.rpProjectDocs(_, _)),
     "ann_rp_topk"          -> (Similarity.rpTopKDocs(_, _)),
     "ann_recall_rp"        -> (Similarity.annRecallRp(_, _)),
+    "embed_binarize"       -> (Similarity.binarizeDocs(_, _)),
+    "ann_ham_topk"         -> (Similarity.hammingTopKDocs(_, _)),
+    "ann_ham_rerank"       -> (Similarity.hammingRerankDocs(_, _)),
+    "ann_recall_ham"       -> (Similarity.annRecallHam(_, _)),
+    // --- training-data pipeline: post-training (SFT / preference) prep
+    "dpo_pairs"            -> (Posttraining.dpoPairsDocs(_, _)),
+    "chat_assemble"        -> (Posttraining.chatAssembleDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
@@ -3725,6 +3732,105 @@ object SparkEntry {
     "kmeans_assign" -> kmeansAssignOracleSql,
     "kcenter_coreset" -> kCenterOracleSql,
     "minhash_mergeable" -> minhashMergeableOracleSql,
+    // 1-bit binarization: the oracle replays the identical CASE-gated
+    // power-of-two folds (a sum of distinct bits IS their OR); the only
+    // float op on either side is the >= 0 sign test
+    "embed_binarize" ->
+      s"""WITH $binSigCte
+         SELECT vec_id, sig_lo, sig_hi,
+           CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos
+         FROM sig ORDER BY vec_id""",
+    // Hamming serving path: distance = two xor+popcount words,
+    // integer-exact in any engine; ascending ties on vec_id
+    "ann_ham_topk" ->
+      s"""WITH $binSigCte,
+         q AS (
+           SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi
+           FROM sig WHERE vec_id < 10),
+         pairs AS (
+           SELECT q_id, s.vec_id,
+             CAST(bit_count(xor(s.sig_lo, q_lo))
+                + bit_count(xor(s.sig_hi, q_hi)) AS BIGINT) AS ham
+           FROM sig s JOIN q ON s.vec_id != q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
+             ORDER BY ham, vec_id) AS rk
+           FROM pairs)
+         SELECT q_id, rk, vec_id, ham FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk""",
+    // 1-bit funnel: Hamming shortlist, then the matryoshka-style
+    // full-dim floor-micro dot rerank behind the shortlist cut
+    "ann_ham_rerank" -> hamRerankOracleSql,
+    // 1-bit funnel recall audit vs the exact raw-dot baseline (the
+    // funnel reranks by the micro dot, so that is its own metric)
+    "ann_recall_ham" ->
+      s"""WITH exact AS (
+           WITH q AS (
+             SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+             WHERE vec_id < 10),
+           s AS (
+             SELECT q_id, c.vec_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(c.embedding[d] AS DOUBLE) * CAST(qv[d] AS DOUBLE)))
+                 * 1e6) AS BIGINT) AS d64
+             FROM embeddings c JOIN q ON c.vec_id != q.q_id),
+           r AS (
+             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY d64 DESC, vec_id) AS rk
+             FROM s)
+           SELECT q_id, vec_id FROM r WHERE rk <= 10),
+         approx AS ($hamRerankOracleSql)
+         SELECT e.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM exact e LEFT JOIN approx a
+           ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         GROUP BY e.q_id ORDER BY e.q_id""",
+    // DPO preference pairs: the oracle restates the max/min-of-struct
+    // selection as two row_number windows over the identical
+    // (micro-score, id) total order; all-tie groups drop on both sides
+    "dpo_pairs" ->
+      """WITH c AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY v DESC, event_id DESC) AS rb,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY v ASC, event_id ASC) AS rw,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM c)
+         SELECT b.user_id AS prompt_id, b.event_id AS chosen_id,
+           w.event_id AS rejected_id, b.v AS chosen_micro,
+           w.v AS rejected_micro, b.v - w.v AS margin_micro,
+           b.n AS n_candidates
+         FROM (SELECT * FROM r WHERE rb = 1) b
+         JOIN (SELECT * FROM r WHERE rw = 1) w ON b.user_id = w.user_id
+         WHERE b.v > w.v
+         ORDER BY prompt_id""",
+    // SFT assembly: ordered group-concat replayed via string_agg with
+    // the same (ts, event_id) order key; ts is only a sort key (never
+    // rendered), so timestamp formatting can't leak into the md5
+    "chat_assemble" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id,
+             event_type || ':' ||
+               CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR) AS s
+           FROM events),
+         a AS (
+           SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             string_agg(s, '|' ORDER BY ts, event_id) AS transcript
+           FROM t GROUP BY user_id)
+         SELECT user_id, n_turns,
+           CAST(length(transcript) AS BIGINT) AS total_chars,
+           string_split(transcript, '|')[1] AS first_turn,
+           string_split(transcript, '|')[-1] AS last_turn,
+           md5(transcript) AS fp
+         FROM a ORDER BY user_id""",
     // mm_features: the stub decode's integer byte-bucket histogram,
     // recomputed from the text characters (the fixture is pure ASCII,
     // FixtureSchemaSpec enforces it — so ord(char) IS the UTF-8 byte),
@@ -3930,6 +4036,55 @@ object SparkEntry {
          SELECT q_id, rk, vec_id, d64 FROM r2
          WHERE rk <= 10 ORDER BY q_id, rk"""
   }
+
+  /** Shared CTE for the 1-bit family: the packed sign-bit halves as the
+    * identical CASE-gated power-of-two folds the Spark side evaluates
+    * ([[operators.Similarity.binarize]]) — bits 0–31 per half, so no
+    * engine's left shift ever touches a sign bit.
+    */
+  private def binSigCte: String = {
+    def half(off: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(0, 31), d ->
+             CASE WHEN embedding[d + $off + 1] >= 0
+               THEN CAST(1 AS BIGINT) << d
+               ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+    s"""sig AS (
+           SELECT vec_id, embedding,
+             ${half(0)} AS sig_lo,
+             ${half(32)} AS sig_hi
+           FROM embeddings)"""
+  }
+
+  /** ann_ham_rerank oracle: the signature CTE feeds a Hamming-ascending
+    * shortlist, then the matryoshka-style full-dim micro rerank.
+    */
+  private def hamRerankOracleSql: String =
+    s"""WITH $binSigCte,
+         q AS (
+           SELECT vec_id AS q_id, embedding AS qv, sig_lo AS q_lo,
+             sig_hi AS q_hi
+           FROM sig WHERE vec_id < 10),
+         s1 AS (
+           SELECT q_id, s.vec_id, s.embedding AS cv, qv,
+             CAST(bit_count(xor(s.sig_lo, q_lo))
+                + bit_count(xor(s.sig_hi, q_hi)) AS BIGINT) AS ham
+           FROM sig s JOIN q ON s.vec_id != q.q_id),
+         r1 AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY ham, vec_id) AS rk1
+           FROM s1),
+         s2 AS (
+           SELECT q_id, vec_id,
+             CAST(floor(list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(cv[d] AS DOUBLE) * CAST(qv[d] AS DOUBLE)))
+               * 1e6) AS BIGINT) AS d64
+           FROM r1 WHERE rk1 <= 50),
+         r2 AS (
+           SELECT q_id, vec_id, d64, row_number() OVER (PARTITION BY q_id
+             ORDER BY d64 DESC, vec_id) AS rk
+           FROM s2)
+         SELECT q_id, rk, vec_id, d64 FROM r2
+         WHERE rk <= 10 ORDER BY q_id, rk"""
 
   /** kcenter_coreset oracle: the farthest-first traversal unrolled one
     * (select, re-min) CTE pair per step — the same v·v + (c² − 2·v·c)

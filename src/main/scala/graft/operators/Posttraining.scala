@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Post-training data preparation over the `events` table — the SFT /
+  * preference-tuning prep shapes a training-data pipeline runs after
+  * pre-training curation. The mapping: `user_id` is the prompt-group key
+  * (one sampled generation batch per prompt), each event row a candidate
+  * response, `value` its reward-model score, `(ts, event_id)` the
+  * generation order. Both operators are single-shuffle aggregations on
+  * the group key with algebraic (map-side-combinable) aggregates, so at
+  * 100 TB each is one pass over the response log: no windows over the
+  * whole table, no driver-side state, nothing wider than a group's own
+  * turn strings crosses the shuffle.
+  *
+  * Scores are carried as integer micro-units (`floor(value·1e6)` — the
+  * repo's exact-ranking discipline) so selection, margins and ties are
+  * bit-identical in any engine.
+  */
+object Posttraining {
+
+  /** DPO/RLHF preference-pair construction: per prompt group, pair the
+    * highest-scored candidate (chosen) with the lowest-scored (rejected)
+    * — the best-vs-worst-of-n pairing reward-model pipelines emit for
+    * direct-preference optimization. Groups whose candidates all carry
+    * the same score are dropped (no preference signal); ties inside a
+    * group break on the larger/smaller `event_id` so the pair is a pure
+    * function of the data.
+    *
+    * ONE algebraic aggregate — `max`/`min` over (score, id) structs —
+    * so Spark's partial aggregation absorbs each group map-side and the
+    * shuffle carries two structs + a count per group, never the
+    * candidate rows. The equivalent window spelling (two row_numbers)
+    * would shuffle every candidate to its group's reducer; at n
+    * candidates per prompt this form moves 3/n of that.
+    */
+  def dpoPairs(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        floor(col("value") * lit(1e6)).cast("long").as("v"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("v"), col("event_id"))).as("ch"),
+        min(struct(col("v"), col("event_id"))).as("rj"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("ch.v") > col("rj.v"))
+      .select(col("user_id").as("prompt_id"),
+        col("ch.event_id").as("chosen_id"),
+        col("rj.event_id").as("rejected_id"),
+        col("ch.v").as("chosen_micro"),
+        col("rj.v").as("rejected_micro"),
+        (col("ch.v") - col("rj.v")).as("margin_micro"),
+        col("n_candidates"))
+      .orderBy(col("prompt_id"))
+
+  def dpoPairsDocs(spark: SparkSession, dir: String): DataFrame =
+    dpoPairs(Tables(spark, dir).events)
+
+  /** SFT conversation assembly: flatten each prompt group's events into
+    * ONE training sample — turns rendered `event_type:score_micro`,
+    * ordered by `(ts, event_id)`, joined with `|` — and emit the
+    * sample's fingerprint and shape stats (the md5 is what a downstream
+    * sample-level dedup keys on; the assembled text itself stays in the
+    * lake row, not in this report).
+    *
+    * One groupBy: `collect_list` of (order-key, turn) structs, sorted
+    * IN-ROW (`array_sort` on the struct — ts then the unique event_id,
+    * so the transcript is deterministic under any partitioning), then
+    * joined. The shuffle carries each turn once (~16 bytes), the sort is
+    * per-group local work, and no window or global order is ever asked
+    * for. `ts` participates only as a sort key, never as rendered text,
+    * so engine timestamp formatting can't leak into the fingerprint.
+    */
+  def chatAssemble(events: DataFrame): DataFrame = {
+    val turn = concat_ws(":", col("event_type"),
+      floor(col("value") * lit(1e6)).cast("long").cast("string"))
+    events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), turn.as("s")).as("t"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(col("t")).as("turns"))
+      .withColumn("transcript",
+        array_join(transform(array_sort(col("turns")), _.getField("s")), "|"))
+      .select(col("user_id"),
+        size(col("turns")).cast("long").as("n_turns"),
+        length(col("transcript")).cast("long").as("total_chars"),
+        element_at(split(col("transcript"), "\\|"), 1).as("first_turn"),
+        element_at(split(col("transcript"), "\\|"), -1).as("last_turn"),
+        md5(col("transcript")).as("fp"))
+      .orderBy(col("user_id"))
+  }
+
+  def chatAssembleDocs(spark: SparkSession, dir: String): DataFrame =
+    chatAssemble(Tables(spark, dir).events)
+}

@@ -1218,4 +1218,127 @@ object Similarity {
     recallAtK(bruteForceTopKDot(vecs),
       rpTopK(vecs).withColumnRenamed("vec_id", "neighbor_id"), k = 10)
   }
+
+  // --------------------------------------- 1-bit (binary) quantization
+
+  /** Sign-bit binarization of the embedding table — the 1-bit tier BELOW
+    * int8 ([[quantizeI8]]) and PQ: dimension d keeps only sign(x_d), so
+    * two packed words replace 64 floats (32× compression) and the
+    * distance becomes a Hamming count (xor + popcount — the cheapest
+    * similarity any serving stack evaluates; for mean-centered embeddings
+    * the Hamming distance is a monotone estimate of the angle, the
+    * sign-random-projection bound specialized to the identity basis).
+    *
+    * Packing: bit d of `sig_lo` ⇔ x_{d+1} ≥ 0 (dims 1–32), bit d of
+    * `sig_hi` ⇔ x_{d+33} ≥ 0 (dims 33–64). Two 32-bit halves carried in
+    * BIGINTs, never one 64-bit word: bit 63 would make the pack's value
+    * sign-dependent on one dimension and overflow DuckDB's CHECKED left
+    * shift, while bits 0–31 are safe in every engine. Each half is one
+    * in-row fold of CASE-gated powers of two (a sum of distinct bits IS
+    * their OR, and the sum spelling is what the oracle replays) —
+    * scan-fused, shuffle-free, engine-exact by construction (the only
+    * float op is the `≥ 0` sign test).
+    */
+  def binarize(vecs: DataFrame): DataFrame = {
+    def half(offset: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         (acc, d) -> acc + CASE
+           WHEN element_at(embedding, d + $offset + 1) >= 0
+           THEN shiftleft(CAST(1 AS BIGINT), d) ELSE CAST(0 AS BIGINT) END)""")
+    vecs.select(col("vec_id"), half(0).as("sig_lo"), half(32).as("sig_hi"))
+  }
+
+  /** Gate projection of [[binarize]]: the packed words plus the
+    * positive-dimension count (`n_pos` — the balance stat that tells an
+    * operator whether the corpus needs mean-centering before the 1-bit
+    * tier is trustworthy).
+    */
+  def binarizeDocs(spark: SparkSession, dir: String): DataFrame =
+    binarize(Tables(spark, dir).embeddings)
+      .withColumn("n_pos",
+        (bit_count(col("sig_lo")) + bit_count(col("sig_hi"))).cast("long"))
+      .orderBy(col("vec_id"))
+
+  /** Per-pair Hamming distance between two packed signatures: two
+    * xor+popcount words — integer-exact in any engine. */
+  private def hamming(lo: Column, hi: Column, qlo: Column, qhi: Column): Column =
+    (bit_count(lo.bitwiseXOR(qlo)) + bit_count(hi.bitwiseXOR(qhi))).cast("long")
+
+  /** Brute-force top-k over the binarized corpus — the serving path that
+    * makes [[binarize]] worth gating: rank by Hamming distance ascending
+    * (ties on vec_id), every comparison two xor+popcounts on words the
+    * scan already holds. The signature table is materialized once (the
+    * stored-index discipline of [[pqAdcTopK]]/[[i8TopK]]) and scanned
+    * with the query batch broadcast. At 100 TB this scan reads 16 bytes
+    * per vector where the float scan reads 256 — the 1-bit tier's whole
+    * value proposition, and why it is the stage-1 of choice when even
+    * IVF's cell-probe misses are too expensive to risk.
+    */
+  def hammingTopK(vecs: DataFrame, numQueries: Int = 10,
+      topK: Int = 10): DataFrame = {
+    val codes = binarize(vecs).localCheckpoint(true)
+    val queries = broadcast(codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
+        col("sig_hi").as("q_hi")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
+    codes.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        hamming(col("sig_lo"), col("sig_hi"), col("q_lo"), col("q_hi")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("ham"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def hammingTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    hammingTopK(Tables(spark, dir).embeddings)
+
+  /** Two-stage retrieval through the 1-bit tier: Hamming-shortlist on
+    * the packed signatures, exact micro-quantized dot rerank on the full
+    * vectors behind the shortlist filter — [[rpTopK]]'s funnel with
+    * sign bits instead of a JL projection (stage 1 pays 2 popcounts per
+    * candidate instead of 16 integer multiplies). Both windows partition
+    * on q_id — one exchange; the float dot is only evaluated for
+    * shortlist·queries rows. This shortlist-then-rerank shape is exactly
+    * how production binary-embedding serving recovers the recall the
+    * 1-bit quantization alone gives up.
+    */
+  def hammingRerank(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    val sig = binarize(vecs)
+    val base = vecs.select(col("vec_id"), col("embedding"))
+      .join(sig, "vec_id")
+      .localCheckpoint(true)
+    val queries = broadcast(base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi")))
+    val d64 = floor(vecDot(col("embedding"), col("qv")) * lit(1e6)).cast("long")
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("d64").desc, col("vec_id"))
+    base.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        hamming(col("sig_lo"), col("sig_hi"), col("q_lo"), col("q_hi")))
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= shortlist)
+      .withColumn("d64", d64)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("d64"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def hammingRerankDocs(spark: SparkSession, dir: String): DataFrame =
+    hammingRerank(Tables(spark, dir).embeddings)
+
+  /** Recall@10 audit for the 1-bit funnel against the exact raw-dot
+    * baseline (the funnel reranks by the micro dot, so that is its own
+    * metric — [[annRecallRp]]'s argument). Closes the audit set: all
+    * FIVE approximate index families (LSH, IVF, PQ/ADC, RP, binary)
+    * now carry a gated recall metric.
+    */
+  def annRecallHam(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir).embeddings
+    recallAtK(bruteForceTopKDot(vecs),
+      hammingRerank(vecs).withColumnRenamed("vec_id", "neighbor_id"), k = 10)
+  }
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Crafted response log: group 1 has a clear best/worst, group 2 is
+    * all-ties (must drop), group 3 ties at the top AND bottom (id
+    * tiebreaks), group 4 is a singleton (drops — no pair from one row).
+    */
+  private def craftedEvents = {
+    import spark.implicits._
+    Seq(
+      // (user_id, event_id, event_type, value, ts)
+      (1L, 10L, "gen", 0.9, 100L),
+      (1L, 11L, "gen", 0.1, 200L),
+      (1L, 12L, "gen", 0.5, 300L),
+      (2L, 20L, "gen", 0.7, 100L),
+      (2L, 21L, "gen", 0.7, 200L),
+      (3L, 30L, "gen", 0.8, 100L),
+      (3L, 31L, "gen", 0.8, 200L), // top tie → larger id 31 chosen
+      (3L, 32L, "gen", 0.2, 300L),
+      (3L, 33L, "gen", 0.2, 400L), // bottom tie → smaller id 32 rejected
+      (4L, 40L, "gen", 0.3, 100L)
+    ).toDF("user_id", "event_id", "event_type", "value", "ts")
+  }
+
+  test("dpoPairs: best-vs-worst per group, ties broken by id, flat groups drop") {
+    val got = Posttraining.dpoPairs(craftedEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (1L, 10L, 11L, 900000L, 100000L, 800000L, 3L),
+      (3L, 31L, 32L, 800000L, 200000L, 600000L, 4L)))
+  }
+
+  test("dpoPairs is partitioning-invariant") {
+    val a = Posttraining.dpoPairs(craftedEvents).collect().toSeq
+    val b = Posttraining.dpoPairs(craftedEvents.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("dpoPairs on the fixture: chosen dominates, rejected is dominated") {
+    val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
+    val byUser = events.select("user_id", "event_id", "value").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), math.floor(r.getDouble(2) * 1e6).toLong)))
+      .toMap
+    val got = Posttraining.dpoPairs(events).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, ch, rj) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val group = byUser(u)
+      val chV = group.find(_._1 == ch).get._2
+      val rjV = group.find(_._1 == rj).get._2
+      assert(chV === group.map(_._2).max, s"user $u chosen not max")
+      assert(rjV === group.map(_._2).min, s"user $u rejected not min")
+      assert(r.getLong(5) === chV - rjV)
+      assert(r.getLong(6) === group.length.toLong)
+    }
+    // every multi-candidate group with score spread produced a pair
+    val expected = byUser.filter { case (_, g) =>
+      g.map(_._2).max > g.map(_._2).min }.keySet
+    assert(got.map(_.getLong(0)).toSet === expected)
+  }
+
+  test("chatAssemble: transcript ordered by (ts, id), fp is md5 of the text") {
+    val got = Posttraining.chatAssemble(
+      craftedEvents.repartition(5) // order must come from the sort, not input
+    ).collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+      r.getString(3), r.getString(4), r.getString(5)))).toMap
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val t1 = "gen:900000|gen:100000|gen:500000"
+    assert(got(1L) === ((3L, t1.length.toLong, "gen:900000", "gen:500000",
+      md5hex(t1))))
+    val t4 = "gen:300000"
+    assert(got(4L) === ((1L, t4.length.toLong, "gen:300000", "gen:300000",
+      md5hex(t4))))
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("chatAssemble on the fixture matches a driver-side assembly") {
+    val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
+    val rows = events.select("user_id", "ts", "event_id", "event_type", "value")
+      .collect()
+    val ref = rows.groupBy(_.getLong(0)).view.mapValues { rs =>
+      rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+        .map(r => s"${r.getString(3)}:${math.floor(r.getDouble(4) * 1e6).toLong}")
+        .mkString("|")
+    }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = Posttraining.chatAssemble(events).collect()
+    assert(got.length === ref.size)
+    got.foreach { r =>
+      val t = ref(r.getLong(0))
+      assert(r.getLong(1) === (t.count(_ == '|') + 1).toLong, s"user ${r.getLong(0)}")
+      assert(r.getLong(2) === t.length.toLong)
+      assert(r.getString(5) === md5hex(t), s"fp of user ${r.getLong(0)}")
+    }
+  }
+}

@@ -665,4 +665,99 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(r150 >= r50 && r150 >= 0.55,
       s"recall should grow with shortlist width: $r50 -> $r150")
   }
+
+  test("binarize: packed halves equal a driver-side sign pack") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Engine.Tables(spark, dir).embeddings
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float], off: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, d) =>
+        if (v(d + off) >= 0f) acc | (1L << d) else acc)
+    val got = Similarity.binarize(vecs).collect()
+    assert(got.length === raw.size)
+    got.foreach { row =>
+      val v = raw(row.getLong(0))
+      assert(row.getLong(1) === pack(v, 0), s"sig_lo of ${row.getLong(0)}")
+      assert(row.getLong(2) === pack(v, 32), s"sig_hi of ${row.getLong(0)}")
+    }
+    // both halves use only bits 0–31: never negative, never > 2^32-1
+    got.foreach { row =>
+      assert(row.getLong(1) >= 0L && row.getLong(1) <= 0xFFFFFFFFL)
+      assert(row.getLong(2) >= 0L && row.getLong(2) <= 0xFFFFFFFFL)
+    }
+  }
+
+  test("hammingTopK: sign-identical plant ranks first at distance 0") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select("vec_id", "embedding")
+    // a positively-scaled copy of query 3 has identical signs → ham 0;
+    // plant id is large so the vec_id tiebreak can't hand it rank 1 for free
+    val planted = base.filter(col("vec_id") === 3)
+      .select(lit(90000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 2.0D AS float))")
+          .as("embedding"))
+    val got = Similarity.hammingTopK(base.unionByName(planted))
+      .collect().filter(_.getLong(0) == 3L)
+    assert(got.head.getLong(2) === 90000L, "plant must rank first")
+    assert(got.head.getLong(3) === 0L, "sign-identical ⇒ Hamming 0")
+    // distances are nondecreasing down the ranking and ≤ 64
+    val hams = got.map(_.getLong(3))
+    assert(hams.toSeq === hams.sorted.toSeq)
+    assert(hams.forall(h => h >= 0 && h <= 64))
+  }
+
+  test("hammingRerank: exact micro-dots on survivors; shortlist buys recall") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def microDot(a: Array[Float], b: Array[Float]): Long = {
+      var acc = 0.0
+      (0 until 64).foreach(d => acc += a(d).toDouble * b(d).toDouble)
+      math.floor(acc * 1e6).toLong
+    }
+    val exact = (0L until 10L).map { q =>
+      q -> raw.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, microDot(raw(q), v)) }
+        .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def run(shortlist: Int) = Similarity.hammingRerank(vecs, shortlist = shortlist)
+      .collect()
+    // survivors carry the EXACT full-dim micro dot (rerank contract)
+    run(50).foreach { r =>
+      assert(r.getLong(3) === microDot(raw(r.getLong(0)), raw(r.getLong(2))),
+        s"micro dot of (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+    def meanRecall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      (0L until 10L).map(q =>
+        exact(q).intersect(got(q)).size.toDouble / exact(q).size).sum / 10
+    }
+    // raw-sign bits on near-uniform vectors are the 1-bit tier's hardest
+    // case (like the JL test): demand 3× the random-shortlist baseline
+    // (50/500 = 0.10) and that widening the shortlist buys recall back
+    val r50 = meanRecall(run(50))
+    val r150 = meanRecall(run(150))
+    assert(r50 >= 0.3, s"recall@10 with shortlist 50: $r50")
+    assert(r150 >= r50, s"recall must not shrink with shortlist: $r50 -> $r150")
+  }
+
+  test("annRecallHam audit equals a direct set comparison") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Engine.Tables(spark, dir).embeddings
+    val exact = Similarity.bruteForceTopKDot(vecs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val approx = Similarity.hammingRerank(vecs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val audit = Similarity.annRecallHam(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (0L until 10L).foreach { q =>
+      val hit = exact(q).intersect(approx(q)).size.toLong
+      assert(audit(q) === ((hit, hit * 1000000L / 10L)), s"query $q")
+    }
+  }
 }
