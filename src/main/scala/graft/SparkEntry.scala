@@ -136,6 +136,8 @@ object SparkEntry {
     // --- training-data pipeline: post-training (SFT / preference) prep
     "dpo_pairs"            -> (Posttraining.dpoPairsDocs(_, _)),
     "chat_assemble"        -> (Posttraining.chatAssembleDocs(_, _)),
+    "grpo_advantage"       -> (Posttraining.grpoAdvantageDocs(_, _)),
+    "reward_norm"          -> (Posttraining.rewardNormDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
@@ -3831,6 +3833,38 @@ object SparkEntry {
            string_split(transcript, '|')[-1] AS last_turn,
            md5(transcript) AS fp
          FROM a ORDER BY user_id""",
+    // GRPO advantage: exact integer numerator v·n − Σv (the engine never
+    // divides); DuckDB's windowed sum over BIGINT is HUGEINT, so cast
+    "grpo_advantage" ->
+      """WITH c AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, v,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT) AS s
+           FROM c)
+         SELECT user_id AS prompt_id, event_id, v AS reward_micro,
+           v * n - s AS adv_num, n AS n_candidates
+         FROM g ORDER BY prompt_id, event_id""",
+    // per-group min-max normalization: non-negative operands make
+    // truncating (Spark div) and flooring (DuckDB //) division agree;
+    // zero-spread groups normalize to 0 by contract on both sides
+    "reward_norm" ->
+      """WITH c AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, v,
+             min(v) OVER (PARTITION BY user_id) AS mn,
+             max(v) OVER (PARTITION BY user_id) AS mx
+           FROM c)
+         SELECT user_id AS prompt_id, event_id, v AS reward_micro,
+           CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                ELSE (v - mn) * 1000000 // (mx - mn) END AS norm_micro
+         FROM g ORDER BY prompt_id, event_id""",
     // mm_features: the stub decode's integer byte-bucket histogram,
     // recomputed from the text characters (the fixture is pure ASCII,
     // FixtureSchemaSpec enforces it — so ord(char) IS the UTF-8 byte),

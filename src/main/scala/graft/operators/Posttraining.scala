@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Engine.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Post-training data preparation over the `events` table — the SFT /
@@ -94,4 +95,60 @@ object Posttraining {
 
   def chatAssembleDocs(spark: SparkSession, dir: String): DataFrame =
     chatAssemble(Tables(spark, dir).events)
+
+  /** Group-relative advantage — the GRPO training signal: each
+    * candidate's reward relative to its own prompt group's mean,
+    * emitted as the EXACT integer numerator `adv_num = v·n − Σv`
+    * (advantage = adv_num / (n·1e6)) so neither engine ever divides —
+    * the repo's cross-multiplication discipline for data-derived rates.
+    *
+    * One window over the group key, no ordering (full-partition frame):
+    * the output is per-candidate, so shuffling each candidate row to
+    * its group is the operator's own output volume, and the window
+    * partitions on the high-cardinality prompt key — never a global or
+    * low-cardinality window.
+    */
+  def grpoAdvantage(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * lit(1e6)).cast("long").as("v"))
+      .withColumn("n_candidates", count(lit(1)).over(w))
+      .withColumn("adv_num",
+        col("v") * col("n_candidates") - sum(col("v")).over(w))
+      .select(col("user_id").as("prompt_id"), col("event_id"),
+        col("v").as("reward_micro"), col("adv_num"), col("n_candidates"))
+      .orderBy(col("prompt_id"), col("event_id"))
+  }
+
+  def grpoAdvantageDocs(spark: SparkSession, dir: String): DataFrame =
+    grpoAdvantage(Tables(spark, dir).events)
+
+  /** Per-group min–max reward normalization to [0, 1e6] micro-units —
+    * the whitening step that makes rewards comparable across prompts
+    * before pairing or advantage weighting (a hard prompt's best score
+    * and an easy prompt's best score both map to 1e6). Pure integer
+    * arithmetic: `(v − min)·1e6 div (max − min)` with every operand
+    * non-negative, so truncating and flooring division agree in any
+    * engine; all-tie groups (no spread) normalize to 0 by contract.
+    * Same single high-cardinality-key window shape as
+    * [[grpoAdvantage]].
+    */
+  def rewardNorm(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * lit(1e6)).cast("long").as("v"))
+      .withColumn("mn", min(col("v")).over(w))
+      .withColumn("mx", max(col("v")).over(w))
+      .withColumn("norm_micro",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("(v - mn) * 1000000 div (mx - mn)")))
+      .select(col("user_id").as("prompt_id"), col("event_id"),
+        col("v").as("reward_micro"), col("norm_micro"))
+      .orderBy(col("prompt_id"), col("event_id"))
+  }
+
+  def rewardNormDocs(spark: SparkSession, dir: String): DataFrame =
+    rewardNorm(Tables(spark, dir).events)
 }

@@ -1239,14 +1239,14 @@ object Similarity {
     * scan-fused, shuffle-free, engine-exact by construction (the only
     * float op is the `≥ 0` sign test).
     */
-  def binarize(vecs: DataFrame): DataFrame = {
-    def half(offset: Int): Column = expr(
-      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-         (acc, d) -> acc + CASE
-           WHEN element_at(embedding, d + $offset + 1) >= 0
-           THEN shiftleft(CAST(1 AS BIGINT), d) ELSE CAST(0 AS BIGINT) END)""")
-    vecs.select(col("vec_id"), half(0).as("sig_lo"), half(32).as("sig_hi"))
-  }
+  private def sigHalf(offset: Int): Column = expr(
+    s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+       (acc, d) -> acc + CASE
+         WHEN element_at(embedding, d + $offset + 1) >= 0
+         THEN shiftleft(CAST(1 AS BIGINT), d) ELSE CAST(0 AS BIGINT) END)""")
+
+  def binarize(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), sigHalf(0).as("sig_lo"), sigHalf(32).as("sig_hi"))
 
   /** Gate projection of [[binarize]]: the packed words plus the
     * positive-dimension count (`n_pos` — the balance stat that tells an
@@ -1305,9 +1305,10 @@ object Similarity {
     */
   def hammingRerank(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
       shortlist: Int = 50): DataFrame = {
-    val sig = binarize(vecs)
-    val base = vecs.select(col("vec_id"), col("embedding"))
-      .join(sig, "vec_id")
+    // signatures computed ALONGSIDE the vectors in one scan (no join back
+    // to the float table — the pack is a per-row fold of the row itself)
+    val base = vecs.select(col("vec_id"), col("embedding"),
+        sigHalf(0).as("sig_lo"), sigHalf(32).as("sig_hi"))
       .localCheckpoint(true)
     val queries = broadcast(base.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),

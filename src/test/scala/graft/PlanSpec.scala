@@ -449,6 +449,42 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(windows.isEmpty, s"q18_sketches must stay window-free:\n$windows")
   }
 
+  test("embed_binarize: scan-fused bit folds — zero hash exchanges") {
+    // the pack is a per-row fold; only the presentation sort's range
+    // exchange may appear, never a hash shuffle or a window
+    val plan = planOf("embed_binarize")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"binarize must not shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("ann_ham_rerank: rerank behind the shortlist cut; one window exchange") {
+    // the matryoshka funnel contract: both windows partition on q_id —
+    // one hash exchange — and the per-query cut pushes down as a
+    // WindowGroupLimit; the signature table is a materialized index
+    // (Scan ExistingRDD), so the pack fold never re-derives per pair
+    val df = SparkEntry.queries("ann_ham_rerank")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange for both windows, got $hashExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("Scan ExistingRDD"),
+      "signatures must be a materialized index, not a per-pair re-derivation")
+  }
+
+  test("dpo_pairs: one partial-agg'd aggregate, no Window, no join") {
+    // best/worst selection is max/min of structs — algebraic, so the
+    // map side absorbs each group before the shuffle; the window
+    // spelling (row_number twice + self-join) would shuffle every
+    // candidate row and is exactly what this pin forbids
+    val plan = planOf("dpo_pairs")
+    assert(plan.contains("partial_"),
+      s"map-side combine missing:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("NO query plans an unpartitioned Window over arbitrary input") {
     // The sweeping form of the BoundedGlobal contract: a global window
     // moves its whole input to one task, so every one of them was

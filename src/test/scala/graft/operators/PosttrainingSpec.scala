@@ -84,6 +84,43 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(got.keySet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("grpoAdvantage: numerators sum to zero per group, singleton is zero") {
+    val got = Posttraining.grpoAdvantage(craftedEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // group 1: v = (900000, 100000, 500000), sum 1500000, n 3
+    val g1 = got.filter(_._1 == 1L).map(t => t._2 -> t._4).toMap
+    assert(g1 === Map(10L -> (900000L * 3 - 1500000L),
+      11L -> (100000L * 3 - 1500000L), 12L -> (500000L * 3 - 1500000L)))
+    // advantages cancel within every group (Σ(v·n − Σv) = 0)
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.map(_._4).sum === 0L, s"group $u advantage must cancel")
+      assert(rows.forall(_._5 == rows.length.toLong))
+    }
+    // singleton group: one candidate, advantage exactly 0
+    assert(got.filter(_._1 == 4L).map(_._4).toSeq === Seq(0L))
+  }
+
+  test("grpoAdvantage is partitioning-invariant") {
+    val a = Posttraining.grpoAdvantage(craftedEvents).collect().toSeq
+    val b = Posttraining.grpoAdvantage(craftedEvents.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("rewardNorm: min→0, max→1e6, flat groups pin to 0") {
+    val got = Posttraining.rewardNorm(craftedEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byId = got.map(t => t._2 -> t._3).toMap
+    // group 1: min 100000 → 0, max 900000 → 1e6, mid 500000 → exactly half
+    assert(byId(11L) === 0L)
+    assert(byId(10L) === 1000000L)
+    assert(byId(12L) === (500000L - 100000L) * 1000000L / (900000L - 100000L))
+    // flat group 2 and singleton group 4: no spread → 0 by contract
+    assert(byId(20L) === 0L && byId(21L) === 0L && byId(40L) === 0L)
+    // range contract: everything lands in [0, 1e6]
+    assert(got.forall(t => t._3 >= 0L && t._3 <= 1000000L))
+  }
+
   test("chatAssemble on the fixture matches a driver-side assembly") {
     val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
     val rows = events.select("user_id", "ts", "event_id", "event_type", "value")
