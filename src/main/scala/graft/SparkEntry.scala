@@ -138,6 +138,8 @@ object SparkEntry {
     "chat_assemble"        -> (Posttraining.chatAssembleDocs(_, _)),
     "grpo_advantage"       -> (Posttraining.grpoAdvantageDocs(_, _)),
     "reward_norm"          -> (Posttraining.rewardNormDocs(_, _)),
+    "chat_truncate"        -> (Posttraining.chatTruncateDocs(_, _)),
+    "stream_dpo"           -> (streaming.StreamQueries.dpoEvents(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
@@ -3792,27 +3794,40 @@ object SparkEntry {
     // DPO preference pairs: the oracle restates the max/min-of-struct
     // selection as two row_number windows over the identical
     // (micro-score, id) total order; all-tie groups drop on both sides
-    "dpo_pairs" ->
-      """WITH c AS (
-           SELECT user_id, event_id,
-             CAST(floor(value * 1e6) AS BIGINT) AS v
+    "dpo_pairs" -> dpoPairsOracle,
+    // the UPDATE-mode streaming spelling of the same transform must land
+    // the identical pair set — one oracle string, zero drift possible
+    "stream_dpo" -> dpoPairsOracle,
+    // chat-history truncation: the DESC running cost is monotone, so the
+    // oracle's `cum <= budget+1` cut is the same whole-turn suffix the
+    // Spark in-row fold counts; zero-kept groups fingerprint ''
+    "chat_truncate" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id,
+             event_type || ':' ||
+               CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR) AS s
            FROM events),
          r AS (
-           SELECT user_id, event_id, v,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY v DESC, event_id DESC) AS rb,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY v ASC, event_id ASC) AS rw,
-             count(*) OVER (PARTITION BY user_id) AS n
-           FROM c)
-         SELECT b.user_id AS prompt_id, b.event_id AS chosen_id,
-           w.event_id AS rejected_id, b.v AS chosen_micro,
-           w.v AS rejected_micro, b.v - w.v AS margin_micro,
-           b.n AS n_candidates
-         FROM (SELECT * FROM r WHERE rb = 1) b
-         JOIN (SELECT * FROM r WHERE rw = 1) w ON b.user_id = w.user_id
-         WHERE b.v > w.v
-         ORDER BY prompt_id""",
+           SELECT user_id, ts, event_id, s,
+             CAST(sum(length(s) + 1) OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM t),
+         k AS (SELECT user_id, ts, event_id, s FROM r WHERE cum <= 201),
+         a AS (
+           SELECT user_id, count(*) AS nk,
+             string_agg(s, '|' ORDER BY ts, event_id) AS transcript
+           FROM k GROUP BY user_id),
+         tot AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns
+           FROM t GROUP BY user_id)
+         SELECT tot.user_id, n_turns,
+           CAST(coalesce(a.nk, 0) AS BIGINT) AS n_kept,
+           CAST(length(coalesce(a.transcript, '')) AS BIGINT) AS kept_chars,
+           md5(coalesce(a.transcript, '')) AS fp_kept
+         FROM tot LEFT JOIN a ON tot.user_id = a.user_id
+         ORDER BY tot.user_id""",
     // SFT assembly: ordered group-concat replayed via string_agg with
     // the same (ts, event_id) order key; ts is only a sort key (never
     // rendered), so timestamp formatting can't leak into the md5
@@ -4070,6 +4085,33 @@ object SparkEntry {
          SELECT q_id, rk, vec_id, d64 FROM r2
          WHERE rk <= 10 ORDER BY q_id, rk"""
   }
+
+  /** Shared by `dpo_pairs` and `stream_dpo`: the selection restated as
+    * two row_number windows over the identical (micro-score, id) total
+    * order — the streaming update-mode aggregation must land exactly
+    * this pair set.
+    */
+  private def dpoPairsOracle: String =
+    """WITH c AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY v DESC, event_id DESC) AS rb,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY v ASC, event_id ASC) AS rw,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM c)
+         SELECT b.user_id AS prompt_id, b.event_id AS chosen_id,
+           w.event_id AS rejected_id, b.v AS chosen_micro,
+           w.v AS rejected_micro, b.v - w.v AS margin_micro,
+           b.n AS n_candidates
+         FROM (SELECT * FROM r WHERE rb = 1) b
+         JOIN (SELECT * FROM r WHERE rw = 1) w ON b.user_id = w.user_id
+         WHERE b.v > w.v
+         ORDER BY prompt_id"""
 
   /** Shared CTE for the 1-bit family: the packed sign-bit halves as the
     * identical CASE-gated power-of-two folds the Spark side evaluates

@@ -38,6 +38,15 @@ object Posttraining {
     * candidates per prompt this form moves 3/n of that.
     */
   def dpoPairs(events: DataFrame): DataFrame =
+    dpoPairsOn(events).orderBy(col("prompt_id"))
+
+  /** The pairing transform itself, sort-free so it runs unchanged over a
+    * STREAMING events frame (update-mode aggregation — per-group
+    * max/min/count state is three structs, bounded by the prompt-key
+    * cardinality; `stream_dpo` gates it against this batch spelling's
+    * oracle).
+    */
+  def dpoPairsOn(events: DataFrame): DataFrame =
     events
       .select(col("user_id"),
         floor(col("value") * lit(1e6)).cast("long").as("v"), col("event_id"))
@@ -54,7 +63,6 @@ object Posttraining {
         col("rj.v").as("rejected_micro"),
         (col("ch.v") - col("rj.v")).as("margin_micro"),
         col("n_candidates"))
-      .orderBy(col("prompt_id"))
 
   def dpoPairsDocs(spark: SparkSession, dir: String): DataFrame =
     dpoPairs(Tables(spark, dir).events)
@@ -151,4 +159,50 @@ object Posttraining {
 
   def rewardNormDocs(spark: SparkSession, dir: String): DataFrame =
     rewardNorm(Tables(spark, dir).events)
+
+  /** Conversation-window truncation: keep each group's LONGEST RECENT
+    * SUFFIX of turns whose rendered length fits `budgetChars` — the
+    * chat-history packing rule (newest turns survive, history is cut at
+    * a whole-turn boundary, never mid-turn). The suffix is found by ONE
+    * in-row fold over the reversed (ts,id)-sorted turns: the running
+    * cost (`length + 1` separator) is monotone, so the budget cut is
+    * contiguous by construction and the fold just counts how many
+    * newest turns fit — O(turns) per group, same single-shuffle shape
+    * as [[chatAssemble]]. Conversations are length-bounded by the
+    * application (turn counts, not corpus size), so the in-row fold is
+    * scale-safe at any corpus size.
+    *
+    * Emits the truncated sample's fingerprint + shape stats; a budget
+    * smaller than the newest turn keeps ZERO turns and fingerprints the
+    * empty string (the caller's signal to drop or hard-wrap).
+    */
+  def chatTruncate(events: DataFrame, budgetChars: Int = 200): DataFrame = {
+    val turn = concat_ws(":", col("event_type"),
+      floor(col("value") * lit(1e6)).cast("long").cast("string"))
+    events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), turn.as("s")).as("t"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(col("t")).as("turns"))
+      .withColumn("ss", expr("transform(array_sort(turns), x -> x.s)"))
+      .withColumn("n_kept_i", expr(
+        s"""aggregate(reverse(ss),
+           struct(CAST(0 AS BIGINT) AS used, 0 AS n),
+           (acc, s) -> struct(acc.used + length(s) + 1 AS used,
+             IF(acc.used + length(s) + 1 <= ${budgetChars + 1},
+               acc.n + 1, acc.n) AS n),
+           acc -> acc.n)"""))
+      .withColumn("kept", expr(
+        "IF(n_kept_i = 0, array(), slice(ss, size(ss) - n_kept_i + 1, n_kept_i))"))
+      .withColumn("transcript", array_join(col("kept"), "|"))
+      .select(col("user_id"),
+        size(col("ss")).cast("long").as("n_turns"),
+        col("n_kept_i").cast("long").as("n_kept"),
+        length(col("transcript")).cast("long").as("kept_chars"),
+        md5(col("transcript")).as("fp_kept"))
+      .orderBy(col("user_id"))
+  }
+
+  def chatTruncateDocs(spark: SparkSession, dir: String): DataFrame =
+    chatTruncate(Tables(spark, dir).events)
 }

@@ -325,6 +325,25 @@ object StreamQueries {
       gateDir("weaklabels"))()
       .orderBy("doc_id")
 
+  /** Gated streaming [[graft.operators.Posttraining.dpoPairsOn]]: the
+    * preference-pair selection maintained as an UPDATE-mode streaming
+    * aggregation — per-prompt state is three values (max/min (score,id)
+    * structs + a count), bounded by prompt-key cardinality like the
+    * budget-admission gate's per-language long, and each micro-batch
+    * re-emits exactly the groups whose best/worst moved: the incremental
+    * preference-mining shape for a reward-model log that lands
+    * continuously. The whole fixture arrives in micro-batch 0, so the
+    * single emission per group IS the final pair set; shares the batch
+    * gate's oracle string, so the streamed pairs must equal the batch
+    * spelling's hash-for-hash.
+    */
+  def dpoEvents(spark: SparkSession, dir: String): DataFrame =
+    StreamGate.runToParquet(spark,
+      s => graft.operators.Posttraining.dpoPairsOn(
+        Streaming.streamEvents(s, dir)),
+      gateDir("dpo"), outputMode = "update")()
+      .orderBy("prompt_id")
+
   /** Gated STREAMING read through [[graft.sources.LineTable]]'s
     * MicroBatchStream: the fixture materializes as a 3-file line table,
     * the stream drains it through the idempotent parquet sink

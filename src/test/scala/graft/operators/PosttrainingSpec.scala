@@ -121,6 +121,58 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall(t => t._3 >= 0L && t._3 <= 1000000L))
   }
 
+  test("chatTruncate: newest turns survive whole, cut is a suffix at the budget") {
+    import spark.implicits._
+    // turns rendered "gen:<micro>" are 10 chars each (+1 separator);
+    // budget 32 fits exactly 3 turns (3·10 + 2 = 32)
+    val events = (1L to 5L).map(i =>
+      (7L, i, "gen", 0.111111, i * 100L))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Posttraining.chatTruncate(events, budgetChars = 32).collect().head
+    assert(got.getLong(1) === 5L, "n_turns")
+    assert(got.getLong(2) === 3L, "exactly the 3 newest turns fit")
+    assert(got.getLong(3) === 32L, "kept_chars")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got.getString(4) === md5hex("gen:111111|gen:111111|gen:111111"))
+    // a budget below one turn keeps zero turns and fingerprints ''
+    val none = Posttraining.chatTruncate(events, budgetChars = 9).collect().head
+    assert(none.getLong(2) === 0L && none.getLong(3) === 0L)
+    assert(none.getString(4) === md5hex(""))
+    // a budget past the full transcript keeps everything
+    val all = Posttraining.chatTruncate(events, budgetChars = 1000).collect().head
+    assert(all.getLong(2) === 5L && all.getLong(3) === 54L)
+  }
+
+  test("chatTruncate is partitioning-invariant and keeps a true suffix") {
+    val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
+    val a = Posttraining.chatTruncate(events).collect().toSeq
+    val b = Posttraining.chatTruncate(events.repartition(7)).collect().toSeq
+    assert(a === b)
+    // suffix-of-the-whole property: the kept fingerprint equals the md5
+    // of the LAST kept_chars characters of the full driver-assembled
+    // transcript (truncation may only ever cut from the front, at a
+    // whole-turn boundary)
+    val full = events.select("user_id", "ts", "event_id", "event_type", "value")
+      .collect().groupBy(_.getLong(0)).view.mapValues { rs =>
+        rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+          .map(r => s"${r.getString(3)}:${math.floor(r.getDouble(4) * 1e6).toLong}")
+          .mkString("|")
+      }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(a.map(_.getLong(0)).toSet === full.keySet)
+    a.foreach { r =>
+      val t = full(r.getLong(0))
+      assert(r.getLong(2) <= r.getLong(1), "kept can't exceed total")
+      assert(r.getLong(3) <= 200L, "rendered length within budget")
+      assert(r.getString(4) === md5hex(t.takeRight(r.getLong(3).toInt)),
+        s"user ${r.getLong(0)}: kept text must be a suffix of the whole")
+    }
+  }
+
   test("chatAssemble on the fixture matches a driver-side assembly") {
     val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
     val rows = events.select("user_id", "ts", "event_id", "event_type", "value")
