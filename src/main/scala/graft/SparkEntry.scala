@@ -140,6 +140,7 @@ object SparkEntry {
     "reward_norm"          -> (Posttraining.rewardNormDocs(_, _)),
     "chat_truncate"        -> (Posttraining.chatTruncateDocs(_, _)),
     "stream_dpo"           -> (streaming.StreamQueries.dpoEvents(_, _)),
+    "posttrain_curate"     -> (Posttraining.posttrainCurateDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
@@ -3798,6 +3799,42 @@ object SparkEntry {
     // the UPDATE-mode streaming spelling of the same transform must land
     // the identical pair set — one oracle string, zero drift possible
     "stream_dpo" -> dpoPairsOracle,
+    // the composed post-training pipeline: assembly, fp-dedup, shape
+    // admission and pairing restated as one CTE chain over the same
+    // micro-exact arithmetic
+    "posttrain_curate" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id,
+             event_type || ':' ||
+               CAST(CAST(floor(value * 1e6) AS BIGINT) AS VARCHAR) AS s
+           FROM events),
+         a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+             md5(string_agg(s, '|' ORDER BY ts, event_id)) AS fp
+           FROM t GROUP BY user_id),
+         surv AS (
+           SELECT min(user_id) AS user_id FROM a
+           WHERE n_turns >= 3 GROUP BY fp),
+         c AS (
+           SELECT e.user_id, e.event_id,
+             CAST(floor(e.value * 1e6) AS BIGINT) AS v
+           FROM events e JOIN surv ON e.user_id = surv.user_id),
+         r AS (
+           SELECT user_id, event_id, v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY v DESC, event_id DESC) AS rb,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY v ASC, event_id ASC) AS rw,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM c)
+         SELECT b.user_id AS prompt_id, b.event_id AS chosen_id,
+           w.event_id AS rejected_id, b.v AS chosen_micro,
+           w.v AS rejected_micro, b.v - w.v AS margin_micro,
+           b.n AS n_candidates
+         FROM (SELECT * FROM r WHERE rb = 1) b
+         JOIN (SELECT * FROM r WHERE rw = 1) w ON b.user_id = w.user_id
+         WHERE b.v > w.v
+         ORDER BY prompt_id""",
     // chat-history truncation: the DESC running cost is monotone, so the
     // oracle's `cum <= budget+1` cut is the same whole-turn suffix the
     // Spark in-row fold counts; zero-kept groups fingerprint ''

@@ -82,7 +82,12 @@ object Posttraining {
     * for. `ts` participates only as a sort key, never as rendered text,
     * so engine timestamp formatting can't leak into the fingerprint.
     */
-  def chatAssemble(events: DataFrame): DataFrame = {
+  def chatAssemble(events: DataFrame): DataFrame =
+    chatAssembleOn(events).orderBy(col("user_id"))
+
+  /** The assembly transform itself, sort-free — shared by the gate and
+    * the [[posttrainCurate]] composition. */
+  def chatAssembleOn(events: DataFrame): DataFrame = {
     val turn = concat_ws(":", col("event_type"),
       floor(col("value") * lit(1e6)).cast("long").cast("string"))
     events
@@ -98,7 +103,6 @@ object Posttraining {
         element_at(split(col("transcript"), "\\|"), 1).as("first_turn"),
         element_at(split(col("transcript"), "\\|"), -1).as("last_turn"),
         md5(col("transcript")).as("fp"))
-      .orderBy(col("user_id"))
   }
 
   def chatAssembleDocs(spark: SparkSession, dir: String): DataFrame =
@@ -205,4 +209,36 @@ object Posttraining {
 
   def chatTruncateDocs(spark: SparkSession, dir: String): DataFrame =
     chatTruncate(Tables(spark, dir).events)
+
+  /** End-to-end post-training curation, composed as ONE Catalyst plan in
+    * cost-correct order (the [[Pipeline.curate]] demonstration for the
+    * preference family): conversation assembly → exact sample-level
+    * dedup (min-user survivor per transcript fingerprint — identical
+    * conversations must not contribute duplicate preference pairs) →
+    * shape admission (≥ `minTurns` turns: a one-turn "conversation"
+    * carries no preference signal worth pairing) → DPO pairing over the
+    * surviving prompt groups.
+    *
+    * Each stage shrinks what the next touches: the assembly aggregate
+    * collapses the response log to one row per prompt; dedup and
+    * admission operate on that collapsed table; the survivor set then
+    * SEMI-joins back against the log (broadcast at dimension scale —
+    * survivors are a user-cardinality projection of two columns), so
+    * the pairing aggregate only reads surviving rows. The response log
+    * is scanned twice (assembly + pairing) — the production shape lands
+    * the assembly as an intermediate and pays one scan per consumer,
+    * exactly like the clustering family's pair table.
+    */
+  def posttrainCurate(events: DataFrame, minTurns: Long = 3): DataFrame = {
+    val survivors = chatAssembleOn(events)
+      .filter(col("n_turns") >= minTurns)
+      .groupBy(col("fp"))
+      .agg(min(col("user_id")).as("user_id"))
+      .select(col("user_id"))
+    dpoPairsOn(events.join(survivors, Seq("user_id"), "left_semi"))
+      .orderBy(col("prompt_id"))
+  }
+
+  def posttrainCurateDocs(spark: SparkSession, dir: String): DataFrame =
+    posttrainCurate(Tables(spark, dir).events)
 }

@@ -173,6 +173,39 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("posttrainCurate: dup conversations pair once, thin ones drop") {
+    import spark.implicits._
+    // users 1 and 2 are IDENTICAL conversations (same turns, same
+    // relative order — only ids/ts differ, which never enter the fp);
+    // user 3 is distinct; user 4 has < 3 turns (shape-dropped); user 5
+    // is all-ties (survives curation, drops at pairing)
+    def conv(u: Long, base: Long, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) =>
+        (u, base + i, "gen", v, (i + 1) * 100L) }
+    val events = (
+      conv(1L, 10L, Seq(0.9, 0.1, 0.5)) ++
+      conv(2L, 20L, Seq(0.9, 0.1, 0.5)) ++ // dup of user 1
+      conv(3L, 30L, Seq(0.4, 0.8, 0.2)) ++
+      conv(4L, 40L, Seq(0.9, 0.1)) ++      // 2 turns < minTurns
+      conv(5L, 50L, Seq(0.7, 0.7, 0.7))    // flat
+    ).toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Posttraining.posttrainCurate(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // survivors: user 1 (min id of the dup class), 3, 5; pairs: 1 and 3
+    assert(got.toSeq === Seq((1L, 10L, 11L), (3L, 31L, 32L)))
+  }
+
+  test("posttrainCurate equals dpoPairs restricted to the survivor set") {
+    val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
+    val survivors = Posttraining.chatAssembleOn(events)
+      .filter(org.apache.spark.sql.functions.col("n_turns") >= 3)
+      .collect().map(_.getLong(0)).toSet // fixture fps are all unique
+    val direct = Posttraining.dpoPairs(events).collect()
+      .filter(r => survivors(r.getLong(0))).toSeq
+    val curated = Posttraining.posttrainCurate(events).collect().toSeq
+    assert(curated === direct)
+  }
+
   test("chatAssemble on the fixture matches a driver-side assembly") {
     val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
     val rows = events.select("user_id", "ts", "event_id", "event_type", "value")
