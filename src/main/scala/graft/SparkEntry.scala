@@ -141,6 +141,7 @@ object SparkEntry {
     "chat_truncate"        -> (Posttraining.chatTruncateDocs(_, _)),
     "stream_dpo"           -> (streaming.StreamQueries.dpoEvents(_, _)),
     "posttrain_curate"     -> (Posttraining.posttrainCurateDocs(_, _)),
+    "pass_at_k"            -> (Posttraining.passAtKDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
@@ -3885,6 +3886,28 @@ object SparkEntry {
            string_split(transcript, '|')[-1] AS last_turn,
            md5(transcript) AS fp
          FROM a ORDER BY user_id""",
+    // pass@k (Chen et al. 2021): both binomials cancel to products of k
+    // consecutive non-negative longs — exact integer division; n < k
+    // groups report the degenerate any-pass verdict (and dodge the zero
+    // denominator DuckDB raises on)
+    "pass_at_k" ->
+      """WITH c0 AS (
+           SELECT user_id, CAST(floor(value * 1e6) AS BIGINT) AS v
+           FROM events),
+         g AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN v >= 100000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c
+           FROM c0 GROUP BY user_id)
+         SELECT user_id AS prompt_id, n, c,
+           c * 1000000 // n AS pass1_micro,
+           CAST(CASE WHEN n < 4
+             THEN CASE WHEN c > 0 THEN 1000000 ELSE 0 END
+             ELSE 1000000 -
+               ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * 1000000)
+                 // (n * (n-1) * (n-2) * (n-3))
+           END AS BIGINT) AS passk_micro
+         FROM g ORDER BY prompt_id""",
     // GRPO advantage: exact integer numerator v·n − Σv (the engine never
     // divides); DuckDB's windowed sum over BIGINT is HUGEINT, so cast
     "grpo_advantage" ->

@@ -241,4 +241,48 @@ object Posttraining {
 
   def posttrainCurateDocs(spark: SparkSession, dir: String): DataFrame =
     posttrainCurate(Tables(spark, dir).events)
+
+  /** Exact pass@k evaluation rollup — the unbiased estimator of Chen et
+    * al. 2021 ("Evaluating Large Language Models Trained on Code"),
+    * `pass@k = 1 − C(n−c, k)/C(n, k)`, per prompt group with n sampled
+    * candidates of which c clear the reward threshold. The whole
+    * estimator is integer arithmetic: both binomials cancel to products
+    * of k consecutive non-negative longs, so
+    * `1e6 − (Π(n−c−j)·1e6) div (Π(n−j))` is exact in any engine — and
+    * when fewer than k failures exist one numerator factor is literally
+    * 0, making pass@k = 1 fall out of the product rather than a special
+    * case. Groups with n < k can't draw k distinct samples; they report
+    * the degenerate any-pass verdict (1e6 if c > 0 else 0) by contract
+    * (and guard the zero denominator, which DuckDB would raise on).
+    *
+    * ONE count/conditional-count aggregate — map-side partials absorb
+    * each group, the shuffle carries two longs per prompt. This is the
+    * eval-side twin of [[dpoPairs]]: the same response log, rolled up
+    * for the RL-eval dashboard instead of the training set.
+    */
+  def passAtK(events: DataFrame, thresholdMicro: Long = 100000000L,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def prodFrom(base: String): String =
+      (0 until k).map(j => s"($base - $j)").mkString(" * ")
+    events
+      .select(col("user_id"),
+        floor(col("value") * lit(1e6)).cast("long").as("v"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") >= thresholdMicro, 1L).otherwise(0L)).as("c"))
+      .withColumn("pass1_micro", expr("c * 1000000 div n"))
+      .withColumn("passk_micro", expr(
+        s"""CASE WHEN n < $k THEN IF(c > 0, CAST(1000000 AS BIGINT),
+              CAST(0 AS BIGINT))
+            ELSE CAST(1000000 AS BIGINT) -
+              (${prodFrom("(n - c)")} * 1000000) div (${prodFrom("n")})
+            END"""))
+      .select(col("user_id").as("prompt_id"), col("n"), col("c"),
+        col("pass1_micro"), col("passk_micro"))
+      .orderBy(col("prompt_id"))
+  }
+
+  def passAtKDocs(spark: SparkSession, dir: String): DataFrame =
+    passAtK(Tables(spark, dir).events)
 }

@@ -206,6 +206,42 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(curated === direct)
   }
 
+  test("passAtK matches the combinatorial estimator on crafted groups") {
+    import spark.implicits._
+    // groups: (n=6, c=2), (n=4, c=0), (n=4, c=4), (n=2, c=1: degenerate),
+    // (n=2, c=0: degenerate), (n=5, c=3: n-c < k → guaranteed pass)
+    def g(u: Long, base: Long, passes: Int, fails: Int) = {
+      val vs = Seq.fill(passes)(200.0) ++ Seq.fill(fails)(1.0)
+      vs.zipWithIndex.map { case (v, i) => (u, base + i, "gen", v, i * 10L) }
+    }
+    val events = (g(1, 10, 2, 4) ++ g(2, 20, 0, 4) ++ g(3, 30, 4, 0) ++
+      g(4, 40, 1, 1) ++ g(5, 50, 0, 2) ++ g(6, 60, 3, 2))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    def comb(n: Long, k: Long): Long =
+      if (k > n) 0L
+      else (0L until k).map(j => n - j).product / (1L to k).product
+    def expected(n: Long, c: Long): Long =
+      if (n < 4) { if (c > 0) 1000000L else 0L }
+      // the operator's floor-division spelling, NOT a float reference:
+      // 1e6 − ⌊Π(n−c−j)·1e6 / Π(n−j)⌋ (binomials cancel the k!)
+      else 1000000L - (0L until 4L).map(j => n - c - j).product * 1000000L /
+        (0L until 4L).map(j => n - j).product
+    val got = Posttraining.passAtK(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val want = Map(1L -> (6L, 2L), 2L -> (4L, 0L), 3L -> (4L, 4L),
+      4L -> (2L, 1L), 5L -> (2L, 0L), 6L -> (5L, 3L))
+    want.foreach { case (u, (n, c)) =>
+      assert(got(u) === ((n, c, c * 1000000L / n, expected(n, c))), s"user $u")
+    }
+    // sanity against the true estimator: C(n−c,k)/C(n,k) for group 1 is
+    // C(4,4)/C(6,4) = 1/15 → pass ≈ 0.9333; floor-micro 933334 ≡ the
+    // product spelling (binomial ratio equals the factor-product ratio)
+    assert(got(1L)._4 === 1000000L - comb(4, 4) * 1000000L / comb(6, 4))
+    assert(got(3L)._4 === 1000000L, "all-pass group")
+    assert(got(6L)._4 === 1000000L, "fewer than k failures → guaranteed pass")
+  }
+
   test("chatAssemble on the fixture matches a driver-side assembly") {
     val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
     val rows = events.select("user_id", "ts", "event_id", "event_type", "value")
