@@ -272,8 +272,16 @@ object Posttraining {
       .agg(count(lit(1)).as("n"),
         sum(when(col("v") >= thresholdMicro, 1L).otherwise(0L)).as("c"))
       .withColumn("pass1_micro", expr("c * 1000000 div n"))
+      // loud overflow bound (the repo's loud-failure contract): the k=4
+      // factor product n⁴·1e6 exceeds Long past n ≈ 1700, so a group
+      // with more candidates than the bound fails the job with a named
+      // remedy instead of silently wrapping to a wrong rate
       .withColumn("passk_micro", expr(
-        s"""CASE WHEN n < $k THEN IF(c > 0, CAST(1000000 AS BIGINT),
+        s"""CASE WHEN n > 1000 THEN raise_error(concat(
+              'passAtK: group ', CAST(user_id AS STRING), ' has ',
+              CAST(n AS STRING), ' candidates; the k=$k factor product ',
+              'overflows past 1000 - pre-aggregate samples or reduce k'))
+            WHEN n < $k THEN IF(c > 0, CAST(1000000 AS BIGINT),
               CAST(0 AS BIGINT))
             ELSE CAST(1000000 AS BIGINT) -
               (${prodFrom("(n - c)")} * 1000000) div (${prodFrom("n")})

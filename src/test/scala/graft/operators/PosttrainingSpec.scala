@@ -242,6 +242,24 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L)._4 === 1000000L, "fewer than k failures → guaranteed pass")
   }
 
+  test("passAtK: an oversized group fails loudly, naming the bound") {
+    import org.apache.spark.sql.functions._
+    // 1001 candidates in one group: the k=4 factor product would wrap
+    // Long past ~1700; the operator must refuse at its declared bound
+    val big = spark.range(1001)
+      .select(lit(9L).as("user_id"), col("id").as("event_id"),
+        lit("gen").as("event_type"), lit(0.5).as("value"),
+        col("id").as("ts"))
+    val e = intercept[Exception] {
+      Posttraining.passAtK(big).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("overflows past 1000")),
+      s"error must name the bound: ${messages(e).mkString(" | ")}")
+  }
+
   test("chatAssemble on the fixture matches a driver-side assembly") {
     val events = graft.Engine.Tables(spark, "/root/testdata/sf0.001").events
     val rows = events.select("user_id", "ts", "event_id", "event_type", "value")
