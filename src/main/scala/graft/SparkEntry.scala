@@ -130,6 +130,7 @@ object SparkEntry {
     "ann_rp_topk"          -> (Similarity.rpTopKDocs(_, _)),
     "ann_recall_rp"        -> (Similarity.annRecallRp(_, _)),
     "embed_binarize"       -> (Similarity.binarizeDocs(_, _)),
+    "embed_center_binarize" -> (Similarity.centerBinarizeDocs(_, _)),
     "ann_ham_topk"         -> (Similarity.hammingTopKDocs(_, _)),
     "ann_ham_rerank"       -> (Similarity.hammingRerankDocs(_, _)),
     "ann_recall_ham"       -> (Similarity.annRecallHam(_, _)),
@@ -3743,6 +3744,35 @@ object SparkEntry {
     // float op on either side is the >= 0 sign test
     "embed_binarize" ->
       s"""WITH $binSigCte
+         SELECT vec_id, sig_lo, sig_hi,
+           CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos
+         FROM sig ORDER BY vec_id""",
+    // mean-centered binarization: per-dim means re-derived in-query as
+    // floor-quantized micro sums divided by the count — DuckDB's integer
+    // // TRUNCATES toward zero (it floors only on doubles), matching
+    // Scala Long division — then the same CASE-gated power-of-two folds
+    // over the centered micro values
+    "embed_center_binarize" ->
+      """WITH q AS (
+           SELECT i,
+             CAST(sum(CAST(floor(embedding[i] * 1e6) AS BIGINT))
+               AS BIGINT) // count(*) AS m
+           FROM embeddings, UNNEST(generate_series(1, 64)) t(i)
+           GROUP BY i),
+         ml AS (SELECT list(m ORDER BY i) AS ms FROM q),
+         sig AS (
+           SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(0, 31), d ->
+               CASE WHEN CAST(floor(embedding[d + 1] * 1e6) AS BIGINT)
+                   - ms[d + 1] >= 0
+                 THEN CAST(1 AS BIGINT) << d
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig_lo,
+             CAST(list_sum(list_transform(generate_series(0, 31), d ->
+               CASE WHEN CAST(floor(embedding[d + 33] * 1e6) AS BIGINT)
+                   - ms[d + 33] >= 0
+                 THEN CAST(1 AS BIGINT) << d
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig_hi
+           FROM embeddings, ml)
          SELECT vec_id, sig_lo, sig_hi,
            CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_pos
          FROM sig ORDER BY vec_id""",

@@ -1342,4 +1342,48 @@ object Similarity {
     recallAtK(bruteForceTopKDot(vecs),
       hammingRerank(vecs).withColumnRenamed("vec_id", "neighbor_id"), k = 10)
   }
+
+  /** Mean-centered binarization — the preprocessing that makes the
+    * 1-bit tier trustworthy on anisotropic corpora: a dimension whose
+    * values are all-positive contributes a CONSTANT bit to every raw
+    * signature (zero Hamming information), so production binary
+    * embedding stacks center on the corpus mean before taking signs.
+    *
+    * Engine-exact centering: per-dimension means are integer micro
+    * units — floor-quantized element sums (exact in any order, the
+    * [[Clustering.labelCentroids]] discipline) divided by the count
+    * with TRUNCATING division (Scala `Long /` ≡ DuckDB integer `//`,
+    * which truncates toward zero on integers — it floors only on
+    * doubles; a floorDiv here diverged on every negative-sum dimension
+    * at sf0.1) — computed in ONE dim-wide partial aggregate and compiled into the
+    * scan as literals (the IVF-centroid pattern), so pass 2 is the same
+    * shuffle-free fold as [[binarize]] on `floor(x·1e6) − mean_micro`.
+    * Two corpus scans total, nothing wider than one dim-long row ever
+    * reaches the driver.
+    */
+  def centerBinarize(vecs: DataFrame): DataFrame = {
+    val sums = (1 to dim).map(i =>
+      sum(floor(element_at(col("embedding"), i) * lit(1e6)).cast("long"))
+        .as(s"s$i")) :+ count(lit(1)).as("n")
+    val row = vecs.agg(sums.head, sums.tail: _*).head()
+    val n = row.getLong(dim)
+    val means = (0 until dim).map(i => row.getLong(i) / n)
+    def half(offset: Int): Column = {
+      val meansArr = (0 until 32).map(d => means(d + offset))
+        .mkString("array(", "L, ", "L)")
+      expr(
+        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+           (acc, d) -> acc + CASE
+             WHEN CAST(floor(element_at(embedding, d + $offset + 1) * 1e6)
+                 AS BIGINT) - element_at($meansArr, d + 1) >= 0
+             THEN shiftleft(CAST(1 AS BIGINT), d) ELSE CAST(0 AS BIGINT) END)""")
+    }
+    vecs.select(col("vec_id"), half(0).as("sig_lo"), half(32).as("sig_hi"))
+  }
+
+  def centerBinarizeDocs(spark: SparkSession, dir: String): DataFrame =
+    centerBinarize(Tables(spark, dir).embeddings)
+      .withColumn("n_pos",
+        (bit_count(col("sig_lo")) + bit_count(col("sig_hi"))).cast("long"))
+      .orderBy(col("vec_id"))
 }

@@ -744,6 +744,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(r150 >= r50, s"recall must not shrink with shortlist: $r50 -> $r150")
   }
 
+  test("centerBinarize: driver replay exact; centering improves bit balance") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Engine.Tables(spark, dir).embeddings
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // driver replay of the exact integer pipeline: micro sums, means by
+    // TRUNCATING division (the cross-engine common ground — DuckDB's
+    // integer // truncates), sign of centered micro values
+    val n = raw.size.toLong
+    val means = (0 until 64).map { d =>
+      raw.values.map(v => math.floor(v(d).toDouble * 1e6).toLong).sum / n
+    }
+    def pack(v: Array[Float], off: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, d) =>
+        if (math.floor(v(d + off).toDouble * 1e6).toLong - means(d + off) >= 0)
+          acc | (1L << d)
+        else acc)
+    val got = Similarity.centerBinarize(vecs).collect()
+    got.foreach { row =>
+      val v = raw(row.getLong(0))
+      assert(row.getLong(1) === pack(v, 0), s"sig_lo of ${row.getLong(0)}")
+      assert(row.getLong(2) === pack(v, 32), s"sig_hi of ${row.getLong(0)}")
+    }
+    // the point of centering: mean |n_pos − 32| must not get WORSE than
+    // the raw signs' balance (on a centered corpus each bit is ~50/50)
+    def imbalance(rows: Array[org.apache.spark.sql.Row], lo: Int, hi: Int) =
+      rows.map(r => math.abs(
+        java.lang.Long.bitCount(r.getLong(lo)) +
+        java.lang.Long.bitCount(r.getLong(hi)) - 32)).sum.toDouble / rows.length
+    val rawImb = imbalance(Similarity.binarize(vecs).collect(), 1, 2)
+    val cenImb = imbalance(got, 1, 2)
+    assert(cenImb <= rawImb + 0.5,
+      s"centering must not worsen balance: raw $rawImb -> centered $cenImb")
+  }
+
   test("annRecallHam audit equals a direct set comparison") {
     val dir = "/root/testdata/sf0.001"
     val vecs = graft.Engine.Tables(spark, dir).embeddings
