@@ -1233,17 +1233,17 @@ object Similarity {
     * `sig_hi` ⇔ x_{d+33} ≥ 0 (dims 33–64). Two 32-bit halves carried in
     * BIGINTs, never one 64-bit word: bit 63 would make the pack's value
     * sign-dependent on one dimension and overflow DuckDB's CHECKED left
-    * shift, while bits 0–31 are safe in every engine. Each half is one
-    * in-row fold of CASE-gated powers of two (a sum of distinct bits IS
-    * their OR, and the sum spelling is what the oracle replays) —
-    * scan-fused, shuffle-free, engine-exact by construction (the only
-    * float op is the `≥ 0` sign test).
+    * shift, while bits 0–31 are safe in every engine. Each half is the
+    * native codegen kernel [[graft.functions.SignPack]] (zero means =
+    * the raw sign test; the declarative `aggregate()` fold it replaced
+    * is CodegenFallback — an interpreted 32-step boxed lambda per row).
+    * The oracle replays the pack as a sum of CASE-gated powers of two
+    * (a sum of distinct bits IS their OR) — scan-fused, shuffle-free,
+    * engine-exact by construction (the only float op is the sign test).
     */
-  private def sigHalf(offset: Int): Column = expr(
-    s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-       (acc, d) -> acc + CASE
-         WHEN element_at(embedding, d + $offset + 1) >= 0
-         THEN shiftleft(CAST(1 AS BIGINT), d) ELSE CAST(0 AS BIGINT) END)""")
+  private def sigHalf(offset: Int): Column =
+    graft.functions.SignPack.signPack(col("embedding"), offset,
+      Array.fill(32)(0L))
 
   def binarize(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), sigHalf(0).as("sig_lo"), sigHalf(32).as("sig_hi"))
@@ -1368,16 +1368,9 @@ object Similarity {
     val row = vecs.agg(sums.head, sums.tail: _*).head()
     val n = row.getLong(dim)
     val means = (0 until dim).map(i => row.getLong(i) / n)
-    def half(offset: Int): Column = {
-      val meansArr = (0 until 32).map(d => means(d + offset))
-        .mkString("array(", "L, ", "L)")
-      expr(
-        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-           (acc, d) -> acc + CASE
-             WHEN CAST(floor(element_at(embedding, d + $offset + 1) * 1e6)
-                 AS BIGINT) - element_at($meansArr, d + 1) >= 0
-             THEN shiftleft(CAST(1 AS BIGINT), d) ELSE CAST(0 AS BIGINT) END)""")
-    }
+    def half(offset: Int): Column =
+      graft.functions.SignPack.signPack(col("embedding"), offset,
+        (0 until 32).map(d => means(d + offset)).toArray)
     vecs.select(col("vec_id"), half(0).as("sig_lo"), half(32).as("sig_hi"))
   }
 

@@ -303,4 +303,49 @@ class SortedIntersectCountSpec extends AnyFunSuite with SparkTestSession {
       assert(c === r.getInt(0))
     }
   }
+
+  test("sign_pack equals the declarative aggregate fold on the fixture") {
+    // the codegen kernel must be bit-identical to the CASE-gated
+    // power-of-two fold it replaced (which IS the oracle's spelling)
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    def fold(offset: Int) = expr(
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         (acc, d) -> acc + CASE
+           WHEN element_at(embedding, d + $offset + 1) >= 0
+           THEN shiftleft(CAST(1 AS BIGINT), d) ELSE CAST(0 AS BIGINT) END)""")
+    val rows = vecs.select(
+      graft.functions.SignPack.signPack(col("embedding"), 0, Array.fill(32)(0L)).as("n_lo"),
+      graft.functions.SignPack.signPack(col("embedding"), 32, Array.fill(32)(0L)).as("n_hi"),
+      fold(0).as("f_lo"), fold(32).as("f_hi"),
+      col("embedding")).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2))
+      assert(r.getLong(1) === r.getLong(3))
+      // interpreted twin (nullSafeEval path) against the codegen result
+      val v = r.getSeq[Float](4).toArray
+      def ref(off: Int, means: Array[Long]): Long =
+        (0 until 32).foldLeft(0L)((acc, d) =>
+          if (d + off < v.length &&
+              math.floor(v(d + off).toDouble * 1e6).toLong - means(d) >= 0)
+            acc | (1L << d)
+          else acc)
+      assert(ref(0, Array.fill(32)(0L)) === r.getLong(0))
+      assert(ref(32, Array.fill(32)(0L)) === r.getLong(1))
+    }
+    // nonzero means shift the boundary; short vectors contribute no bits
+    // past their end (the declarative element_at → NULL behavior)
+    import spark.implicits._
+    val short = Seq((1L, Array(0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val m = Array.tabulate(32)(d => if (d == 0) 600000L else 0L)
+    val got = short.select(
+      graft.functions.SignPack.signPack(col("embedding"), 0, m)).head().getLong(0)
+    // dim 0: 500000 - 600000 < 0 → no bit; dim 1: negative → no bit;
+    // dims 2..31: past the end → no bit
+    assert(got === 0L)
+    val got2 = short.select(
+      graft.functions.SignPack.signPack(col("embedding"), 0,
+        Array.fill(32)(0L))).head().getLong(0)
+    assert(got2 === 1L, "only dim 0 is non-negative and in range")
+  }
 }
