@@ -132,6 +132,7 @@ object SparkEntry {
     "embed_binarize"       -> (Similarity.binarizeDocs(_, _)),
     "embed_center_binarize" -> (Similarity.centerBinarizeDocs(_, _)),
     "ann_ham_topk"         -> (Similarity.hammingTopKDocs(_, _)),
+    "ann_ham_lsh"          -> (Similarity.hammingLshTopKDocs(_, _)),
     "ann_ham_rerank"       -> (Similarity.hammingRerankDocs(_, _)),
     "ann_recall_ham"       -> (Similarity.annRecallHam(_, _)),
     // --- training-data pipeline: post-training (SFT / preference) prep
@@ -3792,6 +3793,35 @@ object SparkEntry {
            SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
              ORDER BY ham, vec_id) AS rk
            FROM pairs)
+         SELECT q_id, rk, vec_id, ham FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk""",
+    // banded Hamming ANN: candidates share >= 1 of the eight 8-bit
+    // bands (equi-join, never a per-query corpus scan), then the exact
+    // two-popcount rank — the simhash-banding pattern on the 1-bit index
+    "ann_ham_lsh" ->
+      s"""WITH $binSigCte,
+         bands AS (
+           SELECT vec_id, sig_lo, sig_hi, b,
+             CASE WHEN b < 4 THEN (sig_lo >> (b * 8)) & 255
+                  ELSE (sig_hi >> ((b - 4) * 8)) & 255 END AS bv
+           FROM sig, UNNEST(generate_series(0, 7)) t(b)),
+         q AS (
+           SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi, b, bv
+           FROM bands WHERE vec_id < 10),
+         cand AS (
+           SELECT DISTINCT q.q_id, c.vec_id, c.sig_lo, c.sig_hi,
+             q.q_lo, q.q_hi
+           FROM bands c JOIN q ON c.b = q.b AND c.bv = q.bv
+             AND c.vec_id != q.q_id),
+         scored AS (
+           SELECT q_id, vec_id,
+             CAST(bit_count(xor(sig_lo, q_lo))
+                + bit_count(xor(sig_hi, q_hi)) AS BIGINT) AS ham
+           FROM cand),
+         ranked AS (
+           SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
+             ORDER BY ham, vec_id) AS rk
+           FROM scored)
          SELECT q_id, rk, vec_id, ham FROM ranked
          WHERE rk <= 10 ORDER BY q_id, rk""",
     // 1-bit funnel: Hamming shortlist, then the matryoshka-style

@@ -1379,4 +1379,61 @@ object Similarity {
       .withColumn("n_pos",
         (bit_count(col("sig_lo")) + bit_count(col("sig_hi"))).cast("long"))
       .orderBy(col("vec_id"))
+
+  /** The eight 8-bit bands of a packed signature as (band index, band
+    * value) struct rows — bands 0–3 slice `sig_lo`, 4–7 slice `sig_hi`.
+    */
+  private def sigBands(lo: Column, hi: Column): Column = array(
+    (0 until 8).map { b =>
+      val src = if (b < 4) lo else hi
+      struct(lit(b).as("bi"),
+        shiftrightunsigned(src, (b % 4) * 8).bitwiseAND(lit(0xFFL)).as("bv"))
+    }: _*)
+
+  /** Banded Hamming ANN — the 100 TB candidate generator for the 1-bit
+    * tier: the 64-bit signature splits into eight disjoint 8-bit bands,
+    * and any corpus vector sharing AT LEAST ONE band value with the
+    * query is a candidate (pigeonhole: every vector within Hamming
+    * distance 7 shares a band — 7 flipped bits can touch at most 7 of
+    * the 8 bands). Candidates come from an EQUI-join on (band index,
+    * band value) — bucket-occupancy work, never a corpus scan per query
+    * batch — then the exact two-popcount Hamming rank, exactly the
+    * [[Dedup]] simhash-banding pattern applied to the serving index.
+    * [[hammingTopK]] is the exact-scan baseline this trades recall
+    * against; past distance 7 recall is probabilistic (~bucket
+    * collisions), which is the standard multi-index Hamming deal. Band
+    * width sets the bucket geometry: 8 bits ⇒ 256 buckets per band, so
+    * expected candidates per query ≈ corpus·(1 − (255/256)⁸) — tune
+    * wider bands as the corpus grows to keep buckets sparse.
+    */
+  def hammingLshTopK(vecs: DataFrame, numQueries: Int = 10,
+      topK: Int = 10): DataFrame = {
+    val codes = binarize(vecs).localCheckpoint(true)
+    val corpus = codes
+      .select(col("vec_id"), col("sig_lo"), col("sig_hi"),
+        explode(sigBands(col("sig_lo"), col("sig_hi"))).as("band"))
+      .select(col("vec_id"), col("sig_lo"), col("sig_hi"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val queries = broadcast(codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
+        col("sig_hi").as("q_hi"),
+        explode(sigBands(col("sig_lo"), col("sig_hi"))).as("qband"))
+      .select(col("q_id"), col("q_lo"), col("q_hi"),
+        col("qband.bi").as("q_bi"), col("qband.bv").as("q_bv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
+    corpus
+      .join(queries, col("bi") === col("q_bi") && col("bv") === col("q_bv")
+        && col("vec_id") =!= col("q_id"))
+      // a vector can share several bands with one query
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("ham",
+        hamming(col("sig_lo"), col("sig_hi"), col("q_lo"), col("q_hi")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("ham"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def hammingLshTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    hammingLshTopK(Tables(spark, dir).embeddings)
 }

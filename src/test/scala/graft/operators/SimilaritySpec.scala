@@ -779,6 +779,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       s"centering must not worsen balance: raw $rawImb -> centered $cenImb")
   }
 
+  test("hammingLshTopK: banded candidates are a subset with identical distances") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select("vec_id", "embedding")
+    // sign-identical plant shares ALL eight bands → always a candidate,
+    // always rank 1 at distance 0 (the pigeonhole guarantee's easy end)
+    val planted = base.filter(col("vec_id") === 2)
+      .select(lit(90000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 3.0D AS float))")
+          .as("embedding"))
+    val vecs = base.unionByName(planted)
+    val banded = Similarity.hammingLshTopK(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(banded((2L, 90000L)) === 0L, "all-band-sharing plant found at 0")
+    // every banded result appears in the exact scan with the SAME
+    // distance (banding can only shrink the candidate set, not rescore)
+    val exact = Similarity.hammingTopK(vecs, topK = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    banded.foreach { case (k, ham) =>
+      assert(exact(k) === ham, s"pair $k rescored by banding")
+    }
+    // the distance-7 pigeonhole: any exact neighbor at ham <= 7 must be
+    // a banded candidate (7 flips touch at most 7 of 8 bands)
+    val bandedByQ = banded.keys.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    exact.filter(_._2 <= 7L).foreach { case ((q, v), _) =>
+      assert(bandedByQ.getOrElse(q, Set.empty).contains(v),
+        s"ham<=7 neighbor ($q,$v) missed by banding")
+    }
+  }
+
   test("annRecallHam audit equals a direct set comparison") {
     val dir = "/root/testdata/sf0.001"
     val vecs = graft.Engine.Tables(spark, dir).embeddings
