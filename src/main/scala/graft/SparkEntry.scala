@@ -133,6 +133,7 @@ object SparkEntry {
     "embed_center_binarize" -> (Similarity.centerBinarizeDocs(_, _)),
     "ann_ham_topk"         -> (Similarity.hammingTopKDocs(_, _)),
     "ann_ham_lsh"          -> (Similarity.hammingLshTopKDocs(_, _)),
+    "ann_recall_ham_lsh"   -> (Similarity.annRecallHamLsh(_, _)),
     "ann_ham_rerank"       -> (Similarity.hammingRerankDocs(_, _)),
     "ann_recall_ham"       -> (Similarity.annRecallHam(_, _)),
     // --- training-data pipeline: post-training (SFT / preference) prep
@@ -3798,32 +3799,33 @@ object SparkEntry {
     // banded Hamming ANN: candidates share >= 1 of the eight 8-bit
     // bands (equi-join, never a per-query corpus scan), then the exact
     // two-popcount rank — the simhash-banding pattern on the 1-bit index
-    "ann_ham_lsh" ->
-      s"""WITH $binSigCte,
-         bands AS (
-           SELECT vec_id, sig_lo, sig_hi, b,
-             CASE WHEN b < 4 THEN (sig_lo >> (b * 8)) & 255
-                  ELSE (sig_hi >> ((b - 4) * 8)) & 255 END AS bv
-           FROM sig, UNNEST(generate_series(0, 7)) t(b)),
-         q AS (
-           SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi, b, bv
-           FROM bands WHERE vec_id < 10),
-         cand AS (
-           SELECT DISTINCT q.q_id, c.vec_id, c.sig_lo, c.sig_hi,
-             q.q_lo, q.q_hi
-           FROM bands c JOIN q ON c.b = q.b AND c.bv = q.bv
-             AND c.vec_id != q.q_id),
-         scored AS (
-           SELECT q_id, vec_id,
-             CAST(bit_count(xor(sig_lo, q_lo))
-                + bit_count(xor(sig_hi, q_hi)) AS BIGINT) AS ham
-           FROM cand),
-         ranked AS (
-           SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
-             ORDER BY ham, vec_id) AS rk
-           FROM scored)
-         SELECT q_id, rk, vec_id, ham FROM ranked
-         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "ann_ham_lsh" -> hamLshOracleSql,
+    // banded-path recall audit vs the exact Hamming scan — prices the
+    // bucket-collision recall loss past the pigeonhole radius
+    "ann_recall_ham_lsh" ->
+      s"""WITH exact AS (
+           WITH $binSigCte,
+           q AS (
+             SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi
+             FROM sig WHERE vec_id < 10),
+           pairs AS (
+             SELECT q_id, s.vec_id,
+               CAST(bit_count(xor(s.sig_lo, q_lo))
+                  + bit_count(xor(s.sig_hi, q_hi)) AS BIGINT) AS ham
+             FROM sig s JOIN q ON s.vec_id != q.q_id),
+           ranked AS (
+             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY ham, vec_id) AS rk
+             FROM pairs)
+           SELECT q_id, vec_id FROM ranked WHERE rk <= 10),
+         approx AS ($hamLshOracleSql)
+         SELECT e.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM exact e LEFT JOIN approx a
+           ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         GROUP BY e.q_id ORDER BY e.q_id""",
     // 1-bit funnel: Hamming shortlist, then the matryoshka-style
     // full-dim floor-micro dot rerank behind the shortlist cut
     "ann_ham_rerank" -> hamRerankOracleSql,
@@ -4250,6 +4252,37 @@ object SparkEntry {
              ${half(32)} AS sig_hi
            FROM embeddings)"""
   }
+
+  /** ann_ham_lsh oracle: the signature CTE feeds the 8×8-bit band
+    * expansion, the candidate equi-join, and the exact Hamming rank.
+    * Shared verbatim as the approx side of `ann_recall_ham_lsh`.
+    */
+  private def hamLshOracleSql: String =
+    s"""WITH $binSigCte,
+         bands AS (
+           SELECT vec_id, sig_lo, sig_hi, b,
+             CASE WHEN b < 4 THEN (sig_lo >> (b * 8)) & 255
+                  ELSE (sig_hi >> ((b - 4) * 8)) & 255 END AS bv
+           FROM sig, UNNEST(generate_series(0, 7)) t(b)),
+         q AS (
+           SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi, b, bv
+           FROM bands WHERE vec_id < 10),
+         cand AS (
+           SELECT DISTINCT q.q_id, c.vec_id, c.sig_lo, c.sig_hi,
+             q.q_lo, q.q_hi
+           FROM bands c JOIN q ON c.b = q.b AND c.bv = q.bv
+             AND c.vec_id != q.q_id),
+         scored AS (
+           SELECT q_id, vec_id,
+             CAST(bit_count(xor(sig_lo, q_lo))
+                + bit_count(xor(sig_hi, q_hi)) AS BIGINT) AS ham
+           FROM cand),
+         ranked AS (
+           SELECT q_id, vec_id, ham, row_number() OVER (PARTITION BY q_id
+             ORDER BY ham, vec_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, vec_id, ham FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk"""
 
   /** ann_ham_rerank oracle: the signature CTE feeds a Hamming-ascending
     * shortlist, then the matryoshka-style full-dim micro rerank.

@@ -1436,4 +1436,18 @@ object Similarity {
 
   def hammingLshTopKDocs(spark: SparkSession, dir: String): DataFrame =
     hammingLshTopK(Tables(spark, dir).embeddings)
+
+  /** Recall@10 of the banded path against the exact Hamming scan — the
+    * number that prices the banding's bucket-collision recall loss
+    * before a deployment swaps the corpus scan for the equi-join
+    * (within distance 7 recall is 1.0 by pigeonhole; beyond it this
+    * audit is the evidence). Both production plans reused unchanged.
+    */
+  def annRecallHamLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir).embeddings
+    recallAtK(
+      hammingTopK(vecs).withColumnRenamed("vec_id", "neighbor_id"),
+      hammingLshTopK(vecs).withColumnRenamed("vec_id", "neighbor_id"),
+      k = 10)
+  }
 }

@@ -810,6 +810,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("annRecallHamLsh audit equals a direct set comparison") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Engine.Tables(spark, dir).embeddings
+    val exact = Similarity.hammingTopK(vecs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val approx = Similarity.hammingLshTopK(vecs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val audit = Similarity.annRecallHamLsh(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (0L until 10L).foreach { q =>
+      val hit = exact(q).intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      assert(audit(q) === ((hit, hit * 1000000L / 10L)), s"query $q")
+    }
+  }
+
   test("annRecallHam audit equals a direct set comparison") {
     val dir = "/root/testdata/sf0.001"
     val vecs = graft.Engine.Tables(spark, dir).embeddings
