@@ -57,14 +57,18 @@ case class SignPack(child: Expression, offset: Int, meansMicro: Array[Long])
 
 object SignPack {
 
-  /** Shared by interpreted eval and generated code: one primitive pass. */
+  /** Shared by interpreted eval and generated code: one primitive pass.
+    * NULL elements contribute no bit — the declarative
+    * `element_at → NULL → CASE` behavior (getFloat on a null slot would
+    * silently read 0.0f and set the bit for non-positive means).
+    */
   def compute(v: ArrayData, offset: Int, means: Array[Long]): Long = {
     val n = v.numElements()
     var out = 0L
     var d = 0
     while (d < 32) {
       val idx = offset + d
-      if (idx < n &&
+      if (idx < n && !v.isNullAt(idx) &&
           math.floor(v.getFloat(idx).toDouble * 1e6).toLong - means(d) >= 0) {
         out |= 1L << d
       }

@@ -85,9 +85,13 @@ object Posttraining {
   def chatAssemble(events: DataFrame): DataFrame =
     chatAssembleOn(events).orderBy(col("user_id"))
 
-  /** The assembly transform itself, sort-free — shared by the gate and
-    * the [[posttrainCurate]] composition. */
-  def chatAssembleOn(events: DataFrame): DataFrame = {
+  /** The shared turn pipeline: render `event_type:score_micro`, group
+    * per prompt, sort in-row by (ts, event_id) — ONE definition of the
+    * rendering both fingerprinting gates hash, so the format can never
+    * drift between assembly and truncation. Returns (user_id, ss) with
+    * `ss` the ordered turn strings.
+    */
+  private def sortedTurns(events: DataFrame): DataFrame = {
     val turn = concat_ws(":", col("event_type"),
       floor(col("value") * lit(1e6)).cast("long").cast("string"))
     events
@@ -95,15 +99,21 @@ object Posttraining {
         struct(col("ts"), col("event_id"), turn.as("s")).as("t"))
       .groupBy(col("user_id"))
       .agg(collect_list(col("t")).as("turns"))
-      .withColumn("transcript",
-        array_join(transform(array_sort(col("turns")), _.getField("s")), "|"))
       .select(col("user_id"),
-        size(col("turns")).cast("long").as("n_turns"),
-        length(col("transcript")).cast("long").as("total_chars"),
-        element_at(split(col("transcript"), "\\|"), 1).as("first_turn"),
-        element_at(split(col("transcript"), "\\|"), -1).as("last_turn"),
-        md5(col("transcript")).as("fp"))
+        expr("transform(array_sort(turns), x -> x.s)").as("ss"))
   }
+
+  /** The assembly transform itself, sort-free — shared by the gate and
+    * the [[posttrainCurate]] composition. */
+  def chatAssembleOn(events: DataFrame): DataFrame =
+    sortedTurns(events)
+      .withColumn("transcript", array_join(col("ss"), "|"))
+      .select(col("user_id"),
+        size(col("ss")).cast("long").as("n_turns"),
+        length(col("transcript")).cast("long").as("total_chars"),
+        element_at(col("ss"), 1).as("first_turn"),
+        element_at(col("ss"), -1).as("last_turn"),
+        md5(col("transcript")).as("fp"))
 
   def chatAssembleDocs(spark: SparkSession, dir: String): DataFrame =
     chatAssemble(Tables(spark, dir).events)
@@ -180,15 +190,8 @@ object Posttraining {
     * smaller than the newest turn keeps ZERO turns and fingerprints the
     * empty string (the caller's signal to drop or hard-wrap).
     */
-  def chatTruncate(events: DataFrame, budgetChars: Int = 200): DataFrame = {
-    val turn = concat_ws(":", col("event_type"),
-      floor(col("value") * lit(1e6)).cast("long").cast("string"))
-    events
-      .select(col("user_id"),
-        struct(col("ts"), col("event_id"), turn.as("s")).as("t"))
-      .groupBy(col("user_id"))
-      .agg(collect_list(col("t")).as("turns"))
-      .withColumn("ss", expr("transform(array_sort(turns), x -> x.s)"))
+  def chatTruncate(events: DataFrame, budgetChars: Int = 200): DataFrame =
+    sortedTurns(events)
       .withColumn("n_kept_i", expr(
         s"""aggregate(reverse(ss),
            struct(CAST(0 AS BIGINT) AS used, 0 AS n),
@@ -205,7 +208,6 @@ object Posttraining {
         length(col("transcript")).cast("long").as("kept_chars"),
         md5(col("transcript")).as("fp_kept"))
       .orderBy(col("user_id"))
-  }
 
   def chatTruncateDocs(spark: SparkSession, dir: String): DataFrame =
     chatTruncate(Tables(spark, dir).events)
@@ -265,6 +267,12 @@ object Posttraining {
     require(k >= 1, s"k must be >= 1, got $k")
     def prodFrom(base: String): String =
       (0 until k).map(j => s"($base - $j)").mkString(" * ")
+    // loud overflow bound (the repo's loud-failure contract), DERIVED
+    // from k: the factor product nᵏ·1e6 must stay under Long.Max, so the
+    // largest safe n is ⌊(Long.Max/1e6)^(1/k)⌋ − 1 (k=4 → 1742; k=1 →
+    // ~9.2e12). A group past it fails the job with a named remedy
+    // instead of silently wrapping to a wrong rate.
+    val maxN = math.pow(Long.MaxValue.toDouble / 1e6, 1.0 / k).toLong - 1
     events
       .select(col("user_id"),
         floor(col("value") * lit(1e6)).cast("long").as("v"))
@@ -272,15 +280,11 @@ object Posttraining {
       .agg(count(lit(1)).as("n"),
         sum(when(col("v") >= thresholdMicro, 1L).otherwise(0L)).as("c"))
       .withColumn("pass1_micro", expr("c * 1000000 div n"))
-      // loud overflow bound (the repo's loud-failure contract): the k=4
-      // factor product n⁴·1e6 exceeds Long past n ≈ 1700, so a group
-      // with more candidates than the bound fails the job with a named
-      // remedy instead of silently wrapping to a wrong rate
       .withColumn("passk_micro", expr(
-        s"""CASE WHEN n > 1000 THEN raise_error(concat(
+        s"""CASE WHEN n > ${maxN}L THEN raise_error(concat(
               'passAtK: group ', CAST(user_id AS STRING), ' has ',
               CAST(n AS STRING), ' candidates; the k=$k factor product ',
-              'overflows past 1000 - pre-aggregate samples or reduce k'))
+              'overflows past $maxN - pre-aggregate samples or reduce k'))
             WHEN n < $k THEN IF(c > 0, CAST(1000000 AS BIGINT),
               CAST(0 AS BIGINT))
             ELSE CAST(1000000 AS BIGINT) -

@@ -242,22 +242,37 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L)._4 === 1000000L, "fewer than k failures → guaranteed pass")
   }
 
-  test("passAtK: an oversized group fails loudly, naming the bound") {
+  test("passAtK: an oversized group fails loudly at the k-derived bound") {
     import org.apache.spark.sql.functions._
-    // 1001 candidates in one group: the k=4 factor product would wrap
-    // Long past ~1700; the operator must refuse at its declared bound
-    val big = spark.range(1001)
+    // value 200.0 clears the default 100.0 threshold: every candidate
+    // passes, so the legitimate cases below expect passk = 1e6 exactly
+    def group(n: Long) = spark.range(n)
       .select(lit(9L).as("user_id"), col("id").as("event_id"),
-        lit("gen").as("event_type"), lit(0.5).as("value"),
+        lit("gen").as("event_type"), lit(200.0).as("value"),
         col("id").as("ts"))
-    val e = intercept[Exception] {
-      Posttraining.passAtK(big).collect()
-    }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("overflows past 1000")),
-      s"error must name the bound: ${messages(e).mkString(" | ")}")
+    // k=4 bound is ⌊(Long.Max/1e6)^(1/4)⌋ − 1 ≈ 1741 (pow rounding may
+    // land a unit conservative — that only tightens the guard, never
+    // admits an overflow): a 1750-candidate group must refuse, naming it
+    val bound = math.pow(Long.MaxValue.toDouble / 1e6, 1.0 / 4).toLong - 1
+    assert(bound >= 1740 && bound <= 1742, s"derived k=4 bound: $bound")
+    assert(math.BigInt(bound) * bound * bound * bound * 1000000L
+      <= math.BigInt(Long.MaxValue), "bound must actually be safe")
+    val e = intercept[Exception] {
+      Posttraining.passAtK(group(1750)).collect()
+    }
+    assert(messages(e).exists(_.contains(s"overflows past $bound")),
+      s"error must name the k=4 bound: ${messages(e).mkString(" | ")}")
+    // the bound scales with k: the same 1750 candidates are fine at k=1
+    // (n·1e6 is nowhere near Long.Max) and must NOT be refused
+    val ok = Posttraining.passAtK(group(1750), k = 1).collect()
+    assert(ok.length === 1 && ok.head.getLong(1) === 1750L)
+    assert(ok.head.getLong(4) === 1000000L, "all candidates pass at k=1")
+    // ...and a k=4 group exactly at the bound computes, not raises
+    val under = Posttraining.passAtK(group(bound)).collect()
+    assert(under.length === 1 && under.head.getLong(4) === 1000000L)
   }
 
   test("chatAssemble on the fixture matches a driver-side assembly") {
