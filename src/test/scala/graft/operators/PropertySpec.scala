@@ -357,6 +357,119 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(h1 === h2)
   }
 
+  test("hamming distance equals the in-memory sign-mismatch count (5 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 5) {
+      val r = rng(900 + seed)
+      // negatives, zeros and tiny magnitudes all land in the vectors
+      val vecs = (0L until 30L).map { id =>
+        (id, Array.fill(64)(((r.nextDouble() - 0.5) *
+          (if (r.nextInt(5) == 0) 1e-7 else 2.0)).toFloat))
+      }
+      val raw = vecs.toMap
+      val got = Similarity.hammingTopK(vecs.toDF("vec_id", "embedding"),
+        numQueries = 5, topK = 29).collect()
+      def signs(v: Array[Float]): Seq[Boolean] = v.map(_ >= 0f).toSeq
+      got.foreach { row =>
+        val (q, c) = (row.getLong(0), row.getLong(2))
+        val expect = signs(raw(q)).zip(signs(raw(c))).count(t => t._1 != t._2)
+        assert(row.getLong(3) === expect.toLong, s"seed=$seed pair ($q,$c)")
+      }
+      // and the ranking is exactly (distance, id)-sorted per query
+      got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val order = rows.sortBy(_.getInt(1)).map(r => (r.getLong(3), r.getLong(2)))
+        assert(order.toSeq === order.sortBy(identity).toSeq, s"seed=$seed")
+      }
+    }
+  }
+
+  test("dpoPairs equals a naive best/worst selection (10 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 10) {
+      val r = rng(1000 + seed)
+      val events = (0 until 60).map { i =>
+        (r.nextInt(8).toLong, i.toLong, "gen",
+          (r.nextInt(5) * 0.1) + 0.1, i.toLong)
+      }
+      val df = events.toDF("user_id", "event_id", "event_type", "value", "ts")
+      val got = Posttraining.dpoPairs(df).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      val expect = events.groupBy(_._1).flatMap { case (u, es) =>
+        val scored = es.map(e => (math.floor(e._4 * 1e6).toLong, e._2))
+        val ch = scored.max
+        val rj = scored.min
+        if (ch._1 > rj._1) Some(u -> ((ch._2, rj._2))) else None
+      }
+      assert(got === expect, s"seed=$seed")
+    }
+  }
+
+  test("passAtK equals the BigInt binomial estimator (10 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 10) {
+      val r = rng(1100 + seed)
+      val events = (0 until 80).map { i =>
+        // scores straddle the 100.0 threshold
+        (r.nextInt(6).toLong, i.toLong, "gen",
+          if (r.nextBoolean()) 200.0 else 1.0, i.toLong)
+      }
+      val df = events.toDF("user_id", "event_id", "event_type", "value", "ts")
+      val got = Posttraining.passAtK(df).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(4))))
+        .toMap
+      def binom(n: Long, k: Long): BigInt =
+        if (k > n) BigInt(0)
+        else (0L until k).map(j => BigInt(n - j)).product /
+          (1L to k).map(BigInt(_)).product
+      events.groupBy(_._1).foreach { case (u, es) =>
+        val n = es.size.toLong
+        val c = es.count(_._4 >= 100.0).toLong
+        val expect =
+          if (n < 4) { if (c > 0) 1000000L else 0L }
+          // the estimator via true binomials in BigInt — structurally
+          // different from the operator's factor products, same value
+          else (BigInt(1000000) -
+            binom(n - c, 4) * 1000000 / binom(n, 4)).toLong
+        assert(got(u) === ((n, c, expect)), s"seed=$seed user $u")
+      }
+    }
+  }
+
+  test("chatTruncate keeps the maximal fitting suffix (10 seeds)") {
+    import spark.implicits._
+    for (seed <- 0 until 10) {
+      val r = rng(1200 + seed)
+      val types = Seq("a", "bb", "ccc", "dddd") // varied turn lengths
+      val events = (0 until 50).map { i =>
+        (r.nextInt(6).toLong, i.toLong, types(r.nextInt(4)),
+          r.nextInt(1000) * 0.001, i.toLong)
+      }
+      val budget = 20 + r.nextInt(40)
+      val df = events.toDF("user_id", "event_id", "event_type", "value", "ts")
+      val got = Posttraining.chatTruncate(df, budgetChars = budget).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+        .toMap
+      events.groupBy(_._1).foreach { case (u, es) =>
+        val turns = es.sortBy(e => (e._5, e._2))
+          .map(e => s"${e._3}:${math.floor(e._4 * 1e6).toLong}")
+        // naive maximal suffix: grow from the newest turn until the
+        // rendered length (incl. separators) would exceed the budget
+        var kept = List.empty[String]
+        var done = false
+        turns.reverse.foreach { t =>
+          if (!done) {
+            val cand = t :: kept
+            if (cand.map(_.length).sum + cand.size - 1 <= budget) kept = cand
+            else done = true
+          }
+        }
+        val text = kept.mkString("|")
+        assert(got(u) === ((turns.size.toLong, kept.size.toLong,
+          text.length.toLong)), s"seed=$seed user $u budget $budget")
+      }
+    }
+  }
+
   test("bitext mining is partitioning-invariant (5 seeds)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.rand
