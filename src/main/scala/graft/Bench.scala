@@ -98,7 +98,10 @@ object Bench {
     // separate accounting moves from plan wins without re-deriving it.
     val cachedGates = Seq("dedup_clusters", "dedup_clusters_loop",
         "dedup_survivors", "dedup_weights", "dup_curve",
-        "sent_dedup", "sent_chunks")
+        "sent_dedup", "sent_chunks",
+        // round-16: the sorted-turns table is a PlanCache intermediate
+        // shared by the post-training family (Posttraining.turnsCache)
+        "chat_assemble", "chat_truncate", "posttrain_curate")
       .filter(queries.contains)
     val cachedArr = cachedGates.map(jstr).mkString("[", ",", "]")
     val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +

@@ -52,13 +52,13 @@ object Stress {
   private def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
   private def peakHeapBytes(): Long = heapPools.map(_.getPeakUsage.getUsed).sum
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    require(factor >= 1, s"replication factor must be >= 1, got $factor")
-    val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
-    val spark = Engine.session(
-      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-stress")
+  /** Materialize the `factor`×-replicated corpus into `out` (the
+    * key-shift scheme in the object scaladoc). Shared by the stress run
+    * itself and by diagnostic tooling ([[StageSpill]]) that needs the
+    * same corpus across many iterations.
+    */
+  def replicate(spark: SparkSession, sfDir: String, factor: Int,
+      out: String): Unit = {
     val t = Engine.Tables(spark, sfDir)
 
     def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1
@@ -87,6 +87,44 @@ object Stress {
         .withColumn("text", concat(col("text"), lit(s" r$i")))))
     save("embeddings", shifted(t.embeddings, factor)((d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * maxVec))))
+  }
+
+  /** GC-band gates (STRESS.md "GC band, profiled"): their run-to-run
+    * spread on a noisy box reaches ~2.5×, so a median-of-3 is still a
+    * box-draw sample. These default to 5 runs with a TRIMMED median
+    * (min and max dropped) so the reported number and spread survive a
+    * single GC-unlucky run — the round-15 verdict's task #3.
+    */
+  private val BandRepeats: Map[String, Int] =
+    Map("dedup_containment" -> 5, "dedup_prefix" -> 5, "sent_dedup" -> 5)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    require(factor >= 1, s"replication factor must be >= 1, got $factor")
+    val spark = Engine.session(
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-stress")
+    // Replication is untimed setup; SPARK_GRAFT_STRESS_DIR pins it to a
+    // reusable directory (marker-checked: reuse only if base+factor
+    // match) so repeated medians runs at 40×/50× don't pay the
+    // replication write each time. Unset = fresh tempdir, as before.
+    val out = sys.env.get("SPARK_GRAFT_STRESS_DIR") match {
+      case Some(dir) if dir.nonEmpty =>
+        val marker = java.nio.file.Paths.get(dir, "_replica_marker")
+        val want = s"$sfDir@$factor"
+        val have = if (java.nio.file.Files.exists(marker))
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") else ""
+        if (have != want) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          replicate(spark, sfDir, factor, dir)
+          java.nio.file.Files.write(marker, want.getBytes("UTF-8"))
+        } else System.err.println(s"[stress] reusing replicated corpus at $dir")
+        dir
+      case _ =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-stress").toString
+        replicate(spark, sfDir, factor, dir)
+        dir
+    }
 
     // Warm-run discipline, same as Bench (methodology note there): one
     // untimed pass first, then the timed pass. Cold first-execution cost
@@ -119,6 +157,21 @@ object Stress {
     // threshold), and the artifact says which regime each number is from.
     val repeatThresholdSec =
       sys.env.getOrElse("SPARK_GRAFT_STRESS_REPEAT_SEC", "1.0").toDouble
+    // Per-gate repeat override: known GC-band members default to 5 runs
+    // (BandRepeats); SPARK_GRAFT_STRESS_REPEATS="name=n,name=n" replaces
+    // the whole map (so cliff probes can force medians-of-3 on exactly
+    // their screens). Gates with >= 5 runs report the TRIMMED median and
+    // spread (min and max runs dropped) — one GC-unlucky run can no
+    // longer set either number.
+    val repeatOverrides: Map[String, Int] =
+      sys.env.get("SPARK_GRAFT_STRESS_REPEATS") match {
+        case Some(spec) if spec.trim.nonEmpty =>
+          spec.split(",").map { kv =>
+            val Array(k, v) = kv.split("=")
+            k.trim -> v.trim.toInt
+          }.toMap
+        case _ => BandRepeats
+      }
     val spills = new SpillListener
     spark.sparkContext.addSparkListener(spills)
     // (sec, rows, spillBytes, peakHeapBytes) — spill is memory+disk
@@ -137,15 +190,34 @@ object Stress {
       (sec, n, (m1 - m0) + (d1 - d0), peakHeapBytes())
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // >= 5 runs: drop the single min and max, then median/spread over
+    // the trimmed set; < 5 runs: plain median, spread over all runs.
+    def trimmed(xs: Seq[Double]): Seq[Double] =
+      if (xs.size >= 5) xs.sorted.drop(1).dropRight(1) else xs
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = once(name, fn)
+      val nRuns = repeatOverrides.getOrElse(name,
+        if (first._1 >= repeatThresholdSec) 3 else 1)
       val runs =
-        if (first._2 >= 0 && first._1 >= repeatThresholdSec)
-          first +: Seq.fill(2)(once(name, fn))
+        if (first._2 >= 0 && nRuns > 1)
+          first +: Seq.fill(nRuns - 1)(once(name, fn))
         else Seq(first)
       val rows = runs.map(_._2).max // -1 only if every run failed
-      (name, median(runs.map(_._1)), runs.map(_._1), rows,
-        runs.map(_._3).max, runs.map(_._4).max)
+      // Recall gates carry their quality metric as a column; pin it in
+      // the stress artifact so scale runs also gate the RECALL (a
+      // replicated corpus changes signature distributions — wall time
+      // alone would miss a silent recall collapse). One extra untimed
+      // aggregate over a <= queries×1-row result.
+      val recall: Option[(Long, Double)] =
+        if (rows >= 0 && fn(spark, out).columns.contains("recall_micro")) {
+          val r = fn(spark, out)
+            .agg(min(col("recall_micro")), avg(col("recall_micro"))).head()
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getDouble(1)))
+        } else None
+      val kept = trimmed(runs.map(_._1))
+      (name, median(kept), runs.map(_._1), rows,
+        runs.map(_._3).max, runs.map(_._4).max, kept.max / kept.min.max(1e-9),
+        recall)
     }
     val commit = try {
       val sha = scala.sys.process.Process(
@@ -156,9 +228,14 @@ object Stress {
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def mb(bytes: Long): Long = bytes >> 20
-    val qs = results.map { case (k, med, runs, n, spill, peak) =>
+    val qs = results.map { case (k, med, runs, n, spill, peak, spread, recall) =>
+      val rec = recall.map { case (mn, av) =>
+        s""","recall_min_micro":$mn,"recall_avg_micro":${fmt(av)}"""
+      }.getOrElse("")
+      val sp = if (runs.size > 1)
+        s""","spread":${fmt(spread)},"trimmed":${runs.size >= 5}""" else ""
       s""""$k":{"sec":${fmt(med)},"runs":[${runs.map(fmt).mkString(",")}],""" +
-        s""""rows":$n,"spill_mb":${mb(spill)},"peak_heap_mb":${mb(peak)}}"""
+        s""""rows":$n,"spill_mb":${mb(spill)},"peak_heap_mb":${mb(peak)}$sp$rec}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${fmt(results.map(_._2).sum)},""" +
       s""""unit":"sec","factor":$factor,"repeat_threshold_sec":$repeatThresholdSec,""" +

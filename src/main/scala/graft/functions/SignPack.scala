@@ -27,8 +27,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * same generated stage as the scan — the [[LshBandHashes]] argument,
   * one tier down.
   */
-case class SignPack(child: Expression, offset: Int, meansMicro: Array[Long])
+// meansMicro is a Seq, NOT an Array: arrays compare by reference, so an
+// Array field would make two semantically identical sign_pack calls
+// never `equals`/canonicalize equal — Catalyst semanticEquals and
+// common-subexpression elimination silently miss (e.g. the two per-row
+// half-signature calls share nothing). Seq[Long] restores case-class
+// value equality; the hot path still runs on a primitive array
+// (meansArr, materialized once per expression instance).
+case class SignPack(child: Expression, offset: Int, meansMicro: Seq[Long])
     extends UnaryExpression {
+
+  @transient private lazy val meansArr: Array[Long] = meansMicro.toArray
 
   override def dataType: DataType = LongType
 
@@ -43,10 +52,10 @@ case class SignPack(child: Expression, offset: Int, meansMicro: Array[Long])
   }
 
   override def nullSafeEval(input: Any): Any =
-    SignPack.compute(input.asInstanceOf[ArrayData], offset, meansMicro)
+    SignPack.compute(input.asInstanceOf[ArrayData], offset, meansArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("signPackMeans", meansMicro, "long[]")
+    val ref = ctx.addReferenceObj("signPackMeans", meansArr, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.SignPack.compute($c, $offset, $ref);")
   }
@@ -83,10 +92,11 @@ object SignPack {
     e.eval().asInstanceOf[Int]
   }
 
-  private def foldableLongArray(e: Expression): Array[Long] = {
+  private def foldableLongSeq(e: Expression): Seq[Long] = {
     require(e.foldable && e.dataType.isInstanceOf[ArrayType],
       s"sign_pack means must be an array literal, got $e")
-    e.eval().asInstanceOf[ArrayData].toLongArray()
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      e.eval().asInstanceOf[ArrayData].toLongArray())
   }
 
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -96,7 +106,7 @@ object SignPack {
         if (children.length != 3) throw new IllegalArgumentException(
           s"sign_pack requires exactly 3 arguments (vec, offset, means), got ${children.length}")
         SignPack(children.head, foldableInt(children(1), "offset"),
-          foldableLongArray(children(2)))
+          foldableLongSeq(children(2)))
       })
 
   def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

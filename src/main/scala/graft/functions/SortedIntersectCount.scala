@@ -112,4 +112,24 @@ object SortedIntersectCount {
   /** Column-level entry point (requires a [[register]]ed session). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** JVM-side twin of the expression for callers outside Catalyst (the
+    * grid-cogroup verify in [[graft.operators.Dedup]] holds plain
+    * `Array[Long]` signatures, not `ArrayData`). Same two-pointer merge,
+    * same sorted-set contract as the expression's scaladoc; collect_set
+    * never emits nulls so the primitive arrays need no null guard.
+    */
+  def merge(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
 }

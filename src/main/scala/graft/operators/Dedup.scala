@@ -96,59 +96,157 @@ object Dedup {
     * the two shingle sets.
     */
   private def verifiedPairsSided(candidates: DataFrame, shA: DataFrame,
-      shB: DataFrame, threshold: Double): DataFrame = {
-    // hash sets sorted ONCE per document (O(s log s), amortized over
-    // every candidate pair the doc appears in) so the per-pair verify is
-    // the zero-allocation sorted_intersect_count merge kernel — see the
-    // ArrayIntersect GC analysis in [[graft.functions.SortedIntersectCount]]
-    def sets(sh: DataFrame) = sh.groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("h"))).as("hs"),
-        count(lit(1)).as("n_sh"))
-    val sa = sets(shA)
-    val sb = sets(shB)
-    // size-ratio prefix filter BEFORE the heavy array joins: |∩| ≤ min, so
-    // jac ≤ min/max and any pair with min/max < t is dead on sizes alone —
-    // the size-only branches prune collect_set out of their aggregates, so
-    // this stage joins 8-byte counts, not shingle arrays. The division
-    // form mirrors the final jac >= t compare exactly (no boundary skew).
-    //
-    // Every join below is a SHUFFLED HASH join BUILDING ON THE SETS
-    // SLICE (the hint sits on the sets/sizes side). Three strategies
-    // were measured at 20× stress before settling here:
-    //  - planner default: Catalyst's size estimate for the
-    //    post-aggregate `sets` subtree is badly low (aggregates shrink
-    //    sizeInBytes; array rows are ~100× the estimator's per-row
-    //    guess), so it picked a DRIVER BROADCAST of the whole corpus
-    //    array table — borderline OOM at 20× (first timed
-    //    dedup_containment run died building it), hard-fail beyond;
-    //  - sort-merge: spill-safe but pathological — the candidate×array
-    //    intermediate is re-sorted per join side, tens of GB of spill
-    //    I/O (a 43 s query became >10 min);
-    //  - shuffle-hash building the PER-PARTITION sets slice: the build
-    //    is each partition's share of the (docs × signature) table —
-    //    ~7.5 MB/task at 20× — while the candidate stream probes
-    //    without sorting. Scales with docs/partitions (raise
-    //    partitions, not heap, on bigger corpora), never materializes
-    //    anything corpus-wide in one place.
-    val pruned = candidates
-      .join(sa.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(sb.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))
-        .hint("shuffle_hash"), Seq("doc_b"))
-      .filter(least(col("na"), col("nb")) / greatest(col("na"), col("nb"))
-        >= threshold)
-    pruned
-      .join(sa.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(sb.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
-        .hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("n_inter",
-        graft.functions.SortedIntersectCount.sortedIntersectCount(
-          col("ha"), col("hb")))
+      shB: DataFrame, threshold: Double): DataFrame =
+    gridVerifiedCounts(candidates, docSets(shA), docSets(shB),
+      // size-ratio prune before the merge kernel: |∩| ≤ min(na, nb), so
+      // jac ≤ min/max and a pair with min/max < t is provably below the
+      // jac ≥ t filter too (rounding is monotone, so the double compare
+      // preserves the exact-arithmetic implication) — 94% of
+      // stress-corpus candidates die on sizes alone, before the merge.
+      sizeRatioMin = Some(threshold))
       .withColumn("jac", col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Per-doc sorted signature sets: hash sets sorted ONCE per document
+    * (O(s log s), amortized over every candidate pair the doc appears
+    * in) so the per-pair verify is the zero-allocation
+    * sorted_intersect_count merge kernel — see the ArrayIntersect GC
+    * analysis in [[graft.functions.SortedIntersectCount]].
+    */
+  private def docSets(sh: DataFrame): DataFrame = sh.groupBy(col("doc_id"))
+    .agg(array_sort(collect_set(col("h"))).as("hs"),
+      count(lit(1)).as("n_sh"))
+
+  /** Grid side B: candidate pairs land in one of B² cells keyed by
+    * (hash-bucket(doc_a), hash-bucket(doc_b)), so a doc's signature is
+    * demanded by at most B cells per side. Sizing: per-cell build memory
+    * is ≤ |corpus signatures|/B per side (shrinks as B grows) while
+    * worst-case replica traffic is ≤ 2B×|corpus signatures| (grows as B
+    * grows, but only on dup-saturated corpora — demand-driven replicas
+    * mean a doc in k pairs ships ≤ min(B, k) copies). B=8 → 64 cells,
+    * enough tasks to keep local[32] busy and ≥2 orders of magnitude
+    * below the per-pair traffic it replaces at stress factors.
+    */
+  private val GridB = 8
+
+  /** Exact intersection counts for a candidate pair set with signature
+    * shuffle ONCE PER (grid cell, doc) — never per pair.
+    *
+    * The r15 verify shape joined (pair → ha) then re-exchanged that
+    * array-carrying stream by doc_b for the hb join, so signature bytes
+    * crossed the wire once per CANDIDATE PAIR: spill grew linearly with
+    * pair volume (7.6 → 45.6 GB across 20×→50×, STRESS_CLIFF50), the
+    * one wrong-direction curve in the suite — pair volume is quadratic
+    * in duplication factor while the corpus is linear.
+    *
+    * Here every pair lands in one of B² grid cells keyed by
+    * (bucket(doc_a)·B + bucket(doc_b)); signatures reach their cells by
+    * DEMAND-DRIVEN replication (distinct (cell, doc) ids joined once
+    * against the per-doc sets table), so each signature ships
+    * min(B, #cells that actually reference it) times — linear in corpus
+    * size with slope ≤ B, regardless of pair volume — and the pair
+    * stream crosses exactly one shuffle, as bare ids. Per cell, a typed
+    * `cogroup` builds two doc→signature hashmaps (≤ |signatures|/B per
+    * side) and streams the pairs through the zero-allocation merge
+    * kernel ([[graft.functions.SortedIntersectCount.merge]]).
+    *
+    * Why `cogroup` and not two co-partitioned relational joins: the
+    * pure-relational spelling (repartition both sides by the cell,
+    * shuffled-hash join on (cell, id) under the subset-key rule) is
+    * defeated by EnsureRequirements — a user repartition that is the
+    * direct child of a join is REWRITTEN to the join's full-key
+    * partitioning (verified on this Spark: `repartition(64, cell)`
+    * becomes `hashpartitioning(cell, doc_a, conf.numShufflePartitions)`
+    * with its REPARTITION_BY_NUM origin preserved), so the second join
+    * re-exchanges the array-carrying stream per pair again. The typed
+    * cogroup is the public API whose contract IS "both sides grouped by
+    * this key in one task": sort-based, so the big side spills bare ids
+    * (24 B rows), never signatures.
+    *
+    * `sizeRatioMin`: optional min(na,nb)/max(na,nb) prune evaluated
+    * map-side from the hashmaps BEFORE the merge. Sound for Jaccard
+    * thresholds: |∩| ≤ min gives jac ≤ min/max exactly, and double
+    * rounding is monotone, so no pair passing a downstream
+    * `jac >= t` filter can be pruned. Containment passes None — its
+    * whole point is the asymmetric (low size-ratio) pairs.
+    *
+    * Output: (doc_a, doc_b, na, nb, n_inter), one row per candidate
+    * pair present in both sets tables (inner-join semantics). Same
+    * counts as the r15 join shape — a pure restructure.
+    */
+  /** One doc's sorted-signature row exploded to its B grid cells: the
+    * row side (doc_a resolution) owns grid row bucket(doc), the column
+    * side (doc_b) owns grid column bucket(doc). `xxhash64` here and in
+    * the pair-cell expression are the same function with the same
+    * default seed, so a pair and its two signatures always meet.
+    */
+  private def replicaCells(sets: DataFrame, tag: Int,
+      rowSide: Boolean): DataFrame = {
+    val b = GridB
+    val cells =
+      if (rowSide) s"transform(sequence(0, ${b - 1}), j -> pmod(xxhash64(doc_id), $b) * $b + j)"
+      else s"transform(sequence(0, ${b - 1}), i -> i * $b + pmod(xxhash64(doc_id), $b))"
+    sets.select(explode(expr(cells)).as("cell"), lit(tag).as("tag"),
+      col("doc_id").as("doc"), col("hs"), col("n_sh"))
+  }
+
+  private def gridVerifiedCounts(candidates: DataFrame, sa: DataFrame,
+      sb: DataFrame, sizeRatioMin: Option[Double]): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val b = GridB
+    def bucket(c: Column): Column = pmod(xxhash64(c), lit(b.toLong))
+    // The candidate table feeds THREE consumers (the cogroup stream and
+    // both demand sides); AQE's ReuseExchange unifies them into ONE
+    // screen evaluation because every screen is literal-only — see
+    // [[derivedDfCap]]'s eager-evaluation note for why the cap must NOT
+    // be a scalar subquery (subqueries never canonicalize equal, which
+    // silently re-ran the capped screens once per consumer).
+    val pairs = candidates.select(
+      (bucket(col("doc_a")) * b + bucket(col("doc_b"))).as("cell"),
+      col("doc_a"), col("doc_b"))
+    // BLIND replication: each doc's signature ships to its B row cells
+    // (tag 0, for the doc_a side) and its B column cells (tag 1) —
+    // exactly 2B copies, period. A demand-driven variant (replicate
+    // only to cells whose pairs reference the doc) was built and
+    // measured first: its distinct-(cell, doc) pass re-consumes the
+    // candidate table, and because the screens' subtrees stop
+    // canonicalizing equal after column pruning (and never did for
+    // subquery-bearing screens), each demand side re-ran the WHOLE
+    // candidate screen — 2 extra screen evaluations per gate, +10 GB
+    // spill at the 20× probe. Blind replication makes the pair stream's
+    // only consumer the cogroup itself, so every screen evaluates once;
+    // the price, ≤ 2B× the corpus signature volume, is linear in corpus
+    // size with a compile-time dial (B) and at the 20× probe was the
+    // SAME bytes as the demanded set (saturated corpora demand all B
+    // cells anyway).
+    val reps = replicaCells(sa, tag = 0, rowSide = true)
+      .unionByName(replicaCells(sb, tag = 1, rowSide = false))
+      .as[(Long, Int, Long, Array[Long], Long)]
+    val prune = sizeRatioMin
+    pairs.as[(Long, Long, Long)].groupByKey(_._1)
+      .cogroup(reps.groupByKey(_._1)) { (_, ps, rs) =>
+        val ma = new java.util.HashMap[Long, (Array[Long], Long)]
+        val mb = new java.util.HashMap[Long, (Array[Long], Long)]
+        rs.foreach { case (_, tag, doc, hs, n) =>
+          (if (tag == 0) ma else mb).put(doc, (hs, n))
+        }
+        ps.flatMap { case (_, da, db) =>
+          val ra = ma.get(da)
+          val rb = mb.get(db)
+          if (ra == null || rb == null) Iterator.empty
+          else {
+            val (na, nb) = (ra._2, rb._2)
+            if (prune.exists(t => math.min(na, nb).toDouble / math.max(na, nb) < t))
+              Iterator.empty
+            else Iterator((da, db, na, nb,
+              graft.functions.SortedIntersectCount.merge(ra._1, rb._1)))
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b", "na", "nb", "n_inter")
   }
 
   /** Exact n-gram Jaccard near-dup pairs: self-join on distinct shingles,
@@ -207,14 +305,24 @@ object Dedup {
     * plus one count over the (narrow) documents table for the budget.
     * All-integer arithmetic throughout → the DuckDB oracle derives the
     * identical cap from the identical stats.
+    *
+    * Evaluated EAGERLY to a Long (one 1-row driver pull — the stats-job
+    * shape a production pipeline runs before its main query), NOT as a
+    * scalar subquery: subquery expressions never canonicalize equal, so
+    * a subquery-bearing candidate screen feeding several consumers
+    * (the grid verify's pair stream + two demand sides) defeated AQE's
+    * ReuseExchange and silently re-ran the whole screen once PER
+    * consumer — measured at the 20× probe as 3 full evaluations,
+    * 7–10 s each. With the cap a literal, the subtrees canonicalize
+    * identically and the screen runs once.
     */
   private[graft] def derivedDfCap(sh: DataFrame, docs: DataFrame,
       permille: Int = 999,
-      pairsPerDoc: Long = JaccardPairsPerDoc): Column = {
+      pairsPerDoc: Long = JaccardPairsPerDoc): Long = {
     require(permille >= 1 && permille <= 1000, s"bad permille $permille")
     require(pairsPerDoc > 0, s"bad pairsPerDoc $pairsPerDoc")
     val budget = docs.select(
-      (count(lit(1)) * pairsPerDoc).as("b")).scalar()
+      (count(lit(1)) * pairsPerDoc).as("b")).head().getLong(0)
     val hist = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .groupBy(col("df")).agg(count(lit(1)).as("ns"))
       .withColumn("__pairs", expr("ns * (df * (df - 1) div 2)"))
@@ -231,7 +339,7 @@ object Dedup {
             col("df"))), lit(1L)),
           coalesce(max(when(col("cum_pairs") <= budget, col("df"))), lit(1L))),
         lit(2L)).as("cap"))
-      .scalar()
+      .head().getLong(0)
   }
 
   /** Candidate-expansion budget per document for the derived df cap —
@@ -252,7 +360,7 @@ object Dedup {
       pairsPerDoc: Long = JaccardPairsPerDoc): DataFrame = {
     val sh = shingleHashes(docs, n)
     verifiedPairs(
-      cappedCandidates(sh, derivedDfCap(sh, docs, permille, pairsPerDoc)),
+      cappedCandidates(sh, lit(derivedDfCap(sh, docs, permille, pairsPerDoc))),
       sh, threshold)
   }
 
@@ -347,10 +455,30 @@ object Dedup {
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rnk") <=
         expr(s"n_sh - ((n_sh * $tNum + ${tDen - 1}) div $tDen) + 1"))
-      .select(col("doc_id"), col("h"))
-    val candidates = prefix.select(col("doc_id").as("doc_a"), col("h"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .select(col("doc_id"), col("h"), col("rnk"), col("n_sh"))
+    val candidates = prefix.select(col("doc_id").as("doc_a"), col("h"),
+        col("rnk").as("rnk_a"), col("n_sh").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"),
+        col("rnk").as("rnk_b"), col("n_sh").as("nb")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
+      // POSITIONAL filter (the PPJoin refinement, Xiao et al. WWW'08),
+      // applied per match occurrence BEFORE the pair distinct — at the
+      // 20× probe the occurrence stream (44 M rows), not the verify,
+      // owned the candidate path's spill. Lossless by the same order
+      // argument as the prefix lemma: for a TRUE pair (jac ≥ t), its
+      // FIRST common shingle in the global (df, h) order is a
+      // prefix-prefix match (prefix lemma) with the MINIMAL ranks, and
+      // every common shingle sits at rank ≥ that match in BOTH docs, so
+      // |∩| ≤ min(na − rnk_a, nb − rnk_b) + 1 at that occurrence, while
+      // jac ≥ t forces |∩|·(tNum + tDen) ≥ tNum·(na + nb) — all exact
+      // Long arithmetic. EXISTS semantics: the pair survives if ANY
+      // occurrence passes, and the first-common-shingle occurrence of
+      // every true pair passes, so candidate recall is still exactly
+      // total. A false pair survives only if its rarest shared shingle
+      // sits early in BOTH prefixes — on the stress corpus this kills
+      // most of the cross-family occurrence bulk.
+      .filter((least(col("na") - col("rnk_a"), col("nb") - col("rnk_b"))
+        + 1) * lit(tNum + tDen) >= lit(tNum) * (col("na") + col("nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     verifiedPairs(candidates, sh, tNum.toDouble / tDen)
@@ -459,24 +587,14 @@ object Dedup {
       pairsPerDoc: Long = JaccardPairsPerDoc): DataFrame = {
     val sh = shingleHashes(docs, n)
     val candidates =
-      cappedCandidates(sh, derivedDfCap(sh, docs, permille, pairsPerDoc))
-    // sorted once per doc for the zero-allocation merge-count verify
-    // (same discipline as [[verifiedPairsSided]])
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("h"))).as("hs"),
-        count(lit(1)).as("n_sh"))
-    // shuffle-hash building the per-partition sets slice — same
-    // broadcast-OOM guard as [[verifiedPairsSided]] (this operator's
-    // first 20×-stress run is what found the hazard; full strategy
-    // comparison there)
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-        col("n_sh").as("na")).hint("shuffle_hash"), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-        col("n_sh").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("n_inter",
-        graft.functions.SortedIntersectCount.sortedIntersectCount(
-          col("ha"), col("hb")))
+      cappedCandidates(sh, lit(derivedDfCap(sh, docs, permille, pairsPerDoc)))
+    // grid-co-partitioned exact verify — signatures ship once per
+    // (cell, doc), never per pair; full rationale at
+    // [[gridVerifiedCounts]]. No size-ratio prune by containment
+    // semantics (the asymmetric pairs this operator exists to find are
+    // exactly the ones a min/max prune would delete).
+    gridVerifiedCounts(candidates, docSets(sh), docSets(sh),
+      sizeRatioMin = None)
       .withColumn("cont", col("n_inter") / least(col("na"), col("nb")))
       .filter(col("cont") >= threshold)
       .withColumn("jac",

@@ -135,9 +135,31 @@ object PlanCache {
     */
   def invalidate(spark: SparkSession): Unit = invalidateAll(sessionId(spark))
 
+  /** Arbitrary session-scoped cleanups sharing the eviction listener —
+    * e.g. [[Skew.bucketize]]'s physical bucket tables, which would
+    * otherwise orphan files in a shared warehouse on session crash.
+    * Hooks run (once, best-effort) alongside cache eviction at
+    * application end. A hook MUST NOT strongly capture the
+    * SparkSession: the registry is keyed by the session-id String
+    * precisely so entries never pin the session (the r14 leak) — hold a
+    * WeakReference if session access is needed.
+    */
+  private val sessionHooks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CopyOnWriteArrayList[() => Unit]]()
+
+  private[graft] def addSessionEndHook(spark: SparkSession)(f: () => Unit): Unit = {
+    ensureEvictionListener(spark)
+    sessionHooks.computeIfAbsent(sessionId(spark),
+      _ => new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()).add(f)
+  }
+
   private[graft] def invalidateAll(sessionUUID: String): Unit = {
     tracked.remove(sessionUUID)
     instances.forEach(_.invalidateSession(sessionUUID))
+    val hooks = sessionHooks.remove(sessionUUID)
+    if (hooks != null) hooks.forEach { f =>
+      try f() catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Install (once per session) the application-end eviction hook. */

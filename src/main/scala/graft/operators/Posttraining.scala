@@ -85,13 +85,29 @@ object Posttraining {
   def chatAssemble(events: DataFrame): DataFrame =
     chatAssembleOn(events).orderBy(col("user_id"))
 
+  /** Landed-intermediate cache for [[sortedTurns]] — the family's one
+    * corpus-sized shared table (it carries every rendered turn string),
+    * so DISK_ONLY by the [[PlanCache]] taxonomy: an on-heap corpus cache
+    * would squeeze execution memory for the joins that follow (the
+    * sentence-segmentation lesson). One materialization per (events
+    * input) serves the assembly gate, the truncation gate and
+    * [[posttrainCurate]]'s survivor stage — previously each consumer
+    * re-ran the collapse aggregate from its own events scan.
+    */
+  private val turnsCache = new PlanCache(maxEntries = 2,
+    level = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   /** The shared turn pipeline: render `event_type:score_micro`, group
     * per prompt, sort in-row by (ts, event_id) — ONE definition of the
     * rendering both fingerprinting gates hash, so the format can never
     * drift between assembly and truncation. Returns (user_id, ss) with
-    * `ss` the ordered turn strings.
+    * `ss` the ordered turn strings. Materialized once per events input
+    * via [[turnsCache]].
     */
-  private def sortedTurns(events: DataFrame): DataFrame = {
+  private def sortedTurns(events: DataFrame): DataFrame =
+    turnsCache.getOrMaterialize(events, "sortedTurns")(sortedTurnsBuild(events))
+
+  private def sortedTurnsBuild(events: DataFrame): DataFrame = {
     val turn = concat_ws(":", col("event_type"),
       floor(col("value") * lit(1e6)).cast("long").cast("string"))
     events
@@ -136,8 +152,19 @@ object Posttraining {
       .select(col("user_id"), col("event_id"),
         floor(col("value") * lit(1e6)).cast("long").as("v"))
       .withColumn("n_candidates", count(lit(1)).over(w))
-      .withColumn("adv_num",
-        col("v") * col("n_candidates") - sum(col("v")).over(w))
+      // loud overflow bound (the passAtK pattern): v·n wraps Spark's
+      // Long silently while the DuckDB oracle RAISES on BIGINT overflow
+      // — a latent cross-engine divergence unless it is a hard error on
+      // both sides. |v| ≤ 2^43 micro-units (~8.8e6 raw) and n ≤ 2^20
+      // keeps v·n and the group sum below 2^63 with 2^63-headroom to
+      // spare.
+      .withColumn("adv_num", expr(
+        s"""CASE WHEN abs(v) > ${1L << 43}L OR n_candidates > ${1L << 20}L
+              THEN raise_error(concat('grpoAdvantage: group ',
+                CAST(user_id AS STRING), ' exceeds the exact-arithmetic ',
+                'bound (|reward_micro| <= 2^43 and n <= 2^20) - rescale ',
+                'rewards or pre-aggregate candidates'))
+            ELSE v * n_candidates END""") - sum(col("v")).over(w))
       .select(col("user_id").as("prompt_id"), col("event_id"),
         col("v").as("reward_micro"), col("adv_num"), col("n_candidates"))
       .orderBy(col("prompt_id"), col("event_id"))
@@ -163,9 +190,20 @@ object Posttraining {
         floor(col("value") * lit(1e6)).cast("long").as("v"))
       .withColumn("mn", min(col("v")).over(w))
       .withColumn("mx", max(col("v")).over(w))
+      // loud overflow bound (the passAtK pattern): (v−mn)·1e6 wraps
+      // Spark's Long silently while the DuckDB oracle RAISES — make the
+      // bound a hard error on both sides. Spread ≤ 2^42 micro-units
+      // (~4.4e6 raw units of reward range per group) keeps the product
+      // below 2^62.
       .withColumn("norm_micro",
         when(col("mx") === col("mn"), lit(0L))
-          .otherwise(expr("(v - mn) * 1000000 div (mx - mn)")))
+          .otherwise(expr(
+            s"""CASE WHEN mx - mn > ${1L << 42}L
+                  THEN raise_error(concat('rewardNorm: group ',
+                    CAST(user_id AS STRING), ' reward spread exceeds the ',
+                    'exact-arithmetic bound (2^42 micro-units) - rescale ',
+                    'rewards'))
+                ELSE (v - mn) * 1000000 div (mx - mn) END""")))
       .select(col("user_id").as("prompt_id"), col("event_id"),
         col("v").as("reward_micro"), col("norm_micro"))
       .orderBy(col("prompt_id"), col("event_id"))

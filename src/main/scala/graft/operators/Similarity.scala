@@ -1249,9 +1249,10 @@ object Similarity {
     vecs.select(col("vec_id"), sigHalf(0).as("sig_lo"), sigHalf(32).as("sig_hi"))
 
   /** Gate projection of [[binarize]]: the packed words plus the
-    * positive-dimension count (`n_pos` — the balance stat that tells an
-    * operator whether the corpus needs mean-centering before the 1-bit
-    * tier is trustworthy).
+    * NON-NEGATIVE-dimension count (`n_pos` — sign_pack sets a bit for
+    * x ≥ 0, so exact zeros count toward it; the balance stat that tells
+    * an operator whether the corpus needs mean-centering before the
+    * 1-bit tier is trustworthy).
     */
   def binarizeDocs(spark: SparkSession, dir: String): DataFrame =
     binarize(Tables(spark, dir).embeddings)

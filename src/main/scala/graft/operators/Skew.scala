@@ -78,10 +78,17 @@ object Skew {
     * external catalog via `newSession()`): the PHYSICAL table name is
     * scoped by a per-session id, so two sessions bucketizing the same
     * logical name never race each other's DROP/delete/CREATE. The
-    * returned frame reads the session's own physical table. Orphaned
-    * scoped tables from crashed sessions are inert files under the
-    * warehouse (no catalog entry in a fresh JVM) — the same janitorial
-    * surface as any Spark scratch table, cleaned by warehouse TTL policy.
+    * returned frame reads the session's own physical table.
+    *
+    * Session-end cleanup: every physical table this session creates is
+    * registered with the same application-end hook that evicts the
+    * [[PlanCache]] — the hook drops the catalog entry (via a WEAK
+    * session reference, so registration never pins the session — the
+    * r14 leak class) and deletes the warehouse files through the
+    * warehouse URI's Hadoop FileSystem. Only a session KILLED without
+    * its context ever stopping still orphans files — that residue is
+    * the warehouse TTL policy's janitorial surface, now the exception
+    * rather than the rule.
     */
   def bucketize(spark: SparkSession, df: DataFrame, table: String,
       key: String, buckets: Int = 32): DataFrame = {
@@ -89,13 +96,45 @@ object Skew {
     spark.sql(s"DROP TABLE IF EXISTS `$phys`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), phys)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = loc.getFileSystem(hadoopConf)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(phys)
+    registerCleanup(spark, phys, loc, hadoopConf)
     spark.table(phys)
+  }
+
+  /** One cleanup hook per (session, physical table), idempotent across
+    * re-bucketize calls of the same logical table in one session. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerCleanup(spark: SparkSession, phys: String,
+      loc: org.apache.hadoop.fs.Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val sid = PlanCache.sessionId(spark)
+    if (cleanupRegistered.add(s"$sid/$phys")) {
+      // weak: a hook strongly capturing the session would pin it in the
+      // hook registry — exactly the value-refs-key leak PlanCache's
+      // scaladoc documents. If the session is already collected, the
+      // catalog died with it; the file delete still runs.
+      val weakSpark = new java.lang.ref.WeakReference(spark)
+      PlanCache.addSessionEndHook(spark) { () =>
+        cleanupRegistered.remove(s"$sid/$phys")
+        val s = weakSpark.get()
+        if (s != null && !s.sparkContext.isStopped) {
+          try s.sql(s"DROP TABLE IF EXISTS `$phys`")
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        try {
+          val fsys = loc.getFileSystem(hadoopConf)
+          if (fsys.exists(loc)) fsys.delete(loc, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
   }
 
   /** Gated entry for [[skewSplitJoin]]: enrich every event with its

@@ -97,6 +97,22 @@ object StreamGate {
       else feeds.foreach { f => f(); q.processAllAvailable() }
     } finally q.stop()
     val landed = spark.read.parquet(s"$outDir/data")
+    // Update-mode sinks RE-EMIT a group in every micro-batch where it
+    // changes, each landing under its own batch_id — a multi-batch run
+    // would leave stale earlier rows in the read-back and the gate
+    // would silently compare a superset. Today's update-mode gates are
+    // single-batch by construction (the whole fixture arrives in
+    // micro-batch 0 under AvailableNow), so enforce that loudly instead
+    // of assuming it: if batching ever changes, this trips rather than
+    // a hash mysteriously mismatching (or worse, matching).
+    if (outputMode == "update") {
+      import org.apache.spark.sql.functions.countDistinct
+      val batches = landed.select(countDistinct("batch_id")).head().getLong(0)
+      require(batches <= 1,
+        s"StreamGate: update-mode gate landed $batches micro-batches; " +
+          "the read-back would contain stale re-emitted group rows - " +
+          "keep only each group's max-batch_id row before comparing")
+    }
     if (keepBatchId) landed else landed.drop("batch_id")
   }
 }

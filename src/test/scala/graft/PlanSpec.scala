@@ -389,6 +389,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       plan.take(2000))
   }
 
+  test("posttrain_curate: assembly reads the cached turns table, one events scan") {
+    val plan = planOf("posttrain_curate")
+    // the survivor stage consumes the PlanCache-landed sorted-turns
+    // intermediate (one materialization per events input, shared with
+    // chat_assemble/chat_truncate) instead of re-collapsing the events
+    // log from its own scan
+    assert(plan.contains("InMemoryTableScan"),
+      s"assembly must read the cached turns intermediate:\n${plan.take(2500)}")
+    // the pairing side is then the ONLY live parquet read of events in
+    // the composed plan (the cached subtree's FileScan prints under the
+    // InMemoryTableScan but does not execute; distinct attribute sets
+    // identify genuinely separate scans)
+    val eventScans = """FileScan parquet \[([^\]]*)\]""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(eventScans.size <= 2,
+      s"events scanned more than once per consumer:\n$eventScans\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(plan.contains("LeftSemi"),
+      s"survivor admission must stay a semi join:\n${plan.take(2500)}")
+  }
+
   test("pipeline_curate: one tree — dedup aggregates, decon probe broadcasts") {
     val plan = planOf("pipeline_curate")
     // exact-dedup survivors via hash aggregate (never a doc-count window);

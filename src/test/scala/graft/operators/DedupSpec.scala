@@ -213,9 +213,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     def capOf(sh: org.apache.spark.sql.DataFrame, permille: Int = 999,
         pairsPerDoc: Long = Dedup.JaccardPairsPerDoc): Long = {
       val docs = sh.select(col("doc_id")).distinct()
-      sh.sparkSession.range(1)
-        .select(Dedup.derivedDfCap(sh, docs, permille, pairsPerDoc).as("cap"))
-        .head().getLong(0)
+      Dedup.derivedDfCap(sh, docs, permille, pairsPerDoc)
     }
     // synthetic histogram: 990 shingles at df=2, 9 at df=5, 1 at df=50 —
     // the 99.9% quantile bound must admit df 5, exclude the df-50

@@ -149,4 +149,26 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
       s.sql(s"DROP TABLE IF EXISTS `${physName(s, t)}`")
     }
   }
+
+  test("session-end hook drops bucket tables: catalog entry AND warehouse files") {
+    import spark.implicits._
+    val s = spark.newSession()
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("key", "v")
+    val back = Skew.bucketize(s, df, "t_cleanup_b", "key", buckets = 4)
+    assert(back.count() === 50)
+    val phys = physName(s, "t_cleanup_b")
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), phys)
+    assert(s.catalog.tableExists(phys), "bucketize must land a catalog entry")
+    assert(loc.exists(), "bucketize must land warehouse files")
+    // fire the application-end eviction hook directly, same contract as
+    // PlanCacheSpec: delivering onApplicationEnd at stop() is Spark's
+    // contract, the cleanup it triggers is ours
+    PlanCache.sessionEndListener(PlanCache.sessionId(s))
+      .onApplicationEnd(org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(!s.catalog.tableExists(phys),
+      "session-end hook must drop the scoped catalog entry")
+    assert(!loc.exists(),
+      "session-end hook must delete the scoped warehouse directory")
+  }
 }
