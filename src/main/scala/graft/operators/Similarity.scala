@@ -1337,6 +1337,22 @@ object Similarity {
     * metric — [[annRecallRp]]'s argument). Closes the audit set: all
     * FIVE approximate index families (LSH, IVF, PQ/ADC, RP, binary)
     * now carry a gated recall metric.
+    *
+    * RECALL AT SCALE (r15 verdict #6 — the stress harness records
+    * `recall_min_micro`/`recall_avg_micro` for every gate exposing a
+    * `recall_micro` column): on the REPLICATED stress corpora the
+    * metric saturates by construction — a query's true top-k fills
+    * with its own byte-identical replicas, whose signatures are
+    * identical, so any signature scheme finds them (Hamming 0;
+    * same-band by pigeonhole). Measured floors: 10× min 0.90 for BOTH
+    * this gate and [[annRecallHamLsh]] (= all 9 replicas found, the
+    * one non-trivial slot sometimes missed — exactly the saturation
+    * bound), 20× min 1.000. What the scale entries PIN is therefore
+    * that banding never loses a duplicate as buckets densify — the
+    * non-degenerate recall of the 1-bit tier on distinct vectors
+    * remains the 1× gates' number (sf0.01 floor: 0.30 full-scan,
+    * 0.00 banded — the banded path's pigeonhole guarantee covers only
+    * distance ≤ 7; see [[annRecallHamLsh]]).
     */
   def annRecallHam(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables(spark, dir).embeddings
