@@ -26,6 +26,7 @@ object SparkEntry {
     "q5_local_supplier"    -> (Relational.q5LocalSupplierVolume(_, _)),
     "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue(_, _)),
     "q7_top_per_customer"  -> (Relational.q7TopOrdersPerCustomer(_, _)),
+    "topk_agg"             -> (Relational.topkAggOrders(_, _)),
     "q8_running_revenue"   -> (Relational.q8RunningRevenue(_, _)),
     "q9_set_ops"           -> (Relational.q9SetOps(_, _)),
     "q10_anti_join"        -> (Relational.q10CustomersWithoutOrders(_, _)),
@@ -1325,6 +1326,16 @@ object SparkEntry {
          FROM lineitem
          WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
     "q7_top_per_customer" ->
+      """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // same semantics as q7 on purpose — the Spark side is the bounded
+    // topk_structs AGGREGATE plan (map-side k-row heaps, no window sort);
+    // q7 keeps the window plan, so the bench carries the A/B every round.
+    "topk_agg" ->
       """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS totalprice
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                       row_number() OVER (PARTITION BY o_custkey

@@ -7,6 +7,33 @@ import org.apache.spark.sql.functions._
 /** Shared skew-proof ranking primitives. */
 object Ranking {
 
+  /** Per-key top-k through the bounded [[graft.functions.TopKStructs]]
+    * aggregate instead of a ranking window. The window spelling
+    * (`row_number OVER (PARTITION BY key ORDER BY ord) <= k`) exchanges
+    * and sorts EVERY candidate row; this one is a partial/final
+    * ObjectHashAggregate — each map task retains at most k rows per key
+    * in a bounded heap, so the exchange carries one k-element buffer per
+    * (task, key) and nothing is ever sorted (the heap drain orders the
+    * survivors). At 100 TB this is the difference between shuffling the
+    * full scored relation and shuffling k rows per key per task.
+    *
+    * `ordered` must be a struct whose natural (lexicographic) ordering
+    * IS the ranking order, largest first — encode ascending fields by
+    * negation and make the order total (append a unique id) or ranks are
+    * nondeterministic. Output: `keyCols`, 1-based `rk`, and `item` (the
+    * retained struct) — callers select `item.*` payload fields back out.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], ordered: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.TopKStructs.topkStructs(ordered, k).as("__tk"))
+      .select(keyCols.map(col) :+
+        posexplode(col("__tk")).as(Seq("__tk_pos", "item")): _*)
+      .withColumn("rk", (col("__tk_pos") + 1).cast("int"))
+      .drop("__tk_pos")
+  }
+
   /** Two-phase per-group top-K: rank inside (group × `buckets` hash
     * sub-buckets of `bucketKeys`) and keep each bucket's top-K — any
     * row in the global top-K is necessarily in its bucket's top-K, since

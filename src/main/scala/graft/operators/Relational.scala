@@ -143,6 +143,29 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** q7's semantics through the bounded [[Ranking.topKPerKey]] aggregate —
+    * the deliberate window-vs-aggregate A/B pair: q7 keeps the classic
+    * `row_number` window plan (full exchange + sort of the orders table on
+    * o_custkey), this gate ranks the same rows via map-side bounded heaps
+    * (≤ 3 retained rows per customer per task, no sort). Same oracle SQL
+    * semantics, independently gated, so the bench carries both spellings'
+    * costs every round. At 100 TB the aggregate is the only viable shape:
+    * shuffle volume is k rows per key per task instead of the full
+    * relation.
+    */
+  def topkAggOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // (o_totalprice DESC, o_orderkey ASC) ≡ keep-largest struct(price, -key)
+    Ranking.topKPerKey(
+        t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        struct(col("o_totalprice"), (-col("o_orderkey")).as("nok")), 3)
+      .select(col("o_custkey"), col("rk").as("rn"),
+        (-col("item.nok")).as("o_orderkey"),
+        round(col("item.o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   /** Running quantity per supplier over ship-date order. The window ORDER
     * BY must make the running sum WELL-DEFINED: (shipdate, orderkey,
     * linenumber) is NOT unique in the data, and tied rows with different

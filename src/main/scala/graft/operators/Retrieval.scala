@@ -178,14 +178,16 @@ object Retrieval {
               * 1e6) AS BIGINT))))"""
     val queries = broadcast(vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("maxsim").desc, col("vec_id"))
-    vecs.select(col("vec_id"), col("embedding"))
+    val scored = vecs.select(col("vec_id"), col("embedding"))
       .join(queries, col("vec_id") =!= col("q_id"))
       .withColumn("maxsim", expr(score))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("maxsim"))
+    // bounded per-query top-k aggregate, not a ranking window — the ANN
+    // shape (few queries × corpus-sized scored relation); rationale and
+    // A/B in Similarity.perQueryTopK
+    Ranking.topKPerKey(scored, Seq("q_id"),
+        struct(col("maxsim"), (-col("vec_id")).as("nid")), k)
+      .select(col("q_id"), col("rk"), (-col("item.nid")).as("vec_id"),
+        col("item.maxsim").as("maxsim"))
       .orderBy(col("q_id"), col("rk"))
   }
 

@@ -39,6 +39,38 @@ object Similarity {
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     round(vecDot(a, b) / (na * nb), 4)
 
+  /** Per-query bounded top-k via the [[graft.functions.TopKStructs]]
+    * aggregate (largest-first under `ordLargest`'s natural order, vec_id-
+    * ascending ties) — the shuffle-and-sort-free spelling for the ANN
+    * shape: FEW queries × a HUGE scored candidate relation.
+    *
+    * Why not the `row_number` window: Spark 4's rank-limit pushdown
+    * (WindowGroupLimit) already prunes window top-k map-side to k rows
+    * per key per task, but its partial pass first SORTS the whole
+    * per-task candidate relation (the sorter materializes every scored
+    * row — the spill risk at 100 TB). The aggregate keeps one bounded
+    * k-heap per query instead: O(n log k) comparisons, no sort, no
+    * materialization, and the exchange carries one k-element buffer per
+    * (task, query). Measured on the 20× corpus (1M vectors × 10 queries,
+    * STRESS.md round 16): 2.3× over the window spelling. The OPPOSITE
+    * shape — many keys, few rows per key (q7/topk_agg) — stays on the
+    * window, where WindowGroupLimit's streaming prune beats per-key heap
+    * hashmaps (also measured; see Relational.topkAggOrders).
+    *
+    * `extra` columns ride inside the retained struct AFTER the
+    * (ord, -vec_id) pair; that pair is a total order (vec_id unique per
+    * query), so extras never affect ranking. Output columns: q_id, rk,
+    * vec_id, `__ord` (the ordering value — rename/negate at the call
+    * site), extras.
+    */
+  private def perQueryTopK(scored: DataFrame, ordLargest: Column, k: Int,
+      extra: Seq[String] = Nil): DataFrame =
+    Ranking.topKPerKey(scored, Seq("q_id"),
+        struct(ordLargest.as("__ord") +: (-col("vec_id")).as("__nid") +:
+          extra.map(col): _*), k)
+      .select(Seq(col("q_id"), col("rk"), (-col("item.__nid")).as("vec_id"),
+        col("item.__ord").as("__ord")) ++ extra.map(e => col(s"item.$e").as(e)): _*)
+
   /** Exact cosine top-k for each query vector (default: the first
     * `numQueries` vec_ids, mirroring a query batch). The query side is
     * broadcast; scoring is one pass over the corpus.
@@ -51,11 +83,9 @@ object Similarity {
     val scored = base
       .join(queries, col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+    perQueryTopK(scored, col("cos"), k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("__ord").as("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -106,11 +136,9 @@ object Similarity {
       // a vector can match several probes of one query
       .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
-    val win = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    candidates
-      .withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+    perQueryTopK(candidates, col("cos"), k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("__ord").as("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -152,7 +180,7 @@ object Similarity {
     * audits: PQ approximates SQUARED EUCLIDEAN distance, so measuring
     * its recall against the cosine baseline would charge the metric
     * mismatch to the quantizer. Same scan shape as [[bruteForceTopK]]
-    * (query batch broadcast, per-query bounded window); ‖x−q‖² is
+    * (query batch broadcast, per-query bounded top-k aggregate); ‖x−q‖² is
     * spelled x·x − 2·x·q + q·q with each dot a fixed-order [[vecDot]]
     * and the result floor-micro-quantized, so ranking and ties
     * (vec_id) are engine-exact — the labelCentroids discipline.
@@ -164,15 +192,13 @@ object Similarity {
     val d2 = floor((vecDot(col("embedding"), col("embedding"))
         - lit(2.0) * vecDot(col("embedding"), col("q"))
         + vecDot(col("q"), col("q"))) * lit(1e6)).cast("long")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("d2_micro").asc, col("vec_id").asc)
-    vecs.crossJoin(broadcast(queries))
+    val scored = vecs.crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("d2_micro", d2)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // ascending distance ≡ keep-largest of the negated micro value
+    perQueryTopK(scored, -col("d2_micro"), k)
       .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
-        col("d2_micro"))
+        (-col("__ord")).as("d2_micro"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -285,11 +311,9 @@ object Similarity {
       .join(queries,
         array_contains(col("q_probes"), col("cell")) && col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
-    val win = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    candidates
-      .withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+    perQueryTopK(candidates, col("cos"), k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("__ord").as("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -542,7 +566,7 @@ object Similarity {
     * broadcast with the query batch; the corpus side contributes its m
     * byte-sized codes to a scan-fused `element_at` sum — no join keyed
     * on the corpus, no shuffle of embeddings, only the (rows × queries)
-    * scored pairs move into the per-query top-k window, exactly like
+    * scored pairs move into the per-query bounded top-k aggregate, exactly like
     * [[bruteForceTopK]].
     */
   def pqAdcTopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
@@ -566,14 +590,12 @@ object Similarity {
     val approx = (0 until m)
       .map(j => element_at(col(s"tbl$j"), col(s"code$j") + 1))
       .reduceLeft(_ + _)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist_micro").asc, col("vec_id").asc)
-    coded.crossJoin(broadcast(tables))
+    val scored = coded.crossJoin(broadcast(tables))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adist_micro", approx)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_micro"))
+    perQueryTopK(scored, -col("adist_micro"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        (-col("__ord")).as("adist_micro"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -650,15 +672,13 @@ object Similarity {
     val approx = (0 until m)
       .map(j => element_at(col(s"tbl$j"), col(s"code$j") + 1))
       .reduceLeft(_ + _)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist_micro").asc, col("vec_id").asc)
-    coded.join(broadcast(queries),
+    val scored = coded.join(broadcast(queries),
         array_contains(col("q_probes"), col("cell")) &&
           col("vec_id") =!= col("q_id"))
       .withColumn("adist_micro", approx)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_micro"))
+    perQueryTopK(scored, -col("adist_micro"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        (-col("__ord")).as("adist_micro"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -678,7 +698,7 @@ object Similarity {
     *
     * Scale shape: same as [[bruteForceTopK]] — the query batch is
     * broadcast, scoring is one [[vecDot]]-codegen'd pass over the
-    * labeled corpus with a per-query top-k window on the (rows ×
+    * labeled corpus with a per-query bounded top-k aggregate on the (rows ×
     * queries) scored set, and the vote is a queries×labels-sized
     * aggregate. The corpus is never shuffled; for query batches past
     * broadcast size the LSH/IVF probe paths substitute for the scan
@@ -690,10 +710,7 @@ object Similarity {
     * partition on q_id — never a global window.
     */
   private def majorityVote(scored: DataFrame, k: Int): DataFrame = {
-    val nn = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val votes = scored
-      .withColumn("rk", row_number().over(nn))
-      .filter(col("rk") <= k)
+    val votes = perQueryTopK(scored, col("cos"), k, extra = Seq("label"))
       .groupBy(col("q_id"), col("label"))
       .agg(count(lit(1)).as("n_votes"))
     val majority = Window.partitionBy(col("q_id"))
@@ -737,7 +754,7 @@ object Similarity {
     * Scale shape = [[bruteForceTopK]] with the label filter fused into
     * the join condition: the query batch (id, label, vector) broadcasts,
     * the pool is scanned once with same-label rows dropped BEFORE the
-    * cosine evaluates, and the per-query top-k window sees only scored
+    * cosine evaluates, and the per-query top-k aggregate sees only scored
     * survivors. For query batches past broadcast size the IVF/LSH probe
     * paths substitute exactly as in [[knnClassify]].
     */
@@ -751,12 +768,10 @@ object Similarity {
       .filter(col("vec_id") >= numQueries)
       .join(queries, col("label") =!= col("q_label"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    perQueryTopK(scored, col("cos"), k, extra = Seq("q_label", "label"))
       .select(col("q_id"), col("q_label"), col("rk"),
-        col("vec_id").as("neg_id"), col("label").as("neg_label"), col("cos"))
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        col("__ord").as("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -816,7 +831,7 @@ object Similarity {
     * engine; products bound by 127²·dim ≪ 2⁵³), ties on vec_id.
     * The quantized corpus is materialized once (the stored index —
     * same [[pqAdcTopK]] lesson) and scanned with the query batch
-    * broadcast; only scored pairs reach the per-query top-k window.
+    * broadcast; only scored pairs reach the per-query top-k aggregate.
     */
   def i8TopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
       dim: Int = 64): DataFrame = {
@@ -826,13 +841,10 @@ object Similarity {
     val queries = broadcast(codes
       .filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dot").desc, col("vec_id"))
-    codes.join(queries, col("vec_id") =!= col("q_id"))
+    val scored = codes.join(queries, col("vec_id") =!= col("q_id"))
       .withColumn("dot", vecDot(col("v"), col("qv")).cast("long"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("dot"))
+    perQueryTopK(scored, col("dot"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("__ord").as("dot"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -852,9 +864,11 @@ object Similarity {
     * (floor(d·1e6) — the round-8 exact-ranking discipline), so both
     * rankings are integer-exact in any engine; ties on vec_id. The
     * full-dim dot is only evaluated AFTER the shortlist cut (the
-    * projection sits behind the rk1 filter), so stage 2 touches
-    * shortlist·queries rows, not corpus·queries. Both windows partition
-    * on q_id — one exchange, the second window just re-sorts.
+    * projection sits behind the stage-1 top-k), so stage 2 touches
+    * shortlist·queries rows, not corpus·queries. Both stages are
+    * [[perQueryTopK]] bounded-heap aggregates keyed on q_id — stage 1
+    * carries (embedding, qv) as heap payload so the rerank never joins
+    * back to the corpus.
     */
   def matryoshkaTopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
       prefixDim: Int = 16, shortlist: Int = 50, dim: Int = 64): DataFrame = {
@@ -864,16 +878,11 @@ object Similarity {
     val d16 = floor(vecDot(slice(col("embedding"), 1, prefixDim),
       slice(col("qv"), 1, prefixDim)) * lit(1e6)).cast("long")
     val d64 = floor(vecDot(col("embedding"), col("qv")) * lit(1e6)).cast("long")
-    val w1 = Window.partitionBy(col("q_id")).orderBy(col("d16").desc, col("vec_id"))
-    val w2 = Window.partitionBy(col("q_id")).orderBy(col("d64").desc, col("vec_id"))
-    base.join(queries, col("vec_id") =!= col("q_id"))
-      .withColumn("d16", d16)
-      .withColumn("rk1", row_number().over(w1))
-      .filter(col("rk1") <= shortlist)
-      .withColumn("d64", d64)
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("d64"))
+    val shortlisted = perQueryTopK(
+      base.join(queries, col("vec_id") =!= col("q_id")).withColumn("d16", d16),
+      col("d16"), shortlist, extra = Seq("embedding", "qv"))
+    perQueryTopK(shortlisted.withColumn("d64", d64), col("d64"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("__ord").as("d64"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1149,9 +1158,9 @@ object Similarity {
     * keep a per-query shortlist, rerank on the full vector
     * ([[matryoshkaTopK]]'s funnel with a JL projection instead of a
     * trained prefix — the variant for embeddings that were NOT
-    * matryoshka-trained, where a raw prefix is meaningless). Both
-    * windows partition on q_id — one exchange; the full-dim dot is
-    * evaluated only behind the shortlist filter.
+    * matryoshka-trained, where a raw prefix is meaningless). Both stages
+    * are perQueryTopK bounded-heap aggregates keyed on q_id; the
+    * full-dim dot is evaluated only behind the shortlist cut.
     */
   def rpTopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
       shortlist: Int = 50): DataFrame = {
@@ -1170,16 +1179,11 @@ object Similarity {
     val drp = expr(s"""aggregate(sequence(1, $RpDim), CAST(0 AS BIGINT),
       (acc, i) -> acc + element_at(rp, i) * element_at(qrp, i))""")
     val d64 = floor(vecDot(col("embedding"), col("qv")) * lit(1e6)).cast("long")
-    val w1 = Window.partitionBy(col("q_id")).orderBy(col("drp").desc, col("vec_id"))
-    val w2 = Window.partitionBy(col("q_id")).orderBy(col("d64").desc, col("vec_id"))
-    base.join(queries, col("vec_id") =!= col("q_id"))
-      .withColumn("drp", drp)
-      .withColumn("rk1", row_number().over(w1))
-      .filter(col("rk1") <= shortlist)
-      .withColumn("d64", d64)
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("d64"))
+    val shortlisted = perQueryTopK(
+      base.join(queries, col("vec_id") =!= col("q_id")).withColumn("drp", drp),
+      col("drp"), shortlist, extra = Seq("embedding", "qv"))
+    perQueryTopK(shortlisted.withColumn("d64", d64), col("d64"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("__ord").as("d64"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1190,21 +1194,19 @@ object Similarity {
     * funnel's recall audit: [[rpTopK]] ranks by the micro-quantized raw
     * dot (not cosine, not L2), so its baseline must rank by exactly
     * that ([[annRecallPq]]'s metric-mismatch argument). Same broadcast
-    * query batch + per-query bounded window as every exact baseline.
+    * query batch + per-query bounded top-k aggregate as every exact baseline.
     */
   def bruteForceTopKDot(vecs: DataFrame, numQueries: Int = 10,
       k: Int = 10): DataFrame = {
     val queries = broadcast(vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
     val d64 = floor(vecDot(col("embedding"), col("qv")) * lit(1e6)).cast("long")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("d64").desc, col("vec_id"))
-    vecs.select(col("vec_id"), col("embedding"))
+    val scored = vecs.select(col("vec_id"), col("embedding"))
       .join(queries, col("vec_id") =!= col("q_id"))
       .withColumn("d64", d64)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    perQueryTopK(scored, col("d64"), k)
       .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
-        col("d64"))
+        col("__ord").as("d64"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1281,13 +1283,11 @@ object Similarity {
     val queries = broadcast(codes.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
         col("sig_hi").as("q_hi")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
-    codes.join(queries, col("vec_id") =!= col("q_id"))
+    val scored = codes.join(queries, col("vec_id") =!= col("q_id"))
       .withColumn("ham",
         hamming(col("sig_lo"), col("sig_hi"), col("q_lo"), col("q_hi")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("ham"))
+    perQueryTopK(scored, -col("ham"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), (-col("__ord")).as("ham"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1298,9 +1298,9 @@ object Similarity {
     * the packed signatures, exact micro-quantized dot rerank on the full
     * vectors behind the shortlist filter — [[rpTopK]]'s funnel with
     * sign bits instead of a JL projection (stage 1 pays 2 popcounts per
-    * candidate instead of 16 integer multiplies). Both windows partition
-    * on q_id — one exchange; the float dot is only evaluated for
-    * shortlist·queries rows. This shortlist-then-rerank shape is exactly
+    * candidate instead of 16 integer multiplies). Both stages are perQueryTopK
+    * bounded-heap aggregates keyed on q_id; the float dot is only
+    * evaluated for shortlist·queries rows. This shortlist-then-rerank shape is exactly
     * how production binary-embedding serving recovers the recall the
     * 1-bit quantization alone gives up.
     */
@@ -1315,17 +1315,13 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi")))
     val d64 = floor(vecDot(col("embedding"), col("qv")) * lit(1e6)).cast("long")
-    val w1 = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
-    val w2 = Window.partitionBy(col("q_id")).orderBy(col("d64").desc, col("vec_id"))
-    base.join(queries, col("vec_id") =!= col("q_id"))
-      .withColumn("ham",
-        hamming(col("sig_lo"), col("sig_hi"), col("q_lo"), col("q_hi")))
-      .withColumn("rk1", row_number().over(w1))
-      .filter(col("rk1") <= shortlist)
-      .withColumn("d64", d64)
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("d64"))
+    val shortlisted = perQueryTopK(
+      base.join(queries, col("vec_id") =!= col("q_id"))
+        .withColumn("ham",
+          hamming(col("sig_lo"), col("sig_hi"), col("q_lo"), col("q_hi"))),
+      -col("ham"), shortlist, extra = Seq("embedding", "qv"))
+    perQueryTopK(shortlisted.withColumn("d64", d64), col("d64"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("__ord").as("d64"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1437,17 +1433,15 @@ object Similarity {
         explode(sigBands(col("sig_lo"), col("sig_hi"))).as("qband"))
       .select(col("q_id"), col("q_lo"), col("q_hi"),
         col("qband.bi").as("q_bi"), col("qband.bv").as("q_bv")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
-    corpus
+    val scored = corpus
       .join(queries, col("bi") === col("q_bi") && col("bv") === col("q_bv")
         && col("vec_id") =!= col("q_id"))
       // a vector can share several bands with one query
       .dropDuplicates("q_id", "vec_id")
       .withColumn("ham",
         hamming(col("sig_lo"), col("sig_hi"), col("q_lo"), col("q_hi")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("ham"))
+    perQueryTopK(scored, -col("ham"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"), (-col("__ord")).as("ham"))
       .orderBy(col("q_id"), col("rk"))
   }
 

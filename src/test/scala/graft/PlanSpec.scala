@@ -177,12 +177,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
 
   test("knn_classify: per-query top-k cut happens before the shuffle") {
     val plan = planOf("knn_classify")
-    // the group-limit must appear on the map side (before the rank
-    // window's exchange), so the shuffle carries k rows per task/query,
-    // never the scored corpus
-    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
-    assert(plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"),
-      s"expected a partial (pre-shuffle) AND final group limit:\n${plan.take(3000)}")
+    // the bounded-heap partial must appear on the map side, so the
+    // shuffle carries one ≤-k buffer per task/query, never the scored
+    // corpus — and the final aggregate completes the pair
+    assert(plan.contains("partial_topkstructs"), plan.take(3000))
+    assert("topkstructs".r.findAllIn(plan).length >= 2,
+      s"expected a partial (pre-shuffle) AND final bounded top-k:\n${plan.take(3000)}")
     // the query batch broadcasts; the corpus side must not SMJ
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
@@ -270,9 +270,10 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       plan.take(3000))
     assert(plan.contains("element_at"), plan.take(3000))
-    // pre-shuffle group limit: the window's exchange carries ≤ topK rows
-    // per task/query, not the scored corpus
-    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    // bounded top-k aggregate: the exchange carries one ≤-topK heap
+    // buffer per (task, query), and nothing sorts the scored corpus
+    assert(plan.contains("partial_topkstructs"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(3000))
   }
 
   test("pq/i8 probes scan a MATERIALIZED index, argmin is the native kernel") {
@@ -284,8 +285,8 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       val plan = planOf(q)
       assert(plan.contains("Scan ExistingRDD"),
         s"$q probe side must scan the materialized index:\n${plan.take(2000)}")
-      assert(plan.contains("WindowGroupLimit"),
-        s"$q must cut top-k before the exchange:\n${plan.take(2000)}")
+      assert(plan.contains("partial_topkstructs"),
+        s"$q must cut top-k map-side (bounded heap partial):\n${plan.take(2000)}")
     }
     val encode = SparkEntry.queries("pq_codes")(spark, dir)
       .queryExecution.optimizedPlan.toString
@@ -295,15 +296,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"least(struct) argmin tree crept back:\n${encode.take(2000)}")
   }
 
-  test("matryoshka: full-dim dot only behind the shortlist cut; one window exchange") {
+  test("matryoshka: full-dim dot behind the shortlist cut; one exchange, no sort") {
     val df = SparkEntry.queries("matryoshka_topk")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    // both windows partition on q_id: exactly one hash exchange for
-    // them (plus the presentation sort's range exchange)
+    // both funnel stages aggregate on q_id: stage 1's exchange satisfies
+    // stage 2's distribution, so exactly ONE hash exchange total (plus
+    // the presentation sort's range exchange), and the scored relation
+    // is never sorted (bounded heaps, not a ranking window)
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashExchanges == 1,
-      s"expected ONE hash exchange for both windows, got $hashExchanges:\n${plan.take(3000)}")
-    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+      s"expected ONE hash exchange for both stages, got $hashExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("partial_topkstructs"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
   }
 
   test("mix_temperature: corpus side broadcast-joins the rates, aggregates partially") {
@@ -479,17 +483,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
-  test("ann_ham_rerank: rerank behind the shortlist cut; one window exchange") {
-    // the matryoshka funnel contract: both windows partition on q_id —
-    // one hash exchange — and the per-query cut pushes down as a
-    // WindowGroupLimit; the signature table is a materialized index
+  test("ann_ham_rerank: rerank behind the shortlist cut; one exchange, no sort") {
+    // the matryoshka funnel contract: both stages are bounded top-k
+    // aggregates keyed on q_id — stage 1's exchange satisfies stage 2's
+    // distribution, so ONE hash exchange and the scored relation is
+    // never sorted; the signature table is a materialized index
     // (Scan ExistingRDD), so the pack fold never re-derives per pair
     val df = SparkEntry.queries("ann_ham_rerank")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashExchanges == 1,
-      s"expected ONE hash exchange for both windows, got $hashExchanges:\n${plan.take(3000)}")
-    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+      s"expected ONE hash exchange for both stages, got $hashExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("partial_topkstructs"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
     assert(plan.contains("Scan ExistingRDD"),
       "signatures must be a materialized index, not a per-pair re-derivation")
   }
