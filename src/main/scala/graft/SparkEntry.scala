@@ -146,6 +146,7 @@ object SparkEntry {
     "stream_dpo"           -> (streaming.StreamQueries.dpoEvents(_, _)),
     "posttrain_curate"     -> (Posttraining.posttrainCurateDocs(_, _)),
     "pass_at_k"            -> (Posttraining.passAtKDocs(_, _)),
+    "best_of_n"            -> (Posttraining.bestOfNDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
@@ -190,6 +191,12 @@ object SparkEntry {
     }),
     // quality-proportional soft filter: decile bin b keeps ~b/10 of its
     // docs, decided by the same md5 bucket gate as sample_det
+    // cross-split near-dup leakage audit: the dedup_jaccard pair set with
+    // both sides' split labels derived in-row (zero extra joins/shuffles)
+    "split_leak_audit"     -> ((s, d) => {
+      operators.Dedup.splitLeakAudit(
+        graft.Engine.Tables(s, d).documents, SplitWeights, SplitNames)
+    }),
     "split_assign"         -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       operators.Sampling.splitAssign(
@@ -389,6 +396,64 @@ object SparkEntry {
       .mkString(" ")
     s"CASE $cases ELSE '${SplitNames.last}' END"
   }
+
+  /** [[splitCaseSql]] as a self-contained expression over an arbitrary id
+    * column — the split label derived in-row (the Sampling.splitOf twin),
+    * so pair-table oracles can label both sides without joining back to
+    * an assignment table.
+    */
+  private def splitCaseOnSql(idCol: String): String = {
+    val cuts = SplitWeights.scanLeft(0.0)(_ + _).map(c => (1000000L * c).toLong)
+    val m = s"(${duckMd5_60(s"'split:' || CAST($idCol AS VARCHAR)")} % 1000000)"
+    val cases = SplitNames.init.zip(cuts.tail.init)
+      .map { case (n, hi) => s"WHEN $m < $hi THEN '$n'" }
+      .mkString(" ")
+    s"(CASE $cases ELSE '${SplitNames.last}' END)"
+  }
+
+  /** The adaptive (derived-df-cap) Jaccard pair machinery as a shared CTE
+    * chain — ends at `inter` (verified pair intersections) and `sizes`;
+    * `dedup_jaccard` and `split_leak_audit` append their own SELECTs so
+    * the screen arithmetic can never drift between the two gates.
+    */
+  private def jaccardAdaptiveCteSql: String =
+    s"""WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         hist AS (SELECT df, count(*) AS ns FROM dfr GROUP BY df),
+         capq AS (
+           SELECT greatest(least(
+               coalesce(min(CASE WHEN cum_ns * 1000 >= 999 * tot_ns
+                 THEN df END), 1),
+               coalesce(max(CASE WHEN cum_pairs <=
+                   (SELECT count(*) FROM documents)
+                     * ${graft.operators.Dedup.JaccardPairsPerDoc}
+                 THEN df END), 1)),
+             2) AS cap
+           FROM (SELECT df,
+                   sum(ns) OVER (ORDER BY df) AS cum_ns,
+                   (SELECT sum(ns) FROM hist) AS tot_ns,
+                   sum(ns * (df * (df - 1) // 2)) OVER (ORDER BY df)
+                     AS cum_pairs
+                 FROM hist)),
+         rare AS (SELECT shingle FROM dfr
+                  WHERE df <= (SELECT cap FROM capq)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a
+           JOIN rare r ON r.shingle = a.shingle
+           JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           GROUP BY 1, 2)"""
 
   private def splitAssignOracleSql: String =
     s"""SELECT doc_id, $splitCaseSql AS split
@@ -1557,49 +1622,32 @@ object SparkEntry {
     // shingle; the reported value is the exact Jaccard over ALL
     // shingles.
     "dedup_jaccard" ->
-      s"""WITH sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-                 FROM documents),
-                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
-           WHERE len(w) >= 3),
-         dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-         hist AS (SELECT df, count(*) AS ns FROM dfr GROUP BY df),
-         capq AS (
-           SELECT greatest(least(
-               coalesce(min(CASE WHEN cum_ns * 1000 >= 999 * tot_ns
-                 THEN df END), 1),
-               coalesce(max(CASE WHEN cum_pairs <=
-                   (SELECT count(*) FROM documents)
-                     * ${graft.operators.Dedup.JaccardPairsPerDoc}
-                 THEN df END), 1)),
-             2) AS cap
-           FROM (SELECT df,
-                   sum(ns) OVER (ORDER BY df) AS cum_ns,
-                   (SELECT sum(ns) FROM hist) AS tot_ns,
-                   sum(ns * (df * (df - 1) // 2)) OVER (ORDER BY df)
-                     AS cum_pairs
-                 FROM hist)),
-         rare AS (SELECT shingle FROM dfr
-                  WHERE df <= (SELECT cap FROM capq)),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM sh a
-           JOIN rare r ON r.shingle = a.shingle
-           JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-           FROM cand c
-           JOIN sh a ON a.doc_id = c.doc_a
-           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-           GROUP BY 1, 2)
+      s"""$jaccardAdaptiveCteSql
          SELECT doc_a, doc_b,
                 round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
          FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+         ORDER BY doc_a, doc_b""",
+    // cross-split leakage: the SAME adaptive pair set, each side's split
+    // derived from its own id by the split_assign md5 CASE — pairs whose
+    // splits differ are the contamination work-list
+    "split_leak_audit" ->
+      s"""$jaccardAdaptiveCteSql,
+         pairs AS (
+           SELECT doc_a, doc_b,
+                  round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8)
+         SELECT doc_a, doc_b,
+           ${splitCaseOnSql("doc_a")} AS split_a,
+           ${splitCaseOnSql("doc_b")} AS split_b,
+           jac
+         FROM pairs
+         WHERE ${splitCaseOnSql("doc_a")} <> ${splitCaseOnSql("doc_b")}
          ORDER BY doc_a, doc_b""",
     // The PPJoin prefix screen is EXACT (zero recall loss), so its oracle
     // is the full UNCAPPED Jaccard pair set — stated without any cap or
@@ -3981,6 +4029,26 @@ object SparkEntry {
                  // (n * (n-1) * (n-2) * (n-3))
            END AS BIGINT) AS passk_micro
          FROM g ORDER BY prompt_id""",
+    // best-of-n rejection sampling: per-prompt argmax (ties to the larger
+    // event_id, the max(struct) tiebreak) gated on the ABSOLUTE threshold
+    "best_of_n" ->
+      """WITH c AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY v DESC, event_id DESC) AS rb,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_candidates,
+             CAST(sum(CASE WHEN v >= 100000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS BIGINT) AS n_passing
+           FROM c)
+         SELECT user_id AS prompt_id, event_id AS best_id, v AS best_micro,
+           n_candidates, n_passing
+         FROM r WHERE rb = 1 AND v >= 100000000
+         ORDER BY prompt_id""",
     // GRPO advantage: exact integer numerator v·n − Σv (the engine never
     // divides); DuckDB's windowed sum over BIGINT is HUGEINT, so cast
     "grpo_advantage" ->

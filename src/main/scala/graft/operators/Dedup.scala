@@ -394,6 +394,34 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsAdaptive(Tables(spark, dir).documents, threshold = 0.8)
 
+  /** Train/eval split-leakage audit — the check every pipeline must run
+    * AFTER splitting and deduping: a near-dup pair whose two docs landed
+    * in DIFFERENT splits is eval contamination that per-split dedup can
+    * never see (each split is internally clean; the leak is across the
+    * boundary). Emits every cross-split near-dup pair with both split
+    * labels — empty output is the release criterion, and a non-empty one
+    * is the exact work-list for quarantine (the grouped `group_split`
+    * assignment exists precisely to make this list empty by
+    * construction).
+    *
+    * Scale shape: the pair set is [[jaccardPairsAdaptive]]'s banded/
+    * capped screen output (pair-volume-bounded, never all-pairs), and
+    * both split labels derive IN-ROW from the pair's own ids via
+    * [[Sampling.splitOf]] — the same md5 bucket scalar the assignment
+    * gate uses — so the audit adds ZERO joins and zero shuffles beyond
+    * the dedup screen it reuses.
+    */
+  def splitLeakAudit(docs: DataFrame, weights: Seq[Double],
+      names: Seq[String], threshold: Double = 0.8,
+      salt: String = "split:"): DataFrame =
+    jaccardPairsAdaptive(docs, threshold)
+      .withColumn("split_a", Sampling.splitOf(col("doc_a"), weights, names, salt))
+      .withColumn("split_b", Sampling.splitOf(col("doc_b"), weights, names, salt))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** PREFIX-FILTERED exact Jaccard join — the AllPairs/PPJoin candidate
     * screen (Bayardo et al. WWW'07; Xiao et al. WWW'08), the third and
     * strongest point on the exact-dedup cost/recall curve:

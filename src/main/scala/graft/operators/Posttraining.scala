@@ -282,6 +282,41 @@ object Posttraining {
   def posttrainCurateDocs(spark: SparkSession, dir: String): DataFrame =
     posttrainCurate(Tables(spark, dir).events)
 
+  /** Best-of-n rejection sampling — the SFT-set construction an RLHF
+    * pipeline runs when it distills a reward model instead of pairing:
+    * per prompt group keep ONLY the single highest-scored candidate, and
+    * only when that best score clears an ABSOLUTE threshold (a prompt
+    * whose whole batch is junk contributes nothing — the rejection in
+    * rejection sampling; contrast [[dpoPairs]], which needs only
+    * RELATIVE spread). Ties break to the larger `event_id` (the newest
+    * generation), the same pure-function-of-the-data rule as the pairing.
+    *
+    * Same scale shape as [[dpoPairs]]: ONE algebraic aggregate —
+    * max(struct) + count + conditional count — so map-side partials
+    * absorb each group and the shuffle carries one struct and two longs
+    * per prompt, never the candidate rows. `n_passing` (candidates
+    * individually above threshold) rides along because it is the
+    * selection-rate stat the pipeline dashboards next to the kept set.
+    */
+  def bestOfN(events: DataFrame, thresholdMicro: Long = 100000000L): DataFrame =
+    events
+      .select(col("user_id"),
+        floor(col("value") * lit(1e6)).cast("long").as("v"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("v"), col("event_id"))).as("best"),
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("v") >= thresholdMicro, 1L).otherwise(0L)).as("n_passing"))
+      .filter(col("best.v") >= thresholdMicro)
+      .select(col("user_id").as("prompt_id"),
+        col("best.event_id").as("best_id"),
+        col("best.v").as("best_micro"),
+        col("n_candidates"), col("n_passing"))
+      .orderBy(col("prompt_id"))
+
+  def bestOfNDocs(spark: SparkSession, dir: String): DataFrame =
+    bestOfN(Tables(spark, dir).events)
+
   /** Exact pass@k evaluation rollup — the unbiased estimator of Chen et
     * al. 2021 ("Evaluating Large Language Models Trained on Code"),
     * `pass@k = 1 − C(n−c, k)/C(n, k)`, per prompt group with n sampled

@@ -79,19 +79,29 @@ object Sampling {
     * pushed-down scalar expression — zero shuffles.
     */
   def splitAssign(df: DataFrame, keyCol: String, weights: Seq[Double],
-      names: Seq[String], salt: String = "split:"): DataFrame = {
+      names: Seq[String], salt: String = "split:"): DataFrame =
+    df.withColumn("split", splitOf(col(keyCol), weights, names, salt))
+
+  /** The split-name assignment as a bare scalar COLUMN over any key
+    * expression — the same shared-hash bucket ranges as [[splitAssign]],
+    * exposed so audits joining on ids that are already in hand (e.g. the
+    * near-dup pair table's doc_a/doc_b) can derive each side's split
+    * in-row instead of key-joining back to a corpus-sized assignment
+    * table. Pushed-down scalar — zero shuffles.
+    */
+  def splitOf(key: Column, weights: Seq[Double], names: Seq[String],
+      salt: String = "split:"): Column = {
     require(names.length == weights.length && names.nonEmpty,
       s"need one name per weight, got $names / $weights")
     require(math.abs(weights.sum - 1.0) < 1e-9, s"weights must sum to 1, got ${weights.sum}")
     val cuts = weights.scanLeft(0.0)(_ + _).map(c => (Buckets * c).toLong)
-    val b = bucket(col(keyCol), salt)
+    val b = bucket(key, salt)
     // the final split is the otherwise-branch, so rounding in the last
     // cut can never drop a row (same rule as disjointSplits)
-    val split = names.init.zip(cuts.tail.init)
+    names.init.zip(cuts.tail.init)
       .foldRight(lit(names.last): Column) { case ((n, hi), rest) =>
         when(b < hi, lit(n)).otherwise(rest)
       }
-    df.withColumn("split", split)
   }
 
   /** Per-stratum fractions (e.g. language-balanced corpus sampling):

@@ -635,4 +635,43 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .count()
     assert(sDouble === Dedup.survivors(docs, 9L, 10L).count())
   }
+
+  test("splitLeakAudit: exactly the cross-split subset of the jaccard pairs, labels consistent") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val (w, n) = (Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val audit = Dedup.splitLeakAudit(docs, w, n).collect()
+    assert(audit.nonEmpty) // doc-keyed splits leak near-dups by design
+    // every audited pair is cross-split, and both labels match the
+    // assignment gate's labels for those ids
+    val assign = Sampling.splitAssign(docs.select("doc_id"), "doc_id", w, n)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    audit.foreach { r =>
+      assert(r.getString(2) !== r.getString(3))
+      assert(assign(r.getLong(0)) === r.getString(2))
+      assert(assign(r.getLong(1)) === r.getString(3))
+    }
+    // and it is exactly the cross-split SUBSET of the pair screen
+    val pairs = Dedup.jaccardPairsAdaptive(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => assign(a) != assign(b) }.toSet
+    assert(audit.map(r => (r.getLong(0), r.getLong(1))).toSet === pairs)
+    // the leakage-safe GROUPED split keys on source: same-source pairs
+    // (where near-dups concentrate) can never straddle it
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grouped = Dedup.splitLeakAudit(docs, w, n, salt = "gsplit:")
+    // relabel via source-keyed assignment to check the audit would
+    // shrink: every same-source pair drops out of the grouped audit
+    val groupedAssign = Sampling.splitAssign(
+        docs.select("doc_id", "source"), "source", w, n, salt = "gsplit:")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    audit.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (bySource(a) == bySource(b))
+        assert(groupedAssign(a) === groupedAssign(b),
+          s"grouped split must co-locate same-source pair ($a, $b)")
+    }
+    grouped.count() // plan sanity: the salt-parameterized form executes
+  }
 }

@@ -296,4 +296,34 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getString(5) === md5hex(t), s"fp of user ${r.getLong(0)}")
     }
   }
+
+  test("bestOfN: absolute-threshold argmax, ties to the larger id, stats ride along") {
+    // threshold 0.45 → 450000 micro: group 1 best is id 10 (0.9), with
+    // two candidates individually passing (0.9, 0.5); group 2 ties at
+    // 0.7 → larger id 21 wins; group 3 top-ties at 0.8 → id 31; group 4's
+    // best (0.3) misses the threshold → the whole prompt is rejected
+    val got = Posttraining.bestOfN(craftedEvents, thresholdMicro = 450000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 10L, 900000L, 3L, 2L),
+      (2L, 21L, 700000L, 2L, 2L),
+      (3L, 31L, 800000L, 4L, 2L)))
+  }
+
+  test("bestOfN is partitioning-invariant and its best always clears the bar") {
+    val a = Posttraining.bestOfN(craftedEvents, 450000L).collect().toSeq
+    val b = Posttraining.bestOfN(craftedEvents.repartition(7), 450000L)
+      .collect().toSeq
+    assert(a === b)
+    val fixture = Posttraining.bestOfNDocs(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(fixture.nonEmpty)
+    fixture.foreach { r =>
+      assert(r.getLong(2) >= 100000000L)           // best_micro ≥ default bar
+      assert(r.getLong(4) >= 1L)                   // ≥1 passing candidate
+      assert(r.getLong(4) <= r.getLong(3))         // n_passing ≤ n_candidates
+    }
+  }
 }
