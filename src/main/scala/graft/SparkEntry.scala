@@ -144,6 +144,7 @@ object SparkEntry {
     "reward_norm"          -> (Posttraining.rewardNormDocs(_, _)),
     "chat_truncate"        -> (Posttraining.chatTruncateDocs(_, _)),
     "stream_dpo"           -> (streaming.StreamQueries.dpoEvents(_, _)),
+    "stream_best_of_n"     -> (streaming.StreamQueries.bestOfNEvents(_, _)),
     "posttrain_curate"     -> (Posttraining.posttrainCurateDocs(_, _)),
     "pass_at_k"            -> (Posttraining.passAtKDocs(_, _)),
     "best_of_n"            -> (Posttraining.bestOfNDocs(_, _)),
@@ -4031,24 +4032,10 @@ object SparkEntry {
          FROM g ORDER BY prompt_id""",
     // best-of-n rejection sampling: per-prompt argmax (ties to the larger
     // event_id, the max(struct) tiebreak) gated on the ABSOLUTE threshold
-    "best_of_n" ->
-      """WITH c AS (
-           SELECT user_id, event_id,
-             CAST(floor(value * 1e6) AS BIGINT) AS v
-           FROM events),
-         r AS (
-           SELECT user_id, event_id, v,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY v DESC, event_id DESC) AS rb,
-             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
-               AS n_candidates,
-             CAST(sum(CASE WHEN v >= 100000000 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id) AS BIGINT) AS n_passing
-           FROM c)
-         SELECT user_id AS prompt_id, event_id AS best_id, v AS best_micro,
-           n_candidates, n_passing
-         FROM r WHERE rb = 1 AND v >= 100000000
-         ORDER BY prompt_id""",
+    "best_of_n" -> bestOfNOracle,
+    // the UPDATE-mode streaming spelling of the same selection must land
+    // the identical set — one oracle string, zero drift possible
+    "stream_best_of_n" -> bestOfNOracle,
     // GRPO advantage: exact integer numerator v·n − Σv (the engine never
     // divides); DuckDB's windowed sum over BIGINT is HUGEINT, so cast
     "grpo_advantage" ->
@@ -4292,6 +4279,25 @@ object SparkEntry {
     * order — the streaming update-mode aggregation must land exactly
     * this pair set.
     */
+  private def bestOfNOracle: String =
+    """WITH c AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS v
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY v DESC, event_id DESC) AS rb,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_candidates,
+             CAST(sum(CASE WHEN v >= 100000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS BIGINT) AS n_passing
+           FROM c)
+         SELECT user_id AS prompt_id, event_id AS best_id, v AS best_micro,
+           n_candidates, n_passing
+         FROM r WHERE rb = 1 AND v >= 100000000
+         ORDER BY prompt_id"""
+
   private def dpoPairsOracle: String =
     """WITH c AS (
            SELECT user_id, event_id,

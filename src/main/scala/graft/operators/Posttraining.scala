@@ -299,6 +299,14 @@ object Posttraining {
     * selection-rate stat the pipeline dashboards next to the kept set.
     */
   def bestOfN(events: DataFrame, thresholdMicro: Long = 100000000L): DataFrame =
+    bestOfNOn(events, thresholdMicro).orderBy(col("prompt_id"))
+
+  /** The selection transform itself, sort-free so it runs unchanged over
+    * a STREAMING events frame (update-mode aggregation — per-group state
+    * is one struct and two longs; `stream_best_of_n` gates it against
+    * this batch spelling's oracle, the [[dpoPairsOn]] twin-gate pattern).
+    */
+  def bestOfNOn(events: DataFrame, thresholdMicro: Long = 100000000L): DataFrame =
     events
       .select(col("user_id"),
         floor(col("value") * lit(1e6)).cast("long").as("v"), col("event_id"))
@@ -312,7 +320,6 @@ object Posttraining {
         col("best.event_id").as("best_id"),
         col("best.v").as("best_micro"),
         col("n_candidates"), col("n_passing"))
-      .orderBy(col("prompt_id"))
 
   def bestOfNDocs(spark: SparkSession, dir: String): DataFrame =
     bestOfN(Tables(spark, dir).events)

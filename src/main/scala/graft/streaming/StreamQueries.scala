@@ -344,6 +344,24 @@ object StreamQueries {
       gateDir("dpo"), outputMode = "update")()
       .orderBy("prompt_id")
 
+  /** Gated streaming [[graft.operators.Posttraining.bestOfNOn]]: the
+    * rejection-sampling selection maintained as an UPDATE-mode streaming
+    * aggregation — per-prompt state is one (score,id) struct and two
+    * longs, and each micro-batch re-emits exactly the prompts whose best
+    * candidate or counters moved: the incremental SFT-set construction
+    * for a continuously landing generation log. Same gate discipline as
+    * [[dpoEvents]]: the whole fixture arrives in micro-batch 0 (asserted
+    * by StreamGate's single-batch check), and the gate shares the batch
+    * entry's oracle string so the streamed selection must equal the
+    * batch spelling hash-for-hash.
+    */
+  def bestOfNEvents(spark: SparkSession, dir: String): DataFrame =
+    StreamGate.runToParquet(spark,
+      s => graft.operators.Posttraining.bestOfNOn(
+        Streaming.streamEvents(s, dir)),
+      gateDir("beston"), outputMode = "update")()
+      .orderBy("prompt_id")
+
   /** Gated STREAMING read through [[graft.sources.LineTable]]'s
     * MicroBatchStream: the fixture materializes as a 3-file line table,
     * the stream drains it through the idempotent parquet sink

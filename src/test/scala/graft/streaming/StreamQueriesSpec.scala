@@ -141,4 +141,12 @@ class StreamQueriesSpec extends AnyFunSuite with SparkTestSession {
     // the budget actually cuts: some language must have dropped docs
     assert(got.size < graft.Engine.Tables(spark, dir).documents.count())
   }
+
+  test("stream_best_of_n lands the batch rejection-sampling selection") {
+    val got = StreamQueries.bestOfNEvents(spark, dir).collect().toSet
+    val want = graft.operators.Posttraining
+      .bestOfNDocs(spark, dir).collect().toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
