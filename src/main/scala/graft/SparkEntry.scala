@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_topk"             -> (Similarity.annBruteForce(_, _)),
     "ann_lsh"              -> (Similarity.annLsh(_, _)),
     "ann_recall"           -> (Similarity.annRecall(_, _)),
+    "ann_mrr"              -> (Similarity.annMrr(_, _)),
     "ann_recall_ivf"       -> (Similarity.annRecallIvf(_, _)),
     "ann_recall_pq"        -> (Similarity.annRecallPq(_, _)),
     "ivf_upsert"           -> (Similarity.ivfUpsertDocs(_, _)),
@@ -2217,6 +2218,21 @@ object SparkEntry {
          FROM brute b LEFT JOIN approx a
            ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
          GROUP BY b.q_id ORDER BY b.q_id""",
+    // MRR audit: where the TRUE nearest neighbor (exact rank-1) landed in
+    // the approximate list — reciprocal rank as exact integer micro-units
+    // (1e6 // rank), 0 when missing; position-sensitive where recall@k
+    // is overlap-only
+    "ann_mrr" ->
+      s"""WITH brute AS ($annTopkOracle),
+         approx AS ($annLshOracle)
+         SELECT b.q_id,
+           CAST(coalesce(a.rk, 0) AS BIGINT) AS true_nn_rank,
+           CAST(CASE WHEN a.rk IS NULL THEN 0
+             ELSE 1000000 // a.rk END AS BIGINT) AS rr_micro
+         FROM brute b LEFT JOIN approx a
+           ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+         WHERE b.rk = 1
+         ORDER BY b.q_id""",
     // kNN majority vote: queries (vec_id < 10) against the labeled pool
     // (vec_id >= 10); same rounded-cosine ranking as ann_topk, majority
     // label with smaller-label tiebreak

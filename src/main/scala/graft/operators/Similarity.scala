@@ -169,6 +169,33 @@ object Similarity {
   def annRecall(spark: SparkSession, dir: String): DataFrame =
     recallAtK(annBruteForce(spark, dir), annLsh(spark, dir), k = 10)
 
+  /** MRR audit of an approximate index — the OTHER number retrieval
+    * dashboards publish next to recall@k: where in the approximate list
+    * the TRUE nearest neighbor (the exact scan's rank-1 row) landed, as
+    * the reciprocal rank in integer micro-units (`1e6 div rank` — exact
+    * in any engine, no float division; 0 when the true neighbor is
+    * missing entirely). Recall@k counts overlap anywhere in the top-k;
+    * MRR is position-sensitive, so an index that finds the right
+    * neighbor at rank 8 stops looking as good as one that puts it
+    * first. Same driver-scale audit-join shape as [[recallAtK]]: both
+    * inputs are ≤ queries×k-row top-k tables, the production plans
+    * reused unchanged.
+    */
+  def mrrAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.filter(col("rk") === 1)
+      .select(col("q_id"), col("neighbor_id").as("true_nn"))
+      .join(approx.select(col("q_id").as("a_q"), col("rk").as("a_rk"),
+          col("neighbor_id").as("a_n")),
+        col("q_id") === col("a_q") && col("true_nn") === col("a_n"), "left")
+      .select(col("q_id"),
+        coalesce(col("a_rk"), lit(0)).cast("long").as("true_nn_rank"),
+        when(col("a_rk").isNull, lit(0L))
+          .otherwise(expr("1000000 div a_rk")).cast("long").as("rr_micro"))
+      .orderBy(col("q_id"))
+
+  def annMrr(spark: SparkSession, dir: String): DataFrame =
+    mrrAtK(annBruteForce(spark, dir), annLsh(spark, dir))
+
   /** The IVF path's recall@10 audit — same brute-force-vs-index compare
     * as [[annRecall]], so BOTH approximate index families carry a gated
     * quality metric, not just a gated result set.

@@ -411,6 +411,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq === Seq((0L, 2L, 666666L), (7L, 0L, 0L)))
   }
 
+  test("mrrAtK: rank of the true neighbor, integer reciprocal, 0 when missing") {
+    import spark.implicits._
+    val exact = Seq((0L, 1, 100L), (0L, 2, 101L), (7L, 1, 200L), (9L, 1, 300L))
+      .toDF("q_id", "rk", "neighbor_id")
+    val approx = Seq(
+      (0L, 1, 100L),            // true nn first → rr 1e6
+      (7L, 3, 200L), (7L, 1, 9L) // true nn at rank 3 → 333333
+    ).toDF("q_id", "rk", "neighbor_id") // q 9: true nn absent → 0
+    val got = Similarity.mrrAtK(exact, approx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L, 1000000L), (7L, 3L, 333333L),
+      (9L, 0L, 0L)))
+  }
+
   test("annRecall audit agrees with a direct set comparison on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val brute = Similarity.annBruteForce(spark, dir).collect()
