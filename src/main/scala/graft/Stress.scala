@@ -206,10 +206,15 @@ object Stress {
       // Recall gates carry their quality metric as a column; pin it in
       // the stress artifact so scale runs also gate the RECALL (a
       // replicated corpus changes signature distributions — wall time
-      // alone would miss a silent recall collapse). One extra untimed
-      // aggregate over a <= queries×1-row result.
+      // alone would miss a silent recall collapse). Gate membership by
+      // NAME, not by probing fn(...).columns: building the frame just to
+      // look at its schema re-ran the whole gate pipeline twice more per
+      // gate (streaming gates drain a full extra query at construction;
+      // adaptive-dedup gates pay their eager corpus-stats jobs) — for
+      // the recall gates themselves one extra untimed build + aggregate
+      // over a <= queries-row result is the whole cost.
       val recall: Option[(Long, Double)] =
-        if (rows >= 0 && fn(spark, out).columns.contains("recall_micro")) {
+        if (rows >= 0 && name.startsWith("ann_recall")) {
           val r = fn(spark, out)
             .agg(min(col("recall_micro")), avg(col("recall_micro"))).head()
           if (r.isNullAt(0)) None else Some((r.getLong(0), r.getDouble(1)))

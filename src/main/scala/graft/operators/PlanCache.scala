@@ -132,8 +132,16 @@ object PlanCache {
   /** Drop and unpersist every family's cached intermediates for `spark`.
     * Call after rewriting a cached input's underlying files in-session
     * (see the immutable-input assumption on [[PlanCache]]).
+    *
+    * Caches ONLY — deliberately NOT the session-end hooks: cached plans
+    * are lazily recomputable (the next lookup rebuilds), but the hooks
+    * destroy NON-recomputable state ([[Skew.bucketize]]'s physical
+    * bucket tables, which live bucketized DataFrames still read), so
+    * they run exactly once, at application end, never on a mid-session
+    * re-ingest invalidation.
     */
-  def invalidate(spark: SparkSession): Unit = invalidateAll(sessionId(spark))
+  def invalidate(spark: SparkSession): Unit =
+    instances.forEach(_.invalidateSession(sessionId(spark)))
 
   /** Arbitrary session-scoped cleanups sharing the eviction listener —
     * e.g. [[Skew.bucketize]]'s physical bucket tables, which would
@@ -153,6 +161,10 @@ object PlanCache {
       _ => new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()).add(f)
   }
 
+  /** Application-end teardown: caches AND the destructive session-end
+    * hooks. Only the eviction listener (and specs standing in for it)
+    * may call this — the mid-session face is [[invalidate]].
+    */
   private[graft] def invalidateAll(sessionUUID: String): Unit = {
     tracked.remove(sessionUUID)
     instances.forEach(_.invalidateSession(sessionUUID))

@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Posttraining {
 
+  /** Reward micro-quantization with the family's loud exact-arithmetic
+    * bound fused in: `floor(value·1e6)` as a long, raising past ±2^41
+    * micro-units (~±2.2e6 raw reward). The bound is what makes every
+    * downstream integer product/sum in [[grpoAdvantage]]/[[rewardNorm]]
+    * provably wrap-free (see each operator's derivation), and the
+    * TWO-SIDED compare is deliberate: a float past ±9.2e12 saturates
+    * the cast to Long.Min/MaxValue, where `abs()` itself wraps negative
+    * and an abs-based guard silently passes the garbage through.
+    */
+  private def boundedMicro(value: org.apache.spark.sql.Column,
+      op: String): org.apache.spark.sql.Column = {
+    val bound = 1L << 41
+    val v = floor(value * lit(1e6)).cast("long")
+    when(v > bound || v < -bound,
+        raise_error(lit(s"$op: |reward_micro| exceeds the exact-arithmetic " +
+          s"bound 2^41 (~2.2e6 raw) - rescale rewards")))
+      .otherwise(v)
+  }
+
   /** DPO/RLHF preference-pair construction: per prompt group, pair the
     * highest-scored candidate (chosen) with the lowest-scored (rejected)
     * — the best-vs-worst-of-n pairing reward-model pipelines emit for
@@ -150,20 +169,26 @@ object Posttraining {
     val w = Window.partitionBy(col("user_id"))
     events
       .select(col("user_id"), col("event_id"),
-        floor(col("value") * lit(1e6)).cast("long").as("v"))
+        // loud overflow bound (the passAtK pattern): v·n and the group
+        // sum wrap Spark's Long silently while the DuckDB oracle RAISES
+        // on BIGINT overflow — a latent cross-engine divergence unless
+        // it is a hard error on both sides. Per-ROW bound, explicit
+        // two-sided compare (never abs(): abs(Long.MinValue) wraps
+        // NEGATIVE, so a reward whose micro cast saturated would slip
+        // an abs-based guard): every |v| ≤ 2^41 and n ≤ 2^20 give
+        // |v·n| ≤ 2^61 and |Σv| ≤ n·max|v| ≤ 2^61, so the numerator
+        // |v·n − Σv| ≤ 2^62 < 2^63 — provably exact, including the
+        // saturating float→long cast (±2^63 trips the two-sided
+        // compare).
+        boundedMicro(col("value"), "grpoAdvantage").as("v"),
+        col("event_id"))
+      .select(col("user_id"), col("event_id"), col("v"))
       .withColumn("n_candidates", count(lit(1)).over(w))
-      // loud overflow bound (the passAtK pattern): v·n wraps Spark's
-      // Long silently while the DuckDB oracle RAISES on BIGINT overflow
-      // — a latent cross-engine divergence unless it is a hard error on
-      // both sides. |v| ≤ 2^43 micro-units (~8.8e6 raw) and n ≤ 2^20
-      // keeps v·n and the group sum below 2^63 with 2^63-headroom to
-      // spare.
       .withColumn("adv_num", expr(
-        s"""CASE WHEN abs(v) > ${1L << 43}L OR n_candidates > ${1L << 20}L
+        s"""CASE WHEN n_candidates > ${1L << 20}L
               THEN raise_error(concat('grpoAdvantage: group ',
                 CAST(user_id AS STRING), ' exceeds the exact-arithmetic ',
-                'bound (|reward_micro| <= 2^43 and n <= 2^20) - rescale ',
-                'rewards or pre-aggregate candidates'))
+                'bound (n <= 2^20) - pre-aggregate candidates'))
             ELSE v * n_candidates END""") - sum(col("v")).over(w))
       .select(col("user_id").as("prompt_id"), col("event_id"),
         col("v").as("reward_micro"), col("adv_num"), col("n_candidates"))
@@ -187,23 +212,20 @@ object Posttraining {
     val w = Window.partitionBy(col("user_id"))
     events
       .select(col("user_id"), col("event_id"),
-        floor(col("value") * lit(1e6)).cast("long").as("v"))
+        // per-ROW loud bound via [[boundedMicro]]: the previous guard
+        // compared `mx − mn` AFTER the subtraction, which itself wraps
+        // when the two extremes saturate the cast near ±Long.Max — the
+        // wrapped (negative) spread then passed the guard and the gate
+        // emitted silent garbage. With every |v| ≤ 2^41 the spread
+        // mx − mn ≤ 2^42 and (v − mn)·1e6 ≤ 2^42·2^20 = 2^62 < 2^63 —
+        // all downstream arithmetic provably exact, no post-hoc check
+        // needed.
+        boundedMicro(col("value"), "rewardNorm").as("v"))
       .withColumn("mn", min(col("v")).over(w))
       .withColumn("mx", max(col("v")).over(w))
-      // loud overflow bound (the passAtK pattern): (v−mn)·1e6 wraps
-      // Spark's Long silently while the DuckDB oracle RAISES — make the
-      // bound a hard error on both sides. Spread ≤ 2^42 micro-units
-      // (~4.4e6 raw units of reward range per group) keeps the product
-      // below 2^62.
       .withColumn("norm_micro",
         when(col("mx") === col("mn"), lit(0L))
-          .otherwise(expr(
-            s"""CASE WHEN mx - mn > ${1L << 42}L
-                  THEN raise_error(concat('rewardNorm: group ',
-                    CAST(user_id AS STRING), ' reward spread exceeds the ',
-                    'exact-arithmetic bound (2^42 micro-units) - rescale ',
-                    'rewards'))
-                ELSE (v - mn) * 1000000 div (mx - mn) END""")))
+          .otherwise(expr("(v - mn) * 1000000 div (mx - mn)")))
       .select(col("user_id").as("prompt_id"), col("event_id"),
         col("v").as("reward_micro"), col("norm_micro"))
       .orderBy(col("prompt_id"), col("event_id"))

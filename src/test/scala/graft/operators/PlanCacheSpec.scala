@@ -72,6 +72,26 @@ class PlanCacheSpec extends AnyFunSpec with Matchers with SparkTestSession {
       PlanCache.invalidateAll(PlanCache.sessionId(s))
     }
 
+    it("mid-session invalidate drops caches but NEVER fires the destructive hooks") {
+      // hooks destroy non-recomputable state (Skew's physical bucket
+      // tables that live DataFrames still read); a re-ingest
+      // invalidation must rebuild caches without tearing those down
+      val s = spark.newSession()
+      var hookRuns = 0
+      PlanCache.addSessionEndHook(s)(() => hookRuns += 1)
+      val pc = new PlanCache(4)
+      val in = s.range(10).toDF("id")
+      pc.getOrMaterialize(in, 1) { in.withColumn("x", col("id") + 1) }.count()
+      PlanCache.invalidate(s)
+      pc.entryCount(PlanCache.sessionId(s)) shouldBe 0
+      hookRuns shouldBe 0
+      // application end runs the hook exactly once
+      PlanCache.invalidateAll(PlanCache.sessionId(s))
+      hookRuns shouldBe 1
+      PlanCache.invalidateAll(PlanCache.sessionId(s))
+      hookRuns shouldBe 1
+    }
+
     it("releases a stopped session's entries via the application-end hook") {
       val s = spark.newSession()
       val pc = new PlanCache(4)

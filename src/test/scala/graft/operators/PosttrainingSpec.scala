@@ -326,4 +326,23 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getLong(4) <= r.getLong(3))         // n_passing ≤ n_candidates
     }
   }
+
+  test("reward micro bound raises loudly, including cast-saturating values") {
+    import spark.implicits._
+    // 1e13 * 1e6 saturates the float->long cast to Long.MaxValue and
+    // -1e13 to Long.MinValue — the case where abs() would wrap negative
+    // and an abs-based guard silently passes garbage through
+    for (bad <- Seq(1e13, -1e13)) {
+      val evil = Seq((1L, 1L, "gen", bad, 100L), (1L, 2L, "gen", 0.5, 200L))
+        .toDF("user_id", "event_id", "event_type", "value", "ts")
+      Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        df => Posttraining.rewardNorm(df),
+        df => Posttraining.grpoAdvantage(df)).foreach { op =>
+        val e = intercept[Exception](op(evil).collect())
+        assert(e.toString.contains("exact-arithmetic") ||
+          (e.getCause != null && e.getCause.toString.contains("exact-arithmetic")),
+          s"value=$bad: $e")
+      }
+    }
+  }
 }

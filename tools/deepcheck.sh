@@ -17,7 +17,6 @@ set -e
 cd "$(dirname "$0")/.."
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 OUT="$(mktemp -d /tmp/graft-deepcheck-XXXXXX)"
-OPENS=$(sed -n 's/^val jdk17AddOpens.*//;p' /dev/null; true)
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED \
  --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
  --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
