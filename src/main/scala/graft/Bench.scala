@@ -100,8 +100,11 @@ object Bench {
         "dedup_survivors", "dedup_weights", "dup_curve",
         "sent_dedup", "sent_chunks",
         // round-16: the sorted-turns table is a PlanCache intermediate
-        // shared by the post-training family (Posttraining.turnsCache)
-        "chat_assemble", "chat_truncate", "posttrain_curate")
+        // shared by the post-training family (Posttraining.turnsCache),
+        // and the split-leak audit reads the clustering family's landed
+        // pair table (its own 4/5-threshold cache entry)
+        "chat_assemble", "chat_truncate", "posttrain_curate",
+        "split_leak_audit")
       .filter(queries.contains)
     val cachedArr = cachedGates.map(jstr).mkString("[", ",", "]")
     val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +

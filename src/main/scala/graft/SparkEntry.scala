@@ -457,6 +457,34 @@ object SparkEntry {
            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
            GROUP BY 1, 2)"""
 
+  /** The UNCAPPED exact Jaccard pair set at threshold 4/5 — the oracle
+    * for the prefix screen (zero recall loss, so the full pair set IS
+    * its specification) and for every reader of the landed pair table
+    * (`split_leak_audit`). Stated without any cap or prefix machinery:
+    * DuckDB never reproduces the xxhash64 prefix order; a single pair
+    * the prefix/positional filters wrongly dropped hash-mismatches.
+    */
+  private def uncappedJaccardPairsOracle: String =
+    """WITH sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           FROM sh a
+           JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
+         ORDER BY doc_a, doc_b"""
+
   private def splitAssignOracleSql: String =
     s"""SELECT doc_id, $splitCaseSql AS split
        FROM (SELECT doc_id,
@@ -1632,18 +1660,13 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
          ORDER BY doc_a, doc_b""",
-    // cross-split leakage: the SAME adaptive pair set, each side's split
-    // derived from its own id by the split_assign md5 CASE — pairs whose
-    // splits differ are the contamination work-list
+    // cross-split leakage: the pair set is the EXACT prefix screen's
+    // (dedup_prefix's uncapped oracle — the audit reads the clustering
+    // family's landed pair table), each side's split derived from its
+    // own id by the split_assign md5 CASE — pairs whose splits differ
+    // are the contamination work-list
     "split_leak_audit" ->
-      s"""$jaccardAdaptiveCteSql,
-         pairs AS (
-           SELECT doc_a, doc_b,
-                  round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
-           FROM inter
-           JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-           WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8)
+      s"""WITH pairs AS ($uncappedJaccardPairsOracle)
          SELECT doc_a, doc_b,
            ${splitCaseOnSql("doc_a")} AS split_a,
            ${splitCaseOnSql("doc_b")} AS split_b,
@@ -1656,26 +1679,7 @@ object SparkEntry {
     // prefix machinery. DuckDB never reproduces the xxhash64 prefix
     // order; a single pair the prefix filter wrongly dropped (or a float
     // ceil that shortened a prefix) hash-mismatches here.
-    "dedup_prefix" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-                 FROM documents),
-                UNNEST(generate_series(1, len(w) - 2)) AS t(i)
-           WHERE len(w) >= 3),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-           FROM sh a
-           JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-                round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jac
-         FROM inter
-         JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
-         ORDER BY doc_a, doc_b""",
+    "dedup_prefix" -> uncappedJaccardPairsOracle,
     // Same df-capped candidate screen as dedup_jaccard, but verified on
     // CONTAINMENT |∩|/min(|A|,|B|) with NO size-ratio prune — the
     // asymmetric (doc-inside-doc) pairs Jaccard structurally misses.

@@ -404,17 +404,21 @@ object Dedup {
     * assignment exists precisely to make this list empty by
     * construction).
     *
-    * Scale shape: the pair set is [[jaccardPairsAdaptive]]'s banded/
-    * capped screen output (pair-volume-bounded, never all-pairs), and
+    * Scale shape — the audit is a READER of dedup's landed pair table,
+    * never its own screen: the pair set is the clustering family's
+    * PlanCache-materialized exact prefix screen ([[jaccardPairsPrefix]]
+    * via the shared cache — EXACT, zero recall loss, computed once per
+    * (corpus, threshold) and shared with every other consumer), and
     * both split labels derive IN-ROW from the pair's own ids via
     * [[Sampling.splitOf]] — the same md5 bucket scalar the assignment
     * gate uses — so the audit adds ZERO joins and zero shuffles beyond
-    * the dedup screen it reuses.
+    * the intermediate it reads. Threshold as the family's exact
+    * rational (default 4/5, the `dedup_prefix` gate's).
     */
   def splitLeakAudit(docs: DataFrame, weights: Seq[Double],
-      names: Seq[String], threshold: Double = 0.8,
+      names: Seq[String], tNum: Long = 4, tDen: Long = 5,
       salt: String = "split:"): DataFrame =
-    jaccardPairsAdaptive(docs, threshold)
+    nearDupPairs(docs, tNum, tDen)
       .withColumn("split_a", Sampling.splitOf(col("doc_a"), weights, names, salt))
       .withColumn("split_b", Sampling.splitOf(col("doc_b"), weights, names, salt))
       .filter(col("split_a") =!= col("split_b"))
