@@ -199,6 +199,10 @@ object SparkEntry {
       operators.Dedup.splitLeakAudit(
         graft.Engine.Tables(s, d).documents, SplitWeights, SplitNames)
     }),
+    "split_leak_stats"     -> ((s, d) => {
+      operators.Dedup.splitLeakStats(
+        graft.Engine.Tables(s, d).documents, SplitWeights, SplitNames)
+    }),
     "split_assign"         -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       operators.Sampling.splitAssign(
@@ -404,9 +408,9 @@ object SparkEntry {
     * so pair-table oracles can label both sides without joining back to
     * an assignment table.
     */
-  private def splitCaseOnSql(idCol: String): String = {
+  private def splitCaseOnSql(idCol: String, salt: String = "split:"): String = {
     val cuts = SplitWeights.scanLeft(0.0)(_ + _).map(c => (1000000L * c).toLong)
-    val m = s"(${duckMd5_60(s"'split:' || CAST($idCol AS VARCHAR)")} % 1000000)"
+    val m = s"(${duckMd5_60(s"'$salt' || CAST($idCol AS VARCHAR)")} % 1000000)"
     val cases = SplitNames.init.zip(cuts.tail.init)
       .map { case (n, hi) => s"WHEN $m < $hi THEN '$n'" }
       .mkString(" ")
@@ -1660,6 +1664,31 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // the two-keyings leakage rollup over the same uncapped pair set:
+    // doc-keyed labels vs source-grouped labels, counted per keying
+    "split_leak_stats" ->
+      s"""WITH pairs AS ($uncappedJaccardPairsOracle),
+         ps AS (
+           SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+           FROM pairs p
+           JOIN documents da ON da.doc_id = p.doc_a
+           JOIN documents db ON db.doc_id = p.doc_b),
+         labeled AS (
+           SELECT 'doc' AS keying,
+             ${splitCaseOnSql("doc_a")} AS split_a,
+             ${splitCaseOnSql("doc_b")} AS split_b
+           FROM ps
+           UNION ALL
+           SELECT 'source',
+             ${splitCaseOnSql("src_a", "gsplit:")},
+             ${splitCaseOnSql("src_b", "gsplit:")}
+           FROM ps)
+         SELECT keying, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_leaked,
+           CAST(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+             * 1000000 // count(*) AS BIGINT) AS leak_micro
+         FROM labeled GROUP BY keying ORDER BY keying""",
     // cross-split leakage: the pair set is the EXACT prefix screen's
     // (dedup_prefix's uncapped oracle — the audit reads the clustering
     // family's landed pair table), each side's split derived from its

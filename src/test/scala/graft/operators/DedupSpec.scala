@@ -674,4 +674,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
     grouped.count() // plan sanity: the salt-parameterized form executes
   }
+
+  test("splitLeakStats: doc keying matches the audit; source keying co-locates same-source pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val (w, n) = (Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val stats = Dedup.splitLeakStats(docs, w, n).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nPairsDoc, leakedDoc, microDoc) = stats("doc")
+    val (nPairsSrc, leakedSrc, microSrc) = stats("source")
+    assert(nPairsDoc === nPairsSrc) // same landed pair table under both keyings
+    // the doc-keyed leak count IS the audit's work-list length (the
+    // audit reads the same pair table at the same threshold)
+    assert(leakedDoc === Dedup.splitLeakAudit(docs, w, n).count())
+    assert(microDoc === leakedDoc * 1000000L / nPairsDoc)
+    // the grouped keying can only leak CROSS-source near-dup pairs
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val crossSourcePairs = Dedup.jaccardPairsPrefix(docs, 4L, 5L).collect()
+      .count(r => bySource(r.getLong(0)) != bySource(r.getLong(1)))
+    assert(leakedSrc <= crossSourcePairs)
+    assert(microSrc === leakedSrc * 1000000L / nPairsSrc)
+  }
 }
