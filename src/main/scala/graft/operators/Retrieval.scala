@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Engine.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 retrieval over the document corpus — the "find the training docs
@@ -105,7 +104,6 @@ object Retrieval {
   def hybridTopK(docs: DataFrame, vecs: DataFrame, terms: Seq[String],
       rrfK: Int = 60, candK: Int = 100, topK: Int = 50): DataFrame = {
     import graft.functions.VecDot.vecDot
-    import org.apache.spark.sql.expressions.Window
     // both rank lists are ≤ candK rows by construction (top-k pruned /
     // LIMITed) — BoundedGlobal ranks them without unpartitioned windows
     val lex = BoundedGlobal.withRowNumber(

@@ -86,4 +86,31 @@ class TopKStructsSpec extends AnyFunSuite with SparkTestSession {
     assert(agg.nonEmpty)
     assert(agg === win)
   }
+
+  test("sort-based aggregation fallback: serde round-trips the heap buffers") {
+    // ObjectHashAggregate falls back to sort-based aggregation past the
+    // per-partition key threshold, which forces every heap buffer
+    // through serialize/deserialize mid-aggregation (not only at the
+    // exchange). Pin that path explicitly with the threshold floored —
+    // production hits it on any high-cardinality key (topk_agg's 300k
+    // customers), so it must not depend on fixture cardinality.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    import s.implicits._
+    val rng = new scala.util.Random(0xFA11BACC)
+    val rows = Seq.tabulate(3000) { i =>
+      (rng.nextInt(100).toLong, i.toLong, rng.nextInt(20) / 10.0)
+    }
+    val df = rows.toDF("key", "id", "score").repartition(7)
+    val got = graft.operators.Ranking.topKPerKey(df, Seq("key"),
+        struct(col("score"), (-col("id")).as("nid")), 5)
+      .select(col("key"), col("rk"), (-col("item.nid")).as("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+    val expected = df.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5).select("key", "rk", "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
 }
