@@ -280,6 +280,8 @@ object SparkEntry {
     "length_batches"       -> ((s, d) =>
       Packing.lengthBatchesDocs(s, d, LengthBatchBudget)),
     "pack_shards"          -> ((s, d) => Packing.packShardsDocs(s, d, PackBudget)),
+    "pack_efficiency"      -> ((s, d) =>
+      Packing.packEfficiencyDocs(s, d, LengthBatchBudget)),
     "pack_sequences"       -> ((s, d) => Packing.packSequencesDocs(s, d, SeqLen)),
     "pack_masks"           -> ((s, d) => Packing.packMasksDocs(s, d, SeqLen)),
     "mix_budget"           -> ((s, d) => Packing.mixBudgetDocs(s, d, MixBudget)),
@@ -3380,6 +3382,52 @@ object SparkEntry {
          SELECT doc_id, CAST(bucket AS INT) AS bucket,
            CAST(off // $LengthBatchBudget AS BIGINT) AS batch_id, tok
          FROM o ORDER BY doc_id""",
+    // padding-waste rollup over the SAME md5-ordered stream packed two
+    // ways (naive vs length-bucketed) — per batch waste = max·n − Σ,
+    // exact integer micro-rates
+    "pack_efficiency" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok,
+             md5('lb:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         b AS (SELECT *,
+             CASE WHEN tok < 64 THEN 0 WHEN tok < 128 THEN 1
+                  WHEN tok < 256 THEN 2 ELSE 3 END AS bucket
+           FROM d),
+         o AS (SELECT bucket, tok,
+             coalesce(sum(tok) OVER (PARTITION BY bucket
+               ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM b),
+         g1 AS (
+           SELECT bucket, off // $LengthBatchBudget AS batch_id,
+             count(*) AS n_docs, sum(tok) AS real_tok, max(tok) AS max_tok
+           FROM o GROUP BY 1, 2),
+         o2 AS (SELECT tok,
+             coalesce(sum(tok) OVER (ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d),
+         g2 AS (
+           SELECT off // $LengthBatchBudget AS batch_id,
+             count(*) AS n_docs, sum(tok) AS real_tok, max(tok) AS max_tok
+           FROM o2 GROUP BY 1),
+         u AS (
+           SELECT 'bucketed' AS strategy, count(*) AS n_batches,
+             sum(real_tok) AS tokens_real,
+             sum(max_tok * n_docs - real_tok) AS tokens_padded
+           FROM g1
+           UNION ALL
+           SELECT 'naive', count(*), sum(real_tok),
+             sum(max_tok * n_docs - real_tok)
+           FROM g2)
+         SELECT strategy, CAST(n_batches AS BIGINT) AS n_batches,
+           CAST(tokens_real AS BIGINT) AS tokens_real,
+           CAST(tokens_padded AS BIGINT) AS tokens_padded,
+           CAST(tokens_padded * 1000000 // (tokens_real + tokens_padded)
+             AS BIGINT) AS waste_micro
+         FROM u ORDER BY strategy""",
     "pack_shards" ->
       s"""WITH d AS (
            SELECT doc_id,

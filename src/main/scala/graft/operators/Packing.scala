@@ -137,6 +137,51 @@ object Packing {
       budget: Long): DataFrame =
     lengthBatches(Tables(spark, dir).documents, budget)
 
+  /** Padding-waste audit — the dashboard number that justifies (or
+    * refutes) length-bucketed batching for a given corpus: under a
+    * pad-to-longest loader, a batch wastes `max(len)·n_docs − Σlen`
+    * tokens, so the audit packs the SAME deterministic md5-ordered doc
+    * stream twice — naively (one global stream, [[lengthBatches]]'
+    * batching with no buckets) and length-bucketed ([[lengthBatches]]
+    * verbatim) — and rolls each strategy up to total real vs padded
+    * tokens with the waste rate as an exact integer micro-rate. One
+    * shared salt so the comparison isolates the BUCKETING decision, not
+    * the ordering; all integer arithmetic (`max·n − Σ` per batch is
+    * bounded by batch size × max doc length, far below 2^63).
+    *
+    * Scale shape: both packings are the keyed two-level prefix-sum
+    * machinery ([[tokenOffsets]] — no global window), and each rollup
+    * is two nested algebraic aggregates; nothing wider than
+    * (batch, 3 longs) ever shuffles.
+    */
+  def packEfficiency(docs: DataFrame, budget: Long,
+      bounds: Seq[Long] = Seq(64L, 128L, 256L),
+      salt: String = "lb:"): DataFrame = {
+    def rollup(batches: DataFrame, strategy: String, keys: Seq[String]) =
+      batches.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("real_tok"),
+          max(col("tok")).as("max_tok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("real_tok")).as("tokens_real"),
+          sum(col("max_tok") * col("n_docs") - col("real_tok"))
+            .as("tokens_padded"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("tokens_real"), col("tokens_padded"),
+          expr("tokens_padded * 1000000 div (tokens_real + tokens_padded)")
+            .as("waste_micro"))
+    val bucketed = rollup(lengthBatches(docs, budget, bounds, salt),
+      "bucketed", Seq("bucket", "batch_id"))
+    val naive = rollup(
+      tokenOffsets(docs, salt)
+        .withColumn("batch_id", expr(s"off div $budget")),
+      "naive", Seq("batch_id"))
+    bucketed.unionByName(naive).orderBy(col("strategy"))
+  }
+
+  def packEfficiencyDocs(spark: SparkSession, dir: String,
+      budget: Long): DataFrame =
+    packEfficiency(Tables(spark, dir).documents, budget)
+
   /** GPT-style training-sequence packing: the global token stream is cut
     * into back-to-back sequences of EXACTLY `seqLen` tokens, documents
     * crossing a boundary are split (no padding, no discarded remainder

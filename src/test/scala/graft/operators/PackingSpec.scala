@@ -193,4 +193,23 @@ class PackingSpec extends AnyFunSuite with SparkTestSession {
       .map(_.trim.split("\\s+").count(_.nonEmpty).toLong).sum
     assert(masks.map(_._3).sum === totalTok)
   }
+
+  test("packEfficiency: bucketed strategy never pads more; identities hold") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val rows = graft.operators.Packing.packEfficiency(docs, budget = 2048L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nbB, realB, padB, wasteB) = rows("bucketed")
+    val (nbN, realN, padN, wasteN) = rows("naive")
+    // both strategies pack the same corpus: identical real tokens
+    assert(realB === realN)
+    // bucketing exists to cut pad-to-longest waste; on any corpus with
+    // length spread it must not INCREASE it (per-batch max can only
+    // shrink when lengths are classed first)
+    assert(padB <= padN, s"bucketed $padB > naive $padN")
+    assert(wasteB === padB * 1000000L / (realB + padB))
+    assert(wasteN === padN * 1000000L / (realN + padN))
+    assert(nbB >= 1L && nbN >= 1L)
+  }
 }
