@@ -101,10 +101,10 @@ object Bench {
         "sent_dedup", "sent_chunks",
         // round-16: the sorted-turns table is a PlanCache intermediate
         // shared by the post-training family (Posttraining.turnsCache),
-        // and the split-leak audit reads the clustering family's landed
-        // pair table (its own 4/5-threshold cache entry)
+        // and the split-leak audit + stats rollup read the landed
+        // pair table (one shared 4/5-threshold cache entry)
         "chat_assemble", "chat_truncate", "posttrain_curate",
-        "split_leak_audit")
+        "split_leak_audit", "split_leak_stats")
       .filter(queries.contains)
     val cachedArr = cachedGates.map(jstr).mkString("[", ",", "]")
     val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +

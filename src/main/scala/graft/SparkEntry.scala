@@ -419,10 +419,11 @@ object SparkEntry {
     s"(CASE $cases ELSE '${SplitNames.last}' END)"
   }
 
-  /** The adaptive (derived-df-cap) Jaccard pair machinery as a shared CTE
+  /** The adaptive (derived-df-cap) Jaccard pair machinery as a CTE
     * chain — ends at `inter` (verified pair intersections) and `sizes`;
-    * `dedup_jaccard` and `split_leak_audit` append their own SELECTs so
-    * the screen arithmetic can never drift between the two gates.
+    * `dedup_jaccard` appends its SELECT. (`split_leak_audit` moved to
+    * [[uncappedJaccardPairsOracle]] when the audit became a reader of
+    * the exact prefix screen's landed pair table.)
     */
   private def jaccardAdaptiveCteSql: String =
     s"""WITH sh AS (
@@ -1692,8 +1693,8 @@ object SparkEntry {
              * 1000000 // count(*) AS BIGINT) AS leak_micro
          FROM labeled GROUP BY keying ORDER BY keying""",
     // cross-split leakage: the pair set is the EXACT prefix screen's
-    // (dedup_prefix's uncapped oracle — the audit reads the clustering
-    // family's landed pair table), each side's split derived from its
+    // (dedup_prefix's uncapped oracle — the audit reads the landed pair
+    // table it shares with split_leak_stats), each side's split derived from its
     // own id by the split_assign md5 CASE — pairs whose splits differ
     // are the contamination work-list
     "split_leak_audit" ->

@@ -405,10 +405,12 @@ object Dedup {
     * construction).
     *
     * Scale shape — the audit is a READER of dedup's landed pair table,
-    * never its own screen: the pair set is the clustering family's
-    * PlanCache-materialized exact prefix screen ([[jaccardPairsPrefix]]
-    * via the shared cache — EXACT, zero recall loss, computed once per
-    * (corpus, threshold) and shared with every other consumer), and
+    * never its own screen: the pair set is the PlanCache-materialized
+    * exact prefix screen ([[jaccardPairsPrefix]] — EXACT, zero recall
+    * loss), computed once per (corpus, threshold) and shared with every
+    * consumer AT THE SAME THRESHOLD ([[splitLeakStats]] here; the
+    * clustering family caches its own 9/10 entry — a pipeline running
+    * both pays one screen per threshold, not one per consumer), and
     * both split labels derive IN-ROW from the pair's own ids via
     * [[Sampling.splitOf]] — the same md5 bucket scalar the assignment
     * gate uses — so the audit adds ZERO joins and zero shuffles beyond
@@ -586,6 +588,14 @@ object Dedup {
   def dupCurve(docs: DataFrame, threshold: Double): DataFrame = {
     val (tn, td) = toRational(threshold)
     dupCurve(docs, tn, td)
+  }
+
+  @deprecated("thresholds are rationals now; use splitLeakAudit(docs, " +
+    "weights, names, tNum, tDen, salt)", "0.1.0")
+  def splitLeakAudit(docs: DataFrame, weights: Seq[Double],
+      names: Seq[String], threshold: Double): DataFrame = {
+    val (tn, td) = toRational(threshold)
+    splitLeakAudit(docs, weights, names, tn, td)
   }
 
   /** One-sided CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
@@ -957,17 +967,21 @@ object Dedup {
   def splitLeakStats(docs: DataFrame, weights: Seq[Double],
       names: Seq[String], tNum: Long = 4, tDen: Long = 5): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val withSrc = nearDupPairs(docs, tNum, tDen)
+    val pairs = nearDupPairs(docs, tNum, tDen)
+    def labeled(in: DataFrame, keying: String, a: Column, b: Column,
+        salt: String) =
+      in.select(lit(keying).as("keying"),
+        Sampling.splitOf(a, weights, names, salt).as("split_a"),
+        Sampling.splitOf(b, weights, names, salt).as("split_b"))
+    // the doc keying needs only the pair ids already in the cached
+    // table; only the source keying pays the two source-fetch joins
+    val withSrc = pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
         Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
         Seq("doc_b"))
-    def labeled(keying: String, a: Column, b: Column, salt: String) =
-      withSrc.select(lit(keying).as("keying"),
-        Sampling.splitOf(a, weights, names, salt).as("split_a"),
-        Sampling.splitOf(b, weights, names, salt).as("split_b"))
-    labeled("doc", col("doc_a"), col("doc_b"), "split:")
-      .unionByName(labeled("source", col("src_a"), col("src_b"), "gsplit:"))
+    labeled(pairs, "doc", col("doc_a"), col("doc_b"), "split:")
+      .unionByName(labeled(withSrc, "source", col("src_a"), col("src_b"), "gsplit:"))
       .groupBy(col("keying"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))

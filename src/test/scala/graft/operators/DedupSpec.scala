@@ -651,8 +651,11 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       assert(assign(r.getLong(0)) === r.getString(2))
       assert(assign(r.getLong(1)) === r.getString(3))
     }
-    // and it is exactly the cross-split SUBSET of the pair screen
-    val pairs = Dedup.jaccardPairsAdaptive(docs, threshold = 0.8).collect()
+    // and it is exactly the cross-split SUBSET of the same screen the
+    // audit reads (the EXACT prefix screen at 4/5 — referencing the
+    // adaptive screen here would couple the assertion to a recall-lossy
+    // cap that merely happens to miss nothing on this fixture)
+    val pairs = Dedup.jaccardPairsPrefix(docs, 4L, 5L).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .filter { case (a, b) => assign(a) != assign(b) }.toSet
     assert(audit.map(r => (r.getLong(0), r.getLong(1))).toSet === pairs)
