@@ -4135,11 +4135,13 @@ object SparkEntry {
     // the identical set — one oracle string, zero drift possible
     "stream_best_of_n" -> bestOfNOracle,
     // GRPO advantage: exact integer numerator v·n − Σv (the engine never
-    // divides); DuckDB's windowed sum over BIGINT is HUGEINT, so cast
+    // divides); DuckDB's windowed sum over BIGINT is HUGEINT, so cast.
+    // The quantization mirrors boundedMicro's ±2^41 loud bound (see
+    // boundedMicroSql) so the guard errors on both engines alike.
     "grpo_advantage" ->
-      """WITH c AS (
+      s"""WITH c AS (
            SELECT user_id, event_id,
-             CAST(floor(value * 1e6) AS BIGINT) AS v
+             ${boundedMicroSql("grpoAdvantage")} AS v
            FROM events),
          g AS (
            SELECT user_id, event_id, v,
@@ -4151,11 +4153,12 @@ object SparkEntry {
          FROM g ORDER BY prompt_id, event_id""",
     // per-group min-max normalization: non-negative operands make
     // truncating (Spark div) and flooring (DuckDB //) division agree;
-    // zero-spread groups normalize to 0 by contract on both sides
+    // zero-spread groups normalize to 0 by contract on both sides; the
+    // quantization mirrors boundedMicro's ±2^41 loud bound (boundedMicroSql)
     "reward_norm" ->
-      """WITH c AS (
+      s"""WITH c AS (
            SELECT user_id, event_id,
-             CAST(floor(value * 1e6) AS BIGINT) AS v
+             ${boundedMicroSql("rewardNorm")} AS v
            FROM events),
          g AS (
            SELECT user_id, event_id, v,
@@ -4372,15 +4375,29 @@ object SparkEntry {
          WHERE rk <= 10 ORDER BY q_id, rk"""
   }
 
+  /** DuckDB mirror of [[operators.Posttraining]]'s `boundedMicro`: the
+    * identical floor-micro quantization with the SAME ±2^41 loud bound
+    * (an `error()` arm in the same two-sided CASE shape), so the
+    * posttraining family's exact-arithmetic guard is a hard error on
+    * BOTH engines at the SAME threshold — without the mirror, a reward
+    * between ~2.2e6 raw and BIGINT overflow raised on Spark but
+    * computed silently in the oracle.
+    */
+  private def boundedMicroSql(op: String): String =
+    s"""CASE WHEN CAST(floor(value * 1e6) AS BIGINT) > 2199023255552
+              OR CAST(floor(value * 1e6) AS BIGINT) < -2199023255552
+            THEN CAST(error('$op: |reward_micro| exceeds 2^41') AS BIGINT)
+            ELSE CAST(floor(value * 1e6) AS BIGINT) END"""
+
   /** Shared by `dpo_pairs` and `stream_dpo`: the selection restated as
     * two row_number windows over the identical (micro-score, id) total
     * order — the streaming update-mode aggregation must land exactly
     * this pair set.
     */
   private def bestOfNOracle: String =
-    """WITH c AS (
+    s"""WITH c AS (
            SELECT user_id, event_id,
-             CAST(floor(value * 1e6) AS BIGINT) AS v
+             ${boundedMicroSql("bestOfN")} AS v
            FROM events),
          r AS (
            SELECT user_id, event_id, v,
@@ -4397,9 +4414,9 @@ object SparkEntry {
          ORDER BY prompt_id"""
 
   private def dpoPairsOracle: String =
-    """WITH c AS (
+    s"""WITH c AS (
            SELECT user_id, event_id,
-             CAST(floor(value * 1e6) AS BIGINT) AS v
+             ${boundedMicroSql("dpoPairs")} AS v
            FROM events),
          r AS (
            SELECT user_id, event_id, v,

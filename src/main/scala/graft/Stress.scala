@@ -52,6 +52,25 @@ object Stress {
   private def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
   private def peakHeapBytes(): Long = heapPools.map(_.getPeakUsage.getUsed).sum
 
+  /** Per-replica embedding jitter (`SPARK_GRAFT_STRESS_JITTER`, raw
+    * additive magnitude, 0 = off — the default and every artifact
+    * before round 17). With identical replicas, the exact-scan top-k
+    * and the banded candidates coincide by construction — replica
+    * signatures are bit-equal, so a recall floor of 1.0 at 20×/50×
+    * over-reads as "banding loses nothing at scale". Jitter perturbs
+    * each replica's vector elements by a DETERMINISTIC hash-derived
+    * offset in ±jitter (keyed on (vec_id, replica, dim) — no RNG, so
+    * reruns and A/Bs see the same corpus), which flips the sign of
+    * elements within jitter of zero: replicas become NEAR-misses at
+    * small nonzero Hamming distance, the shape that actually stresses
+    * a banded screen (an 8×8-bit band match now requires all flipped
+    * bits to miss that band). Recall under jitter is falsifiable —
+    * the exact scan ranks jittered replicas among the true top-k and
+    * the banded path must re-find them through perturbed signatures.
+    */
+  private def jitterMagnitude: Double =
+    sys.env.get("SPARK_GRAFT_STRESS_JITTER").map(_.toDouble).getOrElse(0.0)
+
   /** Materialize the `factor`×-replicated corpus into `out` (the
     * key-shift scheme in the object scaladoc). Shared by the stress run
     * itself and by diagnostic tooling ([[StageSpill]]) that needs the
@@ -59,6 +78,7 @@ object Stress {
     */
   def replicate(spark: SparkSession, sfDir: String, factor: Int,
       out: String): Unit = {
+    val jitter = jitterMagnitude
     val t = Engine.Tables(spark, sfDir)
 
     def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1
@@ -85,8 +105,18 @@ object Stress {
     save("documents", shifted(t.documents, factor)((d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
         .withColumn("text", concat(col("text"), lit(s" r$i")))))
-    save("embeddings", shifted(t.embeddings, factor)((d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * maxVec))))
+    save("embeddings", shifted(t.embeddings, factor)((d, i) => {
+      val shiftedIds = d.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+      // replica 0 stays pristine so the corpus always contains the
+      // original vectors the queries are drawn from
+      if (i == 0 || jitter == 0.0) shiftedIds
+      else shiftedIds.withColumn("embedding", expr(
+        // hash → [-1000, 1000] → scale: a uniform-ish deterministic
+        // offset per (vec_id, replica, dim) in ±jitter
+        s"""transform(embedding, (x, d) -> cast(x + $jitter *
+           ((pmod(xxhash64(vec_id, $i, d), 2001) - 1000) / 1000.0)
+           as float))"""))
+    }))
   }
 
   /** GC-band gates (STRESS.md "GC band, profiled"): their run-to-run
@@ -111,7 +141,11 @@ object Stress {
     val out = sys.env.get("SPARK_GRAFT_STRESS_DIR") match {
       case Some(dir) if dir.nonEmpty =>
         val marker = java.nio.file.Paths.get(dir, "_replica_marker")
-        val want = s"$sfDir@$factor"
+        // jitter participates in the reuse key (a jittered corpus must
+        // never masquerade as a pristine one); the 0-jitter format is
+        // unchanged so pre-round-17 replica dirs stay reusable
+        val want = if (jitterMagnitude == 0.0) s"$sfDir@$factor"
+          else s"$sfDir@$factor@j$jitterMagnitude"
         val have = if (java.nio.file.Files.exists(marker))
           new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") else ""
         if (have != want) {
@@ -244,6 +278,7 @@ object Stress {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${fmt(results.map(_._2).sum)},""" +
       s""""unit":"sec","factor":$factor,"repeat_threshold_sec":$repeatThresholdSec,""" +
+      s""""jitter":$jitterMagnitude,""" +
       s""""commit":"$commit","queries":$qs,"base":"$sfDir"}""")
     spark.stop()
     // a smoke that cannot fail is not a smoke

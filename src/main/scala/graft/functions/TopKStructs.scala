@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.functions.call_function
@@ -34,8 +34,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * recovered by `posexplode` over the emitted array (pos 0 = rank 1).
   *
   * k is a foldable positive int — driver-bounded output per key is the
-  * contract that makes the buffer (and the exchange) bounded, so a
-  * non-literal or non-positive k fails loudly at plan time.
+  * contract that makes the buffer (and the exchange) bounded. The
+  * contract is enforced in [[checkInputDataTypes]], so a non-foldable
+  * or non-positive k fails ANALYSIS (an AnalysisException at plan
+  * time), never a task-time surprise.
   *
   * Null inputs are skipped (Max/Min semantics); an all-null group emits an
   * empty array, never null, so downstream posexplode drops the key rather
@@ -48,8 +50,11 @@ case class TopKStructs(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[JPriorityQueue[Any]] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) if v > 0 => v
+  // checkInputDataTypes (below) rejects anything else at analysis time;
+  // the eval here only runs on plans that passed it (foldable → eval(null)
+  // is legal; constant folding usually collapses kExpr to a Literal anyway).
+  private lazy val k: Int = kExpr.eval() match {
+    case v: Int if v > 0 => v
     case other => throw new IllegalArgumentException(
       s"topk_structs requires a foldable positive int k, got $other — " +
         "an unbounded or data-dependent k would unbound the aggregation buffer")
@@ -63,8 +68,25 @@ case class TopKStructs(
     override def compare(a: Any, b: Any): Int = ordering.compare(a, b)
   }
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    TypeUtils.checkForOrderingExpr(child.dataType, "topk_structs")
+  // The bounded-buffer contract is part of the TYPE check: a
+  // non-foldable k (a column, a subquery) would make buffer size
+  // data-dependent — unbounded — so it is rejected at analysis time with
+  // the same loudness as an unorderable child, not discovered when the
+  // first task builds its buffer.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val orderable = TypeUtils.checkForOrderingExpr(child.dataType, "topk_structs")
+    if (orderable != TypeCheckResult.TypeCheckSuccess) orderable
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "topk_structs: k must be a foldable INT (a literal), got " +
+          s"${kExpr.dataType.simpleString} foldable=${kExpr.foldable} — " +
+          "a data-dependent k would unbound the aggregation buffer")
+    else kExpr.eval() match {
+      case v: Int if v > 0 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"topk_structs: k must be a positive int, got $other")
+    }
+  }
 
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false

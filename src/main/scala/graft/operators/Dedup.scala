@@ -125,11 +125,42 @@ object Dedup {
     * is ≤ |corpus signatures|/B per side (shrinks as B grows) while
     * worst-case replica traffic is ≤ 2B×|corpus signatures| (grows as B
     * grows, but only on dup-saturated corpora — demand-driven replicas
-    * mean a doc in k pairs ships ≤ min(B, k) copies). B=8 → 64 cells,
-    * enough tasks to keep local[32] busy and ≥2 orders of magnitude
-    * below the per-pair traffic it replaces at stress factors.
+    * mean a doc in k pairs ships ≤ min(B, k) copies). The default B=8 →
+    * 64 cells, enough tasks to keep local[32] busy and ≥2 orders of
+    * magnitude below the per-pair traffic it replaces at stress factors.
+    *
+    * B is a SESSION CONF (`spark.graft.dedup.gridB`), not a compile-time
+    * constant, because per-cell build memory is the one term here that
+    * GROWS with corpus size: the cell hashmaps are plain on-heap
+    * `java.util.HashMap`s — unspillable — so at 100 TB a B sized for the
+    * stress box would not fit an executor. Sizing rule (in the scaladoc
+    * an operator actually reads): B ≈ 2 × corpus signature bytes /
+    * target cell bytes, i.e. growing the corpus 10× means growing B 10×
+    * to hold per-cell memory constant, at the price of 10× replica
+    * traffic — which stays LINEAR in corpus size (slope 2B). Deriving B
+    * from a counted `sum(n_sh)` was built and rejected: the count is a
+    * separate action, so it re-runs the whole shingle shuffle once more
+    * per gate (exchange reuse is per-query, not per-session) — a full
+    * extra corpus pass to learn a number the operator already knows from
+    * table stats. Instead the cogroup ENFORCES the budget at run time:
+    * each cell tracks the signature bytes it holds and fails loudly past
+    * `spark.graft.dedup.maxCellSigBytes` (default 4 GiB, both maps
+    * combined) with the remedy — raise gridB — in the message, so an
+    * undersized B is a named error, never an opaque executor OOM.
     */
-  private val GridB = 8
+  private def gridB(spark: SparkSession): Int = {
+    val b = spark.conf.get("spark.graft.dedup.gridB", "8").toInt
+    require(b >= 1 && b <= 4096,
+      s"spark.graft.dedup.gridB must be in [1, 4096], got $b")
+    b
+  }
+
+  private def maxCellSigBytes(spark: SparkSession): Long = {
+    val v = spark.conf.get("spark.graft.dedup.maxCellSigBytes",
+      (4L << 30).toString).toLong
+    require(v > 0, s"spark.graft.dedup.maxCellSigBytes must be positive, got $v")
+    v
+  }
 
   /** Exact intersection counts for a candidate pair set with signature
     * shuffle ONCE PER (grid cell, doc) — never per pair.
@@ -183,8 +214,7 @@ object Dedup {
     * default seed, so a pair and its two signatures always meet.
     */
   private def replicaCells(sets: DataFrame, tag: Int,
-      rowSide: Boolean): DataFrame = {
-    val b = GridB
+      rowSide: Boolean, b: Int): DataFrame = {
     val cells =
       if (rowSide) s"transform(sequence(0, ${b - 1}), j -> pmod(xxhash64(doc_id), $b) * $b + j)"
       else s"transform(sequence(0, ${b - 1}), i -> i * $b + pmod(xxhash64(doc_id), $b))"
@@ -196,7 +226,8 @@ object Dedup {
       sb: DataFrame, sizeRatioMin: Option[Double]): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val b = GridB
+    val b = gridB(spark)
+    val cellBudget = maxCellSigBytes(spark)
     def bucket(c: Column): Column = pmod(xxhash64(c), lit(b.toLong))
     // The candidate table feeds THREE consumers (the cogroup stream and
     // both demand sides); AQE's ReuseExchange unifies them into ONE
@@ -219,18 +250,31 @@ object Dedup {
     // spill at the 20× probe. Blind replication makes the pair stream's
     // only consumer the cogroup itself, so every screen evaluates once;
     // the price, ≤ 2B× the corpus signature volume, is linear in corpus
-    // size with a compile-time dial (B) and at the 20× probe was the
-    // SAME bytes as the demanded set (saturated corpora demand all B
-    // cells anyway).
-    val reps = replicaCells(sa, tag = 0, rowSide = true)
-      .unionByName(replicaCells(sb, tag = 1, rowSide = false))
+    // size with a session-conf dial (spark.graft.dedup.gridB — sizing
+    // rule and the per-cell run-time bound in [[gridB]]'s scaladoc) and
+    // at the 20× probe was the SAME bytes as the demanded set
+    // (saturated corpora demand all B cells anyway).
+    val reps = replicaCells(sa, tag = 0, rowSide = true, b)
+      .unionByName(replicaCells(sb, tag = 1, rowSide = false, b))
       .as[(Long, Int, Long, Array[Long], Long)]
     val prune = sizeRatioMin
     pairs.as[(Long, Long, Long)].groupByKey(_._1)
-      .cogroup(reps.groupByKey(_._1)) { (_, ps, rs) =>
+      .cogroup(reps.groupByKey(_._1)) { (cell, ps, rs) =>
         val ma = new java.util.HashMap[Long, (Array[Long], Long)]
         val mb = new java.util.HashMap[Long, (Array[Long], Long)]
+        // Loud per-cell memory bound: the maps are unspillable on-heap
+        // state (~2/B of corpus signature bytes per cell), so an
+        // undersized B must fail with the dial named, not as an
+        // executor OOM three stages later. 8 B per signature long +
+        // ~48 B of HashMap/entry/array-header overhead per doc.
+        var cellBytes = 0L
         rs.foreach { case (_, tag, doc, hs, n) =>
+          cellBytes += 8L * hs.length + 48
+          if (cellBytes > cellBudget) throw new IllegalStateException(
+            s"grid-verify cell $cell holds > $cellBudget signature bytes " +
+              "(spark.graft.dedup.maxCellSigBytes); per-cell memory is " +
+              "~2/B of corpus signatures - raise spark.graft.dedup.gridB " +
+              s"(currently $b) to shrink cells")
           (if (tag == 0) ma else mb).put(doc, (hs, n))
         }
         ps.flatMap { case (_, da, db) =>

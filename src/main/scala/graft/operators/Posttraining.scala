@@ -30,6 +30,17 @@ object Posttraining {
     * TWO-SIDED compare is deliberate: a float past ±9.2e12 saturates
     * the cast to Long.Min/MaxValue, where `abs()` itself wraps negative
     * and an abs-based guard silently passes the garbage through.
+    *
+    * The DuckDB oracles mirror this exact ±2^41 bound (an `error()` arm
+    * in the same CASE shape — `SparkEntry.boundedMicroSql`), so the
+    * loud-error contract holds ON BOTH SIDES at the SAME bound: a
+    * reward between ~2.2e6 raw and BIGINT overflow errors in Spark AND
+    * in the oracle, never a silent cross-engine divergence. The
+    * comparison-only selections ([[dpoPairsOn]], [[bestOfNOn]]) route
+    * through the same guard even though their arithmetic can't
+    * overflow — the cast SATURATION class (|value| > ~9.2e12 silently
+    * becoming Long.MaxValue on Spark while DuckDB raises on the BIGINT
+    * cast) is closed by the same bound.
     */
   private def boundedMicro(value: org.apache.spark.sql.Column,
       op: String): org.apache.spark.sql.Column = {
@@ -68,7 +79,7 @@ object Posttraining {
   def dpoPairsOn(events: DataFrame): DataFrame =
     events
       .select(col("user_id"),
-        floor(col("value") * lit(1e6)).cast("long").as("v"), col("event_id"))
+        boundedMicro(col("value"), "dpoPairs").as("v"), col("event_id"))
       .groupBy(col("user_id"))
       .agg(
         max(struct(col("v"), col("event_id"))).as("ch"),
@@ -331,7 +342,7 @@ object Posttraining {
   def bestOfNOn(events: DataFrame, thresholdMicro: Long = 100000000L): DataFrame =
     events
       .select(col("user_id"),
-        floor(col("value") * lit(1e6)).cast("long").as("v"), col("event_id"))
+        boundedMicro(col("value"), "bestOfN").as("v"), col("event_id"))
       .groupBy(col("user_id"))
       .agg(
         max(struct(col("v"), col("event_id"))).as("best"),

@@ -57,23 +57,22 @@ class TopKStructsSpec extends AnyFunSuite with SparkTestSession {
     assert(out === Map("a" -> 2, "b" -> 0))
   }
 
-  test("non-literal or non-positive k fails loudly at plan time") {
+  test("non-literal or non-positive k fails at ANALYSIS time, not task time") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("key", "score")
-    val bad = intercept[Exception] {
+    // checkInputDataTypes enforces the bounded-buffer contract, so the
+    // failure must be an AnalysisException raised by .agg ITSELF —
+    // before any job runs — never a task failure at collect().
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
       df.groupBy("key")
         .agg(TopKStructs.topkStructs(struct(col("score")), 0).as("t"))
-        .collect()
     }
-    assert(bad.getMessage.contains("positive int k") ||
-      bad.getCause != null && bad.getCause.getMessage.contains("positive int k"))
-    val nonLit = intercept[Exception] {
+    assert(bad.getMessage.contains("positive int"))
+    val nonLit = intercept[org.apache.spark.sql.AnalysisException] {
       df.groupBy("key")
         .agg(call_function("topk_structs", struct(col("score")), col("key")).as("t"))
-        .collect()
     }
-    assert(nonLit.toString.toLowerCase.contains("positive int k") ||
-      nonLit.toString.toLowerCase.contains("foldable"))
+    assert(nonLit.getMessage.toLowerCase.contains("foldable"))
   }
 
   test("q7 twin: aggregate and window spellings agree on real orders") {

@@ -699,4 +699,36 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(leakedSrc <= crossSourcePairs)
     assert(microSrc === leakedSrc * 1000000L / nPairsSrc)
   }
+
+  test("grid-verify results are invariant under spark.graft.dedup.gridB") {
+    // B partitions the work, never the answer: any cell count must land
+    // the identical pair set (the conf exists purely so per-cell memory
+    // can be sized to the corpus — Dedup.gridB's scaladoc).
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = norm(Dedup.jaccardPairsPrefix(docs, 4L, 5L))
+    assert(base.nonEmpty)
+    for (b <- Seq("1", "3", "16")) {
+      spark.conf.set("spark.graft.dedup.gridB", b)
+      try assert(norm(Dedup.jaccardPairsPrefix(docs, 4L, 5L)) === base, s"gridB=$b")
+      finally spark.conf.unset("spark.graft.dedup.gridB")
+    }
+  }
+
+  test("an undersized grid cell fails loudly, naming the gridB dial") {
+    // The cell hashmaps are unspillable on-heap state; past the
+    // per-cell byte budget the task must die with the remedy in the
+    // message, never as an opaque executor OOM.
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    spark.conf.set("spark.graft.dedup.maxCellSigBytes", "64")
+    try {
+      val e = intercept[Exception] {
+        Dedup.jaccardPairsPrefix(docs, 4L, 5L).collect()
+      }
+      assert(e.toString.contains("spark.graft.dedup.gridB") ||
+        e.getCause != null && e.getCause.toString.contains("spark.graft.dedup.gridB"),
+        s"unexpected failure: $e")
+    } finally spark.conf.unset("spark.graft.dedup.maxCellSigBytes")
+  }
 }

@@ -335,9 +335,15 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     for (bad <- Seq(1e13, -1e13)) {
       val evil = Seq((1L, 1L, "gen", bad, 100L), (1L, 2L, "gen", 0.5, 200L))
         .toDF("user_id", "event_id", "event_type", "value", "ts")
+      // the comparison-only selections route through the SAME guard —
+      // their arithmetic can't overflow, but the saturating cast class
+      // (1e13 silently becoming Long.MaxValue) is closed for the whole
+      // family, matching the oracle's mirrored error() arm
       Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
         df => Posttraining.rewardNorm(df),
-        df => Posttraining.grpoAdvantage(df)).foreach { op =>
+        df => Posttraining.grpoAdvantage(df),
+        df => Posttraining.dpoPairs(df),
+        df => Posttraining.bestOfN(df)).foreach { op =>
         val e = intercept[Exception](op(evil).collect())
         assert(e.toString.contains("exact-arithmetic") ||
           (e.getCause != null && e.getCause.toString.contains("exact-arithmetic")),
