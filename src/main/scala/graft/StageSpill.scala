@@ -54,13 +54,23 @@ object StageSpill {
     fn(spark, dir).count() // warm: codegen/JIT, same discipline as Stress
     val l = new StageListener
     spark.sparkContext.addSparkListener(l)
+    // Per-rep GC attribution: total collector wall across all GC beans,
+    // delta per rep. The 20× band's signature (round-17 finding) is a
+    // rep where EVERY stage inflates by the same 10-30× with identical
+    // shuffle volumes and zero spill — stage-uniform inflation is a
+    // JVM/box epoch, and this number says whether the epoch is GC.
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     (1 to reps).foreach { r =>
       l.rows.synchronized(l.rows.clear())
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis - gc0) / 1e3
       Thread.sleep(500) // let straggler stage-completed events drain
-      println(f"== $query rep $r: $sec%.1f s, $n rows")
+      println(f"== $query rep $r: $sec%.1f s, $n rows, gc $gcSec%.1f s")
       println(f"${"stage"}%5s ${"tasks"}%5s ${"sec"}%8s ${"spillM"}%8s " +
         f"${"spillD"}%8s ${"shRead"}%8s ${"shWrite"}%8s ${"shRows"}%12s  name")
       l.rows.synchronized(l.rows.sortBy(_.id)).foreach { s =>

@@ -42,6 +42,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * Null inputs are skipped (Max/Min semantics); an all-null group emits an
   * empty array, never null, so downstream posexplode drops the key rather
   * than producing a null-rank row.
+  *
+  * Aggregation-regime guidance (A/B-measured on the 20× corpus, round
+  * 17): ObjectHashAggregate's sort-based fallback
+  * (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`,
+  * default 128 keys) needs NO retune for this aggregate. Three arms —
+  * default, forced-immediate fallback (threshold 1) and never-fallback
+  * (threshold Int.MaxValue) — land within ±15% (the box-noise band)
+  * with identical results on every per-key ranking gate, including the
+  * high-cardinality q7/topk_agg keys the fallback serde was suspected
+  * to hurt. The reason is structural: the serialized buffer is ≤ k
+  * structs in EVERY regime, so serde volume is k × keys regardless of
+  * when the hash map falls back — the regime only moves WHERE the
+  * k-bounding happens (heap insert vs sorted-run merge), and both are
+  * O(n log k). These gates are scoring-bound, not aggregation-bound.
   */
 case class TopKStructs(
     child: Expression,

@@ -1376,6 +1376,27 @@ object Similarity {
     * remains the 1× gates' number (sf0.01 floor: 0.30 full-scan,
     * 0.00 banded — the banded path's pigeonhole guarantee covers only
     * distance ≤ 7; see [[annRecallHamLsh]]).
+    *
+    * RECALL UNDER JITTER (r16 verdict #3 — the saturation floor made
+    * falsifiable): `SPARK_GRAFT_STRESS_JITTER` perturbs each replica's
+    * elements by a deterministic offset in ±j before binarization, so
+    * the true top-k fills with NEAR-miss replicas at nonzero Hamming
+    * distance instead of bit-equal copies. Measured 20× curve (50×
+    * agrees at j=0.05; mean flipped bits per 64-bit replica signature
+    * in parens): j=0.05 (~5.0 bits) min recall 1.000 BOTH paths —
+    * small perturbations move the dot ranking and the Hamming ranking
+    * together, so banding still loses nothing; j=0.15 (~13.6 bits)
+    * full-scan min 0.90 but BANDED min 0.70 — the one-sided banding
+    * loss becomes visible exactly where the analytic band-survival
+    * bound puts it (P(≥1 of 8 disjoint 8-bit bands intact at 13.6/64
+    * flips) ≈ 0.67); j=0.3 (~21.4 bits) both collapse to ~0.30 min —
+    * past ~20 flipped bits the 1-bit representation itself no longer
+    * tracks the float-dot order, banding is not the bottleneck.
+    * Implication for banding parameters: a corpus whose near-dups sit
+    * at ≥14/64 signature distance needs more, narrower bands (higher
+    * candidate fan-out) or the [[hammingRerank]] funnel's raw-dot
+    * rerank on a widened shortlist — the pigeonhole band only covers
+    * distance ≤ 7 by design.
     */
   def annRecallHam(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables(spark, dir).embeddings
