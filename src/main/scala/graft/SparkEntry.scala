@@ -112,6 +112,7 @@ object SparkEntry {
     "source_overlap"       -> (Monitoring.sourceOverlapDocs(_, _)),
     "quality_calibration"  -> (QualityModel.calibrationDocs(_, _)),
     "weak_labels"          -> (QualityModel.weakLabelsDocs(_, _)),
+    "label_agreement"      -> (QualityModel.labelAgreementDocs(_, _)),
     "hll_mergeable"        -> (Monitoring.hllMergeableDocs(_, _)),
     "kanon_audit"          -> (Monitoring.kanonDocs(_, _)),
     "ldiv_audit"           -> (Monitoring.ldivDocs(_, _)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "posttrain_curate"     -> (Posttraining.posttrainCurateDocs(_, _)),
     "pass_at_k"            -> (Posttraining.passAtKDocs(_, _)),
     "best_of_n"            -> (Posttraining.bestOfNDocs(_, _)),
+    "bt_scores"            -> (Posttraining.btScoresDocs(_, _)),
     "knn_classify"         -> (Similarity.knnClassifyDocs(_, _)),
     "knn_classify_ivf"     -> (Similarity.knnClassifyIvfDocs(_, _)),
     "label_centroids"      -> (Clustering.labelCentroidsDocs(_, _)),
@@ -1209,6 +1211,69 @@ object SparkEntry {
              ELSE 0 END AS BIGINT) AS confidence_micro
          FROM r ORDER BY doc_id"""
 
+  /** `label_agreement` oracle: the weak_labels vote derivation
+    * (verbatim t/f/r CTEs) unpivoted to (doc, lf, vote), abstentions
+    * dropped, self-joined per doc, and Cohen's kappa restated in the
+    * identical micro-rate arithmetic — kappa itself stays a
+    * (num, den) pair on both sides because a negative kappa under
+    * truncating vs flooring division diverges.
+    */
+  private val labelAgreementOracle: String =
+    """WITH t AS (
+           SELECT doc_id, n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_chars,
+             CAST(len(w) AS BIGINT) AS nt,
+             CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+             CAST(len(list_filter(w, x -> length(x) >= 3)) AS BIGINT) AS nl
+           FROM t),
+         r AS (
+           SELECT doc_id,
+             CASE WHEN nt >= 20 THEN 1 WHEN nt < 5 THEN -1 ELSE 0 END AS r1,
+             CASE WHEN nd * 1000000 // nt >= 700000 THEN 1
+                  WHEN nd * 1000000 // nt < 300000 THEN -1 ELSE 0 END AS r2,
+             CASE WHEN nl * 1000000 // nt >= 600000 THEN 1
+                  WHEN nl * 1000000 // nt < 200000 THEN -1 ELSE 0 END AS r3,
+             CASE WHEN n_chars // nt BETWEEN 3 AND 12 THEN 1
+                  WHEN n_chars // nt > 20 THEN -1 ELSE 0 END AS r4
+           FROM f),
+         votes AS (
+           SELECT doc_id, lf, vote FROM (
+             SELECT doc_id, 'r1' AS lf, r1 AS vote FROM r
+             UNION ALL SELECT doc_id, 'r2', r2 FROM r
+             UNION ALL SELECT doc_id, 'r3', r3 FROM r
+             UNION ALL SELECT doc_id, 'r4', r4 FROM r) u
+           WHERE vote != 0),
+         pairs AS (
+           SELECT a.lf AS lf_a, b.lf AS lf_b,
+             CAST(count(*) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN a.vote = b.vote THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree,
+             CAST(sum(CASE WHEN a.vote = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS na_pos,
+             CAST(sum(CASE WHEN b.vote = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb_pos
+           FROM votes a JOIN votes b
+             ON a.doc_id = b.doc_id AND a.lf < b.lf
+           GROUP BY 1, 2),
+         k AS (
+           SELECT lf_a, lf_b, n_both, n_agree,
+             n_agree * 1000000 // n_both AS po_micro,
+             (  (na_pos * 1000000 // n_both)
+              * (nb_pos * 1000000 // n_both)
+              + (1000000 - na_pos * 1000000 // n_both)
+              * (1000000 - nb_pos * 1000000 // n_both)) // 1000000
+               AS pe_micro
+           FROM pairs)
+         SELECT lf_a, lf_b, n_both, n_agree,
+           CAST(po_micro AS BIGINT) AS po_micro,
+           CAST(pe_micro AS BIGINT) AS pe_micro,
+           CAST(po_micro - pe_micro AS BIGINT) AS kappa_num,
+           CAST(1000000 - pe_micro AS BIGINT) AS kappa_den
+         FROM k ORDER BY lf_a, lf_b"""
+
   /** Shared by `cdc_apply` and `stream_cdc`: the streaming merge sink's
     * final snapshot must equal the batch MERGE bit-for-bit, enforced by
     * gating both against this single string.
@@ -2040,6 +2105,10 @@ object SparkEntry {
     "weak_labels" -> weakLabelsOracle,
     // the stateless streaming twin lands the identical votes
     "stream_weak_labels" -> weakLabelsOracle,
+    // pairwise Cohen's kappa over the LF votes — chance-corrected
+    // agreement as a (num, den) pair (negative kappa never divides:
+    // truncating vs flooring division diverges below zero)
+    "label_agreement" -> labelAgreementOracle,
     // l-diversity: class size + exact distinct sensitive-value count,
     // classes below l — the homogeneity-attack audit on top of kanon
     "ldiv_audit" ->
@@ -4128,6 +4197,11 @@ object SparkEntry {
                  // (n * (n-1) * (n-2) * (n-3))
            END AS BIGINT) AS passk_micro
          FROM g ORDER BY prompt_id""",
+    // Bradley-Terry generator ranking: per-prompt argmax beats every
+    // other candidate's generator; Hunter's MM iterations unrolled as
+    // CTEs over the T² rate table in the identical non-negative integer
+    // arithmetic (Scala / ≡ DuckDB // on non-negatives)
+    "bt_scores" -> btScoresOracle,
     // best-of-n rejection sampling: per-prompt argmax (ties to the larger
     // event_id, the max(struct) tiebreak) gated on the ABSOLUTE threshold
     "best_of_n" -> bestOfNOracle,
@@ -4388,6 +4462,82 @@ object SparkEntry {
               OR CAST(floor(value * 1e6) AS BIGINT) < -2199023255552
             THEN CAST(error('$op: |reward_micro| exceeds 2^41') AS BIGINT)
             ELSE CAST(floor(value * 1e6) AS BIGINT) END"""
+
+  /** `bt_scores` oracle: the winner-vs-group pairing restated as a
+    * row_number window, the per-ordered-pair win rates from the
+    * symmetrized count table, and [[operators.Posttraining.btScores]]'s
+    * MM iterations UNROLLED as CTEs (the pageRankOracleSql pattern) —
+    * every operand non-negative, so `//` replays the Scala `/`
+    * truncations bit-for-bit. Strength state is CAST back to BIGINT
+    * each iteration (DuckDB sums promote to HUGEINT). The iteration
+    * CTEs are `AS MATERIALIZED`: each d_k references s_{k−1} TWICE
+    * (both sides of the pair), so DuckDB's default CTE INLINING
+    * expands the chain exponentially — at 5 iterations the base scan
+    * is re-opened thousands of times and the query dies on file
+    * descriptors before it mis-plans (pageRankOracleSql never hit
+    * this because its chain references each prior state once).
+    */
+  private def btScoresOracle: String = {
+    val iters = 5
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+           SELECT r.i AS t,
+             CAST(sum(CASE WHEN si.s + sj.s = 0 THEN 0
+               ELSE 1000000000000 // (si.s + sj.s) END) AS BIGINT) AS d
+           FROM rates r
+           JOIN s${k - 1} si ON si.t = r.i
+           JOIN s${k - 1} sj ON sj.t = r.j
+           GROUP BY r.i),
+         raw$k AS MATERIALIZED (
+           SELECT d.t, CAST(CASE WHEN d.d = 0 THEN 0
+             ELSE st.w_micro * 1000000 // d.d END AS BIGINT) AS sr
+           FROM d$k d JOIN stats st ON st.i = d.t),
+         u$k AS MATERIALIZED (
+           SELECT CAST(sum(sr) // (SELECT t FROM tc) AS BIGINT) AS unit
+           FROM raw$k),
+         s$k AS MATERIALIZED (
+           SELECT r.t, CAST(CASE WHEN u.unit = 0 THEN 0
+             ELSE r.sr * 1000000 // u.unit END AS BIGINT) AS s
+           FROM raw$k r, u$k u)"""
+    }.mkString(",\n       ")
+    s"""WITH c AS (
+           SELECT user_id, event_id, event_type,
+             ${boundedMicroSql("btScores")} AS v
+           FROM events),
+         w AS (
+           SELECT user_id, event_type AS win_type FROM (
+             SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY v DESC, event_id DESC) AS rk
+             FROM c) WHERE rk = 1),
+         p AS (
+           SELECT w.win_type AS a, c.event_type AS b,
+             CAST(count(*) AS BIGINT) AS wins
+           FROM c JOIN w ON c.user_id = w.user_id
+           WHERE c.event_type != w.win_type
+           GROUP BY 1, 2),
+         allp AS (
+           SELECT i, j, CAST(sum(wn) AS BIGINT) AS wins FROM (
+             SELECT a AS i, b AS j, wins AS wn FROM p
+             UNION ALL SELECT b AS i, a AS j, 0 AS wn FROM p) u
+           GROUP BY 1, 2),
+         rates AS MATERIALIZED (
+           SELECT x.i, x.j,
+             CAST(x.wins * 1000000 // (x.wins + y.wins) AS BIGINT) AS r
+           FROM allp x JOIN allp y ON x.i = y.j AND x.j = y.i
+           WHERE x.wins + y.wins > 0),
+         stats AS MATERIALIZED (
+           SELECT i, CAST(count(*) AS BIGINT) AS n_opp,
+             CAST(sum(r) AS BIGINT) AS w_micro
+           FROM rates GROUP BY i),
+         tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM stats),
+         s0 AS MATERIALIZED (SELECT i AS t, CAST(1000000 AS BIGINT) AS s FROM stats),
+         $steps
+         SELECT st.i AS event_type, st.n_opp AS n_opponents, st.w_micro,
+           s.s AS bt_micro
+         FROM stats st JOIN s$iters s ON s.t = st.i
+         ORDER BY event_type"""
+  }
 
   /** Shared by `dpo_pairs` and `stream_dpo`: the selection restated as
     * two row_number windows over the identical (micro-score, id) total

@@ -410,4 +410,110 @@ object Posttraining {
 
   def passAtKDocs(spark: SparkSession, dir: String): DataFrame =
     passAtK(Tables(spark, dir).events)
+
+  /** Bradley-Terry generator ranking from per-prompt preferences — the
+    * model-comparison rollup an RLHF pipeline runs over its response
+    * log: treat `event_type` as the generator identity, each prompt
+    * group as one head-to-head set (the group's argmax-scored candidate
+    * "beats" every other candidate's generator in that group), and fit
+    * Bradley-Terry strengths by Hunter's (2004) MM iteration,
+    * `s_i' = W_i / Σ_j n_ij/(s_i+s_j)`, renormalized each step.
+    *
+    * Comparisons enter as per-ordered-pair WIN RATES
+    * (`wins·1e6 div games`, one virtual game per pair), not raw counts:
+    * BT's MLE is invariant to scaling all counts, and the rate spelling
+    * is what makes every intermediate provably BIGINT-safe at ANY
+    * corpus size — rates ≤ 1e6 and strengths renormalized to a
+    * Σ = T·1e6 budget give |W_micro·1e6| ≤ 2^46 and
+    * |raw·1e6| ≤ 2^53 with no corpus-dependent term anywhere (a
+    * count-weighted spelling needs a corpus-wide comparison bound, the
+    * overflow class [[passAtK]] guards per group). The trade, stated:
+    * pairs are weighted equally rather than by game count.
+    *
+    * 100 TB shape: the heavy work is TWO algebraic aggregates over the
+    * response log (per-prompt argmax via max(struct) — the [[dpoPairs]]
+    * selection — then a (winner_type, loser_type) count); everything
+    * after runs on a ≤ T² pair table pulled to the driver under the
+    * loud `maxTypes` bound (default 64 — the k×dim centroid-pull
+    * discipline: domain-bounded by contract, never corpus-bounded).
+    * Iterating T²-row joins on the cluster would be K pointless
+    * shuffles. All arithmetic is non-negative integer division
+    * (Scala `/` ≡ truncating ≡ DuckDB `//` on non-negatives), so the
+    * oracle replays the identical iterations as unrolled CTEs and the
+    * result is bit-identical in any engine.
+    *
+    * Output: one row per generator that entered ≥1 cross-type
+    * comparison — (event_type, n_opponents, w_micro = Σ win rates,
+    * bt_micro = fitted strength, Σ ≈ T·1e6).
+    */
+  def btScores(events: DataFrame, iterations: Int = 5,
+      maxTypes: Int = 64): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val scored = events.select(col("user_id"),
+      boundedMicro(col("value"), "btScores").as("v"),
+      col("event_id"), col("event_type"))
+    val winners = scored.groupBy(col("user_id"))
+      .agg(max(struct(col("v"), col("event_id"), col("event_type"))).as("win"))
+      .select(col("user_id"), col("win.event_type").as("win_type"))
+    val winCounts = scored.join(winners, Seq("user_id"))
+      .filter(col("event_type") =!= col("win_type"))
+      .groupBy(col("win_type").as("a"), col("event_type").as("b"))
+      .agg(count(lit(1)).as("wins"))
+    // domain-bounded driver pull, loud past the contract (T ≤ maxTypes
+    // generators → ≤ T·(T−1) ordered pairs): limit(bound+1) so the
+    // failure is a counted fact, not an OOM
+    val pairBound = maxTypes * (maxTypes - 1)
+    val pairRows = winCounts.limit(pairBound + 1).collect()
+    require(pairRows.length <= pairBound,
+      s"btScores: more than $pairBound cross-type pairs (> maxTypes=$maxTypes " +
+        "generators) - raise maxTypes or pre-map event_type to a bounded domain")
+    val wins = pairRows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = wins.keysIterator.flatMap(k => Iterator(k._1, k._2))
+      .toSeq.distinct.sorted
+    require(types.size <= maxTypes,
+      s"btScores: ${types.size} generators exceed maxTypes=$maxTypes")
+    if (types.isEmpty) {
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("event_type", "n_opponents", "w_micro", "bt_micro")
+    }
+    // per-ordered-pair win rate over the unordered pair's games; the
+    // opponent set is every type the generator shared ≥1 game with
+    val rate: Map[(String, String), Long] = (for {
+      i <- types; j <- types if i != j
+      g = wins.getOrElse((i, j), 0L) + wins.getOrElse((j, i), 0L) if g > 0
+    } yield (i, j) -> wins.getOrElse((i, j), 0L) * 1000000L / g).toMap
+    val opponents: Map[String, Seq[String]] =
+      types.map(i => i -> types.filter(j => rate.contains((i, j)))).toMap
+    val wMicro: Map[String, Long] =
+      types.map(i => i -> opponents(i).map(j => rate((i, j))).sum).toMap
+    val tCount = types.size.toLong
+    var s: Map[String, Long] = types.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      // d = Σ_j 1e12 div (s_i+s_j) ≈ 1e6 × the true MM denominator;
+      // raw = W_micro·1e6 div d ≈ the updated strength in micro units.
+      // Bounds (strengths ≤ T·1e6 by the renormalization invariant):
+      // W_micro·1e6 ≤ 2^46; d per term ≥ 1e12/(2T·1e6) ≥ 7.6e3 at
+      // T=64, so raw ≤ 8.3e9 and raw·1e6 ≤ 2^53 — no corpus term.
+      val raw = types.map { i =>
+        val d = opponents(i).map { j =>
+          val sum = s(i) + s(j)
+          if (sum == 0L) 0L else 1000000000000L / sum
+        }.sum
+        i -> (if (d == 0L) 0L else wMicro(i) * 1000000L / d)
+      }.toMap
+      val total = raw.valuesIterator.sum
+      val unit = total / tCount
+      s = types.map(i =>
+        i -> (if (unit == 0L) 0L else raw(i) * 1000000L / unit)).toMap
+    }
+    types.map(i => (i, opponents(i).size.toLong, wMicro(i), s(i)))
+      .toDF("event_type", "n_opponents", "w_micro", "bt_micro")
+      .orderBy(col("event_type"))
+  }
+
+  def btScoresDocs(spark: SparkSession, dir: String): DataFrame =
+    btScores(Tables(spark, dir).events)
 }

@@ -215,6 +215,69 @@ object QualityModel {
         col("weak_label"), col("confidence_micro"))
   }
 
+  /** Pairwise labeling-function agreement — Cohen's kappa over every
+    * LF pair, the audit a label model runs BEFORE trusting
+    * [[weakLabels]]'s votes: high raw agreement with low kappa means
+    * the functions agree only because the class prior is lopsided
+    * (chance agreement), i.e. the rules add no independent signal;
+    * near-zero or negative kappa on a pair flags a rule that should be
+    * dropped or inverted. Kappa is computed on the docs where BOTH
+    * functions VOTE (abstentions excluded — the Snorkel convention:
+    * agreement over shared coverage, not over silence).
+    *
+    * Engine-exactness, the cross-multiplication discipline: kappa =
+    * (po − pe)/(1 − pe) is emitted as the SIGNED numerator
+    * `kappa_num = po_micro − pe_micro` and non-negative denominator
+    * `kappa_den = 1e6 − pe_micro` — never divided, because a negative
+    * kappa under Spark's truncating `div` and DuckDB's flooring `//`
+    * diverges on every negative value (the embed_center_binarize
+    * lesson). All marginals are micro-rates (`x·1e6 div n_both`,
+    * operands non-negative), so every product is ≤ 1e12 and NOTHING
+    * scales with corpus size — no overflow bound needed at any SF
+    * (the count-product spelling of pe needs N², dead at ~3e9 docs).
+    *
+    * 100 TB shape: the LF pair domain is STATIC (6 pairs for 4 rules),
+    * so the pairing is IN-ROW — each doc explodes to its ≤6
+    * both-voting pair rows from one projection, then ONE map-side
+    * combinable aggregate lands the 6-row table. No self-join: the
+    * relational spelling (unpivot → join on doc_id) re-scans and
+    * re-tokenizes the corpus once per side and shuffles 4 rows/doc to
+    * co-locate what was never apart; this plan is one scan, one
+    * exchange carrying 6 partial rows per task.
+    */
+  def labelAgreement(docs: DataFrame): DataFrame = {
+    val lfs = Seq("r1", "r2", "r3", "r4")
+    val pairCols = for {
+      (a, i) <- lfs.zipWithIndex; b <- lfs.drop(i + 1)
+    } yield struct(lit(a).as("lf_a"), lit(b).as("lf_b"),
+      col(a).as("va"), col(b).as("vb"))
+    weakLabelsOn(docs)
+      .select(explode(array(pairCols: _*)).as("p"))
+      .select(col("p.lf_a").as("lf_a"), col("p.lf_b").as("lf_b"),
+        col("p.va").as("va"), col("p.vb").as("vb"))
+      .filter(col("va") =!= 0 && col("vb") =!= 0)
+      .groupBy(col("lf_a"), col("lf_b"))
+      .agg(
+        count(lit(1)).as("n_both"),
+        sum(when(col("va") === col("vb"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("va") === 1, 1L).otherwise(0L)).as("na_pos"),
+        sum(when(col("vb") === 1, 1L).otherwise(0L)).as("nb_pos"))
+      .withColumn("po_micro", expr("n_agree * 1000000 div n_both"))
+      .withColumn("pa_pos", expr("na_pos * 1000000 div n_both"))
+      .withColumn("pb_pos", expr("nb_pos * 1000000 div n_both"))
+      .withColumn("pe_micro", expr(
+        """(pa_pos * pb_pos +
+           (1000000 - pa_pos) * (1000000 - pb_pos)) div 1000000"""))
+      .select(col("lf_a"), col("lf_b"), col("n_both"), col("n_agree"),
+        col("po_micro"), col("pe_micro"),
+        (col("po_micro") - col("pe_micro")).as("kappa_num"),
+        (lit(1000000L) - col("pe_micro")).as("kappa_den"))
+      .orderBy(col("lf_a"), col("lf_b"))
+  }
+
+  def labelAgreementDocs(spark: SparkSession, dir: String): DataFrame =
+    labelAgreement(Tables(spark, dir).documents)
+
   def weakLabelsDocs(spark: SparkSession, dir: String): DataFrame =
     weakLabels(Tables(spark, dir).documents)
 

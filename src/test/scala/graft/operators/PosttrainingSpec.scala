@@ -327,6 +327,65 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("btScores: strengths order by dominance, symmetric play ties, MM agrees with a float fixed point") {
+    import spark.implicits._
+    // crafted 3-generator tournament: A beats B in 3 of 4 prompts where
+    // they meet, B beats C in 3 of 4, A beats C always — A > B > C is
+    // the only consistent strength order
+    def group(uid: Long, winner: String, losers: String*) : Seq[(Long, Long, String, Double, Long)] =
+      ((winner, 10.0) +: losers.map(_ -> 1.0)).zipWithIndex.map {
+        case ((t, v), i) => (uid, uid * 100 + i, t, v, 100L + i)
+      }
+    val events = (
+      group(1, "A", "B") ++ group(2, "A", "B") ++ group(3, "A", "B") ++ group(4, "B", "A") ++
+      group(5, "B", "C") ++ group(6, "B", "C") ++ group(7, "B", "C") ++ group(8, "C", "B") ++
+      group(9, "A", "C") ++ group(10, "A", "C")
+    ).toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Posttraining.btScores(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set("A", "B", "C"))
+    val (sa, sb, sc) = (got("A")._3, got("B")._3, got("C")._3)
+    assert(sa > sb && sb > sc, s"dominance order: $got")
+    // strengths renormalize to a T·1e6 budget each iteration
+    assert(math.abs((sa + sb + sc) - 3000000L) <= 3, s"budget: $got")
+    // float fixed point of the same MM on the same rates, as an
+    // independent oracle (loose tolerance: the integer path truncates)
+    val rates = Map(("A","B") -> 0.75, ("B","A") -> 0.25, ("B","C") -> 0.75,
+      ("C","B") -> 0.25, ("A","C") -> 1.0, ("C","A") -> 0.0)
+    var s = Map("A" -> 1.0, "B" -> 1.0, "C" -> 1.0)
+    val opp = Map("A" -> Seq("B","C"), "B" -> Seq("A","C"), "C" -> Seq("A","B"))
+    for (_ <- 1 to 50) {
+      val raw = s.keys.map { i =>
+        val w = opp(i).map(j => rates((i, j))).sum
+        val d = opp(i).map(j => 1.0 / (s(i) + s(j))).sum
+        i -> w / d
+      }.toMap
+      val tot = raw.values.sum / 3.0
+      s = raw.map { case (k, v) => k -> v / tot }
+    }
+    for (t <- Seq("A", "B", "C"))
+      assert(math.abs(got(t)._3 / 1e6 - s(t)) < 0.15,
+        s"$t: integer ${got(t)._3 / 1e6} vs float fixed point ${s(t)}")
+    // a symmetric 2-generator tournament lands identical strengths
+    val sym = (group(1, "X", "Y") ++ group(2, "Y", "X"))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val symGot = Posttraining.btScores(sym).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(symGot("X") === symGot("Y"), s"symmetric play must tie: $symGot")
+    assert(symGot("X") === 1000000L)
+  }
+
+  test("btScores: the type-domain bound fails loudly") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "A", 9.0, 1L), (1L, 2L, "B", 1.0, 2L), (1L, 3L, "C", 1.0, 3L))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Posttraining.btScores(events, maxTypes = 2)
+    }
+    assert(e.getMessage.contains("maxTypes"), e.getMessage)
+  }
+
   test("reward micro bound raises loudly, including cast-saturating values") {
     import spark.implicits._
     // 1e13 * 1e6 saturates the float->long cast to Long.MaxValue and

@@ -117,4 +117,53 @@ class QualityModelSpec extends AnyFunSuite with SparkTestSession {
     // al = 29/10 = 2 → abstain → label -1, conf 1.0
     assert(got(3L) === ((0, -1, -1, 0, -1, 1000000L)))
   }
+
+  test("labelAgreement: perfect anti-correlation lands kappa = -1 exactly") {
+    import spark.implicits._
+    // 5 docs where r1=+1 (25 tokens) and r2=-1 (all identical), 5 where
+    // r1=-1 (4 tokens) and r2=+1 (all distinct): po=0, both marginals
+    // 0.5 → pe=0.5e6 → kappa_num/den = -500000/500000 = -1, the
+    // perfect-disagreement pole, emitted WITHOUT dividing (negative
+    // kappa under truncating vs flooring division diverges)
+    val manySame = (1 to 25).map(_ => "xx").mkString(" ")
+    val fewDistinct = "aaa bbb ccc ddd"
+    val docs = ((1 to 5).map(i => (i.toLong, manySame, manySame.length.toLong))
+      ++ (6 to 10).map(i => (i.toLong, fewDistinct, fewDistinct.length.toLong)))
+      .toDF("doc_id", "text", "n_chars")
+    val row = QualityModel.labelAgreement(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val (nBoth, nAgree, po, pe, num, den) = row(("r1", "r2"))
+    assert(nBoth === 10L && nAgree === 0L && po === 0L)
+    assert(pe === 500000L && num === -500000L && den === 500000L)
+  }
+
+  test("labelAgreement matches an independent driver-side kappa on the fixture") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val votes = QualityModel.weakLabels(docs).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val lfs = Seq("r1", "r2", "r3", "r4")
+    def vote(v: (Int, Int, Int, Int), i: Int): Int = i match {
+      case 0 => v._1; case 1 => v._2; case 2 => v._3; case _ => v._4
+    }
+    val expect = (for {
+      a <- 0 until 4; b <- (a + 1) until 4
+      both = votes.filter(v => vote(v, a) != 0 && vote(v, b) != 0)
+      if both.nonEmpty
+    } yield {
+      val n = both.length.toLong
+      val agree = both.count(v => vote(v, a) == vote(v, b)).toLong
+      val paPos = both.count(v => vote(v, a) == 1).toLong * 1000000L / n
+      val pbPos = both.count(v => vote(v, b) == 1).toLong * 1000000L / n
+      val po = agree * 1000000L / n
+      val pe = (paPos * pbPos + (1000000L - paPos) * (1000000L - pbPos)) / 1000000L
+      (lfs(a), lfs(b)) -> ((n, agree, po, pe, po - pe, 1000000L - pe))
+    }).toMap
+    val got = QualityModel.labelAgreement(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got === expect)
+  }
 }
