@@ -38,13 +38,33 @@ object Bench {
       }
     }
     val coldTotal = (System.nanoTime() - coldT0) / 1e9
+    // Canary SERIES (round-17 verdict #3): a single start-of-run canary
+    // cannot distinguish a mid-run box epoch from a real regression —
+    // the r17 full-suite total moved 1.21× at near-equal START canaries
+    // while the builder's own bracketing runs showed the inflation was
+    // stage-uniform box drift. Interleaving the canary every
+    // `canaryEvery` timed gates samples the box speed THROUGH the run,
+    // so per-epoch normalization is computable from the artifact alone.
+    // Canary reruns are timed separately and never added to the totals.
+    val canaryEvery = 20
+    val canaryFn = SparkEntry.queries.get("q13_scalar_fns")
+    val canarySeries = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleCanary(): Unit = canaryFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count()
+        canarySeries += (System.nanoTime() - t0) / 1e9 }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] CANARY FAILURE: $t") }
+    }
     // Timed pass. A failed query is an ERROR row, never a phantom time —
     // round 8 shipped 11 analysis-broken queries that this harness timed
     // at ~0.07 s each (the cost of throwing), which read as improvements
     // in the committed artifact. Failures must be loud in the artifact
     // itself, not only on stderr.
+    sampleCanary()
     val results: Seq[(String, Either[String, Double])] =
-      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % canaryEvery == 0) sampleCanary()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); name -> Right((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable =>
@@ -52,6 +72,7 @@ object Bench {
           name -> Left(Option(t.getMessage).getOrElse(t.getClass.getName))
         }
       }
+    sampleCanary()
     // 3-decimal (millisecond) formatting: ms resolution is below run-to-run
     // noise and keeps lines short (the driver's tail capture is bounded).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -88,6 +109,7 @@ object Bench {
     // it into code deltas. -1 when the canary itself isn't in this run
     // (SPARK_GRAFT_ONLY dev subsets) or failed.
     val canary = ok.toMap.getOrElse("q13_scalar_fns", -1.0)
+    val canaryArr = canarySeries.map(fmt).mkString("[", ",", "]")
     // Gates whose TIMED pass reads a PlanCache-warm materialized
     // intermediate (the near-dup pair table / sentence segmentation,
     // built during the warm-up pass — the production landed-intermediate
@@ -109,7 +131,8 @@ object Bench {
     val cachedArr = cachedGates.map(jstr).mkString("[", ",", "]")
     val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_err":${errs.size},"cold_total":${fmt(coldTotal)},"warm_total":${fmt(total)},""" +
-      s""""canary_sec":${fmt(canary)},"cached_intermediate":$cachedArr,""" +
+      s""""canary_sec":${fmt(canary)},"canary_series":$canaryArr,""" +
+      s""""cached_intermediate":$cachedArr,""" +
       s""""errors":$emap,"commit":"$commit","sf":"$sfDir""""
     // Two artifacts from one run:
     //  - FULL file (tracked in-repo as BENCH_FULL.json unless overridden):

@@ -139,6 +139,10 @@ object SparkEntry {
     "ann_recall_ham_lsh"   -> (Similarity.annRecallHamLsh(_, _)),
     "ann_ham_rerank"       -> (Similarity.hammingRerankDocs(_, _)),
     "ann_recall_ham"       -> (Similarity.annRecallHam(_, _)),
+    "pq_rerank_topk"       -> (Similarity.pqRerankTopKDocs(_, _)),
+    "ann_recall_pq_rerank" -> (Similarity.annRecallPqRerank(_, _)),
+    "ann_lsh_mp"           -> (Similarity.annLshMp(_, _)),
+    "ann_recall_lsh_mp"    -> (Similarity.annRecallLshMp(_, _)),
     // --- training-data pipeline: post-training (SFT / preference) prep
     "dpo_pairs"            -> (Posttraining.dpoPairsDocs(_, _)),
     "chat_assemble"        -> (Posttraining.chatAssembleDocs(_, _)),
@@ -1031,10 +1035,15 @@ object SparkEntry {
   /** Exact brute-force cosine top-k — also the baseline CTE inside the
     * ann_recall audit, so the two spellings can never drift.
     */
-  /** PQ/ADC top-k oracle chain — shared by the `pq_adc_topk` gate and
-    * the `ann_recall_pq` audit, so the two spellings can never drift.
+  /** PQ/ADC top-k oracle chain — shared by the `pq_adc_topk` gate, the
+    * `ann_recall_pq` audit, and (at shortlist width) the
+    * `pq_rerank_topk` funnel's stage 1, so the spellings can never
+    * drift. `limit` is the per-query cut: 10 for the gate, 50 for the
+    * rerank shortlist.
     */
-  private def pqAdcOracle: String =
+  private def pqAdcOracle: String = pqAdcChainOracle(10)
+
+  private def pqAdcChainOracle(limit: Int): String =
     s"""WITH cents(sub, c_id, c, c2) AS (VALUES
            ${pqCentroidValues()}),
          scored AS (
@@ -1071,6 +1080,56 @@ object SparkEntry {
                ORDER BY adist_micro, vec_id) AS rk
            FROM adist)
          SELECT q_id, rk, vec_id, adist_micro FROM ranked
+         WHERE rk <= $limit ORDER BY q_id, rk"""
+
+  /** Exact squared-L2 top-10 baseline (x·x − 2·x·q + q·q, each dot the
+    * same fixed-order list_sum as Spark's vec_dot, floor-micro-
+    * quantized, vec_id ties) — shared by the `ann_recall_pq` and
+    * `ann_recall_pq_rerank` audits.
+    */
+  private val exactL2TopkOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                  FROM embeddings WHERE vec_id < 10)
+       SELECT q_id, neighbor_id FROM (
+         SELECT q.q_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             CAST(floor((
+               list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)))
+               - 2 * list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(e.embedding[d] AS DOUBLE) * CAST(q.qe[d] AS DOUBLE)))
+               + list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(q.qe[d] AS DOUBLE) * CAST(q.qe[d] AS DOUBLE)))
+             ) * 1e6) AS BIGINT) ASC, e.vec_id ASC) AS rk
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id != q.q_id)
+       WHERE rk <= 10"""
+
+  /** `pq_rerank_topk` oracle: the ADC chain at shortlist width feeds an
+    * exact squared-L2 rerank (the exactL2 spelling verbatim) cut to the
+    * final top-10 — the funnel restated stage for stage.
+    */
+  private def pqRerankOracle: String =
+    s"""WITH short AS (${pqAdcChainOracle(50)}),
+         rr AS (
+           SELECT s.q_id, s.vec_id,
+             CAST(floor((
+               list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)))
+               - 2 * list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(e.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
+               + list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(q.embedding[d] AS DOUBLE) * CAST(q.embedding[d] AS DOUBLE)))
+             ) * 1e6) AS BIGINT) AS d2_micro
+           FROM short s
+           JOIN embeddings e ON e.vec_id = s.vec_id
+           JOIN embeddings q ON q.vec_id = s.q_id),
+         reranked AS (
+           SELECT q_id, vec_id, d2_micro,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY d2_micro, vec_id) AS rk
+           FROM rr)
+         SELECT q_id, rk, vec_id, d2_micro FROM reranked
          WHERE rk <= 10 ORDER BY q_id, rk"""
 
   private val annTopkOracle: String =
@@ -1424,6 +1483,61 @@ object SparkEntry {
          cand AS (
            SELECT DISTINCT p.q_id, s.vec_id
            FROM probes p JOIN sigs s ON s.sig = p.probe_sig AND s.vec_id != p.q_id),
+         scored AS (
+           SELECT c.q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(bc.embedding[d] AS DOUBLE) * CAST(bq.embedding[d] AS DOUBLE)))
+               / (bc.norm * bq.norm), 4) AS cos
+           FROM cand c
+           JOIN base bc ON bc.vec_id = c.vec_id
+           JOIN base bq ON bq.vec_id = c.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, neighbor_id, cos FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk"""
+  }
+
+  /** `ann_lsh_mp` oracle: the banded multi-probe path restated — per
+    * (vector, band) values from the same plane lattice `lsh_bands`
+    * evaluates (bit r of band b ⇔ plane b·rows+r's dot > 0), query
+    * probes = each band's own value XOR every ≤1-bit mask, candidates
+    * from the (band, value) equi-join, exact cosine rerank. The
+    * [[annLshOracle]] spelling generalized from one 8-bit signature to
+    * `bands` independent bands.
+    */
+  private def annLshMpOracle: String = {
+    val bits = 32
+    val bands = 4
+    val rows = bits / bands
+    val w = operators.Similarity.planeWeights(bits)
+    val wRows = w.zipWithIndex
+      .map { case (arr, p) => s"($p, [${arr.mkString(", ")}])" }
+      .mkString(",\n           ")
+    val masks = 0L +: (0 until rows).map(r => 1L << r)
+    s"""WITH weights(p, w) AS (VALUES
+           $wRows),
+         base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         sigs AS (
+           SELECT b.vec_id, wt.p // $rows AS bi,
+             CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                 d -> CAST(b.embedding[d] AS DOUBLE) * wt.w[d])) > 0
+               THEN (1::BIGINT << (wt.p % $rows)) ELSE 0 END) AS BIGINT) AS bv
+           FROM base b CROSS JOIN weights wt GROUP BY b.vec_id, wt.p // $rows),
+         probes AS (
+           SELECT s.vec_id AS q_id, s.bi, xor(s.bv, t.m) AS probe_bv
+           FROM sigs s, UNNEST([${masks.mkString(", ")}]) t(m)
+           WHERE s.vec_id < 10),
+         cand AS (
+           SELECT DISTINCT p.q_id, s.vec_id
+           FROM probes p JOIN sigs s
+             ON s.bi = p.bi AND s.bv = p.probe_bv AND s.vec_id != p.q_id),
          scored AS (
            SELECT c.q_id, c.vec_id AS neighbor_id,
              round(list_sum(list_transform(generate_series(1, 64),
@@ -2849,24 +2963,23 @@ object SparkEntry {
     // q.q, each dot the same fixed-order list_sum as Spark's vec_dot,
     // floor-micro-quantized) vs the pqAdcOracle chain verbatim
     "ann_recall_pq" ->
-      s"""WITH exact AS (
-           WITH q AS (SELECT vec_id AS q_id, embedding AS qe
-                      FROM embeddings WHERE vec_id < 10)
-           SELECT q_id, neighbor_id FROM (
-             SELECT q.q_id, e.vec_id AS neighbor_id,
-               row_number() OVER (PARTITION BY q.q_id ORDER BY
-                 CAST(floor((
-                   list_sum(list_transform(generate_series(1, 64),
-                     d -> CAST(e.embedding[d] AS DOUBLE) * CAST(e.embedding[d] AS DOUBLE)))
-                   - 2 * list_sum(list_transform(generate_series(1, 64),
-                     d -> CAST(e.embedding[d] AS DOUBLE) * CAST(q.qe[d] AS DOUBLE)))
-                   + list_sum(list_transform(generate_series(1, 64),
-                     d -> CAST(q.qe[d] AS DOUBLE) * CAST(q.qe[d] AS DOUBLE)))
-                 ) * 1e6) AS BIGINT) ASC, e.vec_id ASC) AS rk
-             FROM embeddings e CROSS JOIN q
-             WHERE e.vec_id != q.q_id)
-           WHERE rk <= 10),
+      s"""WITH exact AS ($exactL2TopkOracle),
          approx AS ($pqAdcOracle)
+         SELECT x.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM exact x LEFT JOIN approx a
+           ON a.q_id = x.q_id AND a.vec_id = x.neighbor_id
+         GROUP BY x.q_id ORDER BY x.q_id""",
+    // PQ funnel: the ADC chain at shortlist width + exact-L2 rerank —
+    // the near-tie remedy as an oracle-gated operator, not prose
+    "pq_rerank_topk" -> pqRerankOracle,
+    // the funnel's recall audit vs the same exact-L2 baseline raw ADC
+    // is audited against — the jitter probe's falsification target
+    "ann_recall_pq_rerank" ->
+      s"""WITH exact AS ($exactL2TopkOracle),
+         approx AS ($pqRerankOracle)
          SELECT x.q_id,
            CAST(count(a.vec_id) AS BIGINT) AS n_hit,
            (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
@@ -3060,6 +3173,19 @@ object SparkEntry {
          ORDER BY user_id""",
     "dedup_simhash" -> simhashOracle,
     "ann_lsh" -> annLshOracle,
+    // banded multi-probe float LSH + its recall audit vs the exact
+    // cosine baseline — the jitter-hardened candidate generator gated
+    "ann_lsh_mp" -> annLshMpOracle,
+    "ann_recall_lsh_mp" ->
+      s"""WITH brute AS ($annTopkOracle),
+         approx AS ($annLshMpOracle)
+         SELECT b.q_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.neighbor_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM brute b LEFT JOIN approx a
+           ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.q_id ORDER BY b.q_id""",
     "text_pii_redact" ->
       s"""WITH p AS (
            SELECT doc_id,
@@ -4508,7 +4634,7 @@ object SparkEntry {
            SELECT user_id, event_type AS win_type FROM (
              SELECT user_id, event_type,
                row_number() OVER (PARTITION BY user_id
-                 ORDER BY v DESC, event_id DESC) AS rk
+                 ORDER BY v DESC, event_id DESC, event_type DESC) AS rk
              FROM c) WHERE rk = 1),
          p AS (
            SELECT w.win_type AS a, c.event_type AS b,

@@ -445,6 +445,17 @@ object Posttraining {
     * Output: one row per generator that entered ≥1 cross-type
     * comparison — (event_type, n_opponents, w_micro = Σ win rates,
     * bt_micro = fitted strength, Σ ≈ T·1e6).
+    *
+    * NULL `event_type` contract (stated, not silent): an untyped row
+    * never enters a comparison — `=!=` propagates NULL, so NULL
+    * candidates drop from [[winCounts]], and a group whose argmax row
+    * is untyped contributes no comparisons at all (its win_type is
+    * NULL, which compares UNKNOWN against every candidate). A
+    * generator with no identity can't be ranked; map NULLs to a
+    * sentinel type upstream (the [[graft.streaming.Streaming
+    * .eventTypeSharesMicro]] "(null)" treatment) to include them.
+    * Winner ties break on the full (v, event_id, event_type) struct
+    * order, mirrored by the oracle's three-key row_number.
     */
   def btScores(events: DataFrame, iterations: Int = 5,
       maxTypes: Int = 64): DataFrame = {

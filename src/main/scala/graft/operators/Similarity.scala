@@ -1509,4 +1509,154 @@ object Similarity {
       hammingLshTopK(vecs).withColumnRenamed("vec_id", "neighbor_id"),
       k = 10)
   }
+
+  // ------------------------------------------ PQ shortlist→exact rerank
+
+  /** PQ/ADC shortlist → EXACT squared-L2 rerank — the funnel that
+    * repairs the 4-byte code's near-tie blindness ([[pqAdcTopK]]'s one
+    * taxonomy-named loss, round-17 jitter study: ADC min recall 0.00–
+    * 0.14 inside near-tie clusters, because every replica of a vector
+    * quantizes to the SAME code and the tie breaks on vec_id, not on
+    * true distance). Stage 1 is the ADC scan unchanged — 4 bytes +
+    * m lookups per corpus vector — but keeps a per-query SHORTLIST
+    * (default 50) instead of the final k; stage 2 evaluates the exact
+    * ‖x−q‖² micro distance ONLY on shortlist·queries rows and takes
+    * the true top-k. [[hammingRerank]]'s funnel, grafted onto the PQ
+    * tier.
+    *
+    * Shortlist sizing is the near-tie dial: the shortlist must be
+    * WIDER than the largest code-tie cluster (duplicate multiplicity ×
+    * k on replicated corpora), or the vec_id tiebreak can cut true
+    * neighbors before the rerank ever sees them — 50 covers the 20×
+    * jitter probe's ~20-replica clusters with headroom. Both stage
+    * scores are exact integers (floor-micro ADC table sums; floor-micro
+    * x·x − 2·x·q + q·q in [[bruteForceTopKL2]]'s fixed evaluation
+    * order), ties on vec_id — engine-exact end to end.
+    *
+    * Scale shape: stage 1 is [[pqAdcTopK]]'s scan verbatim (codes
+    * materialized once, per-query m·k lookup tables broadcast, bounded
+    * top-`shortlist` aggregate); stage 2 carries (embedding, q) as heap
+    * payload through the stage-1 aggregate — shortlist rows per query,
+    * never a join back to the corpus.
+    */
+  def pqRerankTopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
+      shortlist: Int = 50, m: Int = 4, k: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val books = pqCodebooks(m, k, subDim)
+    // codes + the float vector in ONE materialized index table (the
+    // [[pqAdcTopK]] checkpoint discipline): the rerank needs the
+    // embedding for shortlist survivors only, and carrying it through
+    // the stage-1 heap beats a second corpus join
+    val coded = vecs.select(col("vec_id") +: col("embedding") +:
+      pqCodeCols(m, k, dim): _*).localCheckpoint(true)
+    val queries = vecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+    val tables = queries.select(col("q_id") +: col("q") +:
+      adcTableCols(books, m, subDim, col("q")): _*)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"tbl$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
+    val scored = coded.crossJoin(broadcast(tables))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adist_micro", approx)
+    val shortlisted = perQueryTopK(scored, -col("adist_micro"), shortlist,
+      extra = Seq("embedding", "q"))
+    // exact rerank metric = [[bruteForceTopKL2]]'s spelling verbatim,
+    // so the recall audit charges stage-1 misses only, never a metric
+    // mismatch
+    val d2 = floor((vecDot(col("embedding"), col("embedding"))
+        - lit(2.0) * vecDot(col("embedding"), col("q"))
+        + vecDot(col("q"), col("q"))) * lit(1e6)).cast("long")
+    perQueryTopK(shortlisted.withColumn("d2_micro", d2), -col("d2_micro"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        (-col("__ord")).as("d2_micro"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def pqRerankTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    pqRerankTopK(Tables(spark, dir).embeddings)
+
+  /** Recall@10 audit of the PQ rerank funnel against the exact
+    * squared-L2 baseline — the falsification target the round-17 jitter
+    * taxonomy set: where raw ADC collapses inside near-tie clusters
+    * (min recall 0.00–0.14 at j=0.15), the funnel's exact rerank must
+    * restore the full-scan floor. Same driver-scale audit join as
+    * every recall gate; both production plans reused unchanged.
+    */
+  def annRecallPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir).embeddings
+    recallAtK(bruteForceTopKL2(vecs),
+      pqRerankTopK(vecs).select(col("q_id"), col("vec_id").as("neighbor_id")),
+      k = 10)
+  }
+
+  // ------------------------------------- banded multi-probe float LSH
+
+  /** Banded hyperplane LSH with per-band 1-bit multi-probe — the
+    * jitter-hardened candidate generator for the float tier, closing
+    * the second taxonomy-named loss of round 17 ([[lshTopK]]'s single
+    * 8-bit signature with 1-bit probes: min recall 0.10 at j=0.15,
+    * where IVF held 1.00).
+    *
+    * Two recall amplifiers compose: the signature splits into `bands`
+    * independent bands (OR-construction — a candidate needs ONE
+    * surviving band, so band misses multiply away), and at probe time
+    * each query probes every band at its own value PLUS every 1-bit
+    * flip (the verdict-named multi-probe spelling — recovers the
+    * single-flip misses that dominate near the hyperplanes).
+    * Per-neighbor miss probability at per-bit flip rate p is
+    * (1 − (1−p)^r − r·p·(1−p)^(r−1))^bands with r = bits/bands: at the
+    * j=0.15 probe's measured p ≈ 0.2 the 4×8-bit default gives ~0.06,
+    * vs ~0.5 for the unbanded path — and the dial is explicit: more
+    * bands for recall, wider bands for selectivity (random candidate
+    * rate ≈ 1 − (1 − (r+1)/2^r)^bands per corpus row: ~13% at 4×8).
+    *
+    * Scale shape: the corpus side is a posting-list explode — `bands`
+    * small (vec_id, band, value) rows per vector, the [[nearDupPairsLsh]]
+    * banding applied to serving — joined against a broadcast probe
+    * table of queries × bands × (r+1) rows; candidates dedup on
+    * (q_id, vec_id), exact cosine rerank, bounded per-query top-k.
+    * Nothing corpus-sized shuffles wider than the posting rows.
+    */
+  def lshMultiProbeTopK(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
+      bits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val rows = bits / bands
+    val base = withNorm(vecs).withColumn("bnd",
+      graft.functions.LshBandHashes.lshBands(col("embedding"), bits, bands))
+    val corpus = base.select(col("vec_id"), col("embedding"), col("norm"),
+        posexplode(col("bnd")).as(Seq("bi", "bv")))
+    val masks = lit(0L) +: (0 until rows).map(r => lit(1L << r))
+    val queries = broadcast(base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), posexplode(col("bnd")).as(Seq("q_bi", "q_bv")))
+      .withColumn("mask", explode(array(masks: _*)))
+      .withColumn("probe_bv", expr("q_bv ^ mask")))
+    val candidates = corpus
+      .join(queries, col("bi") === col("q_bi") && col("bv") === col("probe_bv")
+        && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("vec_id"),
+        col("embedding"), col("norm"))
+      // a vector can match several (band, probe) rows of one query
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+    perQueryTopK(candidates, col("cos"), k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("__ord").as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def annLshMp(spark: SparkSession, dir: String): DataFrame =
+    lshMultiProbeTopK(Tables(spark, dir).embeddings)
+
+  /** Recall@10 audit of the banded multi-probe path against the exact
+    * cosine baseline — the jitter falsification target: min recall at
+    * the 20× j=0.15 probe must hold ≥ the 0.90 full-scan floor where
+    * the unbanded [[lshTopK]] drops to 0.10. Candidates are exact-
+    * cosine-reranked, so every miss this audit counts is a candidate-
+    * generation miss — the quantity the banding dials control.
+    */
+  def annRecallLshMp(spark: SparkSession, dir: String): DataFrame =
+    recallAtK(annBruteForce(spark, dir), annLshMp(spark, dir), k = 10)
 }

@@ -62,16 +62,28 @@ object Streaming {
   /** Reference event-type mix from a BATCH corpus snapshot, in exact
     * integer micro-shares: the "yesterday's corpus" baseline the live
     * monitor compares against. One aggregate; the collect is
-    * |event-type domain| rows — driver-sized by construction (same
-    * policy as the k-means centroids / eval hash set).
+    * |event-type domain| rows — DOMAIN-bounded, and the bound is loud:
+    * the pull is `limit(maxTypes + 1)` with a counted `require`
+    * (the btScores idiom), so a runaway type domain (an upstream join
+    * leaking high-cardinality keys into `event_type`) fails with the
+    * dial named instead of OOMing the driver mid-collect.
     */
-  def eventTypeSharesMicro(events: DataFrame): Map[String, Long] = {
+  def eventTypeSharesMicro(events: DataFrame,
+      maxTypes: Int = 1024): Map[String, Long] = {
+    require(maxTypes >= 1, s"maxTypes must be >= 1, got $maxTypes")
     val total = events.count()
     require(total > 0,
       "eventTypeSharesMicro: empty reference snapshot — a mix baseline " +
         "needs at least one event (check the snapshot path/filter)")
-    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val rows = events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .limit(maxTypes + 1)
       .collect()
+    require(rows.length <= maxTypes,
+      s"eventTypeSharesMicro: more than $maxTypes distinct event types - " +
+        "a mix baseline over an unbounded type domain is a driver pull " +
+        "waiting to OOM; pre-map event_type to a bounded domain or raise " +
+        "maxTypes deliberately")
+    rows
       // NULL event_type is a mix slice like any other — keyed under the
       // sentinel "(null)" rather than silently dropped or NPE'd
       .map(r => (if (r.isNullAt(0)) "(null)" else r.getString(0)) ->

@@ -386,6 +386,28 @@ class PosttrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("maxTypes"), e.getMessage)
   }
 
+  test("btScores: NULL event_type rows never enter a comparison (stated contract)") {
+    import spark.implicits._
+    // group 1's argmax row is UNTYPED → win_type is NULL, every
+    // comparison filter evaluates UNKNOWN, the whole group contributes
+    // nothing; group 2's untyped LOSER drops while its typed pair stays
+    val events = Seq(
+      (1L, 1L, "A", 1.0, 1L), (1L, 2L, "B", 2.0, 2L),
+      (1L, 3L, null.asInstanceOf[String], 9.0, 3L),
+      (2L, 4L, "A", 5.0, 4L), (2L, 5L, "B", 1.0, 5L),
+      (2L, 6L, null.asInstanceOf[String], 0.0, 6L))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Posttraining.btScores(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // only group 2's A-beats-B comparison survives; no "(null)" row —
+    // untyped generators are excluded by contract, not sentineled
+    assert(got.keySet === Set("A", "B"), s"got $got")
+    assert(got("A")._2 === 1000000L, s"A's win rate: $got") // 1/1 games
+    assert(got("B")._2 === 0L, s"B's win rate: $got")
+    assert(got("A")._3 > got("B")._3, s"strengths: $got")
+  }
+
   test("reward micro bound raises loudly, including cast-saturating values") {
     import spark.implicits._
     // 1e13 * 1e6 saturates the float->long cast to Long.MaxValue and

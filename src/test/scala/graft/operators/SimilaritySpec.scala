@@ -174,6 +174,105 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     (0L until 10L).foreach { q => assert(top(q) === q + 100, s"query $q") }
   }
 
+  test("pqRerankTopK: exact rerank resolves the near-tie cluster raw ADC cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The round-17 jitter taxonomy's failure case, crafted adversarially:
+    // every replica of a query shares the query's 4-byte code, so raw
+    // ADC sees one flat tie and its vec_id-ascending tiebreak picks the
+    // SMALLEST ids — which are constructed to be the FARTHEST replicas
+    // (perturbation decreases as id grows). The funnel's exact rerank
+    // must invert that: true top-k = the LARGEST ids.
+    val r = new scala.util.Random(19)
+    def rand() = Array.fill(64)((r.nextDouble() - 0.5).toFloat)
+    val qs = (0L until 3L).map(i => (i, rand()))
+    // 20 replicas per query at perturbation (20-j)·1e-3: id order is the
+    // REVERSE of true-distance order; 1e-3-scale offsets never flip a
+    // PQ code (centroid gaps are ~0.1-scale on the dyadic grid)
+    val reps = qs.flatMap { case (i, v) =>
+      (0 until 20).map { j =>
+        val eps = (20 - j) * 0.001f
+        (100L + i * 100L + j, v.zipWithIndex.map { case (x, d) =>
+          x + (if (d % 2 == 0) eps else -eps) })
+      }
+    }
+    val noise = (10000L until 10200L).map(i => (i, rand()))
+    val df = (qs ++ reps ++ noise).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    def topIds(got: org.apache.spark.sql.DataFrame) = got.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topIds(Similarity.bruteForceTopKL2(df, numQueries = 3, k = 10))
+    val funnel = topIds(Similarity.pqRerankTopK(df, numQueries = 3, topK = 10))
+    val adc = topIds(Similarity.pqAdcTopK(df, numQueries = 3, topK = 10))
+    (0L until 3L).foreach { q =>
+      assert(funnel(q) === exact(q), s"funnel must match exact for query $q")
+    }
+    // the collapse the funnel repairs: inside a code-tie the ADC
+    // tie-break picks the far end of the replica cluster. A replica's
+    // code CAN flip at the crafted perturbations (one of query 2's
+    // subvectors sits near a centroid boundary), which hands ADC back
+    // a few true neighbors — so the taxonomy assertion is aggregate:
+    // raw ADC loses at least half the truth, the funnel loses none.
+    val adcHits = (0L until 3L).map(q => adc(q).intersect(exact(q)).size).sum
+    assert(adcHits <= 15,
+      s"crafted ties must defeat raw ADC (got $adcHits/30 hits) — else " +
+        "the test no longer demonstrates the taxonomy case")
+    // and the funnel's ranking inside the cluster is the true L2 order
+    val rk1 = Similarity.pqRerankTopK(df, numQueries = 3, topK = 10)
+      .filter(col("rk") === 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    (0L until 3L).foreach { q =>
+      assert(rk1(q) === 100L + q * 100L + 19L,
+        s"rank 1 must be the least-perturbed replica for query $q")
+    }
+  }
+
+  test("pqRerankTopK: a corpus-covering shortlist reproduces the exact baseline") {
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val exact = Similarity.bruteForceTopKL2(vecs, numQueries = 10, k = 10)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    val funnel = Similarity.pqRerankTopK(vecs, numQueries = 10, topK = 10,
+        shortlist = 1000)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    assert(funnel.toSeq === exact.toSeq)
+  }
+
+  test("lshMultiProbeTopK: subset of brute force with identical cosines; banding beats the unbanded path on jittered replicas") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+      .select("vec_id", "embedding")
+    // jittered replicas of the 10 query vectors — the stress harness's
+    // j=0.15 regime in miniature (deterministic per-dim ±0.15 offsets):
+    // far enough to flip several hyperplane signs, the regime where the
+    // single 8-bit signature's 1-bit probes lose candidates
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+          cast(x + 0.15D * (cast(pmod(xxhash64(vec_id, i), 201) AS DOUBLE)
+            / 100.0D - 1.0D) AS float))""").as("embedding"))
+    val vecs = base.unionByName(planted)
+    val brute = Similarity.bruteForceTopK(vecs, numQueries = 10, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val mp = Similarity.lshMultiProbeTopK(vecs, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    // candidates are exact-reranked: every reported cosine equals brute
+    mp.foreach { case (pair, cos) =>
+      assert(brute(pair) === cos, s"mp cosine for $pair diverges from exact")
+    }
+    // each query's jittered replica is its true nearest neighbor (cos
+    // well above the noise floor); the banded multi-probe path must
+    // recover essentially all of them where the unbanded path may not
+    val mpHits = (0L until 10L).count(q => mp.exists(_._1 == (q, q + 100000L)))
+    val single = Similarity.lshTopK(vecs, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val singleHits = (0L until 10L).count(q => single.contains((q, q + 100000L)))
+    assert(mpHits >= 9, s"banded multi-probe found only $mpHits/10 replicas")
+    assert(mpHits >= singleHits,
+      s"banding must not lose to the unbanded path: $mpHits vs $singleHits")
+  }
+
   test("ivfPqTopK recovers a planted exact duplicate through both layers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

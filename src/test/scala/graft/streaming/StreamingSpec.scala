@@ -657,6 +657,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(got((1L, "signup")) === ((0L, 10L, 0L, 0L, 0)))
   }
 
+  test("eventTypeSharesMicro: the type-domain bound fails loudly") {
+    import spark.implicits._
+    val snap = Seq((0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.eventTypeSharesMicro(snap, maxTypes = 2)
+    }
+    assert(e.getMessage.contains("maxTypes"), e.getMessage)
+    // at the bound it still succeeds (limit is maxTypes + 1, not maxTypes)
+    val ok = Streaming.eventTypeSharesMicro(snap, maxTypes = 3)
+    assert(ok === Map("a" -> 333333L, "b" -> 333333L, "c" -> 333333L))
+  }
+
   test("mixDriftStream: streaming append emits only finalized windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
