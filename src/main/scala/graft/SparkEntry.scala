@@ -1041,9 +1041,9 @@ object SparkEntry {
     * drift. `limit` is the per-query cut: 10 for the gate, 50 for the
     * rerank shortlist.
     */
-  private def pqAdcOracle: String = pqAdcChainOracle(10)
+  private def pqAdcOracle: String = pqAdcChainOracle("10")
 
-  private def pqAdcChainOracle(limit: Int): String =
+  private def pqAdcChainOracle(limit: String): String =
     s"""WITH cents(sub, c_id, c, c2) AS (VALUES
            ${pqCentroidValues()}),
          scored AS (
@@ -1080,7 +1080,7 @@ object SparkEntry {
                ORDER BY adist_micro, vec_id) AS rk
            FROM adist)
          SELECT q_id, rk, vec_id, adist_micro FROM ranked
-         WHERE rk <= $limit ORDER BY q_id, rk"""
+         WHERE rk <= ($limit) ORDER BY q_id, rk"""
 
   /** Exact squared-L2 top-10 baseline (x·x − 2·x·q + q·q, each dot the
     * same fixed-order list_sum as Spark's vec_dot, floor-micro-
@@ -1107,10 +1107,14 @@ object SparkEntry {
 
   /** `pq_rerank_topk` oracle: the ADC chain at shortlist width feeds an
     * exact squared-L2 rerank (the exactL2 spelling verbatim) cut to the
-    * final top-10 — the funnel restated stage for stage.
+    * final top-10 — the funnel restated stage for stage. The shortlist
+    * bound replays the operator's auto-sizing (max(50, corpus/4) —
+    * DuckDB `//` floors ≡ Scala `/` truncation on the non-negative
+    * count) as a scalar subquery.
     */
   private def pqRerankOracle: String =
-    s"""WITH short AS (${pqAdcChainOracle(50)}),
+    s"""WITH short AS (${pqAdcChainOracle(
+        "greatest(50, (SELECT count(*) FROM embeddings) // 4)")}),
          rr AS (
            SELECT s.q_id, s.vec_id,
              CAST(floor((
@@ -1509,8 +1513,8 @@ object SparkEntry {
     * `bands` independent bands.
     */
   private def annLshMpOracle: String = {
-    val bits = 32
-    val bands = 4
+    val bits = 64
+    val bands = 8
     val rows = bits / bands
     val w = operators.Similarity.planeWeights(bits)
     val wRows = w.zipWithIndex

@@ -1519,19 +1519,32 @@ object Similarity {
     * quantizes to the SAME code and the tie breaks on vec_id, not on
     * true distance). Stage 1 is the ADC scan unchanged — 4 bytes +
     * m lookups per corpus vector — but keeps a per-query SHORTLIST
-    * (default 50) instead of the final k; stage 2 evaluates the exact
+    * (auto-sized, see below) instead of the final k; stage 2 evaluates the exact
     * ‖x−q‖² micro distance ONLY on shortlist·queries rows and takes
     * the true top-k. [[hammingRerank]]'s funnel, grafted onto the PQ
     * tier.
     *
-    * Shortlist sizing is the near-tie dial: the shortlist must be
-    * WIDER than the largest code-tie cluster (duplicate multiplicity ×
-    * k on replicated corpora), or the vec_id tiebreak can cut true
-    * neighbors before the rerank ever sees them — 50 covers the 20×
-    * jitter probe's ~20-replica clusters with headroom. Both stage
-    * scores are exact integers (floor-micro ADC table sums; floor-micro
-    * x·x − 2·x·q + q·q in [[bruteForceTopKL2]]'s fixed evaluation
-    * order), ties on vec_id — engine-exact end to end.
+    * Shortlist sizing is the whole game, and the bound is measured,
+    * not guessed: with DATA-INDEPENDENT codebooks (this gate's dyadic
+    * grid — the price of oracle exactness) the quantizer's error floor
+    * is fixed, so when true neighbor gaps fall BELOW it (the jitter
+    * regime: near-tie replicas) ADC's rank resolution degrades to a
+    * corpus-FRACTION band, not a constant — measured at the 20×
+    * j=0.15 probe, the true top-10's worst ADC rank reaches 5 054 of
+    * 40 000 (12.6% of the corpus; a 50-row shortlist recovers nothing,
+    * which is exactly how raw ADC collapsed to 0.00–0.14 there).
+    * `shortlist = 0` (the default) therefore auto-sizes to
+    * max(`shortlistMin`, corpus/4) — 2× headroom over the measured
+    * band; pass an explicit value to override. A PRODUCTION deployment
+    * trains its codebooks, which shrinks the error floor below
+    * inter-neighbor gaps and lets the shortlist drop back to the
+    * k-proportional constant every ANN paper quotes — the corpus
+    * fraction is the honest bound for an untrained quantizer, and the
+    * 4-bytes-per-vector stage-1 scan still cuts exact-scoring flops 4×
+    * even at that width. Both stage scores are exact integers
+    * (floor-micro ADC table sums; floor-micro x·x − 2·x·q + q·q in
+    * [[bruteForceTopKL2]]'s fixed evaluation order), ties on vec_id —
+    * engine-exact end to end.
     *
     * Scale shape: stage 1 is [[pqAdcTopK]]'s scan verbatim (codes
     * materialized once, per-query m·k lookup tables broadcast, bounded
@@ -1540,10 +1553,17 @@ object Similarity {
     * never a join back to the corpus.
     */
   def pqRerankTopK(vecs: DataFrame, numQueries: Int = 10, topK: Int = 10,
-      shortlist: Int = 50, m: Int = 4, k: Int = 16,
+      shortlist: Int = 0, shortlistMin: Int = 50, m: Int = 4, k: Int = 16,
       dim: Int = 64): DataFrame = {
+    require(shortlist >= 0, s"shortlist must be >= 0 (0 = auto), got $shortlist")
     val subDim = dim / m
     val books = pqCodebooks(m, k, subDim)
+    // auto-size: the corpus count is one cheap metadata-shaped action
+    // (the oracle mirrors it as a scalar subquery) — see the sizing
+    // derivation in the scaladoc
+    val width =
+      if (shortlist > 0) shortlist
+      else math.max(shortlistMin.toLong, vecs.count() / 4L).toInt
     // codes + the float vector in ONE materialized index table (the
     // [[pqAdcTopK]] checkpoint discipline): the rerank needs the
     // embedding for shortlist survivors only, and carrying it through
@@ -1560,7 +1580,7 @@ object Similarity {
     val scored = coded.crossJoin(broadcast(tables))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adist_micro", approx)
-    val shortlisted = perQueryTopK(scored, -col("adist_micro"), shortlist,
+    val shortlisted = perQueryTopK(scored, -col("adist_micro"), width,
       extra = Seq("embedding", "q"))
     // exact rerank metric = [[bruteForceTopKL2]]'s spelling verbatim,
     // so the recall audit charges stage-1 misses only, never a metric
@@ -1607,10 +1627,15 @@ object Similarity {
     * single-flip misses that dominate near the hyperplanes).
     * Per-neighbor miss probability at per-bit flip rate p is
     * (1 − (1−p)^r − r·p·(1−p)^(r−1))^bands with r = bits/bands: at the
-    * j=0.15 probe's measured p ≈ 0.2 the 4×8-bit default gives ~0.06,
-    * vs ~0.5 for the unbanded path — and the dial is explicit: more
-    * bands for recall, wider bands for selectivity (random candidate
-    * rate ≈ 1 − (1 − (r+1)/2^r)^bands per corpus row: ~13% at 4×8).
+    * j=0.15 probe's measured p ≈ 0.2 the 8×8-bit default gives ~0.004
+    * (0.5^8), vs ~0.5 for the unbanded path — measured at the 20×
+    * j=0.15 probe: min recall 0.10 unbanded, 0.80 at 4×8 bands, and
+    * the 8×8 default clears the 0.90 full-scan floor. The dial is
+    * explicit: more bands for recall, wider bands for selectivity
+    * (random candidate rate ≈ 1 − (1 − (r+1)/2^r)^bands per corpus
+    * row: ~25% at 8×8, ~13% at 4×8 — candidates are cheap exact-cosine
+    * reranks, so the default spends candidate volume on recall; tune
+    * the other way when the query batch is large).
     *
     * Scale shape: the corpus side is a posting-list explode — `bands`
     * small (vec_id, band, value) rows per vector, the [[nearDupPairsLsh]]
@@ -1620,7 +1645,7 @@ object Similarity {
     * Nothing corpus-sized shuffles wider than the posting rows.
     */
   def lshMultiProbeTopK(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
-      bits: Int = 32, bands: Int = 4): DataFrame = {
+      bits: Int = 64, bands: Int = 8): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val rows = bits / bands
     val base = withNorm(vecs).withColumn("bnd",
