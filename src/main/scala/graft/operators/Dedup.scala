@@ -129,30 +129,72 @@ object Dedup {
     * 64 cells, enough tasks to keep local[32] busy and ≥2 orders of
     * magnitude below the per-pair traffic it replaces at stress factors.
     *
-    * B is a SESSION CONF (`spark.graft.dedup.gridB`), not a compile-time
-    * constant, because per-cell build memory is the one term here that
-    * GROWS with corpus size: the cell hashmaps are plain on-heap
+    * B is DERIVED from the signature tables' Catalyst size estimates by
+    * default, overridable by the session conf `spark.graft.dedup.gridB`,
+    * because per-cell build memory is the one term here that GROWS with
+    * corpus size: the cell hashmaps are plain on-heap
     * `java.util.HashMap`s — unspillable — so at 100 TB a B sized for the
-    * stress box would not fit an executor. Sizing rule (in the scaladoc
-    * an operator actually reads): B ≈ 2 × corpus signature bytes /
-    * target cell bytes, i.e. growing the corpus 10× means growing B 10×
-    * to hold per-cell memory constant, at the price of 10× replica
-    * traffic — which stays LINEAR in corpus size (slope 2B). Deriving B
-    * from a counted `sum(n_sh)` was built and rejected: the count is a
-    * separate action, so it re-runs the whole shingle shuffle once more
-    * per gate (exchange reuse is per-query, not per-session) — a full
-    * extra corpus pass to learn a number the operator already knows from
-    * table stats. Instead the cogroup ENFORCES the budget at run time:
-    * each cell tracks the signature bytes it holds and fails loudly past
-    * `spark.graft.dedup.maxCellSigBytes` (default 4 GiB, both maps
-    * combined) with the remedy — raise gridB — in the message, so an
-    * undersized B is a named error, never an opaque executor OOM.
+    * stress box would not fit an executor. Sizing rule: B ≈ 2 × corpus
+    * signature bytes / target cell bytes, i.e. growing the corpus 10×
+    * means growing B 10× to hold per-cell memory constant, at the price
+    * of 10× replica traffic — which stays LINEAR in corpus size
+    * (slope 2B).
+    *
+    * Why PLAN STATS and not a count: deriving B from a counted
+    * `sum(n_sh)` was built and rejected in round 17 — the count is a
+    * separate action that re-runs the whole shingle shuffle once more
+    * per gate. `optimizedPlan.stats.sizeInBytes` costs NO job, and is
+    * measured linear and stably proportional to the true signature
+    * volume on this fixture family (est/true ≈ 0.105 at 1×, 20× and
+    * 50× — calibration in STRESS.md round 18). The derivation is only
+    * choosing a power-of-two dial, and the cogroup still ENFORCES the
+    * real budget at run time: each cell tracks the signature bytes it
+    * holds and fails loudly past `spark.graft.dedup.maxCellSigBytes`
+    * (default 4 GiB, both maps combined) with the remedy — raise
+    * gridB — in the message, so a mis-estimated B is a named error,
+    * never an opaque executor OOM.
+    *
+    * Calibration of the target (see the round-17/18 50× A/B,
+    * `STRESS50_GRIDB{8,16}.json`): verify-bound screens (containment /
+    * jaccard / prefix) run 1.4–2.1× faster at B=16 than B=8 at 50×
+    * with ~18% less heap, while the screen-bound minhash pays ~14% for
+    * B=16 — inside the box-variance band, and the conf override is the
+    * dial for screen-bound-heavy deployments. The 2.8 MB estimate-unit
+    * target lands the derived B at 8 (the r17 default) through 20× and
+    * 16 at 50× — both measured-optimal. Results are B-invariant
+    * (spec-pinned); B moves only performance.
     */
-  private def gridB(spark: SparkSession): Int = {
-    val b = spark.conf.get("spark.graft.dedup.gridB", "8").toInt
-    require(b >= 1 && b <= 4096,
-      s"spark.graft.dedup.gridB must be in [1, 4096], got $b")
-    b
+  private[graft] val GridCellTargetEstBytes = 2800000L
+
+  private def gridB(spark: SparkSession, sa: DataFrame, sb: DataFrame): Int = {
+    val conf = spark.conf.get("spark.graft.dedup.gridB", "auto")
+    if (conf != "auto") {
+      val b = conf.toInt
+      require(b >= 1 && b <= 4096,
+        s"spark.graft.dedup.gridB must be in [1, 4096], got $b")
+      b
+    } else {
+      val est = (sa.queryExecution.optimizedPlan.stats.sizeInBytes +
+        sb.queryExecution.optimizedPlan.stats.sizeInBytes).toLong
+      val b = derivedGridB(est)
+      System.err.println(s"[graft] gridB auto-derived: $b " +
+        s"(signature size estimate $est B, target " +
+        s"$GridCellTargetEstBytes B/cell-side)")
+      b
+    }
+  }
+
+  /** The pure sizing arithmetic behind the auto-derived grid side:
+    * next power of two of ceil(2·estBytes / target), floored at 8
+    * (the r17 default — estimates below the target never shrink the
+    * grid) and clamped at 4096 (the conf's own upper bound). Pinned by
+    * DedupSpec so the calibration can't drift silently.
+    */
+  private[graft] def derivedGridB(estBytes: Long): Int = {
+    val want = math.max(8L,
+      (estBytes * 2 + GridCellTargetEstBytes - 1) / GridCellTargetEstBytes)
+    math.min(4096L, java.lang.Long.highestOneBit(want) *
+      (if (java.lang.Long.bitCount(want) > 1) 2L else 1L)).toInt
   }
 
   private def maxCellSigBytes(spark: SparkSession): Long = {
@@ -226,7 +268,7 @@ object Dedup {
       sb: DataFrame, sizeRatioMin: Option[Double]): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val b = gridB(spark)
+    val b = gridB(spark, sa, sb)
     val cellBudget = maxCellSigBytes(spark)
     def bucket(c: Column): Column = pmod(xxhash64(c), lit(b.toLong))
     // The candidate table feeds THREE consumers (the cogroup stream and

@@ -296,6 +296,38 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"least(struct) argmin tree crept back:\n${encode.take(2000)}")
   }
 
+  test("pq_rerank funnel: materialized index scan, bounded heaps both stages") {
+    val plan = planOf("pq_rerank_topk")
+    // stage 1 scans the stored (vec_id, embedding, codes) index, not a
+    // re-derived encode (the pq_adc_topk CollapseProject lesson)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"stage 1 must scan the materialized index:\n${plan.take(2000)}")
+    // both stages are q_id-keyed bounded heaps: stage 1's exchange
+    // satisfies stage 2's distribution — one hash exchange total, no
+    // ranking window, no sort of the scored relation
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected ONE hash exchange for both funnel stages, got " +
+        s"$hashExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("partial_topkstructs"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("ann_lsh_mp: posting-list equi-join candidates, never a corpus scan per probe") {
+    val plan = planOf("ann_lsh_mp")
+    // candidates come from a broadcast equi-join on (band, value) —
+    // the probe table is queries×bands×(r+1) rows, broadcast; a
+    // cartesian or non-equi join here would score the corpus per probe
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join must be a broadcast equi-join:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // final per-query cut is the bounded heap, not a ranking window
+    assert(plan.contains("partial_topkstructs"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+  }
+
   test("matryoshka: full-dim dot behind the shortlist cut; one exchange, no sort") {
     val df = SparkEntry.queries("matryoshka_topk")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

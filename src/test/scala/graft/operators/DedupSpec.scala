@@ -716,6 +716,23 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("derivedGridB: floor 8, measured calibration points, pow2, 4096 cap") {
+    // floor: small corpora (every fixture SF) keep the r17 default
+    assert(Dedup.derivedGridB(0L) === 8)
+    assert(Dedup.derivedGridB(1000000L) === 8)
+    // measured calibration (StatsProbe, round 18): sf0.1-corpus
+    // signature-table estimates per side are 226 501 B at 1×,
+    // 4 460 573 at 20×, 11 168 220 at 50× — the derived value must
+    // land 8, 8, 16 (the measured-optimal band of the 50× A/B)
+    assert(Dedup.derivedGridB(2 * 226501L) === 8)
+    assert(Dedup.derivedGridB(2 * 4460573L) === 8)
+    assert(Dedup.derivedGridB(2 * 11168220L) === 16)
+    // powers of two, monotone, linear growth: 100× ≈ 2× the 50× grid
+    assert(Dedup.derivedGridB(2 * 22336440L) === 32)
+    // clamp at the conf's own upper bound
+    assert(Dedup.derivedGridB(Long.MaxValue / 4) === 4096)
+  }
+
   test("an undersized grid cell fails loudly, naming the gridB dial") {
     // The cell hashmaps are unspillable on-heap state; past the
     // per-cell byte budget the task must die with the remedy in the
