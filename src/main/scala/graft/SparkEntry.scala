@@ -123,6 +123,7 @@ object SparkEntry {
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
     "semdedup"             -> (Clustering.semDedupDocs(_, _)),
     "pq_codes"             -> (Similarity.pqCodesDocs(_, _)),
+    "pq_trained_codes"     -> (Similarity.pqTrainedCodesDocs(_, _)),
     "pq_adc_topk"          -> (Similarity.pqAdcTopKDocs(_, _)),
     "ivf_pq_topk"          -> (Similarity.ivfPqTopKDocs(_, _)),
     "hard_negatives"       -> (Similarity.hardNegativesDocs(_, _)),
@@ -4096,6 +4097,10 @@ object SparkEntry {
            ON a.q_id = e.q_id AND a.vec_id = e.vec_id
          GROUP BY e.q_id ORDER BY e.q_id""",
     "kmeans_assign" -> kmeansAssignOracleSql,
+    // trained per-subspace PQ codebooks: four unrolled Lloyd chains +
+    // the shared argmin CTE — the adaptive-codebook production path,
+    // hash-gated because the trainer is engine-exact
+    "pq_trained_codes" -> pqTrainedCodesOracle,
     "kcenter_coreset" -> kCenterOracleSql,
     "minhash_mergeable" -> minhashMergeableOracleSql,
     // 1-bit binarization: the oracle replays the identical CASE-gated
@@ -4408,50 +4413,95 @@ object SparkEntry {
     * bit-for-bit. Empty clusters keep their previous position (the
     * LEFT JOIN's NULL branch), mirroring the trainer's clone.
     */
-  private def kmeansAssignOracleSql: String = {
-    val k = 16; val iters = 3; val dim = 64
-    def assignCte(name: String, cents: String) =
-      s"""$name AS (
-       SELECT vec_id, c_id AS cluster FROM (
+  /** The micro-quantized Lloyd chain as CTEs, parameterized so one
+    * builder serves the full-dim `kmeans_assign` oracle AND the four
+    * per-subspace chains of the `pq_trained_codes` oracle: `pfx`
+    * prefixes every CTE name, `vExpr` renders the (double) training
+    * vector from an `embeddings` row, and the caller composes the
+    * final selection from `${pfx}e` and `${pfx}c$iters`. The argmin
+    * CTE shape is exposed as [[kmeansAssignCte]] (same dist spelling,
+    * same smaller-id ties) so training-time assignment and any
+    * downstream code assignment can never drift.
+    */
+  private def kmeansAssignCte(name: String, eCte: String, cents: String,
+      dim: Int, outCol: String): String =
+    s"""$name AS (
+       SELECT vec_id, c_id AS $outCol FROM (
          SELECT e.vec_id, c.c_id,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
              c.c2 - 2 * list_sum(list_transform(generate_series(1, $dim),
                dd -> e.v[dd] * c.c[dd])), c.c_id) AS rk
-         FROM e CROSS JOIN $cents c) WHERE rk = 1)"""
-    val head = s"""e AS (
-       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM $eCte e CROSS JOIN $cents c) WHERE rk = 1)"""
+
+  private def kmeansChainCtes(pfx: String, k: Int, iters: Int, dim: Int,
+      vExpr: String): Seq[String] = {
+    val head = s"""${pfx}e AS (
+       SELECT vec_id, $vExpr AS v
        FROM embeddings),
-     c0r AS (
+     ${pfx}c0r AS (
        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v AS c
-       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
-     c0 AS (SELECT c_id, c,
-       list_sum(list_transform(c, x -> x * x)) AS c2 FROM c0r)"""
+       FROM (SELECT vec_id, v FROM ${pfx}e ORDER BY vec_id LIMIT $k)),
+     ${pfx}c0 AS (SELECT c_id, c,
+       list_sum(list_transform(c, x -> x * x)) AS c2 FROM ${pfx}c0r)"""
     val steps = (1 to iters).flatMap { i =>
       Seq(
-        assignCte(s"a$i", s"c${i - 1}"),
-        s"""s$i AS (
+        kmeansAssignCte(s"${pfx}a$i", s"${pfx}e", s"${pfx}c${i - 1}", dim,
+          "cluster"),
+        s"""${pfx}s$i AS (
        SELECT a.cluster, g.d,
          CAST(sum(CAST(floor(e.v[g.d + 1] * 1e6) AS BIGINT)) AS BIGINT) AS s,
          count(*) AS n
-       FROM a$i a JOIN e USING (vec_id)
+       FROM ${pfx}a$i a JOIN ${pfx}e e USING (vec_id)
        CROSS JOIN UNNEST(generate_series(0, ${dim - 1})) g(d)
        GROUP BY 1, 2)""",
-        s"""c${i}r AS (
+        s"""${pfx}c${i}r AS (
        SELECT p.c_id,
          list(CASE WHEN s.n IS NULL THEN p.c[g.d + 1]
               ELSE CAST(s.s AS DOUBLE) / (1e6 * s.n) END ORDER BY g.d) AS c
-       FROM c${i - 1} p
+       FROM ${pfx}c${i - 1} p
        CROSS JOIN UNNEST(generate_series(0, ${dim - 1})) g(d)
-       LEFT JOIN s$i s ON s.cluster = p.c_id AND s.d = g.d
+       LEFT JOIN ${pfx}s$i s ON s.cluster = p.c_id AND s.d = g.d
        GROUP BY p.c_id)""",
-        s"""c$i AS (SELECT c_id, c,
-       list_sum(list_transform(c, x -> x * x)) AS c2 FROM c${i}r)""")
+        s"""${pfx}c$i AS (SELECT c_id, c,
+       list_sum(list_transform(c, x -> x * x)) AS c2 FROM ${pfx}c${i}r)""")
     }
+    head +: steps
+  }
+
+  private def kmeansAssignOracleSql: String = {
+    val k = 16; val iters = 3; val dim = 64
+    val chain = kmeansChainCtes("", k, iters, dim,
+      "list_transform(embedding, x -> CAST(x AS DOUBLE))")
     // CAST: Spark's cluster is the argmin kernel's INT c_id; DuckDB's
     // row_number() would otherwise surface BIGINT and fail schema_match
-    ((head +: steps) :+ assignCte("afin", s"c$iters"))
+    (chain :+ kmeansAssignCte("afin", "e", s"c$iters", dim, "cluster"))
       .mkString("WITH ", ",\n     ",
         "\n     SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM afin ORDER BY vec_id")
+  }
+
+  /** `pq_trained_codes` oracle: four independent per-subspace Lloyd
+    * chains (subvector j = embedding dims j·16+1 … (j+1)·16, init =
+    * first-k subvectors by vec_id — exactly
+    * [[operators.Similarity.pqCodebooksTrained]]), then each vector's
+    * code = the trained-centroid argmin under the shared assign CTE
+    * shape. Every centroid coordinate is `s/(1e6·n)` of exact integer
+    * sums, so the chains land bit-identical doubles on both engines.
+    */
+  private def pqTrainedCodesOracle: String = {
+    val m = 4; val k = 16; val iters = 2; val subDim = 16
+    val parts = (0 until m).flatMap { j =>
+      val vExpr = s"list_transform(generate_series(${j * subDim + 1}, " +
+        s"${(j + 1) * subDim}), d -> CAST(embedding[d] AS DOUBLE))"
+      kmeansChainCtes(s"p$j", k, iters, subDim, vExpr) :+
+        kmeansAssignCte(s"p${j}code", s"p${j}e", s"p${j}c$iters", subDim,
+          s"code$j")
+    }
+    val joins = (1 until m).map(j => s"JOIN p${j}code USING (vec_id)")
+      .mkString(" ")
+    val cols = (0 until m).map(j => s"CAST(code$j AS INTEGER) AS code$j")
+      .mkString(", ")
+    parts.mkString("WITH ", ",\n     ",
+      s"\n     SELECT vec_id, $cols FROM p0code $joins ORDER BY vec_id")
   }
 
   /** Z-order oracle: the same max-scaled quantization, the same flat

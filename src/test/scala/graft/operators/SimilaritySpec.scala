@@ -273,6 +273,75 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       s"banding must not lose to the unbanded path: $mpHits vs $singleHits")
   }
 
+  test("trained codebooks shrink the ADC rank band on a near-tie corpus") {
+    import spark.implicits._
+    // The claim pqRerankTopK's scaladoc makes ("trained codebooks
+    // shrink the error floor and let the shortlist drop back toward
+    // k-proportional"), measured: a jittered-replica corpus (the 20×
+    // j=0.15 stress regime in miniature), the true top-10's WORST ADC
+    // rank computed under the dyadic grid vs trained books.
+    val base = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def jit(id: Long, d: Int): Float = {
+      val h = java.lang.Long.hashCode(id * 64L + d) // deterministic
+      (0.15 * ((Math.floorMod(h, 201)) / 100.0 - 1.0)).toFloat
+    }
+    val planted = for (q <- 0L until 10L; r <- 0 until 20) yield {
+      val v = base(q.toInt)._2
+      (100000L + q * 100L + r,
+        Array.tabulate(64)(d => v(d) + jit(100000L + q * 100L + r, d)))
+    }
+    val corpus = base ++ planted
+    val df = corpus.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val dyadic = Similarity.pqCodebooks(4, 16, 16)
+    val trained = Similarity.pqCodebooksTrained(df)
+    // plain-Scala ADC replay (same c²−2·v·c argmin, same floor-micro
+    // tables) — 2.2k vectors, exact and framework-free
+    def codes(books: IndexedSeq[IndexedSeq[Array[Double]]],
+        v: Array[Float]): Array[Int] =
+      Array.tabulate(4) { j =>
+        (0 until 16).minBy { p =>
+          val c = books(j)(p)
+          val c2 = c.map(x => x * x).sum
+          val dot = (0 until 16).map(d => v(j * 16 + d).toDouble * c(d)).sum
+          (c2 - 2 * dot, p)
+        }
+      }
+    def adist(books: IndexedSeq[IndexedSeq[Array[Double]]],
+        cs: Array[Int], q: Array[Float]): Long =
+      (0 until 4).map { j =>
+        val c = books(j)(cs(j))
+        val c2 = c.map(x => x * x).sum
+        val dot = (0 until 16).map(d => q(j * 16 + d).toDouble * c(d)).sum
+        math.floor((c2 - 2 * dot) * 1e6).toLong
+      }.sum
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      (0 until 64).map(d => (a(d).toDouble - b(d)) * (a(d).toDouble - b(d))).sum
+    def worstRank(books: IndexedSeq[IndexedSeq[Array[Double]]]): Int = {
+      val coded = corpus.map { case (i, v) => (i, v, codes(books, v)) }
+      (0L until 10L).map { qi =>
+        val q = base(qi.toInt)._2
+        val truth = corpus.filter(_._1 != qi)
+          .sortBy { case (i, v) => (l2(v, q), i) }.take(10).map(_._1).toSet
+        val ranked = coded.filter(_._1 != qi)
+          .map { case (i, _, cs) => (adist(books, cs, q), i) }
+          .sorted.map(_._2)
+        truth.map(t => ranked.indexOf(t) + 1).max
+      }.max
+    }
+    val dyadicBand = worstRank(dyadic)
+    val trainedBand = worstRank(trained)
+    info(s"worst ADC rank of true top-10: dyadic=$dyadicBand trained=$trainedBand")
+    // the measured claim: training tightens the band materially — the
+    // shortlist a funnel needs shrinks with it
+    assert(trainedBand < dyadicBand,
+      s"training must tighten the rank band: $trainedBand vs $dyadicBand")
+    assert(trainedBand <= dyadicBand / 2,
+      s"expected a material (>=2x) band reduction: $trainedBand vs $dyadicBand")
+  }
+
   test("ivfPqTopK recovers a planted exact duplicate through both layers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
