@@ -118,6 +118,7 @@ object SparkEntry {
     "ldiv_audit"           -> (Monitoring.ldivDocs(_, _)),
     "text_entropy"         -> (TextAnalysis.tokenEntropyDocs(_, _)),
     "ann_ivf"              -> (Similarity.annIvf(_, _)),
+    "ann_ivf_kmeans"       -> (Similarity.annIvfKmeans(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
@@ -2952,6 +2953,9 @@ object SparkEntry {
     // the IVF index is fully relational (centroids ARE data vectors), so
     // the approximate path itself is oracle-checkable, probe-for-probe
     "ann_ivf" -> annIvfOracle,
+    // trained-centroid IVF: the Lloyd chain over unit vectors + the
+    // ann_ivf probe spelling — the formerly spec-only path, hash-gated
+    "ann_ivf_kmeans" -> annIvfKmeansOracle,
     // IVF recall@10 audit — the LSH path's ann_recall twin, same
     // brute-force-vs-index LEFT JOIN and integer micro-rate
     "ann_recall_ivf" ->
@@ -4477,6 +4481,69 @@ object SparkEntry {
     (chain :+ kmeansAssignCte("afin", "e", s"c$iters", dim, "cluster"))
       .mkString("WITH ", ",\n     ",
         "\n     SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM afin ORDER BY vec_id")
+  }
+
+  /** `ann_ivf_kmeans` oracle: the trained-centroid IVF probe path —
+    * cells come from the micro-quantized Lloyd chain run over the
+    * UNIT-normalized vectors (`x/‖v‖` cast to float then back to
+    * double — one IEEE division + one round-to-nearest cast, exact on
+    * both engines), then the `ann_ivf` probe spelling verbatim with
+    * trained centroids in place of the first-16 seeds (cell norm =
+    * sqrt(c2), the chain's own left-to-right square sum). Larger-c_id
+    * ties throughout, matching Spark's greatest(struct).
+    */
+  private def annIvfKmeansOracle: String = {
+    val iters = 3
+    val unitExpr =
+      """list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) /
+         sqrt(list_sum(list_transform(embedding,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS REAL) AS DOUBLE))"""
+    val chain = kmeansChainCtes("u", 16, iters, 64, unitExpr)
+    val body = s"""base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         cents AS (
+           SELECT c_id, c AS c_emb, sqrt(c2) AS c_norm FROM uc$iters),
+         scores AS (
+           SELECT b.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(b.embedding[d] AS DOUBLE) * c.c_emb[d]))
+               / (b.norm * c.c_norm) AS ccos
+           FROM base b CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, c_id AS probe_cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn <= 4 AND vec_id < 10),
+         cand AS (
+           SELECT p.q_id, a.vec_id
+           FROM probes p JOIN assigned a ON a.cell = p.probe_cell
+           WHERE a.vec_id != p.q_id),
+         scored AS (
+           SELECT c.q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(bc.embedding[d] AS DOUBLE) * CAST(bq.embedding[d] AS DOUBLE)))
+               / (bc.norm * bq.norm), 4) AS cos
+           FROM cand c
+           JOIN base bc ON bc.vec_id = c.vec_id
+           JOIN base bq ON bq.vec_id = c.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored)
+         SELECT q_id, rk, neighbor_id, cos FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk"""
+    (chain :+ body).mkString("WITH ", ",\n     ", "")
   }
 
   /** `pq_trained_codes` oracle: four independent per-subspace Lloyd

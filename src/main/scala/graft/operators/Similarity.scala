@@ -283,6 +283,17 @@ object Similarity {
     * stable floor on the near-uniform testdata. Rows-only gate upstream
     * for the same reason as kmeans itself.
     */
+  /** Gated entry for the TRAINED-centroid IVF path — hash-gated since
+    * round 18: the unit-normalization is a float cast of exact double
+    * arithmetic, the trainer is the engine-exact integer-micro Lloyd
+    * chain (`kmeans_assign`'s discipline), and the probe arithmetic is
+    * `ann_ivf`'s proven spelling, so the DuckDB oracle replays
+    * training AND probing bit-for-bit. Closes the one ANN-family
+    * operator that was spec-only.
+    */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKKmeans(Tables(spark, dir).embeddings)
+
   def ivfTopKKmeans(vecs: DataFrame, numQueries: Int = 10, k: Int = 10,
       cells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val unit = withNorm(vecs).select(col("vec_id"),
