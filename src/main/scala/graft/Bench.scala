@@ -54,6 +54,11 @@ object Bench {
       try { fn(spark, sfDir).count()
         canarySeries += (System.nanoTime() - t0) / 1e9 }
       catch { case t: Throwable =>
+        // -1.0 sentinel keeps the series at fixed positions so per-epoch
+        // normalization can still align samples with gate indices from
+        // the artifact alone — a silently shortened series violates this
+        // harness's own "failures must be loud in the artifact" rule
+        canarySeries += -1.0
         System.err.println(s"[bench] CANARY FAILURE: $t") }
     }
     // Timed pass. A failed query is an ERROR row, never a phantom time —
@@ -110,6 +115,18 @@ object Bench {
     // (SPARK_GRAFT_ONLY dev subsets) or failed.
     val canary = ok.toMap.getOrElse("q13_scalar_fns", -1.0)
     val canaryArr = canarySeries.map(fmt).mkString("[", ",", "]")
+    // Canary-normalized warm total (round-18 verdict #7): warm_total
+    // scaled by ref_canary / median(series), making the cross-round
+    // comparison self-computing instead of a by-hand exercise. The
+    // reference canary is the r10 anchor epoch's 0.104 s (STRESS.md
+    // "Canary normalization"); the median is over SUCCESSFUL samples
+    // only (-1.0 failure sentinels excluded). -1 when no sample landed.
+    val canaryRefSec = 0.104
+    val validCanaries = canarySeries.filter(_ > 0).sorted
+    val canaryMedian =
+      if (validCanaries.isEmpty) -1.0 else validCanaries(validCanaries.size / 2)
+    val canaryNorm =
+      if (canaryMedian > 0) total * (canaryRefSec / canaryMedian) else -1.0
     // Gates whose TIMED pass reads a PlanCache-warm materialized
     // intermediate (the near-dup pair table / sentence segmentation,
     // built during the warm-up pass — the production landed-intermediate
@@ -132,6 +149,8 @@ object Bench {
     val common = s""""value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_err":${errs.size},"cold_total":${fmt(coldTotal)},"warm_total":${fmt(total)},""" +
       s""""canary_sec":${fmt(canary)},"canary_series":$canaryArr,""" +
+      s""""canary_ref_sec":${fmt(canaryRefSec)},"canary_median":${fmt(canaryMedian)},""" +
+      s""""warm_total_canary_norm":${fmt(canaryNorm)},""" +
       s""""cached_intermediate":$cachedArr,""" +
       s""""errors":$emap,"commit":"$commit","sf":"$sfDir""""
     // Two artifacts from one run:

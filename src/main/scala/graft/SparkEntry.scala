@@ -143,6 +143,8 @@ object SparkEntry {
     "ann_recall_ham"       -> (Similarity.annRecallHam(_, _)),
     "pq_rerank_topk"       -> (Similarity.pqRerankTopKDocs(_, _)),
     "ann_recall_pq_rerank" -> (Similarity.annRecallPqRerank(_, _)),
+    "pq_trained_rerank"    -> (Similarity.pqTrainedRerankTopKDocs(_, _)),
+    "ann_recall_pq_trained" -> (Similarity.annRecallPqTrained(_, _)),
     "ann_lsh_mp"           -> (Similarity.annLshMp(_, _)),
     "ann_recall_lsh_mp"    -> (Similarity.annRecallLshMp(_, _)),
     // --- training-data pipeline: post-training (SFT / preference) prep
@@ -1045,10 +1047,42 @@ object SparkEntry {
     */
   private def pqAdcOracle: String = pqAdcChainOracle("10")
 
+  /** The dyadic-grid chain: literal VALUES cents + the shared ADC body. */
   private def pqAdcChainOracle(limit: String): String =
     s"""WITH cents(sub, c_id, c, c2) AS (VALUES
            ${pqCentroidValues()}),
-         scored AS (
+         ${pqAdcBodyCtes(limit)}"""
+
+  /** TRAINED-book chain (`pq_trained_rerank` stage 1): the four
+    * per-subspace Lloyd chains of the `pq_trained_codes` oracle supply
+    * `cents` (MATERIALIZED — the body reads it twice, for corpus codes
+    * and query tables, and inlining would replay all four trainings
+    * twice), then the identical shared ADC body: one spelling of
+    * score → code → table → adist for both book families, so the
+    * oracles can never drift where the Scala paths share
+    * [[operators.Similarity]]'s funnel core.
+    */
+  private def pqTrainedAdcOracle(limit: String): String = {
+    val m = 4; val k = 16; val iters = 2; val subDim = 16
+    val chains = (0 until m).flatMap { j =>
+      val vExpr = s"list_transform(generate_series(${j * subDim + 1}, " +
+        s"${(j + 1) * subDim}), d -> CAST(embedding[d] AS DOUBLE))"
+      kmeansChainCtes(s"p$j", k, iters, subDim, vExpr)
+    }
+    val union = (0 until m)
+      .map(j => s"SELECT $j AS sub, c_id, c, c2 FROM p${j}c$iters")
+      .mkString("\n           UNION ALL ")
+    (chains :+ s"cents AS MATERIALIZED (\n           $union)")
+      .mkString("WITH ", ",\n     ", ",\n     ") + pqAdcBodyCtes(limit)
+  }
+
+  /** The ADC funnel body as CTE text, assuming a `cents(sub, c_id, c,
+    * c2)` CTE is in scope (dyadic VALUES or trained chains): corpus
+    * codes by argmin, per-query micro lookup tables, integer adist sum,
+    * per-query rank cut at `limit`.
+    */
+  private def pqAdcBodyCtes(limit: String): String =
+    s"""scored AS (
            SELECT e.vec_id, c.sub, c.c_id,
              c.c2 - 2 * list_sum(list_transform(generate_series(1, 16),
                  d -> CAST(e.embedding[c.sub * 16 + d] AS DOUBLE) * c.c[d]))
@@ -1114,9 +1148,23 @@ object SparkEntry {
     * DuckDB `//` floors ≡ Scala `/` truncation on the non-negative
     * count) as a scalar subquery.
     */
-  private def pqRerankOracle: String =
-    s"""WITH short AS (${pqAdcChainOracle(
-        "greatest(50, (SELECT count(*) FROM embeddings) // 4)")}),
+  private def pqRerankOracle: String = pqRerankWrapOracle(pqAdcChainOracle(
+    "greatest(50, (SELECT count(*) FROM embeddings) // 4)"))
+
+  /** `pq_trained_rerank` oracle: the TRAINED-book ADC chain (four Lloyd
+    * trainings + the shared body) at the operator's CONSTANT shortlist
+    * width — the k-proportional number that makes the funnel scale-safe
+    * — feeding the identical exact-L2 rerank wrapper.
+    */
+  private def pqTrainedRerankOracle: String =
+    pqRerankWrapOracle(pqTrainedAdcOracle(
+      operators.Similarity.PqTrainedShortlist.toString))
+
+  /** Exact squared-L2 rerank over a shortlist subquery — stage 2 of
+    * both funnels, one spelling (the exactL2 arithmetic verbatim).
+    */
+  private def pqRerankWrapOracle(shortQuery: String): String =
+    s"""WITH short AS ($shortQuery),
          rr AS (
            SELECT s.q_id, s.vec_id,
              CAST(floor((
@@ -2989,6 +3037,22 @@ object SparkEntry {
     "ann_recall_pq_rerank" ->
       s"""WITH exact AS ($exactL2TopkOracle),
          approx AS ($pqRerankOracle)
+         SELECT x.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM exact x LEFT JOIN approx a
+           ON a.q_id = x.q_id AND a.vec_id = x.neighbor_id
+         GROUP BY x.q_id ORDER BY x.q_id""",
+    // TRAINED-book funnel: four Lloyd trainings + the shared ADC body at
+    // the constant k-proportional shortlist + the shared exact-L2 rerank
+    "pq_trained_rerank" -> pqTrainedRerankOracle,
+    // the trained funnel's recall audit vs the same exact-L2 baseline —
+    // must hold the floor at j=0.15 AND j=0.3 (the untrained funnel's
+    // corpus/4 shortlist reads 0.50 at j=0.3)
+    "ann_recall_pq_trained" ->
+      s"""WITH exact AS ($exactL2TopkOracle),
+         approx AS ($pqTrainedRerankOracle)
          SELECT x.q_id,
            CAST(count(a.vec_id) AS BIGINT) AS n_hit,
            (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10

@@ -166,7 +166,19 @@ object Dedup {
     */
   private[graft] val GridCellTargetEstBytes = 2800000L
 
-  private def gridB(spark: SparkSession, sa: DataFrame, sb: DataFrame): Int = {
+  /** Ceiling above which a plan-stats size estimate is treated as
+    * MISSING rather than huge: a lineage containing an RDD scan (or a
+    * join Catalyst can't bound) reports `defaultSizeInBytes` =
+    * Long.MaxValue (the hazard documented at the union-find fast path
+    * below), and deriving from that garbage would silently buy the
+    * 2·4096× replication tax. 2^50 B (1 PiB of SIGNATURES — ~100×
+    * beyond what a 100 TB corpus produces) is comfortably above every
+    * genuine estimate and ~8000× below the sentinel, so no real corpus
+    * can trip it.
+    */
+  private[graft] val GridEstSaneCeiling = BigInt(1L << 50)
+
+  private[graft] def gridB(spark: SparkSession, sa: DataFrame, sb: DataFrame): Int = {
     val conf = spark.conf.get("spark.graft.dedup.gridB", "auto")
     if (conf != "auto") {
       val b = conf.toInt
@@ -174,13 +186,30 @@ object Dedup {
         s"spark.graft.dedup.gridB must be in [1, 4096], got $b")
       b
     } else {
-      val est = (sa.queryExecution.optimizedPlan.stats.sizeInBytes +
-        sb.queryExecution.optimizedPlan.stats.sizeInBytes).toLong
-      val b = derivedGridB(est)
-      System.err.println(s"[graft] gridB auto-derived: $b " +
-        s"(signature size estimate $est B, target " +
-        s"$GridCellTargetEstBytes B/cell-side)")
-      b
+      // BigInt end to end until validated — a defaultSizeInBytes
+      // (Long.MaxValue) summand would wrap `.toLong` to an arbitrary
+      // negative and silently floor B to 8 in exactly the huge-corpus
+      // regime the derivation exists for (r18 ADVICE)
+      val estBig = sa.queryExecution.optimizedPlan.stats.sizeInBytes +
+        sb.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (estBig <= 0 || estBig > GridEstSaneCeiling) {
+        // stats missing/garbage → the floor-8 default, LOUDLY: the
+        // runtime maxCellSigBytes budget still backstops a true
+        // under-grid with a named error + remedy
+        System.err.println(s"[graft] gridB: plan-stats estimate $estBig B " +
+          s"is outside (0, $GridEstSaneCeiling] — stats are missing or " +
+          "garbage (RDD-scan lineage reports defaultSizeInBytes); " +
+          "falling back to B=8. Set spark.graft.dedup.gridB explicitly " +
+          "for this input.")
+        8
+      } else {
+        val est = estBig.toLong // safe: validated <= 2^50
+        val b = derivedGridB(est)
+        System.err.println(s"[graft] gridB auto-derived: $b " +
+          s"(signature size estimate $est B, target " +
+          s"$GridCellTargetEstBytes B/cell-side)")
+        b
+      }
     }
   }
 

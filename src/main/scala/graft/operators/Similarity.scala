@@ -562,17 +562,23 @@ object Similarity {
     */
   private def pqCodeCols(m: Int, k: Int, dim: Int): Seq[Column] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    val books = pqCodebooks(m, k, subDim)
+    pqCodeColsFor(pqCodebooks(m, k, dim / m), dim / m)
+  }
+
+  /** The m per-subspace code columns against CALLER-supplied books —
+    * the one encode spelling shared by the dyadic-grid and trained
+    * paths, so they can never disagree on argmin/tie semantics.
+    */
+  private def pqCodeColsFor(books: IndexedSeq[IndexedSeq[Array[Double]]],
+      subDim: Int): Seq[Column] =
     // native pq_argmin kernel — bit-identical to the least(struct)
     // formulation the gate originally proved (same c² literals, same
     // left-to-right dot, same smallest-id ties), ~50× the encode
     // throughput (see functions.PqArgmin scaladoc)
-    (0 until m).map { j =>
+    books.indices.map { j =>
       graft.functions.PqArgmin.pqArgmin(col("embedding"), books(j),
         j * subDim, subDim).as(s"code$j")
     }
-  }
 
   private def pqEncode(vecs: DataFrame, m: Int, k: Int,
       dim: Int): DataFrame =
@@ -1623,20 +1629,37 @@ object Similarity {
       shortlist: Int = 0, shortlistMin: Int = 50, m: Int = 4, k: Int = 16,
       dim: Int = 64): DataFrame = {
     require(shortlist >= 0, s"shortlist must be >= 0 (0 = auto), got $shortlist")
-    val subDim = dim / m
-    val books = pqCodebooks(m, k, subDim)
     // auto-size: the corpus count is one cheap metadata-shaped action
     // (the oracle mirrors it as a scalar subquery) — see the sizing
     // derivation in the scaladoc
+    // saturated, not cast: corpus/4 past Int.MaxValue would wrap the
+    // .toInt negative and break the stage-1 heap (r18 ADVICE) — though
+    // a corpus that large should run the trained-book funnel
+    // ([[pqTrainedRerankTopK]]), whose shortlist is k-proportional
     val width =
       if (shortlist > 0) shortlist
-      else math.max(shortlistMin.toLong, vecs.count() / 4L).toInt
+      else math.min(Int.MaxValue.toLong,
+        math.max(shortlistMin.toLong, vecs.count() / 4L)).toInt
+    pqRerankFunnel(vecs, pqCodebooks(m, k, dim / m), width, numQueries,
+      topK, m, dim)
+  }
+
+  /** The shortlist→exact-rerank funnel against CALLER-supplied books:
+    * one spelling shared by the dyadic-grid gate ([[pqRerankTopK]]) and
+    * the trained-book production path ([[pqTrainedRerankTopK]]), so the
+    * two can never drift on stage semantics — only the books and the
+    * shortlist width differ.
+    */
+  private def pqRerankFunnel(vecs: DataFrame,
+      books: IndexedSeq[IndexedSeq[Array[Double]]], width: Int,
+      numQueries: Int, topK: Int, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
     // codes + the float vector in ONE materialized index table (the
     // [[pqAdcTopK]] checkpoint discipline): the rerank needs the
     // embedding for shortlist survivors only, and carrying it through
     // the stage-1 heap beats a second corpus join
     val coded = vecs.select(col("vec_id") +: col("embedding") +:
-      pqCodeCols(m, k, dim): _*).localCheckpoint(true)
+      pqCodeColsFor(books, subDim): _*).localCheckpoint(true)
     val queries = vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q"))
     val tables = queries.select(col("q_id") +: col("q") +:
@@ -1663,6 +1686,67 @@ object Similarity {
 
   def pqRerankTopKDocs(spark: SparkSession, dir: String): DataFrame =
     pqRerankTopK(Tables(spark, dir).embeddings)
+
+  /** Constant shortlist width for the TRAINED funnel — 2.5× headroom
+    * over the measured worst true-neighbor ADC rank under trained books
+    * (20 = the replica-cluster size on the near-tie jitter corpus, i.e.
+    * k-proportional; see [[pqTrainedRerankTopK]]'s scaladoc for the
+    * derivation). Interpolated into the DuckDB oracle so the two
+    * engines can never disagree on the cut.
+    */
+  val PqTrainedShortlist = 50
+
+  /** TRAINED-book shortlist→rerank funnel — [[pqRerankTopK]] with the
+    * [[pqCodebooksTrained]] books composed in, which is what makes the
+    * funnel's shortlist K-PROPORTIONAL instead of corpus-proportional
+    * (the round-18 verdict's one named scale-killer). The mechanism,
+    * measured not asserted: the dyadic grid's data-independent error
+    * floor puts true neighbors anywhere in a corpus-FRACTION ADC band
+    * when inter-neighbor gaps fall below it (worst true-neighbor rank
+    * 5 054/40 000 = 12.6% at the 20× j=0.15 probe → the untrained gate
+    * must rerank corpus/4 rows per query — linear-in-corpus, brute-force
+    * asymptotics), while trained books adapt the quantizer to the data's
+    * density and pull the worst rank down to the REPLICA-CLUSTER size
+    * (20 on the near-tie corpus — k-proportional; SimilaritySpec pins
+    * the ≥2× band reduction, the 20× jitter probes in STRESS.md measure
+    * the funnel recall itself). The `shortlist` default 50 is 2.5×
+    * headroom over that measured band and INDEPENDENT OF CORPUS SIZE:
+    * stage 2 reranks shortlist·queries rows — at 100 TB that is 50·|Q|
+    * exact distances, vs corpus/4·|Q| for the untrained funnel.
+    *
+    * Oracle-gated end to end (`pq_trained_rerank`): training is the
+    * engine-exact integer-micro Lloyd chain (`pq_trained_codes`'s
+    * proven spelling), ADC tables and the exact rerank are integer
+    * micro arithmetic, ties on vec_id — DuckDB replays train → encode →
+    * shortlist → rerank bit-for-bit. Same plan shape as the untrained
+    * funnel: m trainings (k·subDim driver state each), one materialized
+    * code index, broadcast per-query tables, bounded two-stage heap.
+    */
+  def pqTrainedRerankTopK(vecs: DataFrame, numQueries: Int = 10,
+      topK: Int = 10, shortlist: Int = PqTrainedShortlist, m: Int = 4,
+      k: Int = 16, dim: Int = 64, iters: Int = 2): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist must be >= topK $topK")
+    pqRerankFunnel(vecs, pqCodebooksTrained(vecs, m, k, dim, iters),
+      shortlist, numQueries, topK, m, dim)
+  }
+
+  def pqTrainedRerankTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    pqTrainedRerankTopK(Tables(spark, dir).embeddings)
+
+  /** Recall@10 audit of the TRAINED funnel against the exact squared-L2
+    * baseline — the falsification target the round-18 verdict set for
+    * the composition: the k-proportional (constant-width) shortlist must
+    * hold the full-scan floor at j=0.15 AND j=0.3, where the untrained
+    * corpus/4 funnel reads 1.00 and 0.50 respectively. Same driver-scale
+    * audit join as every recall gate; both production plans unchanged.
+    */
+  def annRecallPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir).embeddings
+    recallAtK(bruteForceTopKL2(vecs),
+      pqTrainedRerankTopK(vecs)
+        .select(col("q_id"), col("vec_id").as("neighbor_id")),
+      k = 10)
+  }
 
   /** Recall@10 audit of the PQ rerank funnel against the exact
     * squared-L2 baseline — the falsification target the round-17 jitter

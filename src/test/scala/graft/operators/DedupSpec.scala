@@ -733,6 +733,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.derivedGridB(Long.MaxValue / 4) === 4096)
   }
 
+  test("gridB: missing plan stats (RDD lineage) fall back to B=8, never wrap") {
+    // An RDD-scan lineage reports defaultSizeInBytes (Long.MaxValue) —
+    // before the sentinel guard, summing two of those wrapped .toLong
+    // negative and silently floored B in exactly the huge-corpus regime
+    // the derivation exists for (r18 verdict #4 / ADVICE). The guard
+    // must detect the garbage estimate and take the floor-8 default
+    // DELIBERATELY (warned), not accidentally.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType))))
+    val rdd = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L, Seq(1L, 2L)),
+      org.apache.spark.sql.Row(2L, Seq(2L, 3L))))
+    val rddDf = spark.createDataFrame(rdd, schema)
+    val est = rddDf.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > Dedup.GridEstSaneCeiling,
+      s"fixture no longer reproduces the missing-stats regime (est $est)")
+    assert(Dedup.gridB(spark, rddDf, rddDf) === 8)
+    // parquet-backed inputs keep deriving normally through the same path
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    assert(Dedup.gridB(spark, docs, docs) === 8) // tiny estimate → floor
+  }
+
   test("an undersized grid cell fails loudly, naming the gridB dial") {
     // The cell hashmaps are unspillable on-heap state; past the
     // per-cell byte budget the task must die with the remedy in the
