@@ -119,6 +119,9 @@ object SparkEntry {
     "text_entropy"         -> (TextAnalysis.tokenEntropyDocs(_, _)),
     "ann_ivf"              -> (Similarity.annIvf(_, _)),
     "ann_ivf_kmeans"       -> (Similarity.annIvfKmeans(_, _)),
+    "ann_ivf_kmeans_sampled" -> (Similarity.annIvfKmeansSampled(_, _)),
+    "ann_recall_ivf_kmeans" -> (Similarity.annRecallIvfKmeans(_, _)),
+    "ann_recall_ivf_sampled" -> (Similarity.annRecallIvfSampled(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
@@ -308,6 +311,10 @@ object SparkEntry {
     // MultimodalSpec-pinned (no cross-engine promise on Float division)
     "mm_features"          -> ((s, d) =>
       Multimodal.extractFeaturesAudit(s, d).drop("embedding")),
+    // cross-modal retrieval: text-side queries → trained-centroid IVF
+    // over image-side features (integer byte-histogram domain, so the
+    // whole funnel — train, assign, probe, cosine — is engine-exact)
+    "mm_xmodal_topk"       -> ((s, d) => Multimodal.xmodalTopK(s, d)),
     // --- streaming surface, driven through the gate: each entry runs a
     // REAL Structured Streaming query (file source → transform →
     // idempotent parquet sink) to completion and returns the landed
@@ -3004,6 +3011,32 @@ object SparkEntry {
     // trained-centroid IVF: the Lloyd chain over unit vectors + the
     // ann_ivf probe spelling — the formerly spec-only path, hash-gated
     "ann_ivf_kmeans" -> annIvfKmeansOracle,
+    // sampled-trainer arm: the same chain + probe spelling with the
+    // trainer input gated to the deterministic quarter sample — the
+    // bounded-training 100 TB path, still hash-exact
+    "ann_ivf_kmeans_sampled" -> annIvfKmeansSampledOracle,
+    // recall audits for the trained and sample-trained IVF paths — the
+    // ann_recall_ivf pattern with the Lloyd-chain oracles as approx
+    "ann_recall_ivf_kmeans" ->
+      s"""WITH brute AS ($annTopkOracle),
+         approx AS ($annIvfKmeansOracle)
+         SELECT b.q_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.neighbor_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM brute b LEFT JOIN approx a
+           ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.q_id ORDER BY b.q_id""",
+    "ann_recall_ivf_sampled" ->
+      s"""WITH brute AS ($annTopkOracle),
+         approx AS ($annIvfKmeansSampledOracle)
+         SELECT b.q_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.neighbor_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM brute b LEFT JOIN approx a
+           ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.q_id ORDER BY b.q_id""",
     // IVF recall@10 audit — the LSH path's ann_recall twin, same
     // brute-force-vs-index LEFT JOIN and integer micro-rate
     "ann_recall_ivf" ->
@@ -4451,6 +4484,9 @@ object SparkEntry {
     // FixtureSchemaSpec enforces it — so ord(char) IS the UTF-8 byte),
     // zero-filled over all 64 buckets to match the Spark array shape.
     // The Float-normalized embedding stays out of the hash on purpose.
+    // cross-modal retrieval: image-side histograms train the Lloyd
+    // chain; text-side histograms probe it — see mmXmodalOracle
+    "mm_xmodal_topk" -> mmXmodalOracle,
     "mm_features" ->
       """WITH chars AS (
            SELECT doc_id, ord(text[i]) % 64 AS b
@@ -4502,10 +4538,11 @@ object SparkEntry {
          FROM $eCte e CROSS JOIN $cents c) WHERE rk = 1)"""
 
   private def kmeansChainCtes(pfx: String, k: Int, iters: Int, dim: Int,
-      vExpr: String): Seq[String] = {
+      vExpr: String, where: String = "",
+      from: String = "embeddings"): Seq[String] = {
     val head = s"""${pfx}e AS (
        SELECT vec_id, $vExpr AS v
-       FROM embeddings),
+       FROM $from$where),
      ${pfx}c0r AS (
        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v AS c
        FROM (SELECT vec_id, v FROM ${pfx}e ORDER BY vec_id LIMIT $k)),
@@ -4556,13 +4593,118 @@ object SparkEntry {
     * sqrt(c2), the chain's own left-to-right square sum). Larger-c_id
     * ties throughout, matching Spark's greatest(struct).
     */
-  private def annIvfKmeansOracle: String = {
+  private def annIvfKmeansOracle: String = annIvfKmeansOracleWith("")
+
+  /** `ann_ivf_kmeans_sampled` oracle: identical to the full-corpus
+    * trained-IVF oracle except the Lloyd chain's training input is
+    * gated to [[operators.Similarity.IvfKmeansSampleFraction]] by the
+    * `sample_det` md5-bucket predicate — init (first k by vec_id) and
+    * every iteration see only the gated slice, exactly like the Scala
+    * trainer; assignment and probing still cover the full corpus.
+    */
+  private def annIvfKmeansSampledOracle: String = {
+    val cut = (1000000L * operators.Similarity.IvfKmeansSampleFraction).toLong
+    val salt = operators.Similarity.IvfKmeansSampleSalt
+    annIvfKmeansOracleWith(
+      s"""
+       WHERE ${duckMd5_60(s"'$salt' || CAST(vec_id AS VARCHAR)")} % 1000000
+             < $cut""")
+  }
+
+  /** `mm_xmodal_topk` oracle: image-side byte-bucket histograms (the
+    * `mm_features` spelling, doc_id % 3 = 0) as DOUBLE lists — counts
+    * are < 2^24, so the Scala float features replay exactly — feed the
+    * Lloyd chain over their unit normalization (the `ann_ivf_kmeans`
+    * cast discipline), then the trained-IVF probe body with a TEXT-side
+    * query batch (doc_id < 10 histograms). No self-exclusion: the two
+    * modalities are distinct relations. Larger-c_id ties throughout,
+    * matching Spark's greatest(struct).
+    */
+  private def mmXmodalOracle: String = {
+    val iters = 2
+    def hist(pfx: String, pred: String, idName: String): String =
+      s"""${pfx}chars AS (
+           SELECT doc_id, ord(text[i]) % 64 AS b
+           FROM documents, UNNEST(generate_series(1, length(text))) t(i)
+           WHERE $pred),
+         ${pfx}counts AS (
+           SELECT doc_id, b, count(*) AS c FROM ${pfx}chars GROUP BY 1, 2),
+         ${pfx}grid AS (
+           SELECT d.doc_id, g.b
+           FROM (SELECT doc_id FROM documents WHERE $pred) d,
+             UNNEST(generate_series(0, 63)) g(b)),
+         ${pfx}feat AS MATERIALIZED (
+           SELECT g.doc_id AS $idName,
+             list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY g.b) AS emb
+           FROM ${pfx}grid g LEFT JOIN ${pfx}counts c
+             ON g.doc_id = c.doc_id AND g.b = c.b
+           GROUP BY g.doc_id)"""
+    val unitExprX =
+      """list_transform(emb, x -> CAST(CAST(x /
+         sqrt(list_sum(list_transform(emb, y -> y * y))) AS REAL) AS DOUBLE))"""
+    val chain = kmeansChainCtes("x", 16, iters, 64, unitExprX,
+      from = "ifeat")
+    val body = s"""base AS (
+           SELECT vec_id, emb,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm
+           FROM ifeat),
+         qbase AS (
+           SELECT q_id, emb,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm
+           FROM qfeat),
+         cents AS (
+           SELECT c_id, c AS c_emb, sqrt(c2) AS c_norm FROM xc$iters),
+         scores AS (
+           SELECT b.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> b.emb[d] * c.c_emb[d])) / (b.norm * c.c_norm) AS ccos
+           FROM base b CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM scores) WHERE rn = 1),
+         qscores AS (
+           SELECT q.q_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> q.emb[d] * c.c_emb[d])) / (q.norm * c.c_norm) AS ccos
+           FROM qbase q CROSS JOIN cents c),
+         probes AS (
+           SELECT q_id, c_id AS probe_cell FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM qscores) WHERE rn <= 4),
+         cand AS (
+           SELECT p.q_id, a.vec_id
+           FROM probes p JOIN assigned a ON a.cell = p.probe_cell),
+         xscored AS (
+           SELECT c.q_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+               d -> bc.emb[d] * bq.emb[d])) / (bc.norm * bq.norm), 4) AS cos
+           FROM cand c
+           JOIN base bc ON bc.vec_id = c.vec_id
+           JOIN qbase bq ON bq.q_id = c.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+           FROM xscored)
+         SELECT q_id, rk, neighbor_id, cos FROM ranked
+         WHERE rk <= 10 ORDER BY q_id, rk"""
+    (Seq(hist("i", "doc_id % 3 = 0", "vec_id"),
+      hist("q", "doc_id < 10", "q_id")) ++ chain :+ body)
+      .mkString("WITH ", ",\n     ", "")
+  }
+
+  private def annIvfKmeansOracleWith(trainWhere: String): String = {
     val iters = 3
     val unitExpr =
       """list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) /
          sqrt(list_sum(list_transform(embedding,
            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS REAL) AS DOUBLE))"""
-    val chain = kmeansChainCtes("u", 16, iters, 64, unitExpr)
+    val chain = kmeansChainCtes("u", 16, iters, 64, unitExpr, trainWhere)
     val body = s"""base AS (
            SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,

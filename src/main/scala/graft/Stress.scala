@@ -126,7 +126,11 @@ object Stress {
     * single GC-unlucky run — the round-15 verdict's task #3.
     */
   private val BandRepeats: Map[String, Int] =
-    Map("dedup_containment" -> 5, "dedup_prefix" -> 5, "sent_dedup" -> 5)
+    Map("dedup_containment" -> 5, "dedup_prefix" -> 5, "sent_dedup" -> 5,
+      // r18 verdict #3: first-run JIT settles slowly on the multi-probe
+      // explode/join (measured runs 5.71/1.81/0.98 at 20× — the
+      // dedup_containment settling class); 5 trimmed runs read the tail
+      "ann_lsh_mp" -> 5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

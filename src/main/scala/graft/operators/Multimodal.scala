@@ -167,6 +167,60 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Byte-histogram feature vectors from (id, blob) rows — the INTEGER
+    * half of the stub encoder as floats: 64 exact counts
+    * ([[FakeCodec.decodeCounts]], frame 0), each < 2^24 so the float
+    * cast is value-preserving and every downstream double product is
+    * exact integer arithmetic any engine replays (unlike
+    * [[extractFeatures]]' float-DIVIDED embedding, which is why the
+    * cross-modal gate retrieves over counts, not normalized floats).
+    * Same mapPartitions batch shape as every decode path here.
+    */
+  private def histVecs(src: DataFrame, idName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idName, LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(schema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0),
+          FakeCodec.decodeCounts(r.getAs[Array[Byte]](1), 0)
+            .map(_.toFloat).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Cross-modal retrieval over the multimodal columns — the
+    * composition the `mm_*` family exists to feed: a TEXT-side query
+    * batch (the first `numQueries` documents, encoded straight from
+    * their text bytes) retrieves from the IMAGE-side corpus (every
+    * image-kind blob, encoded through the [[FakeCodec]] decode
+    * plumbing) via [[Similarity.ivfXModalTrainedTopK]]'s
+    * trained-centroid IVF index. Both encoders are the deterministic
+    * byte-histogram stub — the shared-space contract a CLIP-style
+    * deployment provides with real encoders; swap [[FakeCodec]] and
+    * nothing else changes. Hash-gated end to end: counts, training,
+    * assignment, probing and cosine are all exact integer-derived
+    * arithmetic the DuckDB oracle replays (including the four-chain
+    * Lloyd training over the image features).
+    *
+    * Scale shape: two scan-stage encodes (no shuffle — blobs never
+    * leave their executor), one k·dim-state training over the image
+    * side, broadcast query batch, probed-cell candidate scoring only.
+    */
+  def xmodalTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 10, cells: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val corpus = histVecs(
+      blobs(spark, dir).filter(col("kind") === "image")
+        .select(col("doc_id"), col("blob")), "vec_id")
+    val queries = histVecs(
+      Tables(spark, dir).documents.filter(col("doc_id") < numQueries)
+        .select(col("doc_id"),
+          to_binary(col("text"), lit("utf-8")).as("blob")), "q_id")
+    Similarity.ivfXModalTrainedTopK(corpus, queries, k, cells, nProbe, iters)
+  }
+
   /** [[extractFeatures]] with its value-level audit columns: the same
     * per-blob [[FakeCodec]] decode also emits the EXACT integer
     * histogram the embedding was normalized from, rolled up in-plan to

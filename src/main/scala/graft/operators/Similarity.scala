@@ -299,10 +299,123 @@ object Similarity {
     val unit = withNorm(vecs).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
     val (_, centroids) = Clustering.kmeans(unit, k = cells, iters = iters)
-    val cents = centroids.zipWithIndex.map { case (c, id) =>
+    ivfWithCentroids(withNorm(vecs), centroidsWithNorm(centroids),
+      numQueries, k, nProbe)
+  }
+
+  private def centroidsWithNorm(
+      centroids: Array[Array[Double]]): Array[(Int, Array[Double], Double)] =
+    centroids.zipWithIndex.map { case (c, id) =>
       (id, c, math.sqrt(c.map(x => x * x).sum))
     }
-    ivfWithCentroids(withNorm(vecs), cents, numQueries, k, nProbe)
+
+  /** Deterministic sample fraction + salt for the SAMPLED trainer arm —
+    * interpolated into the DuckDB oracle, so both engines gate the
+    * identical training slice.
+    */
+  val IvfKmeansSampleFraction = 0.25
+  val IvfKmeansSampleSalt = "km:"
+
+  /** TRAINED-centroid IVF with a SAMPLE-bounded trainer — the 100 TB
+    * spelling of [[ivfTopKKmeans]]: the full-corpus arm runs every Lloyd
+    * iteration over the whole table (linear and map-side-combined, but
+    * iters+1 full scans at 100 TB just to place `cells` centroids),
+    * while standard practice trains on a bounded sample and assigns the
+    * full corpus ONCE. The sample is [[Sampling.deterministicSample]]'s
+    * md5-bucket gate (the `sample_det` discipline: a pure function of
+    * vec_id — partitioning-invariant, ingestion-stable, and replayable
+    * by any engine that can MD5 a string), so the trained centroids —
+    * and therefore the whole gate — stay engine-exact and HASH-gated:
+    * the oracle runs the same Lloyd chain over the same gated slice.
+    * Centroid quality is a statistical claim, not an exactness one:
+    * k-means on a uniform random quarter of the corpus sees the same
+    * density field, and the 20× recall-parity probe (STRESS.md) measures
+    * the claim against the full-corpus arm. Index layout, assignment
+    * expression and probe path are [[ivfWithCentroids]] unchanged.
+    */
+  def ivfTopKKmeansSampled(vecs: DataFrame, numQueries: Int = 10,
+      k: Int = 10, cells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      fraction: Double = IvfKmeansSampleFraction): DataFrame = {
+    val unit = withNorm(vecs).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
+    val sample = Sampling.deterministicSample(unit, "vec_id", fraction,
+      salt = IvfKmeansSampleSalt)
+    val (_, centroids) = Clustering.kmeans(sample, k = cells, iters = iters)
+    ivfWithCentroids(withNorm(vecs), centroidsWithNorm(centroids),
+      numQueries, k, nProbe)
+  }
+
+  /** Gated entry for the sampled-trainer path — `ann_ivf_kmeans`'s twin
+    * with the trainer input gated to the deterministic quarter sample.
+    */
+  def annIvfKmeansSampled(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKKmeansSampled(Tables(spark, dir).embeddings)
+
+  /** Recall@10 audit of the trained-centroid IVF path against the exact
+    * cosine baseline — closes the one index entry that carried a gated
+    * result set but no gated quality metric since round 18 (every other
+    * family has its audit), and gives the stress harness a self-pinning
+    * recall row at every factor/jitter.
+    */
+  def annRecallIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    recallAtK(annBruteForce(spark, dir), annIvfKmeans(spark, dir), k = 10)
+
+  /** Recall@10 audit of the SAMPLE-trained IVF path — the parity
+    * instrument for the bounded-trainer claim: at scale (the 20×
+    * probe), its recall must hold the full-corpus trainer's
+    * ([[annRecallIvfKmeans]]) floor; on tiny corpora the quarter sample
+    * is genuinely noisier (16 centroids from ~125 points) and the gap
+    * is expected — which is why the claim is measured at the stress
+    * factor, not asserted at sf0.01.
+    */
+  def annRecallIvfSampled(spark: SparkSession, dir: String): DataFrame =
+    recallAtK(annBruteForce(spark, dir), annIvfKmeansSampled(spark, dir),
+      k = 10)
+
+  /** CROSS-MODAL trained-centroid IVF: a query batch from one modality
+    * (`queries`: q_id, embedding) probes a corpus of another
+    * (`corpus`: vec_id, embedding) through an index trained on the
+    * CORPUS side — the retrieval composition the `mm_*` family feeds
+    * ([[Multimodal.xmodalTopK]] sends text-encoder queries against
+    * image-encoder vectors; both encoders must land in one space, which
+    * is the CLIP-style contract this operator assumes of its inputs).
+    * Training is [[Clustering.kmeans]] over the unit-normalized corpus
+    * (the [[ivfTopKKmeans]] discipline, engine-exact integer-micro
+    * Lloyd), assignment/probing reuse [[centScores]] so cell semantics
+    * cannot drift from the single-modality paths. No self-exclusion:
+    * queries and corpus are distinct relations (a text query finding
+    * its own image is the ground-truth hit, not an artifact).
+    *
+    * Scale shape: identical to [[ivfWithCentroids]] — centroids are
+    * driver-sized by construction and codegen'd into the corpus scan,
+    * the query batch broadcasts with its probe lists, only probed-cell
+    * candidates are scored, bounded per-query top-k.
+    */
+  def ivfXModalTrainedTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = 10, cells: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val unit = withNorm(corpus).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
+    val (_, centroids) = Clustering.kmeans(unit, k = cells, iters = iters)
+    val cents = centroidsWithNorm(centroids)
+    val scores = centScores(cents)
+    val assigned = withNorm(corpus).withColumn("cell",
+      greatest(scores: _*).getField("c_id"))
+    val probes = transform(
+      slice(reverse(array_sort(array(scores: _*))), 1, nProbe),
+      s => s.getField("c_id"))
+    val qb = broadcast(withNorm(queries)
+      .withColumn("q_probes", probes)
+      .select(col("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("q_probes")))
+    val candidates = assigned
+      .join(qb, array_contains(col("q_probes"), col("cell")))
+      .withColumn("cos",
+        cosine(col("embedding"), col("q_emb"), col("norm"), col("q_norm")))
+    perQueryTopK(candidates, col("cos"), k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("__ord").as("cos"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   /** Cell assignment + broadcast probe-list queries, shared by the IVF

@@ -65,6 +65,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     exactDups.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("xmodalTopK: image-kind corpus only; a text query's own image is the rank-1 hit") {
+    val out = Multimodal.xmodalTopK(spark, dir).collect()
+    // 10 text-side queries × top-10 image-side neighbors
+    assert(out.length === 100)
+    // the corpus is the image modality only
+    out.foreach { r =>
+      assert(r.getLong(2) % 3 === 0,
+        s"neighbor ${r.getLong(2)} is not an image-kind doc")
+    }
+    // ground-truth self-hit: for query docs that ARE image-kind (text
+    // bytes == blob bytes, both encoders are the byte histogram), the
+    // doc's own image must surface at rank 1 with cosine exactly 1.0 —
+    // the cross-modal contract a CLIP-style space provides
+    val rk1 = out.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    Seq(0L, 3L, 6L, 9L).foreach { q =>
+      assert(rk1(q) === ((q, 1.0)), s"query $q must retrieve its own image first")
+    }
+    // non-image queries still get a full, sane result page
+    Seq(1L, 2L, 4L, 5L, 7L, 8L).foreach { q =>
+      assert(rk1.contains(q) && rk1(q)._2 <= 1.0)
+    }
+  }
+
   test("audit histogram ties to the embedding: counts/√hist_sq in Float") {
     val rows = Multimodal.extractFeaturesAudit(spark, dir).collect()
     val texts = graft.Engine.Tables(spark, dir).documents

@@ -342,6 +342,94 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       s"expected a material (>=2x) band reduction: $trainedBand vs $dyadicBand")
   }
 
+  test("pqTrainedRerankTopK: constant shortlist matches exact where the untrained funnel needs corpus/4") {
+    import spark.implicits._
+    // The round-18 composition claim, measured at unit scale: on the
+    // near-tie corpus (jittered replicas — the 20× j=0.15 regime in
+    // miniature), the TRAINED funnel at its CONSTANT default shortlist
+    // (50, independent of corpus size) must reproduce the exact-L2
+    // top-10, while the dyadic funnel CLAMPED to the same constant
+    // width loses truth (its measured rank band is a corpus fraction —
+    // which is exactly why its gate auto-sizes to corpus/4).
+    val base = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def jit(id: Long, d: Int): Float = {
+      val h = java.lang.Long.hashCode(id * 64L + d)
+      (0.15 * ((Math.floorMod(h, 201)) / 100.0 - 1.0)).toFloat
+    }
+    val planted = for (q <- 0L until 10L; r <- 0 until 20) yield {
+      val v = base(q.toInt)._2
+      (100000L + q * 100L + r,
+        Array.tabulate(64)(d => v(d) + jit(100000L + q * 100L + r, d)))
+    }
+    val df = (base ++ planted).toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    def topIds(got: org.apache.spark.sql.DataFrame) = got.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topIds(Similarity.bruteForceTopKL2(df, numQueries = 10, k = 10))
+    val trained = topIds(Similarity.pqTrainedRerankTopK(df, numQueries = 10,
+      topK = 10))
+    (0L until 10L).foreach { q =>
+      assert(trained(q) === exact(q),
+        s"trained funnel at shortlist=${Similarity.PqTrainedShortlist} " +
+          s"must match exact for query $q")
+    }
+    val dyadicAt50 = topIds(Similarity.pqRerankTopK(df, numQueries = 10,
+      topK = 10, shortlist = Similarity.PqTrainedShortlist))
+    val dyadicHits = (0L until 10L)
+      .map(q => dyadicAt50(q).intersect(exact(q)).size).sum
+    assert(dyadicHits < 100,
+      s"the dyadic funnel clamped to 50 must lose truth here ($dyadicHits/100) " +
+        "— else the corpus no longer exercises the trained-book advantage")
+  }
+
+  test("ivfTopKKmeansSampled: exact cosines; sample-trained cells hold recall on clustered data") {
+    import spark.implicits._
+    // exactness on the real fixture: candidates are exact-reranked, so
+    // every reported cosine must equal the brute-force cosine
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val brute = Similarity.bruteForceTopK(vecs, numQueries = 10, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val sampled = Similarity.ivfTopKKmeansSampled(vecs, numQueries = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(sampled.length === 100)
+    sampled.foreach { case (pair, cos) =>
+      assert(brute(pair) === cos, s"sampled-IVF cosine for $pair diverges")
+    }
+    // the statistical claim (scaladoc): a uniform quarter sample sees
+    // the same density field, so on data with actual cluster structure
+    // the sample-trained index holds the full-trainer's recall (the
+    // near-uniform fixture above has no structure to hold — its cell
+    // assignment is arbitrary under ANY trainer; the 20× probe in
+    // STRESS.md measures parity at scale)
+    val r = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(8) {
+      val v = Array.fill(dim)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val pts = (0 until 400).map { i =>
+      val c = centers(i / 50)
+      (i.toLong, c.map(x => (x + r.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val bruteTop = Similarity.bruteForceTopK(df, numQueries = 10, k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    def recallOf(out: org.apache.spark.sql.DataFrame): Double =
+      out.collect().map(x => (x.getLong(0), x.getLong(2)))
+        .count(bruteTop) / bruteTop.size.toDouble
+    val full = recallOf(Similarity.ivfTopKKmeans(df, numQueries = 10, k = 10,
+      cells = 8, nProbe = 2))
+    val samp = recallOf(Similarity.ivfTopKKmeansSampled(df, numQueries = 10,
+      k = 10, cells = 8, nProbe = 2))
+    assert(samp >= 0.9, s"sample-trained recall on separable clusters: $samp")
+    assert(samp >= full - 0.1,
+      s"sample-trained recall $samp must hold the full trainer's $full")
+  }
+
   test("ivfPqTopK recovers a planted exact duplicate through both layers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
