@@ -1715,16 +1715,18 @@ object Similarity {
     * which is exactly how raw ADC collapsed to 0.00–0.14 there).
     * `shortlist = 0` (the default) therefore auto-sizes to
     * max(`shortlistMin`, corpus/4) — 2× headroom over the measured
-    * band; pass an explicit value to override. A PRODUCTION deployment
-    * trains its codebooks, which shrinks the error floor below
-    * inter-neighbor gaps and lets the shortlist drop back to the
-    * k-proportional constant every ANN paper quotes — MEASURED, not
-    * asserted: on a jittered near-tie corpus the true top-10's worst
-    * ADC rank is 117 under this gate's dyadic grid vs 20 (= the
-    * replica-cluster size, i.e. k-proportional) under
-    * [[pqCodebooksTrained]]'s books (SimilaritySpec pins the ≥2×
-    * reduction; the `pq_trained_codes` gate pins the trained encoder
-    * itself). The corpus
+    * band; pass an explicit value to override. The PRODUCTION remedy
+    * is [[pqTrainedRerankTopK]] (gated since round 19): trained
+    * codebooks shrink the error floor below inter-neighbor gaps and
+    * drop the shortlist back to the k-proportional CONSTANT every ANN
+    * paper quotes — MEASURED, not asserted: on a jittered near-tie
+    * corpus the true top-10's worst ADC rank is 117 under this gate's
+    * dyadic grid vs 20 (= the replica-cluster size, i.e.
+    * k-proportional) under [[pqCodebooksTrained]]'s books
+    * (SimilaritySpec pins the ≥2× reduction and the trained funnel's
+    * exact-match-at-50 where this one needs corpus/4). This gate is
+    * RETAINED as the data-independent spelling (its books are oracle
+    * literals; training adds four Lloyd chains to the oracle). The corpus
     * fraction is the honest bound for an untrained quantizer, and the
     * 4-bytes-per-vector stage-1 scan still cuts exact-scoring flops 4×
     * even at that width. Both stage scores are exact integers
@@ -1826,6 +1828,21 @@ object Similarity {
     * headroom over that measured band and INDEPENDENT OF CORPUS SIZE:
     * stage 2 reranks shortlist·queries rows — at 100 TB that is 50·|Q|
     * exact distances, vs corpus/4·|Q| for the untrained funnel.
+    *
+    * SCOPE of the k-proportional claim, measured at the 20× jitter
+    * grid (STRESS.md round 19): it holds exactly while the trained
+    * error floor sits below inter-neighbor gaps — at j ≤ 0.15 worst
+    * trained rank is 19–20 and this funnel reads min recall 1.000 at
+    * shortlist 50. At j = 0.3 the PREMISE fails for any practical code
+    * size (measured (m, k) scan: worst rank 2.2k–19k of 40k across
+    * 4–16 B/vec — reconstruction error at that jitter scale is
+    * comparable to the true gap itself), so NO PQ funnel with a
+    * sub-corpus shortlist holds the floor there (the corpus/4 dyadic
+    * funnel reads 0.50); the gated families that DO hold j = 0.3 are
+    * trained IVF (`ann_recall_ivf_kmeans` min 1.000 — geometric cell
+    * restriction, exact scoring) and banded multi-probe LSH (0.90).
+    * Family selection by measured recall, not quantizer heroics, is
+    * the production answer past the code's resolution.
     *
     * Oracle-gated end to end (`pq_trained_rerank`): training is the
     * engine-exact integer-micro Lloyd chain (`pq_trained_codes`'s
