@@ -122,6 +122,8 @@ object SparkEntry {
     "ann_ivf_kmeans_sampled" -> (Similarity.annIvfKmeansSampled(_, _)),
     "ann_recall_ivf_kmeans" -> (Similarity.annRecallIvfKmeans(_, _)),
     "ann_recall_ivf_sampled" -> (Similarity.annRecallIvfSampled(_, _)),
+    "ivf_pq_trained_topk"  -> (Similarity.ivfPqTrainedTopKDocs(_, _)),
+    "ann_recall_ivf_pq_trained" -> (Similarity.annRecallIvfPqTrained(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
@@ -3027,6 +3029,19 @@ object SparkEntry {
          FROM brute b LEFT JOIN approx a
            ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
          GROUP BY b.q_id ORDER BY b.q_id""",
+    // the trained IVF-PQ + exact-refine stack (five Lloyd chains) and
+    // its three-layer recall audit vs the exact-L2 baseline
+    "ivf_pq_trained_topk" -> ivfPqTrainedOracle,
+    "ann_recall_ivf_pq_trained" ->
+      s"""WITH exact AS ($exactL2TopkOracle),
+         approx AS ($ivfPqTrainedOracle)
+         SELECT x.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM exact x LEFT JOIN approx a
+           ON a.q_id = x.q_id AND a.vec_id = x.neighbor_id
+         GROUP BY x.q_id ORDER BY x.q_id""",
     "ann_recall_ivf_sampled" ->
       s"""WITH brute AS ($annTopkOracle),
          approx AS ($annIvfKmeansSampledOracle)
@@ -4697,6 +4712,103 @@ object SparkEntry {
       hist("q", "doc_id < 10", "q_id")) ++ chain :+ body)
       .mkString("WITH ", ",\n     ", "")
   }
+
+  /** `ivf_pq_trained_topk` stage 1 as one nested query: FIVE Lloyd
+    * chains (the `ann_ivf_kmeans` unit chain for cells + the
+    * `pq_trained_codes` four subspace chains for books), cosine cell
+    * assignment/probing (larger-c_id ties), trained-book codes by the
+    * shared assign-CTE argmin, per-query micro ADC tables, and the
+    * probed-cell-restricted integer distance sum cut to the constant
+    * shortlist. Feeds [[pqRerankWrapOracle]]'s exact-L2 refine — every
+    * spelling is its parent gate's, composed.
+    */
+  private def ivfPqTrainedShortQuery: String = {
+    val cellIters = 3; val bookIters = 2; val m = 4; val k = 16
+    val subDim = 16
+    val unitExpr =
+      """list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) /
+         sqrt(list_sum(list_transform(embedding,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS REAL) AS DOUBLE))"""
+    val uChain = kmeansChainCtes("u", 16, cellIters, 64, unitExpr)
+    val bookChains = (0 until m).flatMap { j =>
+      val vExpr = s"list_transform(generate_series(${j * subDim + 1}, " +
+        s"${(j + 1) * subDim}), d -> CAST(embedding[d] AS DOUBLE))"
+      kmeansChainCtes(s"p$j", k, bookIters, subDim, vExpr)
+    }
+    val centsUnion = (0 until m)
+      .map(j => s"SELECT $j AS sub, c_id, c, c2 FROM p${j}c$bookIters")
+      .mkString("\n           UNION ALL ")
+    val body = s"""cents AS MATERIALIZED (
+           $centsUnion),
+         base AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           FROM embeddings),
+         ccents AS (
+           SELECT c_id, c AS c_emb, sqrt(c2) AS c_norm FROM uc$cellIters),
+         cscores AS (
+           SELECT b.vec_id, c.c_id,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> CAST(b.embedding[d] AS DOUBLE) * c.c_emb[d]))
+               / (b.norm * c.c_norm) AS ccos
+           FROM base b CROSS JOIN ccents c),
+         assigned AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM cscores) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS q_id, c_id AS probe_cell FROM (
+             SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, c_id DESC) AS rn
+             FROM cscores) WHERE rn <= 4 AND vec_id < 10),
+         pairs AS (
+           SELECT p.q_id, a.vec_id
+           FROM probes p JOIN assigned a ON a.cell = p.probe_cell
+           WHERE a.vec_id != p.q_id),
+         scored AS (
+           SELECT e.vec_id, c.sub, c.c_id,
+             c.c2 - 2 * list_sum(list_transform(generate_series(1, 16),
+                 d -> CAST(e.embedding[c.sub * 16 + d] AS DOUBLE) * c.c[d]))
+               AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         codes AS (
+           SELECT vec_id, sub, c_id FROM (
+             SELECT vec_id, sub, c_id,
+               row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY dist, c_id) AS rk
+             FROM scored) WHERE rk = 1),
+         qt AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                WHERE vec_id < 10),
+         tbl AS (
+           SELECT qt.q_id, c.sub, c.c_id,
+             CAST(floor((c.c2 - 2 * list_sum(list_transform(
+                 generate_series(1, 16),
+                 d -> CAST(qt.qe[c.sub * 16 + d] AS DOUBLE) * c.c[d])))
+               * 1e6) AS BIGINT) AS t_micro
+           FROM qt CROSS JOIN cents c),
+         adist AS (
+           SELECT pr.q_id, pr.vec_id,
+             CAST(sum(t.t_micro) AS BIGINT) AS adist_micro
+           FROM pairs pr
+           JOIN codes co ON co.vec_id = pr.vec_id
+           JOIN tbl t ON t.q_id = pr.q_id AND t.sub = co.sub
+             AND t.c_id = co.c_id
+           GROUP BY pr.q_id, pr.vec_id)
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adist_micro, vec_id) AS rk
+           FROM adist)
+         WHERE rk <= ${operators.Similarity.PqTrainedShortlist}"""
+    (uChain ++ bookChains :+ body).mkString("WITH ", ",\n     ", "")
+  }
+
+  private def ivfPqTrainedOracle: String =
+    pqRerankWrapOracle(ivfPqTrainedShortQuery)
 
   private def annIvfKmeansOracleWith(trainWhere: String): String = {
     val iters = 3

@@ -892,6 +892,100 @@ object Similarity {
   def ivfPqTopKDocs(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(Tables(spark, dir).embeddings)
 
+  /** TRAINED IVF-PQ with exact refine — the three-layer composition
+    * production vector serving actually deploys (the FAISS
+    * `IVFPQ + refine` stack), assembled entirely from gate-proven
+    * parts: TRAINED coarse cells ([[ivfTopKKmeans]]'s spherical-k-means
+    * structure — cosine assignment over unit-trained centroids, larger
+    * c_id ties), TRAINED per-subspace PQ codebooks
+    * ([[pqCodebooksTrained]] — the k-proportional error floor), ADC
+    * scoring over probed-cell rows only ([[pqAdcTopK]]'s lookup
+    * tables), and [[pqTrainedRerankTopK]]'s exact-L2 rerank of a
+    * constant shortlist. A corpus vector's index contribution is
+    * (cell, code0..3) = 5 small ints from one scan; a query touches
+    * `nProbe`/`cells` of the corpus at 4 bytes + m lookups per row,
+    * and exact distances are evaluated on shortlist·queries rows only.
+    *
+    * Fully HASH-gated (`ivf_pq_trained_topk`): every layer is the
+    * engine-exact arithmetic its parent gate proved — the oracle runs
+    * FIVE Lloyd chains (one 64-dim unit chain for the cells, four
+    * 16-dim subspace chains for the books) and replays assignment,
+    * probing, ADC and rerank bit-for-bit. The recall audit
+    * (`ann_recall_ivf_pq_trained`) measures the three-layer
+    * approximation against the exact squared-L2 baseline; setting
+    * `nProbe = cells` and `shortlist = corpus` provably degenerates to
+    * [[bruteForceTopKL2]] (SimilaritySpec pins the equality — both
+    * approximation layers off means exact, or the composition is
+    * miswired).
+    *
+    * Scale shape: the index table materializes once
+    * (the [[pqAdcTopK]] checkpoint discipline; at warehouse scale it
+    * IS the stored index, cell-bucketed parquet); centroids and books
+    * are driver-sized literals compiled into the scan; the query batch
+    * broadcasts with probe lists + ADC tables; stage-2 embeddings ride
+    * the bounded stage-1 heap, never a corpus re-join.
+    */
+  def ivfPqTrainedTopK(vecs: DataFrame, numQueries: Int = 10,
+      topK: Int = 10, cells: Int = 16, nProbe: Int = 4, m: Int = 4,
+      k: Int = 16, dim: Int = 64, cellIters: Int = 3, bookIters: Int = 2,
+      shortlist: Int = PqTrainedShortlist): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist must be >= topK $topK")
+    val subDim = dim / m
+    val unit = withNorm(vecs).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
+    val (_, centroids) = Clustering.kmeans(unit, k = cells, iters = cellIters)
+    val cents = centroidsWithNorm(centroids)
+    val books = pqCodebooksTrained(vecs, m, k, dim, bookIters)
+    val scores = centScores(cents)
+    // the stored index: (cell, codes) + the embedding for the refine
+    // stage, one scan, materialized once
+    val coded = withNorm(vecs).select(
+      col("vec_id") +: col("embedding") +:
+        greatest(scores: _*).getField("c_id").as("cell") +:
+        pqCodeColsFor(books, subDim): _*).localCheckpoint(true)
+    val probes = transform(
+      slice(reverse(array_sort(array(scores: _*))), 1, nProbe),
+      s => s.getField("c_id"))
+    val queries = withNorm(vecs).filter(col("vec_id") < numQueries)
+      .withColumn("q_probes", probes)
+      .select(col("vec_id").as("q_id") +: col("embedding").as("q") +:
+        col("q_probes") +:
+        adcTableCols(books, m, subDim, col("embedding")): _*)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"tbl$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
+    val scored = coded.join(broadcast(queries),
+        array_contains(col("q_probes"), col("cell")) &&
+          col("vec_id") =!= col("q_id"))
+      .withColumn("adist_micro", approx)
+    val shortlisted = perQueryTopK(scored, -col("adist_micro"), shortlist,
+      extra = Seq("embedding", "q"))
+    val d2 = floor((vecDot(col("embedding"), col("embedding"))
+        - lit(2.0) * vecDot(col("embedding"), col("q"))
+        + vecDot(col("q"), col("q"))) * lit(1e6)).cast("long")
+    perQueryTopK(shortlisted.withColumn("d2_micro", d2), -col("d2_micro"), topK)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        (-col("__ord")).as("d2_micro"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  def ivfPqTrainedTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTrainedTopK(Tables(spark, dir).embeddings)
+
+  /** Recall@10 of the full trained IVF-PQ+refine stack against the
+    * exact squared-L2 baseline — the three-layer approximation (cell
+    * recall × code distortion × shortlist cut) priced as one number,
+    * pinned per factor/jitter by the stress harness like every other
+    * `ann_recall` gate.
+    */
+  def annRecallIvfPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir).embeddings
+    recallAtK(bruteForceTopKL2(vecs),
+      ivfPqTrainedTopK(vecs)
+        .select(col("q_id"), col("vec_id").as("neighbor_id")),
+      k = 10)
+  }
+
   // ------------------------------------------------- kNN classification
 
   /** k-nearest-neighbor majority-vote classification — the standard

@@ -430,6 +430,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       s"sample-trained recall $samp must hold the full trainer's $full")
   }
 
+  test("ivfPqTrainedTopK: both approximation layers off degenerates to the exact scan") {
+    // the composition contract: nProbe = cells (no cell cut) and
+    // shortlist = corpus (no ADC cut) must reproduce bruteForceTopKL2
+    // row-for-row — else a layer is miswired
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val n = vecs.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3))).toSeq
+    val exact = rows(Similarity.bruteForceTopKL2(vecs, numQueries = 10, k = 10))
+    val open = rows(Similarity.ivfPqTrainedTopK(vecs, numQueries = 10,
+      topK = 10, nProbe = 16, shortlist = n))
+    assert(open === exact)
+  }
+
+  test("ivfPqTrainedTopK recovers a planted exact duplicate through all three layers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = new scala.util.Random(23)
+    def rand() = Array.fill(64)((r.nextDouble() - 0.5).toFloat).toSeq
+    val base = (0L until 10L).map(i => (i, rand()))
+    val dups = base.map { case (i, v) => (100L + i, v) } // exact copies
+    val noise = (1000L until 1300L).map(i => (i, rand()))
+    val df = (base ++ dups ++ noise).toDF("vec_id", "embedding")
+    // an exact copy shares the query's cell and codes, so it survives
+    // the probe cut and the ADC cut, and the exact refine puts it at
+    // rank 1 with d2 = 0
+    val rk1 = Similarity.ivfPqTrainedTopK(df, numQueries = 10, topK = 3)
+      .filter(col("rk") === 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    (0L until 10L).foreach { q =>
+      assert(rk1(q) === ((100L + q, 0L)), s"query $q")
+    }
+  }
+
   test("ivfPqTopK recovers a planted exact duplicate through both layers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -7,10 +7,11 @@ This script re-implements the gates from their SEMANTICS in pure
 Python/NumPy — no Spark, no DuckDB, no shared builders — and compares
 row-for-row against the Spark parquet output of graft.Verify.
 
-Covered gates (the six round-18 additions + the four round-19 ones):
+Covered gates (the six round-18 additions + the eight round-19 ones):
   pq_trained_codes, ann_ivf_kmeans, pq_rerank_topk, ann_recall_pq_rerank,
   ann_lsh_mp, ann_recall_lsh_mp, pq_trained_rerank, ann_recall_pq_trained,
-  ann_ivf_kmeans_sampled (+ its recall audits), mm_xmodal_topk.
+  ann_ivf_kmeans_sampled (+ its recall audits), mm_xmodal_topk, and the
+  full trained IVF-PQ + refine stack (ivf_pq_trained_topk + audit).
 
 Exactness contract being replayed: every float is IEEE f64 derived from
 exact f32 inputs; dot products accumulate LEFT TO RIGHT; micro
@@ -433,6 +434,42 @@ def main(sf_dir, out_dir):
           ["q_id", "rk", "neighbor_id", "cos"])
     check("ann_recall_lsh_mp", load_gate(out_dir, "ann_recall_lsh_mp"),
           recall_rows(exact_cos, mp), ["q_id", "n_hit", "recall_micro"])
+
+    # --- trained IVF-PQ + exact refine (all three layers composed)
+    train = [(i, unit_f32(v)) for i, v in vecs]
+    cents = kmeans(train, 16, 3, 64)
+    cnorm = [math.sqrt(dot_lr(c, c)) for c in cents]
+    vnorm = {i: math.sqrt(dot_lr(v, v)) for i, v in vecs}
+    emb = dict(vecs)
+
+    def cscores(v, nv):
+        return [(dot_lr(v, cents[p]) / (nv * cnorm[p]), p) for p in range(16)]
+
+    cell = {i: max(cscores(v, vnorm[i]))[1] for i, v in vecs}
+    codes_t = pq_codes(vecs, tb)
+    ivfpq = {}
+    for qi in [i for i, _ in vecs if i < 10]:
+        q = emb[qi]
+        probesq = {p for _, p in sorted(cscores(q, vnorm[qi]),
+                                        reverse=True)[:4]}
+        tbl = [[micro(dot_lr(c, c) - 2.0 * dot_lr(q[j * 16:(j + 1) * 16], c))
+                for c in tb[j]] for j in range(4)]
+        scored = []
+        for i, v in vecs:
+            if i == qi or cell[i] not in probesq:
+                continue
+            scored.append((sum(tbl[j][codes_t[i][j]] for j in range(4)), i, v))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        qq = dot_lr(q, q)
+        rr = sorted((micro(dot_lr(v, v) - 2.0 * dot_lr(v, q) + qq), i)
+                    for _, i, v in scored[:50])
+        ivfpq[qi] = [(r + 1, i, d2) for r, (d2, i) in enumerate(rr[:10])]
+    check("ivf_pq_trained_topk", load_gate(out_dir, "ivf_pq_trained_topk"),
+          [(q, rk, i, d2) for q, rs in ivfpq.items() for rk, i, d2 in rs],
+          ["q_id", "rk", "vec_id", "d2_micro"])
+    check("ann_recall_ivf_pq_trained",
+          load_gate(out_dir, "ann_recall_ivf_pq_trained"),
+          recall_rows(exact_l2, ivfpq), ["q_id", "n_hit", "recall_micro"])
 
     # --- cross-modal retrieval
     corpus = [(i, byte_hist(t)) for i, t in docs if i % 3 == 0]
