@@ -124,6 +124,8 @@ object SparkEntry {
     "ann_recall_ivf_sampled" -> (Similarity.annRecallIvfSampled(_, _)),
     "ivf_pq_trained_topk"  -> (Similarity.ivfPqTrainedTopKDocs(_, _)),
     "ann_recall_ivf_pq_trained" -> (Similarity.annRecallIvfPqTrained(_, _)),
+    "ivf_pq_trained_sampled" -> (Similarity.ivfPqTrainedSampledTopKDocs(_, _)),
+    "ann_recall_ivf_pq_sampled" -> (Similarity.annRecallIvfPqSampled(_, _)),
     "embed_neardup"        -> (Similarity.embedNearDup(_, _)),
     "kmeans_assign"        -> (Clustering.kmeansAssign(_, _)),
     "kmeans_fixed_assign"  -> (Clustering.kmeansFixedAssign(_, _)),
@@ -3042,6 +3044,19 @@ object SparkEntry {
          FROM exact x LEFT JOIN approx a
            ON a.q_id = x.q_id AND a.vec_id = x.neighbor_id
          GROUP BY x.q_id ORDER BY x.q_id""",
+    // the sample-trained arm of the stack (all five chains gated to the
+    // md5 quarter slice) and its recall-parity audit
+    "ivf_pq_trained_sampled" -> ivfPqTrainedSampledOracle,
+    "ann_recall_ivf_pq_sampled" ->
+      s"""WITH exact AS ($exactL2TopkOracle),
+         approx AS ($ivfPqTrainedSampledOracle)
+         SELECT x.q_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (CAST(count(a.vec_id) AS BIGINT) * 1000000) // 10
+             AS recall_micro
+         FROM exact x LEFT JOIN approx a
+           ON a.q_id = x.q_id AND a.vec_id = x.neighbor_id
+         GROUP BY x.q_id ORDER BY x.q_id""",
     "ann_recall_ivf_sampled" ->
       s"""WITH brute AS ($annTopkOracle),
          approx AS ($annIvfKmeansSampledOracle)
@@ -4617,13 +4632,21 @@ object SparkEntry {
     * every iteration see only the gated slice, exactly like the Scala
     * trainer; assignment and probing still cover the full corpus.
     */
-  private def annIvfKmeansSampledOracle: String = {
+  private def annIvfKmeansSampledOracle: String =
+    annIvfKmeansOracleWith(ivfSampleWhere)
+
+  /** The `sample_det` md5-bucket training gate as a WHERE clause —
+    * ONE spelling for every sample-trained Lloyd chain (the plain IVF
+    * sampled arm and all five chains of the sampled stack), so the
+    * slice the oracles train on cannot drift from
+    * [[operators.Similarity.IvfKmeansSampleFraction]]/Salt.
+    */
+  private def ivfSampleWhere: String = {
     val cut = (1000000L * operators.Similarity.IvfKmeansSampleFraction).toLong
     val salt = operators.Similarity.IvfKmeansSampleSalt
-    annIvfKmeansOracleWith(
-      s"""
+    s"""
        WHERE ${duckMd5_60(s"'$salt' || CAST(vec_id AS VARCHAR)")} % 1000000
-             < $cut""")
+             < $cut"""
   }
 
   /** `mm_xmodal_topk` oracle: image-side byte-bucket histograms (the
@@ -4722,18 +4745,18 @@ object SparkEntry {
     * shortlist. Feeds [[pqRerankWrapOracle]]'s exact-L2 refine — every
     * spelling is its parent gate's, composed.
     */
-  private def ivfPqTrainedShortQuery: String = {
+  private def ivfPqTrainedShortQuery(trainWhere: String = ""): String = {
     val cellIters = 3; val bookIters = 2; val m = 4; val k = 16
     val subDim = 16
     val unitExpr =
       """list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) /
          sqrt(list_sum(list_transform(embedding,
            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS REAL) AS DOUBLE))"""
-    val uChain = kmeansChainCtes("u", 16, cellIters, 64, unitExpr)
+    val uChain = kmeansChainCtes("u", 16, cellIters, 64, unitExpr, trainWhere)
     val bookChains = (0 until m).flatMap { j =>
       val vExpr = s"list_transform(generate_series(${j * subDim + 1}, " +
         s"${(j + 1) * subDim}), d -> CAST(embedding[d] AS DOUBLE))"
-      kmeansChainCtes(s"p$j", k, bookIters, subDim, vExpr)
+      kmeansChainCtes(s"p$j", k, bookIters, subDim, vExpr, trainWhere)
     }
     val centsUnion = (0 until m)
       .map(j => s"SELECT $j AS sub, c_id, c, c2 FROM p${j}c$bookIters")
@@ -4808,7 +4831,16 @@ object SparkEntry {
   }
 
   private def ivfPqTrainedOracle: String =
-    pqRerankWrapOracle(ivfPqTrainedShortQuery)
+    pqRerankWrapOracle(ivfPqTrainedShortQuery())
+
+  /** `ivf_pq_trained_sampled` oracle: the identical five-chain stack
+    * with every chain's training input gated to the md5 quarter slice
+    * ([[ivfSampleWhere]] — init AND every Lloyd iteration see only the
+    * slice, exactly like the Scala trainers); assignment, coding,
+    * probing, ADC and the exact rerank still cover the full corpus.
+    */
+  private def ivfPqTrainedSampledOracle: String =
+    pqRerankWrapOracle(ivfPqTrainedShortQuery(ivfSampleWhere))
 
   private def annIvfKmeansOracleWith(trainWhere: String): String = {
     val iters = 3

@@ -928,14 +928,58 @@ object Similarity {
   def ivfPqTrainedTopK(vecs: DataFrame, numQueries: Int = 10,
       topK: Int = 10, cells: Int = 16, nProbe: Int = 4, m: Int = 4,
       k: Int = 16, dim: Int = 64, cellIters: Int = 3, bookIters: Int = 2,
-      shortlist: Int = PqTrainedShortlist): DataFrame = {
+      shortlist: Int = PqTrainedShortlist): DataFrame =
+    ivfPqTrainedStack(vecs, vecs, numQueries, topK, cells, nProbe, m, k,
+      dim, cellIters, bookIters, shortlist)
+
+  /** SAMPLE-trained arm of the full stack — the 100 TB spelling of
+    * [[ivfPqTrainedTopK]]: BOTH training layers (the coarse-cell Lloyd
+    * chain and the four per-subspace book chains) run over ONE
+    * deterministic md5-gated slice ([[Sampling.deterministicSample]],
+    * the `sample_det` discipline — same fraction and salt as
+    * [[ivfTopKKmeansSampled]], so "the training slice" is one concept
+    * across the suite), and the full corpus is assigned + coded ONCE.
+    * The full-corpus arm pays `(cellIters + m·bookIters + 2)` full
+    * scans just to train; this arm pays the training scans on a
+    * bounded slice and exactly two full passes (cell assignment + PQ
+    * coding, fused into the one index-build scan) — at 100 TB that is
+    * the difference between an index build dominated by training
+    * re-scans and one dominated by the single coding pass. Hash-gated
+    * end to end (`ivf_pq_trained_sampled`): the md5 gate is a pure
+    * function of vec_id, so the oracle replays the same five chains
+    * over the same slice bit-for-bit. Centroid/book QUALITY on a
+    * sample is the statistical claim the 20× jitter probes and the
+    * recall audit (`ann_recall_ivf_pq_sampled`) price — the
+    * 100-query parity instrument (STRESS.md) showed full and sampled
+    * trainers measure identically on this corpus.
+    */
+  def ivfPqTrainedSampledTopK(vecs: DataFrame, numQueries: Int = 10,
+      topK: Int = 10, cells: Int = 16, nProbe: Int = 4, m: Int = 4,
+      k: Int = 16, dim: Int = 64, cellIters: Int = 3, bookIters: Int = 2,
+      shortlist: Int = PqTrainedShortlist,
+      fraction: Double = IvfKmeansSampleFraction): DataFrame =
+    ivfPqTrainedStack(vecs,
+      Sampling.deterministicSample(vecs, "vec_id", fraction,
+        salt = IvfKmeansSampleSalt),
+      numQueries, topK, cells, nProbe, m, k, dim, cellIters, bookIters,
+      shortlist)
+
+  /** Shared core of the trained stack: `train` supplies the rows both
+    * trainers see (the full corpus for the oracle-exact arm, the
+    * md5-gated slice for the sampled arm); `vecs` is always what gets
+    * assigned, coded, probed and reranked.
+    */
+  private def ivfPqTrainedStack(vecs: DataFrame, train: DataFrame,
+      numQueries: Int, topK: Int, cells: Int, nProbe: Int, m: Int,
+      k: Int, dim: Int, cellIters: Int, bookIters: Int,
+      shortlist: Int): DataFrame = {
     require(shortlist >= topK, s"shortlist $shortlist must be >= topK $topK")
     val subDim = dim / m
-    val unit = withNorm(vecs).select(col("vec_id"),
+    val unit = withNorm(train).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
     val (_, centroids) = Clustering.kmeans(unit, k = cells, iters = cellIters)
     val cents = centroidsWithNorm(centroids)
-    val books = pqCodebooksTrained(vecs, m, k, dim, bookIters)
+    val books = pqCodebooksTrained(train, m, k, dim, bookIters)
     val scores = centScores(cents)
     // the stored index: (cell, codes) + the embedding for the refine
     // stage, one scan, materialized once
@@ -972,6 +1016,9 @@ object Similarity {
   def ivfPqTrainedTopKDocs(spark: SparkSession, dir: String): DataFrame =
     ivfPqTrainedTopK(Tables(spark, dir).embeddings)
 
+  def ivfPqTrainedSampledTopKDocs(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTrainedSampledTopK(Tables(spark, dir).embeddings)
+
   /** Recall@10 of the full trained IVF-PQ+refine stack against the
     * exact squared-L2 baseline — the three-layer approximation (cell
     * recall × code distortion × shortlist cut) priced as one number,
@@ -982,6 +1029,21 @@ object Similarity {
     val vecs = Tables(spark, dir).embeddings
     recallAtK(bruteForceTopKL2(vecs),
       ivfPqTrainedTopK(vecs)
+        .select(col("q_id"), col("vec_id").as("neighbor_id")),
+      k = 10)
+  }
+
+  /** Recall@10 of the SAMPLE-trained stack — the parity instrument for
+    * the bounded-trainer claim on the full composition, mirroring
+    * [[annRecallIvfSampled]]: at the stress factor its recall must hold
+    * the full-trainer arm's floor; on tiny corpora the quarter sample
+    * is genuinely noisier and a gap is expected (measured, not
+    * asserted, at sf0.01).
+    */
+  def annRecallIvfPqSampled(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(spark, dir).embeddings
+    recallAtK(bruteForceTopKL2(vecs),
+      ivfPqTrainedSampledTopK(vecs)
         .select(col("q_id"), col("vec_id").as("neighbor_id")),
       k = 10)
   }

@@ -464,6 +464,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfPqTrainedSampledTopK: approximation layers off still degenerates to the exact scan") {
+    // the degeneracy contract is training-independent: with nProbe =
+    // cells and shortlist = corpus, WHATEVER centroids/books the
+    // quarter-sample trainer produced must reproduce bruteForceTopKL2
+    // row-for-row — the cuts, not the training, are the approximation
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val n = vecs.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3))).toSeq
+    val exact = rows(Similarity.bruteForceTopKL2(vecs, numQueries = 10, k = 10))
+    val open = rows(Similarity.ivfPqTrainedSampledTopK(vecs, numQueries = 10,
+      topK = 10, nProbe = 16, shortlist = n))
+    assert(open === exact)
+  }
+
+  test("ivfPqTrainedSampledTopK recovers a planted exact duplicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // same argument as the full-trainer test: an exact copy shares the
+    // query's cell and codes under ANY centroids/books — including ones
+    // trained on the md5 quarter slice — so it survives both cuts and
+    // reranks to d2 = 0
+    val r = new scala.util.Random(29)
+    def rand() = Array.fill(64)((r.nextDouble() - 0.5).toFloat).toSeq
+    val base = (0L until 10L).map(i => (i, rand()))
+    val dups = base.map { case (i, v) => (100L + i, v) }
+    val noise = (1000L until 1300L).map(i => (i, rand()))
+    val df = (base ++ dups ++ noise).toDF("vec_id", "embedding")
+    val rk1 = Similarity.ivfPqTrainedSampledTopK(df, numQueries = 10, topK = 3)
+      .filter(col("rk") === 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    (0L until 10L).foreach { q =>
+      assert(rk1(q) === ((100L + q, 0L)), s"query $q")
+    }
+  }
+
   test("ivfPqTopK recovers a planted exact duplicate through both layers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

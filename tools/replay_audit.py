@@ -7,11 +7,12 @@ This script re-implements the gates from their SEMANTICS in pure
 Python/NumPy — no Spark, no DuckDB, no shared builders — and compares
 row-for-row against the Spark parquet output of graft.Verify.
 
-Covered gates (the six round-18 additions + the eight round-19 ones):
+Covered gates (the six round-18 additions + the ten round-19 ones):
   pq_trained_codes, ann_ivf_kmeans, pq_rerank_topk, ann_recall_pq_rerank,
   ann_lsh_mp, ann_recall_lsh_mp, pq_trained_rerank, ann_recall_pq_trained,
   ann_ivf_kmeans_sampled (+ its recall audits), mm_xmodal_topk, and the
-  full trained IVF-PQ + refine stack (ivf_pq_trained_topk + audit).
+  full trained IVF-PQ + refine stack in BOTH trainer arms
+  (ivf_pq_trained_topk / ivf_pq_trained_sampled + their recall audits).
 
 Exactness contract being replayed: every float is IEEE f64 derived from
 exact f32 inputs; dot products accumulate LEFT TO RIGHT; micro
@@ -435,41 +436,62 @@ def main(sf_dir, out_dir):
     check("ann_recall_lsh_mp", load_gate(out_dir, "ann_recall_lsh_mp"),
           recall_rows(exact_cos, mp), ["q_id", "n_hit", "recall_micro"])
 
-    # --- trained IVF-PQ + exact refine (all three layers composed)
-    train = [(i, unit_f32(v)) for i, v in vecs]
-    cents = kmeans(train, 16, 3, 64)
-    cnorm = [math.sqrt(dot_lr(c, c)) for c in cents]
-    vnorm = {i: math.sqrt(dot_lr(v, v)) for i, v in vecs}
-    emb = dict(vecs)
+    # --- trained IVF-PQ + exact refine (all three layers composed);
+    # `books` + `train` parameterize the training inputs so the sampled
+    # arm (all five chains over the md5 slice) replays through the same
+    # body — assignment/coding/probing/ADC/rerank always cover `vecs`
+    def ivfpq_stack(books, train):
+        cents = kmeans(train, 16, 3, 64)
+        cnorm = [math.sqrt(dot_lr(c, c)) for c in cents]
+        vnorm = {i: math.sqrt(dot_lr(v, v)) for i, v in vecs}
+        emb = dict(vecs)
 
-    def cscores(v, nv):
-        return [(dot_lr(v, cents[p]) / (nv * cnorm[p]), p) for p in range(16)]
+        def cscores(v, nv):
+            return [(dot_lr(v, cents[p]) / (nv * cnorm[p]), p)
+                    for p in range(16)]
 
-    cell = {i: max(cscores(v, vnorm[i]))[1] for i, v in vecs}
-    codes_t = pq_codes(vecs, tb)
-    ivfpq = {}
-    for qi in [i for i, _ in vecs if i < 10]:
-        q = emb[qi]
-        probesq = {p for _, p in sorted(cscores(q, vnorm[qi]),
-                                        reverse=True)[:4]}
-        tbl = [[micro(dot_lr(c, c) - 2.0 * dot_lr(q[j * 16:(j + 1) * 16], c))
-                for c in tb[j]] for j in range(4)]
-        scored = []
-        for i, v in vecs:
-            if i == qi or cell[i] not in probesq:
-                continue
-            scored.append((sum(tbl[j][codes_t[i][j]] for j in range(4)), i, v))
-        scored.sort(key=lambda t: (t[0], t[1]))
-        qq = dot_lr(q, q)
-        rr = sorted((micro(dot_lr(v, v) - 2.0 * dot_lr(v, q) + qq), i)
-                    for _, i, v in scored[:50])
-        ivfpq[qi] = [(r + 1, i, d2) for r, (d2, i) in enumerate(rr[:10])]
+        cell = {i: max(cscores(v, vnorm[i]))[1] for i, v in vecs}
+        codes = pq_codes(vecs, books)
+        out = {}
+        for qi in [i for i, _ in vecs if i < 10]:
+            q = emb[qi]
+            probesq = {p for _, p in sorted(cscores(q, vnorm[qi]),
+                                            reverse=True)[:4]}
+            tbl = [[micro(dot_lr(c, c)
+                          - 2.0 * dot_lr(q[j * 16:(j + 1) * 16], c))
+                    for c in books[j]] for j in range(4)]
+            scored = []
+            for i, v in vecs:
+                if i == qi or cell[i] not in probesq:
+                    continue
+                scored.append((sum(tbl[j][codes[i][j]] for j in range(4)),
+                               i, v))
+            scored.sort(key=lambda t: (t[0], t[1]))
+            qq = dot_lr(q, q)
+            rr = sorted((micro(dot_lr(v, v) - 2.0 * dot_lr(v, q) + qq), i)
+                        for _, i, v in scored[:50])
+            out[qi] = [(r + 1, i, d2) for r, (d2, i) in enumerate(rr[:10])]
+        return out
+
+    ivfpq = ivfpq_stack(tb, [(i, unit_f32(v)) for i, v in vecs])
     check("ivf_pq_trained_topk", load_gate(out_dir, "ivf_pq_trained_topk"),
           [(q, rk, i, d2) for q, rs in ivfpq.items() for rk, i, d2 in rs],
           ["q_id", "rk", "vec_id", "d2_micro"])
     check("ann_recall_ivf_pq_trained",
           load_gate(out_dir, "ann_recall_ivf_pq_trained"),
           recall_rows(exact_l2, ivfpq), ["q_id", "n_hit", "recall_micro"])
+
+    km_gate = lambda i: md5_bucket(f"km:{i}") < 250000
+    tr_s = [(i, v) for i, v in vecs if km_gate(i)]
+    ivfpq_s = ivfpq_stack(trained_books(tr_s),
+                          [(i, unit_f32(v)) for i, v in tr_s])
+    check("ivf_pq_trained_sampled",
+          load_gate(out_dir, "ivf_pq_trained_sampled"),
+          [(q, rk, i, d2) for q, rs in ivfpq_s.items() for rk, i, d2 in rs],
+          ["q_id", "rk", "vec_id", "d2_micro"])
+    check("ann_recall_ivf_pq_sampled",
+          load_gate(out_dir, "ann_recall_ivf_pq_sampled"),
+          recall_rows(exact_l2, ivfpq_s), ["q_id", "n_hit", "recall_micro"])
 
     # --- cross-modal retrieval
     corpus = [(i, byte_hist(t)) for i, t in docs if i % 3 == 0]
