@@ -342,6 +342,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("windowspecdefinition"), plan.take(2000))
   }
 
+  test("ivf_pq_trained stack: one exchange for both funnel stages, index materialized, no window") {
+    // the composed serving stack must keep the matryoshka skeleton:
+    // ADC-shortlist heap and exact-refine heap both key on q_id, so ONE
+    // hash exchange serves both; the (cell, codes, embedding) index is
+    // a once-materialized checkpoint (never re-derived per stage); the
+    // query batch broadcasts; nothing is ranked by a window. Both
+    // trainer arms must compile to this same serving plan — sampling
+    // changes what the build-time chains read, not what serves.
+    for (gate <- Seq("ivf_pq_trained_topk", "ivf_pq_trained_sampled")) {
+      val df = SparkEntry.queries(gate)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashExchanges == 1,
+        s"$gate: expected ONE hash exchange, got $hashExchanges:\n${plan.take(3000)}")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$gate: coded index not materialized:\n${plan.take(2000)}")
+      assert(plan.contains("BroadcastExchange"),
+        s"$gate: query batch must broadcast:\n${plan.take(2000)}")
+      assert(plan.contains("partial_topkstructs"), s"$gate: ${plan.take(2000)}")
+      assert(!plan.contains("windowspecdefinition"), s"$gate: ${plan.take(2000)}")
+    }
+  }
+
   test("mix_temperature: corpus side broadcast-joins the rates, aggregates partially") {
     val plan = planOf("mix_temperature")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
