@@ -280,12 +280,17 @@ object Stress {
       s""""$k":{"sec":${fmt(med)},"runs":[${runs.map(fmt).mkString(",")}],""" +
         s""""rows":$n,"spill_mb":${mb(spill)},"peak_heap_mb":${mb(peak)}$sp$rec}"""
     }.mkString("{", ",", "}")
+    // n_failed is IN the artifact, not only the exit code: a gate that
+    // dies (or a SparkContext lost mid-run — every later gate then
+    // fails instantly with rows:-1) must be visible to a reader of the
+    // pinned JSON who never saw the process exit status
+    val nFailed = results.count(_._4 < 0)
     println(s"""{"metric":"stress_total","value":${fmt(results.map(_._2).sum)},""" +
       s""""unit":"sec","factor":$factor,"repeat_threshold_sec":$repeatThresholdSec,""" +
-      s""""jitter":$jitterMagnitude,""" +
+      s""""jitter":$jitterMagnitude,"n_failed":$nFailed,""" +
       s""""commit":"$commit","queries":$qs,"base":"$sfDir"}""")
     spark.stop()
     // a smoke that cannot fail is not a smoke
-    if (results.exists(_._4 < 0)) sys.exit(1)
+    if (nFailed > 0) sys.exit(1)
   }
 }
