@@ -60,6 +60,66 @@ object Clustering {
   /** (assignments, centroids): assignments = (vec_id, cluster, dist2);
     * centroids = driver-side array indexed by cluster id.
     */
+  /** Conf key for the driver-arm size gate of [[kmeans]]: a training
+    * input whose Catalyst size estimate is at most this many bytes is
+    * collected ONCE and the Lloyd loop runs on the driver — zero
+    * scheduler round-trips instead of one distributed job per
+    * iteration. 0 disables the arm (every iteration distributed — the
+    * A/B spec's control and the unconditional at-scale path). The
+    * arithmetic is identical by construction (see [[driverLloyd]]), so
+    * the arm is a pure scheduling optimization: gate hashes cannot
+    * move. Default 64 MiB ≈ a quarter-million 64-dim float vectors —
+    * trivially driver-sized, and exactly the regime the sample-bounded
+    * trainers produce by construction at ANY corpus size.
+    */
+  val DriverMaxBytesKey = "spark.graft.kmeans.driverMaxBytes"
+  private val DriverMaxBytesDefault = 64L * 1024 * 1024
+
+  /** The Lloyd loop on driver-collected rows — the SAME arithmetic as
+    * the distributed path, operation for operation: assignment is the
+    * [[graft.functions.PqArgmin]] recipe (c² = left-to-right Scala
+    * square sum, dot accumulates left-to-right in double, score =
+    * c² − 2·dot, strict < keeps the smaller centroid id); the update
+    * sums floor(x·1e6) longs (associative — partitioning order never
+    * mattered, which is WHY a driver loop can be bit-identical) and
+    * divides s / (1e6·n); empty clusters keep their previous position.
+    * The third-engine replay (tools/replay_audit.py) is the from-spec
+    * proof this arithmetic is engine-portable; this is the same loop
+    * in-process.
+    */
+  private def driverLloyd(rows: Array[Array[Double]],
+      init: Array[Array[Double]], k: Int, iters: Int,
+      dim: Int): Array[Array[Double]] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val norms = cents.map(c => c.map(x => x * x).sum)
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val cnt = new Array[Long](k)
+      rows.foreach { v =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var p = 0
+        while (p < k) {
+          val c = cents(p)
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += v(j) * c(j); j += 1 }
+          val d = norms(p) - 2.0 * dot
+          if (d < bestD) { bestD = d; best = p }
+          p += 1
+        }
+        cnt(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += math.floor(v(j) * 1e6).toLong; j += 1 }
+      }
+      cents = Array.tabulate(k)(p =>
+        if (cnt(p) == 0L) cents(p).clone()
+        else Array.tabulate(dim)(j => sums(p)(j) / (1e6 * cnt(p))))
+    }
+    cents
+  }
+
   def kmeans(vecs: DataFrame, k: Int = 16, iters: Int = 5,
       idCol: String = "vec_id", embCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
     // k >= 2: the argmin builds least() over k structs, which Spark
@@ -67,25 +127,63 @@ object Clustering {
     require(k >= 2 && iters >= 1, s"need k >= 2, iters >= 1; got k=$k iters=$iters")
     val spark = vecs.sparkSession
 
-    var centroids: Array[Array[Double]] = vecs
-      .orderBy(col(idCol)).limit(k)
-      .select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(centroids.length == k, s"corpus has fewer than k=$k vectors")
+    // size-gate the driver arm on the Catalyst estimate, validated as
+    // BigInt BEFORE use (the derivedGridB sentinel discipline): a
+    // missing-stats lineage reports defaultSizeInBytes ≈ Long.MaxValue
+    // and a garbage estimate lands outside (0, maxBytes] — both fall
+    // back to the distributed loop, the direction that is always safe
+    val maxBytes = spark.conf.getOption(DriverMaxBytesKey)
+      .map(_.toLong).getOrElse(DriverMaxBytesDefault)
+    val est: BigInt =
+      try vecs.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    val driverArm = maxBytes > 0 && est > 0 && est <= BigInt(maxBytes)
+
+    val elemIsFloat = vecs.schema(embCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+    var centroids: Array[Array[Double]] = null
+    if (driverArm) {
+      // ONE collect replaces the init job plus every iteration job; the
+      // float→double element cast is exact, so converting up front
+      // preserves the kernel's per-element cast semantics
+      val rows = vecs.select(col(idCol), col(embCol)).orderBy(col(idCol))
+        .collect()
+        .map { r =>
+          if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+          else r.getSeq[Double](1).toArray
+        }
+      require(rows.length >= k, s"corpus has fewer than k=$k vectors")
+      centroids = driverLloyd(rows, rows.take(k).map(_.clone()), k, iters,
+        rows.head.length)
+    } else {
+      centroids = vecs
+        .orderBy(col(idCol)).limit(k)
+        .select(col(embCol)).collect()
+        .map { r =>
+          if (elemIsFloat) r.getSeq[Float](0).map(_.toDouble).toArray
+          else r.getSeq[Double](0).toArray
+        }
+      require(centroids.length == k, s"corpus has fewer than k=$k vectors")
+    }
     val dim = centroids.head.length
 
     def assigned: DataFrame =
       vecs.withColumn("cluster",
         bestCentroid(centroids.toSeq, col(embCol)).getField("c_id"))
 
-    for (_ <- 1 to iters) {
+    for (_ <- 1 to iters if !driverArm) {
       // new centroid = per-dimension mean of assigned vectors: explode to
       // (cluster, dim, micro) and aggregate — k·dim result rows, map-side
       // partial sums carry the corpus weight. Elements enter as
       // floor(x·1e6) Longs (binary floor of the IEEE product —
       // deliberately NOT round(), see labelCentroids), so the sums are
       // exact integers in any order and the mean below is bit-identical
-      // on every engine and under every partitioning.
+      // on every engine and under every partitioning — and, for the same
+      // reason, identical to [[driverLloyd]]'s in-process loop.
       val sums = assigned
         .select(col("cluster"), posexplode(col(embCol)).as(Seq("d", "x")))
         .select(col("cluster"), col("d"),

@@ -31,6 +31,33 @@ class ClusteringSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("kmeans driver arm is bit-identical to the distributed loop") {
+    // the size-gated driver arm is a pure scheduling optimization: the
+    // integer-micro sums are associative and the argmin replays the
+    // PqArgmin recipe op-for-op, so BOTH arms must land the exact same
+    // IEEE doubles — on raw float embeddings AND on the unit-normalized
+    // trainer frame the IVF/stack gates feed in
+    import org.apache.spark.sql.functions.{col, expr}
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val unit = vecs
+      .withColumn("norm", org.apache.spark.sql.functions.sqrt(
+        graft.functions.VecDot.vecDot(col("embedding"), col("embedding"))))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
+    for (frame <- Seq(vecs, unit)) {
+      val (aDrv, cDrv) = Clustering.kmeans(frame, k = 8, iters = 3)
+      val drvAssign = aDrv.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      spark.conf.set(Clustering.DriverMaxBytesKey, "0")
+      try {
+        val (aDist, cDist) = Clustering.kmeans(frame, k = 8, iters = 3)
+        assert(cDrv.map(_.toSeq).toSeq === cDist.map(_.toSeq).toSeq,
+          "centroids diverged between arms")
+        val distAssign = aDist.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+        assert(drvAssign === distAssign, "assignments diverged between arms")
+      } finally spark.conf.unset(Clustering.DriverMaxBytesKey)
+    }
+  }
+
   test("kmeans inertia never increases across iterations") {
     val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
     def inertia(iters: Int): Double = {
