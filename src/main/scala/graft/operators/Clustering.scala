@@ -120,6 +120,59 @@ object Clustering {
     cents
   }
 
+  /** The driver-arm gate + collect, factored out so MULTI-chain trainers
+    * (the IVF-PQ stack trains one coarse chain plus m per-subspace book
+    * chains over the SAME rows) can pay ONE collect for all chains
+    * instead of one per chain — at gate scale the chains' cost is
+    * scheduler round-trips, not arithmetic. Returns the rows ordered by
+    * `idCol` (sorted on the DRIVER — ids are unique, so the order equals
+    * the old distributed `orderBy` without paying its range-exchange
+    * job) as exact double-widened arrays when the validated Catalyst
+    * size estimate fits the [[DriverMaxBytesKey]] budget; None = run
+    * distributed, the direction that is always safe.
+    */
+  private[graft] def driverArmRows(vecs: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): Option[Array[Array[Double]]] = {
+    val spark = vecs.sparkSession
+    // size-gate on the Catalyst estimate, validated as BigInt BEFORE
+    // use (the derivedGridB sentinel discipline): a missing-stats
+    // lineage reports defaultSizeInBytes ≈ Long.MaxValue and a garbage
+    // estimate lands outside (0, maxBytes] — both fall back to the
+    // distributed loop
+    val maxBytes = spark.conf.getOption(DriverMaxBytesKey)
+      .map(_.toLong).getOrElse(DriverMaxBytesDefault)
+    val est: BigInt =
+      try vecs.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    if (!(maxBytes > 0 && est > 0 && est <= BigInt(maxBytes))) None
+    else {
+      val elemIsFloat = vecs.schema(embCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }
+      // the float→double element cast is exact, so converting up front
+      // preserves the distributed kernel's per-element cast semantics
+      Some(vecs.select(col(idCol), col(embCol)).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+          else r.getSeq[Double](1).toArray
+        })
+    }
+  }
+
+  /** [[driverLloyd]] on pre-collected rows with the trainer's init rule
+    * (first k rows in id order) — the entry point for callers that share
+    * one [[driverArmRows]] collect across several chains.
+    */
+  private[graft] def lloydOnRows(rows: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(k >= 2 && iters >= 1, s"need k >= 2, iters >= 1; got k=$k iters=$iters")
+    require(rows.length >= k, s"corpus has fewer than k=$k vectors")
+    driverLloyd(rows, rows.take(k).map(_.clone()), k, iters, rows.head.length)
+  }
+
   def kmeans(vecs: DataFrame, k: Int = 16, iters: Int = 5,
       idCol: String = "vec_id", embCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
     // k >= 2: the argmin builds least() over k structs, which Spark
@@ -127,38 +180,17 @@ object Clustering {
     require(k >= 2 && iters >= 1, s"need k >= 2, iters >= 1; got k=$k iters=$iters")
     val spark = vecs.sparkSession
 
-    // size-gate the driver arm on the Catalyst estimate, validated as
-    // BigInt BEFORE use (the derivedGridB sentinel discipline): a
-    // missing-stats lineage reports defaultSizeInBytes ≈ Long.MaxValue
-    // and a garbage estimate lands outside (0, maxBytes] — both fall
-    // back to the distributed loop, the direction that is always safe
-    val maxBytes = spark.conf.getOption(DriverMaxBytesKey)
-      .map(_.toLong).getOrElse(DriverMaxBytesDefault)
-    val est: BigInt =
-      try vecs.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
-    val driverArm = maxBytes > 0 && est > 0 && est <= BigInt(maxBytes)
-
     val elemIsFloat = vecs.schema(embCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
 
+    val armRows = driverArmRows(vecs, idCol, embCol)
     var centroids: Array[Array[Double]] = null
-    if (driverArm) {
-      // ONE collect replaces the init job plus every iteration job; the
-      // float→double element cast is exact, so converting up front
-      // preserves the kernel's per-element cast semantics
-      val rows = vecs.select(col(idCol), col(embCol)).orderBy(col(idCol))
-        .collect()
-        .map { r =>
-          if (elemIsFloat) r.getSeq[Float](1).map(_.toDouble).toArray
-          else r.getSeq[Double](1).toArray
-        }
-      require(rows.length >= k, s"corpus has fewer than k=$k vectors")
-      centroids = driverLloyd(rows, rows.take(k).map(_.clone()), k, iters,
-        rows.head.length)
+    if (armRows.isDefined) {
+      // ONE collect replaces the init job plus every iteration job
+      centroids = lloydOnRows(armRows.get, k, iters)
     } else {
       centroids = vecs
         .orderBy(col(idCol)).limit(k)
@@ -175,7 +207,7 @@ object Clustering {
       vecs.withColumn("cluster",
         bestCentroid(centroids.toSeq, col(embCol)).getField("c_id"))
 
-    for (_ <- 1 to iters if !driverArm) {
+    for (_ <- 1 to iters if armRows.isEmpty) {
       // new centroid = per-dimension mean of assigned vectors: explode to
       // (cluster, dim, micro) and aggregate — k·dim result rows, map-side
       // partial sums carry the corpus weight. Elements enter as

@@ -152,10 +152,13 @@ object Retrieval {
     * Engine-exactness: each ⟨q_i, d_j⟩ is a sequential double fold
     * floor-quantized to micro BIGINT *before* the max and sum, so the
     * whole score is integer arithmetic — the max/sum can never see
-    * float-order noise. The entire 4×4 MaxSim is ONE in-row expression
-    * (nested aggregate/transform/array_max folds): no explode of the
-    * token dimension, no shuffle — the corpus-side cost is one codegen
-    * scan per query batch, the ann_topk shape exactly.
+    * float-order noise. The entire 4×4 MaxSim is ONE in-row native
+    * kernel ([[graft.functions.MaxSimMicro]], operation-for-operation
+    * the nested aggregate/transform/array_max HOF fold it replaced —
+    * which evaluated INTERPRETED, 256 lambda frames per scored pair, on
+    * the hot side of the broadcast join): no explode of the token
+    * dimension, no shuffle — the corpus-side cost is one codegen scan
+    * per query batch, the ann_topk shape exactly.
     *
     * 100 TB path: the same two-stage funnels apply unchanged — an
     * [[graft.operators.Similarity.rpTopK]]-style shortlist or IVF cells
@@ -164,21 +167,12 @@ object Retrieval {
     */
   def maxSimTopK(vecs: DataFrame, numQueries: Int = 10,
       k: Int = 10): DataFrame = {
-    val score = s"""
-      aggregate(sequence(0, ${MaxSimTokens - 1}), CAST(0 AS BIGINT),
-        (acc, i) -> acc + array_max(transform(
-          sequence(0, ${MaxSimTokens - 1}), j ->
-            CAST(floor(aggregate(sequence(1, $MaxSimSubDim),
-              CAST(0 AS DOUBLE),
-              (s, kk) -> s
-                + CAST(element_at(qv, i * $MaxSimSubDim + kk) AS DOUBLE)
-                * CAST(element_at(embedding, j * $MaxSimSubDim + kk) AS DOUBLE))
-              * 1e6) AS BIGINT))))"""
     val queries = broadcast(vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
     val scored = vecs.select(col("vec_id"), col("embedding"))
       .join(queries, col("vec_id") =!= col("q_id"))
-      .withColumn("maxsim", expr(score))
+      .withColumn("maxsim", graft.functions.MaxSimMicro.maxSim(
+        col("qv"), col("embedding"), MaxSimTokens, MaxSimSubDim))
     // bounded per-query top-k aggregate, not a ranking window — the ANN
     // shape (few queries × corpus-sized scored relation); rationale and
     // A/B in Similarity.perQueryTopK

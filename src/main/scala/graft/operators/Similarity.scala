@@ -724,15 +724,38 @@ object Similarity {
     * [[pqCodes]] with the trained books compiled in as literals.
     */
   def pqCodebooksTrained(vecs: DataFrame, m: Int = 4, k: Int = 16,
-      dim: Int = 64, iters: Int = 2): IndexedSeq[IndexedSeq[Array[Double]]] = {
+      dim: Int = 64, iters: Int = 2): IndexedSeq[IndexedSeq[Array[Double]]] =
+    // one collect feeds all m chains in the driver regime (the size gate
+    // is on the FULL-dim frame — conservative: whenever it passes, every
+    // narrower per-subspace frame would have passed too)
+    Clustering.driverArmRows(vecs) match {
+      case Some(rows) => pqBooksFromRows(rows, m, k, dim, iters)
+      case None => IndexedSeq.tabulate(m) { j =>
+        val subDim = dim / m
+        require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+        val sub = vecs.select(col("vec_id"),
+          expr(s"transform(sequence(${j * subDim + 1}, ${(j + 1) * subDim}), " +
+            "d -> element_at(embedding, d))").as("embedding"))
+        val (_, cents) = Clustering.kmeans(sub, k, iters)
+        cents.toIndexedSeq
+      }
+    }
+
+  /** The m per-subspace Lloyd chains on ONE pre-collected row set — the
+    * shared-collect spelling of [[pqCodebooksTrained]]'s driver arm.
+    * Each chain sees exactly the rows the distributed `transform(...)`
+    * slice frame would produce: contiguous [j·subDim, (j+1)·subDim)
+    * elements in vec_id order, floats widened to double exactly — so
+    * the books are bit-identical (SimilaritySpec pins it).
+    */
+  private def pqBooksFromRows(rows: Array[Array[Double]], m: Int, k: Int,
+      dim: Int, iters: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     IndexedSeq.tabulate(m) { j =>
-      val sub = vecs.select(col("vec_id"),
-        expr(s"transform(sequence(${j * subDim + 1}, ${(j + 1) * subDim}), " +
-          "d -> element_at(embedding, d))").as("embedding"))
-      val (_, cents) = Clustering.kmeans(sub, k, iters)
-      cents.toIndexedSeq
+      val sub = rows.map(v =>
+        java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      Clustering.lloydOnRows(sub, k, iters).toIndexedSeq
     }
   }
 
@@ -975,11 +998,34 @@ object Similarity {
       shortlist: Int): DataFrame = {
     require(shortlist >= topK, s"shortlist $shortlist must be >= topK $topK")
     val subDim = dim / m
-    val unit = withNorm(train).select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
-    val (_, centroids) = Clustering.kmeans(unit, k = cells, iters = cellIters)
+    // Five Lloyd chains (1 coarse-cell + m books) train over the SAME
+    // rows: in the driver regime ONE collect feeds them all instead of
+    // one scan per chain — at gate scale the chains' cost was scheduler
+    // round-trips, at 100 TB the sampled arm's slice is driver-sized by
+    // construction so the same sharing applies. The unit-normalize for
+    // the cell chain replays the distributed spelling op for op
+    // (vec_dot's left-to-right double square-sum, x/norm in double,
+    // cast to float) so the centroids are bit-identical
+    // (SimilaritySpec pins it).
+    val armRows = Clustering.driverArmRows(train)
+    val (centroids, books) = armRows match {
+      case Some(rows) =>
+        val unitRows = rows.map { v =>
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          val norm = math.sqrt(s)
+          v.map(x => ((x / norm).toFloat).toDouble)
+        }
+        (Clustering.lloydOnRows(unitRows, cells, cellIters),
+          pqBooksFromRows(rows, m, k, dim, bookIters))
+      case None =>
+        val unit = withNorm(train).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x / norm AS float))").as("embedding"))
+        (Clustering.kmeans(unit, k = cells, iters = cellIters)._2,
+          pqCodebooksTrained(train, m, k, dim, bookIters))
+    }
     val cents = centroidsWithNorm(centroids)
-    val books = pqCodebooksTrained(train, m, k, dim, bookIters)
     val scores = centScores(cents)
     // the stored index: (cell, codes) + the embedding for the refine
     // stage, one scan, materialized once

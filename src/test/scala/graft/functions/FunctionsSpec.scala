@@ -349,3 +349,52 @@ class SortedIntersectCountSpec extends AnyFunSuite with SparkTestSession {
     assert(got2 === 1L, "only dim 0 is non-negative and in range")
   }
 }
+
+class MaxSimMicroSpec extends AnyFunSuite with SparkTestSession {
+
+  /** The HOF SQL spelling the native kernel replaced in
+    * Retrieval.maxSimTopK — kept here verbatim as the parity oracle so
+    * the kernel's operation order can never drift from it silently.
+    */
+  private def hofSpelling(tokens: Int, subDim: Int): String = s"""
+    aggregate(sequence(0, ${tokens - 1}), CAST(0 AS BIGINT),
+      (acc, i) -> acc + array_max(transform(
+        sequence(0, ${tokens - 1}), j ->
+          CAST(floor(aggregate(sequence(1, $subDim),
+            CAST(0 AS DOUBLE),
+            (s, kk) -> s
+              + CAST(element_at(qv, i * $subDim + kk) AS DOUBLE)
+              * CAST(element_at(embedding, j * $subDim + kk) AS DOUBLE))
+            * 1e6) AS BIGINT))))"""
+
+  test("bit-identical to the HOF spelling on random vectors (4x16 and 2x4)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for ((t, s) <- Seq((4, 16), (2, 4))) {
+      val dim = t * s
+      val rows = (0 until 40).map { i =>
+        (i.toLong,
+          Array.fill(dim)((rnd.nextFloat() - 0.5f) * 4f).toSeq,
+          Array.fill(dim)((rnd.nextFloat() - 0.5f) * 4f).toSeq)
+      }
+      val df = rows.toDF("id", "qv", "embedding")
+      val got = df.select(
+        MaxSimMicro.maxSim(col("qv"), col("embedding"), t, s)).as[Long].collect()
+      val want = df.selectExpr(hofSpelling(t, s)).as[Long].collect()
+      assert(got.toSeq === want.toSeq, s"tokens=$t subDim=$s")
+    }
+  }
+
+  test("null array propagates; short array is a loud error") {
+    val r = spark.sql(
+      "SELECT maxsim_micro(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)), 1, 1)")
+      .collect()
+    assert(r.head.isNullAt(0))
+    import spark.implicits._
+    val bad = Seq((Array(1f, 2f).toSeq, Array(1f, 2f).toSeq)).toDF("qv", "embedding")
+    val ex = intercept[Exception] {
+      bad.select(MaxSimMicro.maxSim(col("qv"), col("embedding"), 4, 16)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}

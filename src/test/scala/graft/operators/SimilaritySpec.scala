@@ -1183,4 +1183,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       assert(audit(q) === ((hit, hit * 1000000L / 10L)), s"query $q")
     }
   }
+  test("shared-collect trained chains are bit-identical to the distributed loop") {
+    // pqCodebooksTrained and the ivf_pq stack now feed all five Lloyd
+    // chains from ONE driverArmRows collect; forcing the distributed
+    // path (driverMaxBytes=0) must land the exact same books, centroids
+    // and gate rows — the arm is scheduling, never arithmetic
+    val vecs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val booksShared = Similarity.pqCodebooksTrained(vecs)
+    val stackShared = Similarity.ivfPqTrainedTopK(vecs).collect().map(_.toSeq).toSeq
+    spark.conf.set(Clustering.DriverMaxBytesKey, "0")
+    try {
+      val booksDist = Similarity.pqCodebooksTrained(vecs)
+      assert(booksShared.map(_.map(_.toSeq)) === booksDist.map(_.map(_.toSeq)),
+        "trained books diverged between shared-collect and distributed arms")
+      val stackDist = Similarity.ivfPqTrainedTopK(vecs).collect().map(_.toSeq).toSeq
+      assert(stackShared === stackDist,
+        "ivf_pq_trained_topk rows diverged between arms")
+    } finally spark.conf.unset(Clustering.DriverMaxBytesKey)
+  }
 }
