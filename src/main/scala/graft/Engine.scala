@@ -88,14 +88,34 @@ object Engine {
     spark
   }
 
+  /** Process-level schema cache for the path-based tables: without a
+    * catalog, EVERY `spark.read.parquet(path)` pays driver-side schema
+    * inference (file listing + a parquet footer read) before planning
+    * even starts — per table reference, per query; a 225-query bench
+    * pass re-infers the same ten immutable schemas hundreds of times.
+    * Caching the SCHEMA (pure metadata — never rows, never plan
+    * fragments; scans, pushdown and pruning are untouched) and passing
+    * it via `.schema(...)` is exactly what a real catalog (Hive/Iceberg
+    * metastore) provides at scale. Keyed by absolute path, so distinct
+    * fixture dirs (tests, stress replicas) never collide; the fixture
+    * contract is immutable table files (TESTDATA.md), same as every
+    * PlanCache entry.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Typed access to the driver testdata tables (TESTDATA.md). Each call is
     * a fresh scan so Catalyst can push per-query filters/projections into
-    * the parquet reader — do NOT cache here; the queries are the unit of
-    * optimization.
+    * the parquet reader — do NOT cache data here; the queries are the unit
+    * of optimization (the schema cache above is metadata only).
     */
   final case class Tables(spark: SparkSession, dir: String) {
-    def table(name: String): DataFrame =
-      spark.read.parquet(s"$dir/$name.parquet")
+    def table(name: String): DataFrame = {
+      val path = s"$dir/$name.parquet"
+      val schema = schemaCache.computeIfAbsent(path,
+        p => spark.read.parquet(p).schema)
+      spark.read.schema(schema).parquet(path)
+    }
     def region: DataFrame     = table("region")
     def nation: DataFrame     = table("nation")
     def customer: DataFrame   = table("customer")

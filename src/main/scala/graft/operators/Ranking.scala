@@ -117,7 +117,16 @@ object Ranking {
     require(k > 0, s"ntile k must be positive, got $k")
     require(maxDistinctValues > 0,
       s"maxDistinctValues must be positive, got $maxDistinctValues")
+    // MATERIALIZE the per-value histogram: it is consumed TWICE (the
+    // global prefix pass and the totals aggregate) and without the
+    // checkpoint Catalyst duplicates its whole upstream — the corpus
+    // scan plus every derivation feeding `valueCol` ran once per
+    // consumer (3 corpus passes for the gate; 2 after). The table is
+    // domain-bounded (≤ maxDistinctValues, enforced loudly by the
+    // prefix pass), so the materialization is a few MB at any corpus
+    // size — the §8 "decide on small rows" shape.
     val counts0 = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__nt_cnt"))
+      .localCheckpoint(true)
     val totals = counts0.agg(sum(col("__nt_cnt")).as("__nt_n"))
     val counts = BoundedGlobal.withPrefixSum(counts0,
         Seq(col(valueCol).asc_nulls_last), "__nt_cnt", "__nt_before",
@@ -169,17 +178,29 @@ object Ranking {
     // from the training order (train_rank no longer a 1..N permutation);
     // keys are identities, so that's a data bug — fail loud, in-row, at
     // scan time, instead of losing documents
+    // MATERIALIZE the narrow (key, bin, skey, pid) proxy rows: they are
+    // consumed twice (the ranking window and the per-(bin, pid) counts)
+    // and the caller's upstream — the full quality-score + ntile
+    // pipeline in the gate — is expensive; without the checkpoint
+    // Catalyst recomputed that whole subtree once per consumer
+    // (measured: 6 corpus scans in the curriculum_order plan, 2 after).
+    // ~50 B/row of proxy is the §8 "shuffle metadata, not payloads"
+    // trade at any scale.
     val base = df
       .withColumn("skey", md5(concat(lit(salt),
         when(col(keyCol).isNull, raise_error(lit(
           s"curriculumOrder: NULL $keyCol — rank keys must be non-null")))
           .otherwise(col(keyCol).cast("string")))))
       .withColumn("pid", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+      .localCheckpoint(true)
     val local = base.withColumn("__cu_lrk", row_number().over(
       Window.partitionBy(col(binCol), col("pid"))
         .orderBy(col("skey"), col(keyCol))))
-    val counts = local.groupBy(col(binCol), col("pid"))
-      .agg(max(col("__cu_lrk")).cast("long").as("__cu_cnt"))
+    // group count, not max(row_number): the same value (ranks are 1..n
+    // within the group) without forcing the window ahead of the
+    // aggregate — the counts side now reads the checkpoint directly
+    val counts = base.groupBy(col(binCol), col("pid"))
+      .agg(count(lit(1)).as("__cu_cnt"))
     // 256 pid buckets × a bounded bin domain (ntile bins / quantized
     // scores) — 1M groups is far past any sane curriculum phase count
     val offs = BoundedGlobal.withPrefixSum(counts,

@@ -279,7 +279,15 @@ object Sampling {
     * any order), but no single-partition WindowExec in the plan.
     */
   private def tempTargets(d: DataFrame, budget: Long): DataFrame = {
+    // MATERIALIZE the per-source token histogram: the scalar-frame
+    // chain below (totN → weighted → totW → targets) consumes it and
+    // its derivations FOUR more times through crossJoins, and without
+    // the checkpoint Catalyst re-ran the corpus scan + tokenize once
+    // per consumer (measured: 5 scans in the mix_temperature plan, 2
+    // after). The table is source-domain-bounded — mixture weights over
+    // at most a few thousand sources at any corpus size.
     val perSource = d.groupBy(col("source")).agg(sum(col("tok")).as("n_s"))
+      .localCheckpoint(true)
     val totN = perSource.agg(sum(col("n_s")).as("__tot_n"))
     val weighted = perSource.crossJoin(broadcast(totN))
       .withColumn("w", floor(sqrt(col("n_s").cast("double") /
