@@ -55,10 +55,20 @@ object Layout {
     * quantization `(v · 2^Bits) div (max+1)` per dimension, the Morton
     * code, and its target file. Scan-fused; zero shuffles.
     */
-  def zorderAssign(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val bounds = df.agg(
+  def zorderAssign(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    zorderAssignWith(df, xCol, yCol, mxBounds(df, xCol, yCol))
+
+  /** The (max+1) scaling bounds every layout shares — factored out so
+    * [[skipAudit]] can compute ONE corpus max-aggregate and feed all
+    * three layouts instead of paying one bounds scan per layout.
+    */
+  private def mxBounds(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.agg(
       (max(col(xCol)).cast("long") + 1L).as("__mx"),
       (max(col(yCol)).cast("long") + 1L).as("__my"))
+
+  private def zorderAssignWith(df: DataFrame, xCol: String, yCol: String,
+      bounds: DataFrame): DataFrame = {
     val cellW = (1L << (2 * Bits)) / Files
     df.crossJoin(broadcast(bounds))
       .withColumn("__zx",
@@ -75,7 +85,12 @@ object Layout {
     * prunes on. Gated output: at most [[Files]] rows.
     */
   def zorderStats(df: DataFrame, xCol: String, yCol: String): DataFrame =
-    zorderAssign(df, xCol, yCol)
+    fileStats(zorderAssign(df, xCol, yCol), xCol, yCol)
+
+  /** The per-file manifest aggregation all three layouts share. */
+  private def fileStats(assigned: DataFrame, xCol: String,
+      yCol: String): DataFrame =
+    assigned
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol)).cast("long").as("min_x"),
@@ -116,10 +131,11 @@ object Layout {
     * max-scaled quantization, same fixed-width file cells, same
     * zero-shuffle scan-fused shape.
     */
-  def hilbertAssign(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val bounds = df.agg(
-      (max(col(xCol)).cast("long") + 1L).as("__mx"),
-      (max(col(yCol)).cast("long") + 1L).as("__my"))
+  def hilbertAssign(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    hilbertAssignWith(df, xCol, yCol, mxBounds(df, xCol, yCol))
+
+  private def hilbertAssignWith(df: DataFrame, xCol: String, yCol: String,
+      bounds: DataFrame): DataFrame = {
     val cellW = (1L << (2 * Bits)) / Files
     df.crossJoin(broadcast(bounds))
       .withColumn("__zx",
@@ -135,14 +151,7 @@ object Layout {
     * twin — at most [[Files]] rows, hash-gated).
     */
   def hilbertStats(df: DataFrame, xCol: String, yCol: String): DataFrame =
-    hilbertAssign(df, xCol, yCol)
-      .groupBy(col("file_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col(xCol)).cast("long").as("min_x"),
-        max(col(xCol)).cast("long").as("max_x"),
-        min(col(yCol)).cast("long").as("min_y"),
-        max(col(yCol)).cast("long").as("max_y"))
-      .orderBy(col("file_id"))
+    fileStats(hilbertAssign(df, xCol, yCol), xCol, yCol)
 
   def hilbertLineitem(spark: SparkSession, dir: String): DataFrame =
     hilbertStats(Tables(spark, dir).lineitem, "l_orderkey", "l_partkey")
@@ -154,12 +163,17 @@ object Layout {
     * every curve layout is measured against — perfect envelopes on x,
     * arbitrary ones on y.
     */
-  def linearStats(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val bounds = df.agg((max(col(xCol)).cast("long") + 1L).as("__mx"))
+  def linearStats(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    linearStatsWith(df, xCol, yCol,
+      df.agg((max(col(xCol)).cast("long") + 1L).as("__mx")))
+
+  private def linearStatsWith(df: DataFrame, xCol: String, yCol: String,
+      bounds: DataFrame): DataFrame = {
     val cellW = (1L << Bits) / Files
     df.crossJoin(broadcast(bounds))
       .withColumn("file_id",
         expr(s"(CAST($xCol AS BIGINT) * ${1L << Bits} div __mx) div $cellW"))
+      .drop("__my")
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol)).cast("long").as("min_x"),
@@ -185,14 +199,23 @@ object Layout {
     * against a broadcast 1-row bounds frame. Output: 3 rows.
     */
   def skipAudit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val manifests =
-      linearStats(df, xCol, yCol).withColumn("layout", lit("linear_x"))
-        .unionByName(zorderStats(df, xCol, yCol)
-          .withColumn("layout", lit("zorder")))
-        .unionByName(hilbertStats(df, xCol, yCol)
-          .withColumn("layout", lit("hilbert")))
+    // ONE corpus max-aggregate feeds all three layouts' scaling bounds
+    // AND the probe ranges (was: one bounds scan per layout plus the
+    // probe bounds — 4 corpus aggregation passes for the same two max
+    // values; the checkpoint is a 1-row table). (max+1) derived from
+    // the same max is the identical long arithmetic each layout
+    // computed itself.
     val bounds = df.agg(max(col(xCol)).cast("long").as("__bx"),
-      max(col(yCol)).cast("long").as("__by"))
+      max(col(yCol)).cast("long").as("__by")).localCheckpoint(true)
+    val mxmy = bounds.select((col("__bx") + 1L).as("__mx"),
+      (col("__by") + 1L).as("__my"))
+    val manifests =
+      linearStatsWith(df, xCol, yCol, mxmy)
+        .withColumn("layout", lit("linear_x"))
+        .unionByName(fileStats(zorderAssignWith(df, xCol, yCol, mxmy),
+          xCol, yCol).withColumn("layout", lit("zorder")))
+        .unionByName(fileStats(hilbertAssignWith(df, xCol, yCol, mxmy),
+          xCol, yCol).withColumn("layout", lit("hilbert")))
     manifests.crossJoin(broadcast(bounds))
       .withColumn("__hit_x",
         col("max_x") >= expr("__bx div 4") && col("min_x") <= expr("__bx div 2"))

@@ -455,8 +455,15 @@ object TextAnalysis {
     val sh = Dedup.rawShingles(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .distinct()
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("h"))
+    // df as a PARTITIONED window count over h instead of a groupBy +
+    // self-join: the join spelling consumed `sh` twice, so Catalyst ran
+    // the whole shingling subtree (explode + string shingles + hash +
+    // distinct exchange) once per consumer — one shingle pass and one
+    // exchange fewer this way, same values (count over the h-partition
+    // IS the document frequency). Skew bound is unchanged: a hot
+    // shingle's rows land in one task either way (groupBy h had the
+    // same key), and df rows per h are ≤ corpus docs by the distinct.
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
