@@ -53,6 +53,7 @@ object Engine {
       .withExtensions(graft.functions.SignPack.register)
       .withExtensions(graft.functions.TopKStructs.register)
       .withExtensions(graft.functions.MaxSimMicro.register)
+      .withExtensions(graft.functions.ShingleHashes.register)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       // BloomFilterAggregate silently clamps its size arguments to these
       // confs (Spark tunes them for its own runtime join filters); raise

@@ -48,6 +48,16 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     rawShingles(docs, n).distinct()
 
+  /** (doc_id, h): NON-distinct 64-bit shingle hashes per doc — the
+    * native-kernel twin of `rawShingles + xxhash64(shingle)`
+    * ([[graft.functions.ShingleHashes]]: one tokenization pass, no
+    * per-shingle string/array allocation, no interpreted HOF lambda;
+    * hash values bit-identical by construction and spec-pinned).
+    */
+  private[graft] def rawShingleHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes.shingleHashes(col("text"), n)).as("h"))
+
   /** (doc_id, h): distinct 64-bit shingle hashes per doc — the form every
     * dedup path actually consumes. Hashing BEFORE the distinct means the
     * dedup shuffle carries 8-byte keys, never the ~n-word strings
@@ -55,9 +65,7 @@ object Dedup {
     * downstream set-intersections already accept).
     */
   private[graft] def shingleHashes(docs: DataFrame, n: Int): DataFrame =
-    rawShingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .distinct()
+    rawShingleHashes(docs, n).distinct()
 
   /** Exact dedup: group identical text by its 128-bit md5 digest, keep
     * the smallest doc_id as the canonical copy. Grouping on the digest —
@@ -1324,9 +1332,8 @@ object Dedup {
     */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
     val evalHashes = broadcast(
-      rawShingles(evalDocs, n).select(xxhash64(col("shingle")).as("h")).distinct())
-    val contaminated = rawShingles(train, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      rawShingleHashes(evalDocs, n).select(col("h")).distinct())
+    val contaminated = rawShingleHashes(train, n)
       .join(evalHashes, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
     train.select(col("doc_id"))
@@ -1352,11 +1359,11 @@ object Dedup {
     */
   def deconReport(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
     val evalSh = broadcast(
-      rawShingles(evalDocs, n)
-        .select(col("doc_id").as("eval_id"), xxhash64(col("shingle")).as("h"))
+      rawShingleHashes(evalDocs, n)
+        .select(col("doc_id").as("eval_id"), col("h"))
         .distinct())
-    val matches = rawShingles(train, n)
-      .select(col("doc_id").as("train_id"), xxhash64(col("shingle")).as("h"))
+    val matches = rawShingleHashes(train, n)
+      .select(col("doc_id").as("train_id"), col("h"))
       .distinct()
       .join(evalSh, Seq("h"))
       .groupBy(col("eval_id"))
@@ -1387,10 +1394,9 @@ object Dedup {
     */
   def deconOverlap(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
     val evalHashes = broadcast(
-      rawShingles(evalDocs, n).select(xxhash64(col("shingle")).as("h"))
+      rawShingleHashes(evalDocs, n).select(col("h"))
         .distinct().withColumn("hit", lit(1L)))
-    rawShingles(train, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    rawShingleHashes(train, n)
       .distinct()
       .join(evalHashes, Seq("h"), "left")
       .groupBy(col("doc_id"))
@@ -1425,11 +1431,10 @@ object Dedup {
     */
   def ngramCoverage(train: DataFrame, evalDocs: DataFrame,
       n: Int = 5): DataFrame = {
-    val evH = rawShingles(evalDocs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).distinct()
+    val evH = rawShingleHashes(evalDocs, n).distinct()
     val evSet = broadcast(evH.select(col("h")).distinct())
-    val covered = rawShingles(train, n)
-      .select(xxhash64(col("shingle")).as("h"))
+    val covered = rawShingleHashes(train, n)
+      .select(col("h"))
       .join(evSet, Seq("h"), "left_semi")
       .distinct()
       .withColumn("hit", lit(1L))
@@ -1505,13 +1510,12 @@ object Dedup {
     // equality with the subquery's subtree, so ReuseExchange cannot fire.
     // That is a constant-factor cost on the SMALL side; at production
     // scale the eval hash set is precomputed and stored once anyway.
-    val evalHashes = rawShingles(evalDocs, n)
-      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val evalHashes = rawShingleHashes(evalDocs, n)
+      .select(col("h")).distinct()
     val bloom = evalHashes
       .agg(BloomFn.bloomAgg(col("h"), expectedEvalShingles).as("bf"))
       .scalar()
-    val contaminated = rawShingles(train, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val contaminated = rawShingleHashes(train, n)
       .filter(BloomFn.mightContain(bloom, col("h")))
       .join(evalHashes.hint("shuffle_hash"), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()

@@ -105,18 +105,20 @@ object Monitoring {
           lit(s"sourceOverlap: source id outside [0, $nSources) in source='"),
           col("source"), lit("' — extend nSources or fix the source naming"))))
       .otherwise(sidRaw)
+    // native shingle-hash kernel (one tokenization pass, no per-shingle
+    // strings) — the groupBy below consumed only xxhash64(shingle), so
+    // the hashes can be produced directly; values are the spec-pinned
+    // xxhash64-of-joined-tokens the oracle replays
     val sh = docs
-      .select(sid.as("sid"), toks.as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("sid"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
-        .as("shingle"))
+      .select(sid.as("sid"),
+        explode(graft.functions.ShingleHashes.shingleHashes(col("text"), n))
+          .as("h"))
     val maskCols = (0 until nWords).map(w =>
       expr(s"bit_or(IF(sid div 64 = $w, shiftleft(1L, sid % 64), 0L))")
         .as(s"mask_$w"))
     val maskNames = (0 until nWords).map(w => col(s"mask_$w"))
     val masks = sh
-      .groupBy(xxhash64(col("shingle")).as("h"))
+      .groupBy(col("h"))
       .agg(maskCols.head, maskCols.tail: _*)
     val hist = masks.groupBy(maskNames: _*).agg(count(lit(1)).as("n"))
       .withColumn("mask_arr", array(maskNames: _*))

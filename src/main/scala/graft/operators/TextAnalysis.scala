@@ -452,9 +452,7 @@ object TextAnalysis {
     * ~(#shingles)²/2⁶⁴, the bound every dedup path documents).
     */
   def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = Dedup.rawShingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .distinct()
+    val sh = Dedup.rawShingleHashes(docs, n).distinct()
     // df as a PARTITIONED window count over h instead of a groupBy +
     // self-join: the join spelling consumed `sh` twice, so Catalyst ran
     // the whole shingling subtree (explode + string shingles + hash +

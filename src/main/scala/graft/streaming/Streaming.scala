@@ -325,8 +325,8 @@ object Streaming {
     // limit(max+1) keeps this ONE job with driver memory bounded at
     // max+1 longs either way — a separate count() pass would double the
     // shingle scan just to ask permission
-    val taken = graft.operators.Dedup.rawShingles(evalDocs, n)
-      .select(xxhash64(col("shingle")).as("h"))
+    val taken = graft.operators.Dedup.rawShingleHashes(evalDocs, n)
+      .select(col("h"))
       .distinct()
       .limit(maxHashes + 1)
       .collect()

@@ -398,3 +398,58 @@ class MaxSimMicroSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage != null)
   }
 }
+
+class ShingleHashesSpec extends AnyFunSuite with SparkTestSession {
+
+  /** The SQL spelling the kernel replaced in Dedup.rawShingles +
+    * xxhash64(shingle) — kept verbatim as the parity oracle.
+    */
+  private def sqlHashes(df: org.apache.spark.sql.DataFrame, n: Int) = {
+    val toks = split(trim(col("text")), "\\s+")
+    df.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+        .as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+  }
+
+  private def kernelHashes(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.select(col("doc_id"),
+      explode(ShingleHashes.shingleHashes(col("text"), n)).as("h"))
+
+  test("bit-identical to the SQL spelling on the documents fixture (n=3 and n=5)") {
+    val docs = graft.Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    for (n <- Seq(3, 5)) {
+      val want = sqlHashes(docs, n).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val got = kernelHashes(docs, n).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === want.toSeq, s"n=$n")
+    }
+  }
+
+  test("adversarial whitespace/unicode docs agree with the SQL spelling") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "  leading and trailing  "),
+      (2L, "\ttab\tleads here now"),       // trim strips spaces only: leading empty token
+      (3L, "multi   space\nand newline x"),
+      (4L, "short"),                        // fewer than n tokens -> no rows
+      (5L, ""),
+      (6L, "naïve café 数据 引擎 ωmega"),
+      (7L, "a a a a a a")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val want = sqlHashes(docs, n).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val got = kernelHashes(docs, n).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === want.toSeq, s"n=$n")
+    }
+  }
+
+  test("null text yields null (explode then drops the row)") {
+    import spark.implicits._
+    val docs = Seq((0L, Option.empty[String]), (1L, Some("x y z"))).toDF("doc_id", "text")
+    val got = kernelHashes(docs, 2).collect()
+    assert(got.forall(_.getLong(0) == 1L) && got.length == 2)
+  }
+}
