@@ -103,7 +103,26 @@ object Engine {
     * PlanCache entry.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+
+  /** The cached-or-inferred schema of a parquet path. Cache keyed on
+    * (path, mtime): the fixture contract is immutable files, but a
+    * rewritten path (a regenerated temp fixture inside one JVM — the
+    * r19 ADVICE stale-read trap) bumps the file/dir mtime, so the stale
+    * entry simply stops being hit and the schema is re-inferred. The
+    * stat is one local metadata call (~µs) per table reference —
+    * noise next to the listing + footer read it avoids; entries are a
+    * few hundred bytes against a bounded fixture-path population, so
+    * stale keys need no eviction.
+    */
+  private[graft] def cachedSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    // local-path fixtures only (testdata dirs, temp gate dirs); a
+    // non-local URI stats as mtime 0 and simply caches on path alone
+    val mtime = new java.io.File(path.stripPrefix("file:")).lastModified()
+    schemaCache.computeIfAbsent((path, mtime),
+      _ => spark.read.parquet(path).schema)
+  }
 
   /** Typed access to the driver testdata tables (TESTDATA.md). Each call is
     * a fresh scan so Catalyst can push per-query filters/projections into
@@ -113,9 +132,7 @@ object Engine {
   final case class Tables(spark: SparkSession, dir: String) {
     def table(name: String): DataFrame = {
       val path = s"$dir/$name.parquet"
-      val schema = schemaCache.computeIfAbsent(path,
-        p => spark.read.parquet(p).schema)
-      spark.read.schema(schema).parquet(path)
+      spark.read.schema(Engine.cachedSchema(spark, path)).parquet(path)
     }
     def region: DataFrame     = table("region")
     def nation: DataFrame     = table("nation")

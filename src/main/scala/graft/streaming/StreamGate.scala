@@ -23,12 +23,23 @@ object StreamGate {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, SparkSession]())
 
-  private def sessionFor(spark: SparkSession): SparkSession =
+  private[streaming] def sessionFor(spark: SparkSession): SparkSession =
     gateSessions.synchronized {
       var child = gateSessions.get(spark)
       if (child == null) {
         child = spark.newSession()
         child.conf.set("spark.sql.shuffle.partitions", "8")
+        // Per-micro-batch sink-commit cost: every batch's foreachBatch
+        // parquet write pays the full FileOutputCommitter protocol.
+        // v2 commits task output directly at task commit (no job-level
+        // re-rename pass) and the _SUCCESS marker is pure overhead here
+        // (read-back uses partition discovery, and batch idempotence
+        // comes from the per-batch-dir overwrite, not the marker). Both
+        // scoped to the gate child session.
+        child.conf.set(
+          "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        child.conf.set(
+          "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         gateSessions.put(spark, child)
       }
       child
@@ -62,10 +73,26 @@ object StreamGate {
     * MemoryStream callers create their stream inside `build` from the
     * session it receives.
     */
+  /** Dev-only intra-gate timing (`SPARK_GRAFT_STREAM_PROF=1`): dumps the
+    * harness phase times and Spark's own per-micro-batch duration
+    * breakdown (`StreamingQueryProgress.durationMs`) to stderr, so "the
+    * streaming family costs ~0.8 s/gate" can be attributed to planning /
+    * state-store commit / sink write / harness instead of guessed at.
+    * Zero cost when unset.
+    */
+  private val profEnabled = sys.env.get("SPARK_GRAFT_STREAM_PROF").contains("1")
+
   def runToParquet(spark: SparkSession, build: SparkSession => DataFrame,
       outDir: String, outputMode: String = "append",
       keepBatchId: Boolean = false)
       (feeds: (() => Unit)*): DataFrame = {
+    val profT0 = System.nanoTime()
+    def profMark(label: String, t0: Long): Long = {
+      val now = System.nanoTime()
+      if (profEnabled)
+        System.err.println(f"[streamprof] $outDir%s $label%-10s ${(now - t0) / 1e9}%.3f s")
+      now
+    }
     // No staged feeds → the fixture is fully present at start, so run
     // under Trigger.AvailableNow: the query drains the source, runs the
     // extra batch stateful operators request after the watermark
@@ -90,13 +117,28 @@ object StreamGate {
       "StreamGate: build(session) must construct its sources from the " +
         "session it receives — a query bound to another session would " +
         "not pick up the gate-scoped conf")
+    val tBuilt = profMark("build", profT0)
     val q = Streaming.idempotentParquetSink(out, s"$outDir/data",
       s"$outDir/_checkpoint", outputMode, availableNow = feeds.isEmpty)
+    val tStarted = profMark("start", tBuilt)
     try {
       if (feeds.isEmpty) q.awaitTermination()
       else feeds.foreach { f => f(); q.processAllAvailable() }
     } finally q.stop()
-    val landed = spark.read.parquet(s"$outDir/data")
+    val tDrained = profMark("drain", tStarted)
+    if (profEnabled) q.recentProgress.foreach { p =>
+      System.err.println(s"[streamprof] $outDir batch=${p.batchId} " +
+        s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+    }
+    // Read back with the KNOWN schema (the sink landed exactly `out`'s
+    // columns; `batch_id` is the sink's directory partition column,
+    // discovered as int) — an explicit schema skips the footer-read
+    // schema inference a fresh temp directory can never have cached,
+    // while partition DISCOVERY (the layout under test) still runs.
+    val landedSchema = org.apache.spark.sql.types.StructType(
+      out.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.IntegerType))
+    val landed = spark.read.schema(landedSchema).parquet(s"$outDir/data")
     // Update-mode sinks RE-EMIT a group in every micro-batch where it
     // changes, each landing under its own batch_id — a multi-batch run
     // would leave stale earlier rows in the read-back and the gate
@@ -106,13 +148,22 @@ object StreamGate {
     // of assuming it: if batching ever changes, this trips rather than
     // a hash mysteriously mismatching (or worse, matching).
     if (outputMode == "update") {
-      import org.apache.spark.sql.functions.countDistinct
-      val batches = landed.select(countDistinct("batch_id")).head().getLong(0)
+      // "batches that emitted rows" counted from the sink's own layout —
+      // a batch_id=N dir holds a part file iff that batch wrote ≥1 row
+      // (empty partitions produce no files) — so the check is two local
+      // directory listings instead of a Spark job per gate.
+      val dataDir = new java.io.File(s"$outDir/data")
+      val batches = Option(dataDir.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("batch_id="))
+        .count(d => Option(d.listFiles()).toSeq.flatten
+          .exists(_.getName.startsWith("part-")))
       require(batches <= 1,
         s"StreamGate: update-mode gate landed $batches micro-batches; " +
           "the read-back would contain stale re-emitted group rows - " +
           "keep only each group's max-batch_id row before comparing")
     }
-    if (keepBatchId) landed else landed.drop("batch_id")
+    val res = if (keepBatchId) landed else landed.drop("batch_id")
+    if (profEnabled) { res.count(); profMark("readback", tDrained); profMark("total", profT0) }
+    res
   }
 }

@@ -46,10 +46,26 @@ object StreamQueries {
     * as [[Streaming.streamEvents]] does for events).
     */
   private def streamDocs(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    // cached peek — see Streaming.streamEvents
+    val schema = graft.Engine.cachedSchema(spark, s"$dir/documents.parquet")
     // {} glob: accept a single-file fixture (see Streaming.streamEvents)
     spark.readStream.schema(schema).parquet(s"$dir/{documents.parquet}")
   }
+
+  /** Round-robin fan-out of the streamed fixture scan ahead of per-doc
+    * text kernels (simhash / winnow / logit features): the fixture is a
+    * SINGLE single-row-group parquet file, so each micro-batch scan is
+    * one task and every kernel downstream of it runs serially however
+    * many cores the box has (guide §2.5 — an unsplittable input is
+    * repartitioned right after the read). Gate-scale cost is ~10 MB of
+    * text across one round-robin exchange; the session's own
+    * shuffle-partition dial (8 on the gate child) sizes the fan-out, so
+    * it follows deployment scale. Applied only where the scan feeds a
+    * kernel that dominates the micro-batch (stateless scoring gates and
+    * the simhash quarantine) — cheap per-row gates keep the bare scan.
+    */
+  private def fanOut(df: DataFrame): DataFrame = df.repartition(
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
 
   /** Gated [[Streaming.qualityFilterStream]]: stateless logistic
     * admission with the original columns riding through — the landed
@@ -154,7 +170,7 @@ object StreamQueries {
     */
   def quarantineDocs(spark: SparkSession, dir: String): DataFrame =
     StreamGate.runToParquet(spark,
-      s => Streaming.simhashQuarantineStream(streamDocs(s, dir),
+      s => Streaming.simhashQuarantineStream(fanOut(streamDocs(s, dir)),
         bucketCap = Int.MaxValue).toDF(),
       gateDir("quarantine"))()
       .orderBy("doc_id", "band")
@@ -240,7 +256,7 @@ object StreamQueries {
     */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =
     StreamGate.runToParquet(spark,
-      s => Streaming.fingerprintStream(streamDocs(s, dir)),
+      s => Streaming.fingerprintStream(fanOut(streamDocs(s, dir))),
       gateDir("fingerprint"))()
       .orderBy("doc_id")
 
@@ -290,7 +306,7 @@ object StreamQueries {
       graft.Engine.Tables(spark, dir).embeddings)
     StreamGate.runToParquet(spark,
       { s =>
-        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val schema = graft.Engine.cachedSchema(s, s"$dir/embeddings.parquet")
         val vecs = s.readStream.schema(schema)
           .parquet(s"$dir/{embeddings.parquet}")
         graft.operators.Similarity.assignToCells(
@@ -321,7 +337,7 @@ object StreamQueries {
     */
   def weakLabelDocs(spark: SparkSession, dir: String): DataFrame =
     StreamGate.runToParquet(spark,
-      s => graft.operators.QualityModel.weakLabelsOn(streamDocs(s, dir)),
+      s => graft.operators.QualityModel.weakLabelsOn(fanOut(streamDocs(s, dir))),
       gateDir("weaklabels"))()
       .orderBy("doc_id")
 
@@ -401,21 +417,32 @@ object StreamQueries {
     */
   def cdcDocs(spark: SparkSession, dir: String): DataFrame = {
     val out = gateDir("cdc")
-    val gateSession = spark.newSession()
-    gateSession.conf.set("spark.sql.shuffle.partitions", "8")
+    // the CACHED gate child (same conf) — a fresh newSession() per call
+    // rebuilds the whole SessionState, the measured ~0.2-0.5 s cost the
+    // shared child exists to avoid (see StreamGate.sessionFor)
+    val gateSession = StreamGate.sessionFor(spark)
     val base = graft.Engine.Tables(gateSession, dir).documents
     // the insert-id shift is a 1-row batch aggregate peeked at build
     // time (the streaming twin of the batch gate's broadcast scalar)
     val shift = base.agg(max(col("doc_id")).as("m")).head.getLong(0) + 1L
-    val docsStream = streamDocs(gateSession, dir)
-    val changes = docsStream.filter(col("doc_id") % 10 === 3)
-      .withColumn("text", concat(col("text"), lit(" v2")))
-      .withColumn("op", lit("upsert"))
-      .unionByName(docsStream.filter(col("doc_id") % 10 === 7)
-        .withColumn("doc_id", col("doc_id") + lit(shift))
-        .withColumn("op", lit("upsert")))
-      .unionByName(docsStream.filter(col("doc_id") % 10 === 9)
-        .withColumn("op", lit("delete")))
+    // ONE source scan for all three op classes (the 3-branch unionByName
+    // spelling instantiated three FileStreamSource instances — three
+    // listings + three full scans per micro-batch for row-disjoint
+    // slices of the same file). The per-class column edits move into
+    // row-local `when`s on the shared scan; the id slices are disjoint,
+    // so the emitted row set is identical.
+    val changes = streamDocs(gateSession, dir)
+      // all three class tests read the PRE-shift id (`m`), so the
+      // shifted inserts can never re-enter another class
+      .withColumn("m", col("doc_id") % 10)
+      .filter(col("m").isin(3L, 7L, 9L))
+      .withColumn("text", when(col("m") === 3,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .withColumn("doc_id", when(col("m") === 7,
+        col("doc_id") + lit(shift)).otherwise(col("doc_id")))
+      .withColumn("op", when(col("m") === 9, lit("delete"))
+        .otherwise(lit("upsert")))
+      .drop("m")
     val q = Streaming.cdcMergeSink(changes, base, s"$out/state",
       s"$out/_checkpoint", availableNow = true)
     try q.awaitTermination() finally q.stop()
